@@ -1,0 +1,56 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized via a count-style action that forces every
+operator (no collect of the data to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from end_to_end_data_engineering_and_ml_system_spark.plans.registry import (
+        bench_queries,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.session import get_spark
+
+    spark = get_spark(app_name="e2e-spark-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = bench_queries()
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footer cache once so timings measure the plan,
+    # not first-touch JIT
+    next(iter(qs.values())).build(spark, sf_dir).count() if qs else None
+
+    for name, q in qs.items():
+        t0 = time.perf_counter()
+        df = q.build(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

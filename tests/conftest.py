@@ -1,0 +1,20 @@
+from __future__ import annotations
+
+import pytest
+
+from end_to_end_data_engineering_and_ml_system_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="e2e-spark-tests", cpus=8, shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_SMOKE

@@ -1,0 +1,35 @@
+"""Every registered query with an oracle must match DuckDB on the fixtures.
+
+This mirrors the driver's CORRECTNESS gate (row-count + schema +
+order-insensitive value compare) at sf0.001 for speed; the driver runs the
+same comparison at sf0.01.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from end_to_end_data_engineering_and_ml_system_spark.plans.registry import all_queries
+
+from .oracle import compare, duckdb_run
+
+QUERIES = all_queries()
+WITH_ORACLE = sorted(n for n, q in QUERIES.items() if q.oracle is not None)
+ROWS_ONLY = sorted(n for n, q in QUERIES.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_parity(spark, sf_dir, name):
+    q = QUERIES[name]
+    spark_df = q.build(spark, sf_dir)
+    oracle_df = duckdb_run(q.oracle, sf_dir)
+    errs = compare(spark_df, oracle_df)
+    assert not errs, f"{name}: " + "; ".join(errs)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, sf_dir, name):
+    q = QUERIES[name]
+    df = q.build(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
