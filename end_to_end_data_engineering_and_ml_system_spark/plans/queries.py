@@ -11,6 +11,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dec_avg, dec_sum, sql_dec_avg, sql_dec_sum
+from ..functions.scalars import canonical_label
+from ..operators.cleaning import conditional_counts, replace_values_with_null
 from ..sources.catalog import load_table
 from .registry import register
 
@@ -123,4 +125,186 @@ def latest_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_id", "ts", "user_id", "event_type", "value")
         .orderBy(F.col("ts").desc(), F.col("event_id").desc())
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cleaning layer (§2.2). The fixtures are clean, so each query first
+# synthesizes the reference's dirty-input conditions deterministically
+# in-query (masked nulls standing in for CICIDS "Infinity" strings), then
+# runs the real cleaning operators — the semantics are exercised and
+# oracle-checked even though the base table has no nulls.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_clean_pipeline",
+    oracle="""
+        WITH dirty AS (
+            SELECT
+                event_id,
+                CASE WHEN event_type = 'error' THEN NULL ELSE event_type END
+                    AS event_type_masked,
+                CASE WHEN value BETWEEN 100 AND 110 THEN NULL ELSE value END
+                    AS value_masked
+            FROM events
+        ), cleaned AS (
+            SELECT
+                COALESCE(event_type_masked, 'unknown') AS event_type_clean,
+                COALESCE(value_masked, 0.0) AS value_filled
+            FROM dirty
+        )
+        SELECT
+            event_type_clean,
+            COUNT(*) AS n_events,
+            {sum_value}
+        FROM cleaned
+        GROUP BY event_type_clean
+    """.format(sum_value=sql_dec_sum("value_filled", "sum_value")),
+    description="dirty-value→null rewrite + na.fill + grouped agg (P7/P8/A1)",
+    tags=("cleaning",),
+)
+def events_clean_pipeline(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("event_type").alias("event_type_masked"),
+        F.when(F.col("value").between(100, 110), F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value_masked"),
+    )
+    # the reference's Infinity→null rewrite, here masking the sentinel class
+    dirty = replace_values_with_null(ev, ["event_type_masked"], ["error"])
+    cleaned = dirty.na.fill({"event_type_masked": "unknown", "value_masked": 0.0})
+    return (
+        cleaned.groupBy(F.col("event_type_masked").alias("event_type_clean"))
+        .agg(F.count("*").alias("n_events"), dec_sum("value_masked", "sum_value"))
+    )
+
+
+@register(
+    "events_props_extract",
+    oracle="""
+        SELECT
+            CAST(props->>'k' AS BIGINT) AS k_value,
+            COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1
+    """,
+    description="JSON decode with schema + flatten + grouped count (F1/P4)",
+    tags=("json", "cleaning"),
+)
+def events_props_extract(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.from_json("props", "k BIGINT").getField("k").alias("k_value")
+        )
+        .groupBy("k_value")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "events_json_roundtrip",
+    oracle="""
+        SELECT
+            event_id,
+            to_json(struct_pack(event_id := event_id,
+                                event_type := event_type)) AS payload
+        FROM events
+        WHERE event_id < 100
+    """,
+    description="JSON encode of a row struct, the Kafka-sink payload (F2/S7)",
+    tags=("json",),
+)
+def events_json_roundtrip(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    return ev.select(
+        "event_id",
+        F.to_json(F.struct("event_id", "event_type")).alias("payload"),
+    )
+
+
+@register(
+    "event_type_label_map",
+    oracle="""
+        SELECT
+            CASE
+                WHEN lower(trim(event_type)) LIKE '%purchase%'
+                  OR lower(trim(event_type)) LIKE '%signup%' THEN 'conversion'
+                WHEN lower(trim(event_type)) LIKE '%click%'
+                  OR lower(trim(event_type)) LIKE '%view%' THEN 'engagement'
+                WHEN lower(trim(event_type)) LIKE '%error%' THEN 'incident'
+                ELSE 'other'
+            END AS label,
+            COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1
+    """,
+    description="canonical label mapping as native when/contains chain, no UDF (F5/F6/A1)",
+    tags=("cleaning", "labels"),
+)
+def event_type_label_map(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    label = canonical_label(
+        "event_type",
+        {
+            "conversion": ["purchase", "signup"],
+            "engagement": ["click", "view"],
+            "incident": ["error"],
+        },
+    )
+    return (
+        ev.select(label.alias("label"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "clean_null_counts",
+    oracle="""
+        SELECT
+            SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
+            SUM(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS big_value,
+            SUM(CASE WHEN props->>'k' IS NULL THEN 1 ELSE 0 END) AS null_k,
+            SUM(CASE WHEN event_type IN ('error') THEN 1 ELSE 0 END) AS n_error
+        FROM events
+    """,
+    description="single-pass conditional counts — one job, not N filter+count jobs (A3)",
+    tags=("cleaning", "aggregation"),
+)
+def clean_null_counts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return conditional_counts(
+        ev,
+        {
+            "null_value": F.col("value").isNull(),
+            "big_value": F.col("value") > 400,
+            "null_k": F.from_json("props", "k BIGINT").getField("k").isNull(),
+            "n_error": F.col("event_type").isin("error"),
+        },
+    )
+
+
+@register(
+    "documents_dedup_exact",
+    oracle="""
+        SELECT
+            md5(text) AS text_md5,
+            MIN(doc_id) AS keep_doc_id,
+            COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    bench=True,
+    description="exact dedup by content hash, keep-first (P10; LLM-data exact dedup)",
+    tags=("dedup",),
+)
+def documents_dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("text_md5"), "doc_id")
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
     )
