@@ -69,14 +69,18 @@ def drop_columns_fuzzy(df: DataFrame, names: Iterable[str]) -> DataFrame:
 
 def select_first_occurrence(df: DataFrame) -> DataFrame:
     """Keep the first occurrence of each duplicate column name (ref: P5,
-    stream_anomaly_detector.py:193-201)."""
+    stream_anomaly_detector.py:193-201). Duplicate names can't be referenced
+    directly, so rename positionally to unique temporaries first."""
+    tmp = [f"__c{i}" for i in range(len(df.columns))]
+    keep: list[tuple[str, str]] = []
     seen: set[str] = set()
-    cols = []
-    for i, c in enumerate(df.columns):
+    for t, c in zip(tmp, df.columns):
         if c not in seen:
             seen.add(c)
-            cols.append(df[df.columns[i]])
-    return df.select(*cols)
+            keep.append((t, c))
+    return df.toDF(*tmp).select(
+        *[F.col(t).alias(c) for t, c in keep]
+    )
 
 
 def replace_values_with_null(

@@ -1,0 +1,84 @@
+"""Relational operators: joins, windows, set ops, sampling (SURVEY.md §2.3,
+§2.5, §2.7, §2.8).
+
+The reference has no joins (flows are denormalized; SURVEY §2.3) — the join
+surface here is the engine's own, built on Spark's join machinery with
+scale-aware strategy selection:
+
+- **broadcast** small dimensions (``F.broadcast``) so a 100 TB fact table
+  never shuffles for a kB-sized dim;
+- equi-joins on high-cardinality keys rely on sort-merge + AQE (skew-join
+  splitting enabled in the session factory);
+- semi/anti joins instead of ``IN``-subquery collects.
+
+Window functions (§2.5): top-N per key via ``row_number`` over a bounded
+partition — the distributed replacement for the dashboard's driver-side
+sort+head (streamlit_dashboard.py:93-101,217-231).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_enrich(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str] | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Join a fact table to a small dimension with an explicit broadcast hint
+    (stream-static enrichment pattern; at 100 TB the dim must never be the
+    shuffle side)."""
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
+    """Rows of ``left`` with a match in ``right`` (EXISTS)."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
+    """Rows of ``left`` without a match in ``right`` (NOT EXISTS)."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def top_n_per_key(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    n: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-N rows per key via ``row_number`` — requires a total order
+    (callers must include a unique tiebreaker in ``order_by`` or results are
+    nondeterministic under retries/partitioning changes)."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n)
+    )
+
+
+def seeded_split(
+    df: DataFrame, weights: Sequence[float], seed: int = 42
+) -> list[DataFrame]:
+    """Seeded random split (ref: R1, preprocess_cicids2017.py:240). The split
+    is reproducible for a fixed partitioning; invariant testing checks the
+    partition property (sizes sum to total, no overlap), not exact membership."""
+    return df.randomSplit(list(weights), seed=seed)
+
+
+def capped_sample(
+    df: DataFrame, cap: int, total: int | None = None, seed: int = 42
+) -> DataFrame:
+    """Bernoulli sample down to ~``cap`` rows when the input exceeds it
+    (ref: R2, preprocess_cicids2017.py:264-273). Pass ``total`` if already
+    known to avoid an extra count job."""
+    n = total if total is not None else df.count()
+    if n <= cap:
+        return df
+    return df.sample(withReplacement=False, fraction=cap / n, seed=seed)

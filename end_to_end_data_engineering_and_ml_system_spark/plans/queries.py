@@ -308,3 +308,284 @@ def documents_dedup_exact(spark, sf_dir):
         .groupBy("text_md5")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational completeness (§2.3/§2.5/§2.7): joins, window functions, set ops.
+# The reference has no joins (denormalized flows); the engine declares and
+# tests the full join surface because enrichment at 100 TB requires it.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+        SELECT
+            n.n_name AS nation,
+            r.r_name AS region,
+            COUNT(*) AS n_lineitems,
+            CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    """,
+    bench=True,
+    description="multi-way join: fact->dims with broadcast hints (TPC-H Q5 shape)",
+    tags=("join",),
+)
+def revenue_by_nation(spark, sf_dir):
+    from ..operators.relational import broadcast_enrich
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    # orders/customer join sort-merge on the big side; nation/region broadcast
+    enriched = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+    )
+    enriched = broadcast_enrich(
+        enriched, nation, enriched.c_nationkey == nation.n_nationkey
+    )
+    enriched = broadcast_enrich(
+        enriched, region, nation.n_regionkey == region.r_regionkey
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    return (
+        enriched.groupBy(
+            F.col("n_name").alias("nation"), F.col("r_name").alias("region")
+        )
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "events_enriched_by_customer",
+    oracle="""
+        SELECT
+            c.c_mktsegment AS mktsegment,
+            COUNT(*) AS n_events,
+            {sum_value}
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1
+    """.format(sum_value=sql_dec_sum("e.value", "sum_value")),
+    description="stream-static enrichment analog: events broadcast-joined to a dim",
+    tags=("join", "streaming-analog"),
+)
+def events_enriched_by_customer(spark, sf_dir):
+    from ..operators.relational import broadcast_enrich
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = broadcast_enrich(ev, cust, ev.user_id == cust.c_custkey)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count("*").alias("n_events"), dec_sum("value", "sum_value"))
+    )
+
+
+@register(
+    "customers_with_orders_semi",
+    oracle="""
+        SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_customers
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY 1
+    """,
+    description="left-semi join (EXISTS)",
+    tags=("join",),
+)
+def customers_with_orders_semi(spark, sf_dir):
+    from ..operators.relational import semi_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        semi_join(cust, orders, "c_custkey")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "customers_without_orders_anti",
+    oracle="""
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    description="left-anti join (NOT EXISTS)",
+    tags=("join",),
+)
+def customers_without_orders_anti(spark, sf_dir):
+    from ..operators.relational import anti_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return anti_join(cust, orders, "c_custkey").select("c_custkey", "c_name")
+
+
+@register(
+    "top_orders_per_customer",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rn
+            FROM orders
+        )
+        WHERE rn <= 3
+    """,
+    bench=True,
+    description="top-N per key via row_number window (§2.5; replaces driver-side sort+head)",
+    tags=("window-function",),
+)
+def top_orders_per_customer(spark, sf_dir):
+    from ..operators.relational import top_n_per_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    return top_n_per_key(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        partition_by=["o_custkey"],
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        n=3,
+    )
+
+
+@register(
+    "customer_order_gaps",
+    oracle="""
+        SELECT
+            o_custkey,
+            o_orderkey,
+            o_orderdate,
+            LAG(o_orderdate) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ) AS prev_orderdate,
+            CAST(date_diff('day',
+                LAG(o_orderdate) OVER (
+                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ),
+                o_orderdate) AS BIGINT) AS days_since_prev
+        FROM orders
+    """,
+    description="lag/lead analytic window: per-customer inter-order gaps (§2.5)",
+    tags=("window-function",),
+)
+def customer_order_gaps(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        prev.alias("prev_orderdate"),
+        F.datediff(F.col("o_orderdate"), prev).cast("bigint").alias("days_since_prev"),
+    )
+
+
+@register(
+    "user_set_ops",
+    oracle="""
+        SELECT 'both' AS op, COUNT(*) AS n FROM (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        )
+        UNION ALL
+        SELECT 'purchase_only' AS op, COUNT(*) AS n FROM (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        )
+        UNION ALL
+        SELECT 'union_distinct' AS op, COUNT(*) AS n FROM (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            UNION
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        )
+    """,
+    description="intersect / except / union-distinct (U1/U2 + declared set ops)",
+    tags=("set-op",),
+)
+def user_set_ops(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    err = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+
+    def one(op: str, df):
+        return df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        one("both", purch.intersect(err))
+        .unionByName(one("purchase_only", purch.exceptAll(err)))
+        .unionByName(one("union_distinct", purch.union(err).distinct()))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sampling / splits (§2.8). Seeded but RNG-specific, so no DuckDB oracle —
+# registered rows-only; the partition-property invariants (sizes sum to
+# total, disjoint membership) are asserted in tests/test_relational.py.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "seeded_split_counts",
+    oracle=None,
+    description="randomSplit(0.8/0.2, seed=42) partition sizes (R1)",
+    tags=("sampling",),
+)
+def seeded_split_counts(spark, sf_dir):
+    from ..operators.relational import seeded_split
+
+    orders = load_table(spark, sf_dir, "orders")
+    train, test = seeded_split(orders, [0.8, 0.2], seed=42)
+    return (
+        train.agg(F.count("*").alias("n")).select(F.lit("train").alias("part"), "n")
+        .unionByName(
+            test.agg(F.count("*").alias("n")).select(F.lit("test").alias("part"), "n")
+        )
+    )
+
+
+@register(
+    "capped_sample_count",
+    oracle=None,
+    description="Bernoulli sample with row cap (R2: sample above 500k-row analog)",
+    tags=("sampling",),
+)
+def capped_sample_count(spark, sf_dir):
+    from ..operators.relational import capped_sample
+
+    li = load_table(spark, sf_dir, "lineitem")
+    total = li.count()
+    cap = max(1000, total // 2)
+    sampled = capped_sample(li, cap=cap, total=total, seed=42)
+    return sampled.agg(
+        F.count("*").alias("n_sampled"),
+        F.lit(total).alias("n_total"),
+        F.lit(cap).alias("cap"),
+    )
