@@ -1,0 +1,76 @@
+"""Aggregation operators (SURVEY.md §2.4) + observe()-based instrumentation.
+
+Distributed re-expressions of the dashboard/ETL aggregations:
+
+- histogram (A9, streamlit_dashboard.py:169-178) as floor-bucket groupBy —
+  the shuffle carries one row per (bucket, group), never the raw data;
+- per-class distribution stats (A10, :205-214) via exact interpolated
+  ``percentile`` (identical semantics to DuckDB ``quantile_cont``);
+- ratio metrics (A12, :127-129) as derived agg expressions;
+- stage row-count instrumentation via ``DataFrame.observe`` — the reference
+  calls ``df.count()`` at every ETL stage (preprocess_cicids2017.py:81-86),
+  re-scanning the data each time; ``observe`` rides the single pass for free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    width: float,
+    by: Sequence[str] = (),
+    bucket_col: str = "bucket",
+    count_col: str = "n",
+) -> DataFrame:
+    """Fixed-width histogram: ``floor(col/width)`` buckets, optionally split
+    by group columns (ref: A9)."""
+    bucket = F.floor(F.col(col) / F.lit(width)).cast("bigint").alias(bucket_col)
+    return df.groupBy(bucket, *by).agg(F.count("*").alias(count_col))
+
+
+def percentiles_by_group(
+    df: DataFrame,
+    col: str,
+    by: Sequence[str],
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact interpolated percentiles per group (ref: A10). Uses ``percentile``
+    (exact), not ``percentile_approx`` — approx sketches are engine-specific
+    and break cross-engine reproducibility; for 100 TB pipelines where exact
+    is too expensive, switch to ``approx_percentile`` knowingly."""
+    qs = ", ".join(str(q) for q in quantiles)
+    exprs = [
+        F.expr(f"percentile({col}, {q})").alias(f"p{int(q * 100)}")
+        for q in quantiles
+    ]
+    _ = qs
+    return df.groupBy(*by).agg(*exprs)
+
+
+def ratio_metric(
+    df: DataFrame, num_cond: Column, alias: str = "rate_pct"
+) -> DataFrame:
+    """Single-row ratio metric: 100 * count(cond) / count(*) (ref: A12)."""
+    num = F.sum(F.when(num_cond, F.lit(1)).otherwise(F.lit(0)))
+    return df.agg(
+        (F.lit(100.0) * num / F.count("*")).alias(alias),
+        num.alias("n_matching"),
+        F.count("*").alias("n_total"),
+    )
+
+
+def with_stage_observation(
+    df: DataFrame, name: str, *metrics: Column
+) -> tuple[DataFrame, Observation]:
+    """Attach an Observation collecting row counts (and optional extra
+    metrics) during the next action — zero extra jobs, unlike the
+    reference's per-stage ``count()`` calls."""
+    obs = Observation(name)
+    cols = [F.count(F.lit(1)).alias("n_rows"), *metrics]
+    return df.observe(obs, *cols), obs

@@ -589,3 +589,235 @@ def capped_sample_count(spark, sf_dir):
         F.lit(total).alias("n_total"),
         F.lit(cap).alias("cap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation completeness (§2.4): histogram, percentiles, ratio, cube /
+# rollup, distinct counts, row-wise array MSE (A6) — all distributed, one
+# pass each.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "value_histogram",
+    oracle="""
+        SELECT
+            CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+            event_type,
+            COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    """,
+    description="fixed-width histogram via floor-bucket groupBy (A9)",
+    tags=("aggregation",),
+)
+def value_histogram(spark, sf_dir):
+    from ..operators.aggregations import histogram
+
+    ev = load_table(spark, sf_dir, "events")
+    return histogram(ev, "value", 25.0, by=("event_type",))
+
+
+@register(
+    "value_percentiles_by_type",
+    oracle="""
+        SELECT
+            event_type,
+            quantile_cont(value, 0.25) AS p25,
+            quantile_cont(value, 0.5) AS p50,
+            quantile_cont(value, 0.75) AS p75
+        FROM events
+        GROUP BY 1
+    """,
+    description="per-class exact interpolated percentiles (A10 box-plot stats)",
+    tags=("aggregation",),
+)
+def value_percentiles_by_type(spark, sf_dir):
+    from ..operators.aggregations import percentiles_by_group
+
+    ev = load_table(spark, sf_dir, "events")
+    return percentiles_by_group(ev, "value", by=("event_type",))
+
+
+@register(
+    "anomaly_rate",
+    oracle="""
+        SELECT
+            100.0 * SUM(CASE WHEN value > 400 THEN 1 ELSE 0 END) / COUNT(*)
+                AS rate_pct,
+            SUM(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS n_matching,
+            COUNT(*) AS n_total
+        FROM events
+    """,
+    description="ratio metric: anomaly rate as derived agg expression (A12/F12)",
+    tags=("aggregation",),
+)
+def anomaly_rate(spark, sf_dir):
+    from ..operators.aggregations import ratio_metric
+
+    ev = load_table(spark, sf_dir, "events")
+    return ratio_metric(ev, F.col("value") > 400)
+
+
+@register(
+    "lineitem_cube",
+    oracle="""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            COUNT(*) AS n,
+            {sum_qty}
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """.format(sum_qty=sql_dec_sum("l_quantity", "sum_qty")),
+    description="cube (grouping sets) over two dims — declared §2.4 parity",
+    tags=("aggregation", "cube"),
+)
+def lineitem_cube(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dec_sum("l_quantity", "sum_qty")
+    )
+
+
+@register(
+    "orders_rollup_by_year",
+    oracle="""
+        SELECT
+            CAST(year(o_orderdate) AS INT) AS order_year,
+            o_orderstatus,
+            COUNT(*) AS n_orders,
+            {sum_price}
+        FROM orders
+        GROUP BY ROLLUP (CAST(year(o_orderdate) AS INT), o_orderstatus)
+    """.format(sum_price=sql_dec_sum("o_totalprice", "sum_price")),
+    description="rollup by (year, status) with subtotal rows",
+    tags=("aggregation", "rollup"),
+)
+def orders_rollup_by_year(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate").cast("int"))
+        .rollup("order_year", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), dec_sum("o_totalprice", "sum_price"))
+    )
+
+
+@register(
+    "distinct_user_stats",
+    oracle="""
+        SELECT
+            event_type,
+            COUNT(DISTINCT user_id) AS n_users,
+            COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1
+    """,
+    description="exact distinct aggregation per group",
+    tags=("aggregation",),
+)
+def distinct_user_stats(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "approx_distinct_users",
+    oracle=None,
+    description="approx_count_distinct (HLL) — engine-specific sketch, invariant-tested vs exact",
+    tags=("aggregation", "approx"),
+)
+def approx_distinct_users(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@register(
+    "score_stats",
+    oracle="""
+        SELECT
+            MIN(value) AS score_min,
+            MAX(value) AS score_max,
+            {avg},
+            COUNT(*) AS n
+        FROM events
+    """.format(avg=sql_dec_avg("value", "score_mean")),
+    description="global min/max/mean threshold-calibration stats (A7/M8)",
+    tags=("aggregation", "ml"),
+)
+def score_stats(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.min("value").alias("score_min"),
+        F.max("value").alias("score_max"),
+        dec_avg("value", "score_mean"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+        SELECT
+            e.vec_id,
+            CAST(SUM(CAST(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)
+                          AS DECIMAL(28,10))) AS DOUBLE) AS sq_norm,
+            CAST(SUM(CAST(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)
+                          AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS mse_vs_zero
+        FROM embeddings e, UNNEST(e.embedding) AS u(x)
+        GROUP BY e.vec_id
+    """,
+    bench=True,
+    description="row-wise squared-norm / MSE reduction over array column (A6), order-independent",
+    tags=("aggregation", "array", "ml"),
+)
+def embedding_norms(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.explode("embedding").alias("x")
+    sq = (F.col("x").cast("double") * F.col("x").cast("double")).cast(
+        "decimal(28,10)"
+    )
+    return (
+        emb.select("vec_id", x)
+        .groupBy("vec_id")
+        .agg(
+            F.sum(sq).cast("double").alias("sq_norm"),
+            (F.sum(sq).cast("double") / F.count("*")).alias("mse_vs_zero"),
+        )
+    )
+
+
+@register(
+    "event_type_pivot",
+    oracle="""
+        SELECT
+            user_id,
+            SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+            SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+            SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+            SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+            SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+        FROM events
+        GROUP BY user_id
+    """,
+    description="pivot event_type to columns (wide counts per user)",
+    tags=("aggregation", "pivot"),
+)
+def event_type_pivot(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
+    )
+    return renamed
