@@ -1,0 +1,115 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure JVM-side column expressions (regex, higher-order array functions,
+hashing) — no Python UDFs in the hot path, so whole-stage codegen applies and
+a 100 TB corpus streams through scans without serde hops.
+
+Components: whitespace/regex tokenization, token statistics, quality scoring
+(punctuation / stopword / uppercase ratios), marker-word language ID, and
+content fingerprinting (normalized md5) for exact dedup keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: minimal per-language marker (stop)words for the n-gram/marker heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "a"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une"),
+    "es": ("el", "la", "y", "los", "de", "un", "una"),
+    "de": ("der", "die", "das", "und", "ein", "eine", "ist"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和"),
+}
+
+STOPWORDS_EN: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+)
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization with empty-token removal (BPE-ish regex split
+    is a drop-in replacement for subword counting)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are sentence punctuation."""
+    c = F.col(col) if isinstance(col, str) else col
+    kept = F.length(F.regexp_replace(c, r"[^.!?,;:]", ""))
+    return kept.cast("double") / F.length(c)
+
+
+def uppercase_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, r"[^A-Z]", "")).cast("double") / F.length(c)
+
+
+def stopword_ratio(
+    col: Column | str, stopwords: Sequence[str] = STOPWORDS_EN
+) -> Column:
+    """Fraction of tokens that are stopwords — a standard fluency signal."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return n_stop.cast("double") / F.size(toks)
+
+
+def lang_scores(
+    col: Column | str, markers: Mapping[str, Sequence[str]] = LANG_MARKERS
+) -> dict[str, Column]:
+    """Marker-word hit count per language."""
+    toks = tokens(col)
+
+    def contains(arr: Column):
+        # closure, not a default arg — PySpark introspects lambda arity
+        return lambda t: F.array_contains(arr, t)
+
+    out: dict[str, Column] = {}
+    for lang, words in markers.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, contains(arr)))
+    return out
+
+
+def predicted_lang(
+    col: Column | str, markers: Mapping[str, Sequence[str]] = LANG_MARKERS
+) -> Column:
+    """Argmax language by marker hits; deterministic tie-break by declaration
+    order; 'und' (undetermined) when nothing matches."""
+    scores = lang_scores(col, markers)
+    best = F.greatest(*scores.values()) if len(scores) > 1 else next(iter(scores.values()))
+    expr = None
+    for lang, s in scores.items():
+        cond = (s == best) & (best > F.lit(0))
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 of the lowercased, whitespace-collapsed text.
+    Stable across engines — the exact-dedup key for P10 at corpus scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length in a sane band, some
+    stopwords, not all caps, limited punctuation. Weights are illustrative;
+    the point is the single-pass columnar shape."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    len_ok = F.when((n >= 20) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    sw = stopword_ratio(col)
+    sw_ok = F.when((sw >= 0.05) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.0))
+    up_ok = F.when(uppercase_ratio(col) <= 0.3, F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(col) <= 0.1, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_ok + sw_ok + up_ok + punct_ok) / F.lit(4.0)

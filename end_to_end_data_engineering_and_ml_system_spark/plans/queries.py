@@ -821,3 +821,196 @@ def event_type_pivot(spark, sf_dir):
         "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
     )
     return renamed
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (LLM-data pipeline surface): tokenization, quality scoring,
+# language ID, fingerprinting, corpus token frequency. All JVM-side column
+# expressions — no Python in the hot path.
+# ---------------------------------------------------------------------------
+
+_SQL_TOKENS = (
+    "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
+)
+
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+        SELECT
+            doc_id,
+            length(text) AS n_chars_actual,
+            len({_SQL_TOKENS}) AS n_tokens,
+            CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                / len({_SQL_TOKENS}) AS avg_token_len
+        FROM documents
+    """,
+    bench=True,
+    description="token counting + per-doc token stats (whitespace tokenizer)",
+    tags=("text",),
+)
+def doc_token_stats(spark, sf_dir):
+    from ..operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    non_space = F.length(F.regexp_replace("text", r"\s+", ""))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        token_count("text").alias("n_tokens"),
+        (non_space.cast("double") / token_count("text")).alias("avg_token_len"),
+    )
+
+
+@register(
+    "doc_quality_scores",
+    oracle=f"""
+        WITH t AS (
+            SELECT
+                doc_id,
+                text,
+                {_SQL_TOKENS} AS toks,
+                length(text) AS n
+            FROM documents
+        )
+        SELECT
+            doc_id,
+            CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                / n AS punct_ratio,
+            CAST(len(list_filter(toks, tk -> list_contains(
+                ['the','a','an','and','or','of','to','in','is','it'], tk)))
+                AS DOUBLE) / len(toks) AS stopword_ratio,
+            (
+              (CASE WHEN n BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN CAST(len(list_filter(toks, tk -> list_contains(
+                   ['the','a','an','and','or','of','to','in','is','it'], tk)))
+                   AS DOUBLE) / len(toks) BETWEEN 0.05 AND 0.6
+               THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                   AS DOUBLE) / n <= 0.3 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                   AS DOUBLE) / n <= 0.1 THEN 1.0 ELSE 0.0 END)
+            ) / 4.0 AS quality
+        FROM t
+    """,
+    description="document quality heuristics: punct/stopword/case ratios, composite score",
+    tags=("text",),
+)
+def doc_quality_scores(spark, sf_dir):
+    from ..operators.text import punct_ratio, quality_score, stopword_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        punct_ratio("text").alias("punct_ratio"),
+        stopword_ratio("text").alias("stopword_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "doc_language_id",
+    oracle="""
+        WITH t AS (
+            SELECT
+                lang,
+                list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            tk -> tk <> '') AS toks
+            FROM documents
+        ), s AS (
+            SELECT
+                lang,
+                len(list_filter(toks, tk -> list_contains(
+                    ['the','and','of','to','in','is','a'], tk))) AS s_en,
+                len(list_filter(toks, tk -> list_contains(
+                    ['le','la','et','les','des','un','une'], tk))) AS s_fr,
+                len(list_filter(toks, tk -> list_contains(
+                    ['el','la','y','los','de','un','una'], tk))) AS s_es,
+                len(list_filter(toks, tk -> list_contains(
+                    ['der','die','das','und','ein','eine','ist'], tk))) AS s_de,
+                len(list_filter(toks, tk -> list_contains(
+                    ['的','是','了','在','我','有','和'], tk))) AS s_zh
+            FROM t
+        )
+        SELECT
+            lang,
+            CASE
+                WHEN s_en = greatest(s_en, s_fr, s_es, s_de, s_zh)
+                     AND greatest(s_en, s_fr, s_es, s_de, s_zh) > 0 THEN 'en'
+                WHEN s_fr = greatest(s_en, s_fr, s_es, s_de, s_zh)
+                     AND greatest(s_en, s_fr, s_es, s_de, s_zh) > 0 THEN 'fr'
+                WHEN s_es = greatest(s_en, s_fr, s_es, s_de, s_zh)
+                     AND greatest(s_en, s_fr, s_es, s_de, s_zh) > 0 THEN 'es'
+                WHEN s_de = greatest(s_en, s_fr, s_es, s_de, s_zh)
+                     AND greatest(s_en, s_fr, s_es, s_de, s_zh) > 0 THEN 'de'
+                WHEN s_zh = greatest(s_en, s_fr, s_es, s_de, s_zh)
+                     AND greatest(s_en, s_fr, s_es, s_de, s_zh) > 0 THEN 'zh'
+                ELSE 'und'
+            END AS pred_lang,
+            COUNT(*) AS n_docs
+        FROM s
+        GROUP BY 1, 2
+    """,
+    description="marker-word language ID (n-gram heuristic), confusion counts vs labeled lang",
+    tags=("text", "langid"),
+)
+def doc_language_id(spark, sf_dir):
+    from ..operators.text import predicted_lang
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", predicted_lang("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+        SELECT
+            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                AS fp,
+            COUNT(*) AS n_copies,
+            MIN(doc_id) AS keep_doc_id
+        FROM documents
+        GROUP BY 1
+    """,
+    description="normalized content fingerprint (md5) — exact-dedup key at corpus scale",
+    tags=("text", "dedup"),
+)
+def doc_fingerprints(spark, sf_dir):
+    from ..operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+@register(
+    "token_frequency_topk",
+    oracle=f"""
+        SELECT u.tk AS token, COUNT(*) AS n
+        FROM documents d, UNNEST({_SQL_TOKENS}) AS u(tk)
+        GROUP BY 1
+        ORDER BY n DESC, token
+        LIMIT 50
+    """,
+    bench=True,
+    description="corpus word count: explode tokens -> group -> top-k (map-side combine)",
+    tags=("text", "aggregation"),
+)
+def token_frequency_topk(spark, sf_dir):
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(50)
+    )
