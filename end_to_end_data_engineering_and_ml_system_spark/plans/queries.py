@@ -1014,3 +1014,223 @@ def token_frequency_topk(spark, sf_dir):
         .orderBy(F.col("n").desc(), "token")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dedup + similarity search (LLM-data pipeline surface): n-gram Jaccard
+# similarity join, MinHash signatures, LSH candidate pairs, embedding cosine
+# top-k. SimHash and the fast zip_with/LSH ANN paths are rows-only (bit/float
+# fold order is engine-specific) with invariant tests.
+# ---------------------------------------------------------------------------
+
+_SQL_SHINGLES = """
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(toks)-1),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             tk -> tk <> '') AS toks
+          FROM documents)
+"""
+
+
+@register(
+    "doc_jaccard_near_dups",
+    oracle=f"""
+        WITH t AS ({_SQL_SHINGLES}),
+        s AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM t),
+        p AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared,
+                   any_value(a.n_sh) AS n1, any_value(b.n_sh) AS n2
+            FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id1, id2,
+               CAST(shared AS DOUBLE) / (n1 + n2 - shared) AS jaccard
+        FROM p
+        WHERE CAST(shared AS DOUBLE) / (n1 + n2 - shared) >= 0.6
+    """,
+    bench=True,
+    description="n-gram Jaccard similarity join via inverted shingle index (near-dedup)",
+    tags=("dedup", "similarity"),
+)
+def doc_jaccard_near_dups(spark, sf_dir):
+    from ..operators.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+
+
+@register(
+    "doc_minhash_signatures",
+    oracle="""
+        WITH t AS ({shingles}),
+        s AS (SELECT doc_id, unnest(sh) AS shingle FROM t)
+        SELECT s.doc_id, r.seed,
+               MIN(md5(r.seed::VARCHAR || ':' || s.shingle)) AS minhash
+        FROM s CROSS JOIN (SELECT unnest(range(8)) AS seed) r
+        GROUP BY 1, 2
+    """.format(shingles=_SQL_SHINGLES),
+    description="MinHash signatures, long format (id, seed, minhash); md5-order permutations",
+    tags=("dedup", "minhash"),
+)
+def doc_minhash_signatures(spark, sf_dir):
+    from ..operators.dedup import minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs, "doc_id", "text", num_hashes=8, n=3)
+
+
+@register(
+    "doc_lsh_candidates",
+    oracle="""
+        WITH t AS ({shingles}),
+        s AS (SELECT doc_id, unnest(sh) AS shingle FROM t),
+        sig AS (
+            SELECT s.doc_id, r.seed,
+                   MIN(md5(r.seed::VARCHAR || ':' || s.shingle)) AS minhash
+            FROM s CROSS JOIN (SELECT unnest(range(8)) AS seed) r
+            GROUP BY 1, 2
+        ),
+        buckets AS (
+            SELECT doc_id, seed // 2 AS band,
+                   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+            FROM sig
+            GROUP BY 1, 2
+        )
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM buckets a
+        JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                       AND a.doc_id < b.doc_id
+    """.format(shingles=_SQL_SHINGLES),
+    bench=True,
+    description="MinHash-LSH banding: candidate pairs sharing a band bucket",
+    tags=("dedup", "minhash", "lsh"),
+)
+def doc_lsh_candidates(spark, sf_dir):
+    from ..operators.dedup import lsh_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=8, rows_per_band=2, n=3
+    )
+
+
+@register(
+    "doc_simhash",
+    oracle=None,
+    description="64-bit SimHash signatures (xxhash64 bit votes - Spark-side hash, rows-only)",
+    tags=("dedup", "simhash"),
+)
+def doc_simhash(spark, sf_dir):
+    from ..operators.dedup import simhash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash64("text").alias("simhash"))
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ),
+        norms AS (
+            SELECT vec_id,
+                   CAST(SUM(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS nrm
+            FROM ex GROUP BY 1
+        ),
+        dots AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   CAST(SUM(CAST(q.x * c.x AS DECIMAL(28,10))) AS DOUBLE) AS dot
+            FROM ex q
+            JOIN ex c ON q.pos = c.pos
+                      AND q.vec_id < 8 AND c.vec_id <> q.vec_id
+            GROUP BY 1, 2
+        ),
+        cos AS (
+            SELECT d.query_id, d.cand_id,
+                   d.dot / (sqrt(nq.nrm) * sqrt(nc.nrm)) AS cosine
+            FROM dots d
+            JOIN norms nq ON d.query_id = nq.vec_id
+            JOIN norms nc ON d.cand_id = nc.vec_id
+        )
+        SELECT query_id, cand_id, cosine, rn
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
+            FROM cos
+        )
+        WHERE rn <= 3
+    """,
+    description="exact cosine top-k neighbors (order-independent decimal dot products)",
+    tags=("similarity", "ann"),
+)
+def embedding_cosine_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    norms = ex.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("nrm")
+    )
+    q = ex.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "pos", F.col("x").alias("qx")
+    )
+    dots = (
+        ex.join(q, "pos")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(
+            F.sum((F.col("qx") * F.col("x")).cast("decimal(28,10)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    nq = norms.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("nrm_q"))
+    nc = norms.select(F.col("vec_id").alias("cand_id"), F.col("nrm").alias("nrm_c"))
+    cos = (
+        dots.join(F.broadcast(nq), "query_id")
+        .join(nc, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            (F.col("dot") / (F.sqrt("nrm_q") * F.sqrt("nrm_c"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return cos.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@register(
+    "embedding_ann_bruteforce",
+    oracle=None,
+    bench=True,
+    description="fast brute-force cosine top-k via zip_with (JVM fold; bench path)",
+    tags=("similarity", "ann"),
+)
+def embedding_ann_bruteforce(spark, sf_dir):
+    from ..operators.similarity import cosine_topk_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk_bruteforce(emb, queries, k=3)
+
+
+@register(
+    "embedding_lsh_candidates",
+    oracle=None,
+    description="ANN candidate pairs via random-hyperplane LSH bucketing (scale path)",
+    tags=("similarity", "ann", "lsh"),
+)
+def embedding_lsh_candidates(spark, sf_dir):
+    from ..operators.similarity import lsh_bucket_candidates
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return lsh_bucket_candidates(emb, num_planes=16, num_tables=4, planes_per_table=4)

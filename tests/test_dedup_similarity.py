@@ -1,0 +1,64 @@
+"""Invariant tests for the non-oracle dedup/similarity ops (SimHash, fast
+ANN, embedding LSH)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_and_ml_system_spark.operators.dedup import (
+    hamming64,
+    simhash64,
+)
+from end_to_end_data_engineering_and_ml_system_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+)
+from end_to_end_data_engineering_and_ml_system_spark.plans.registry import all_queries
+from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import load_table
+
+
+def test_simhash_identical_and_near(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base + " extra"
+    far = "completely different words about databases and distributed systems"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)], ["id", "text"]
+    )
+    sigs = {
+        r.id: r.sig
+        for r in df.select("id", simhash64("text").alias("sig")).collect()
+    }
+    assert sigs[1] == sigs[2]  # identical text -> identical signature
+    ham = df.select(
+        hamming64(F.lit(sigs[1]), F.lit(sigs[3])).alias("near"),
+        hamming64(F.lit(sigs[1]), F.lit(sigs[4])).alias("far"),
+    ).collect()[0]
+    assert ham.near < ham.far  # near-dup much closer in Hamming space
+    assert ham.near <= 16
+
+
+def test_bruteforce_ann_sane(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 4), k=3)
+    rows = out.collect()
+    assert len(rows) == 4 * 3
+    for r in rows:
+        assert -1.0001 <= r.cosine <= 1.0001
+        assert r.query_id != r.cand_id
+    # rn is a proper ranking per query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rs] == [1, 2, 3]
+        assert rs[0].cosine >= rs[1].cosine >= rs[2].cosine
+
+
+def test_lsh_candidates_subset_of_pairs(spark, sf_dir):
+    out = all_queries()["embedding_lsh_candidates"].build(spark, sf_dir)
+    rows = out.collect()
+    ids = set()
+    for r in rows:
+        assert r.id1 < r.id2
+        ids.add((r.id1, r.id2))
+    assert len(ids) == len(rows)  # distinct pairs
