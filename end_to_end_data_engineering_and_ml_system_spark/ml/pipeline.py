@@ -1,0 +1,174 @@
+"""Feature/ML pipeline (SURVEY.md §2.11) — fully distributed.
+
+The reference fits its scaler by collecting the table to the driver
+(preprocess_cicids2017.py:262-304, M9) and runs inference via ``toPandas``
+per micro-batch (stream_anomaly_detector.py:212-303, M2). Here:
+
+- **Standardizer**: fit = one distributed aggregate producing a 1-row stats
+  frame (decimal sums → order-independent); apply = broadcast cross join +
+  column expressions. Matches the reference's semantics exactly: population
+  stddev (ddof=0) with the zero-std→1.0 guard (preprocess_cicids2017.py:280).
+- **Anomaly score**: mean squared z-score across features — the
+  autoencoder-MSE-shaped scalar (M5/A6) as a pure column expression.
+- **PCA reconstruction scorer** (M7 parity): MLlib Pipeline (assembler →
+  scaler → PCA). Since PCA components are orthonormal, reconstruction error
+  = ||z||² − ||proj||² — no matrix multiply, just two squared norms.
+- **Batched model inference** (M2 replacement): ``mapInPandas`` — the model
+  loads once per partition, executors score Arrow batches; nothing ever
+  collects to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(28,10)"
+
+
+def fit_standardizer(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """One-row stats frame with mean_<c> and std_<c> (population, zero-guarded)
+    for each feature column. Exact decimal sums make the fit reproducible
+    under any partitioning."""
+    aggs: list[Column] = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        mean = F.sum(x.cast(DEC)).cast("double") / F.count(x)
+        msq = F.sum((x * x).cast(DEC)).cast("double") / F.count(x)
+        aggs.append(mean.alias(f"mean_{c}"))
+        aggs.append(msq.alias(f"msq_{c}"))
+    stats = df.agg(*aggs)
+    derived = [
+        *[F.col(f"mean_{c}") for c in cols],
+        *[
+            F.when(
+                F.col(f"msq_{c}") - F.col(f"mean_{c}") * F.col(f"mean_{c}")
+                <= F.lit(0.0),
+                F.lit(1.0),
+            )
+            .otherwise(
+                F.sqrt(F.col(f"msq_{c}") - F.col(f"mean_{c}") * F.col(f"mean_{c}"))
+            )
+            .alias(f"std_{c}")
+            for c in cols
+        ],
+    ]
+    return stats.select(*derived)
+
+
+def apply_standardizer(
+    df: DataFrame, stats: DataFrame, cols: Sequence[str], prefix: str = "z_"
+) -> DataFrame:
+    """Append z-scored columns via a broadcast cross join with the 1-row
+    stats frame (no driver round-trip; the reference's M9 distributed)."""
+    out = df.crossJoin(F.broadcast(stats))
+    zcols = [
+        ((F.col(c).cast("double") - F.col(f"mean_{c}")) / F.col(f"std_{c}")).alias(
+            f"{prefix}{c}"
+        )
+        for c in cols
+    ]
+    return out.select(*df.columns, *zcols)
+
+
+def mse_score(zcols: Sequence[str]) -> Column:
+    """Mean squared value across standardized features — the reconstruction-
+    MSE-shaped anomaly score (M5: per-row MSE vs threshold)."""
+    total = None
+    for c in zcols:
+        sq = F.col(c) * F.col(c)
+        total = sq if total is None else total + sq
+    return total / F.lit(float(len(zcols)))
+
+
+def score_and_route(
+    df: DataFrame,
+    stats: DataFrame,
+    cols: Sequence[str],
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Full scoring envelope: standardize → MSE score → threshold prediction
+    → confidence (the scored_flows contract: FIXTURES.md §4;
+    stream_anomaly_detector.py:278-302)."""
+    from ..functions.scalars import classify_by_threshold, confidence
+
+    z = apply_standardizer(df, stats, cols)
+    zcols = [f"z_{c}" for c in cols]
+    scored = z.withColumn("anomaly_score", mse_score(zcols))
+    return scored.withColumn(
+        "prediction", classify_by_threshold("anomaly_score", threshold)
+    ).withColumn("confidence", confidence("anomaly_score"))
+
+
+def pca_reconstruction_scores(
+    df: DataFrame, cols: Sequence[str], k: int, id_col: str
+) -> DataFrame:
+    """MLlib PCA reconstruction-error scorer — the Spark-native autoencoder
+    analog (M7): error = ||z||² − ||PCAᵀz||² (components orthonormal), per
+    row, divided by dim to match the MSE shape."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import PCA, StandardScaler, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=list(cols), outputCol="features"),
+            StandardScaler(
+                inputCol="features",
+                outputCol="scaled",
+                withMean=True,
+                withStd=True,
+            ),
+            PCA(k=k, inputCol="scaled", outputCol="pc"),
+        ]
+    )
+    model = pipe.fit(df)
+    out = model.transform(df)
+
+    def arr_sq_norm(c: Column) -> Column:
+        return F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+
+    z = vector_to_array("scaled")
+    p = vector_to_array("pc")
+    err = (arr_sq_norm(z) - arr_sq_norm(p)) / F.lit(float(len(cols)))
+    # tiny negatives can appear from float cancellation; clamp at 0
+    return out.select(
+        F.col(id_col),
+        F.greatest(err, F.lit(0.0)).alias("recon_error"),
+    )
+
+
+def batched_inference(
+    df: DataFrame,
+    cols: Sequence[str],
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Arrow-batched model inference via ``mapInPandas`` (M2 done right):
+    the 'model' (a seeded linear scorer standing in for any pickled/keras
+    model) is constructed once per partition, executors stream batches, the
+    driver never sees data. Swap ``make_model``/``score`` for a real model
+    load (e.g. mlflow.pyfunc.load_model) without changing the plan shape."""
+    import numpy as np
+
+    feature_cols = list(cols)
+    schema = f"{id_col} bigint, model_score double"
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        # per-partition model init — the pattern that replaces per-batch
+        # driver-side model.predict (stream_anomaly_detector.py:262-276)
+        rng = np.random.RandomState(seed)
+        w = rng.uniform(-1.0, 1.0, size=len(feature_cols))
+        for pdf in batches:
+            x = pdf[feature_cols].to_numpy(dtype="float64")
+            logits = np.tanh(x) @ w  # squash so raw-scale features can't saturate
+            score = 1.0 / (1.0 + np.exp(-logits))
+            yield pd.DataFrame({id_col: pdf[id_col], "model_score": score})
+
+    return df.select(id_col, *feature_cols).mapInPandas(run, schema=schema)

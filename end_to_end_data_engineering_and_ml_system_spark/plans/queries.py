@@ -1234,3 +1234,152 @@ def embedding_lsh_candidates(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     return lsh_bucket_candidates(emb, num_planes=16, num_tables=4, planes_per_table=4)
+
+
+# ---------------------------------------------------------------------------
+# ML pipeline (§2.11): distributed scaler fit/apply, MSE anomaly scoring,
+# threshold routing (the scored_flows contract), PCA reconstruction scorer,
+# Arrow-batched inference. The z-score math mirrors the oracle formula
+# literally, so results are bit-identical.
+# ---------------------------------------------------------------------------
+
+_FEATURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+_SQL_STATS = """
+    SELECT
+        {cols}
+    FROM lineitem
+""".format(
+    cols=",\n        ".join(
+        f"CAST(SUM(CAST(CAST({c} AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)"
+        f" / COUNT({c}) AS mean_{c},\n        "
+        f"CASE WHEN CAST(SUM(CAST(CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE)"
+        f" AS DECIMAL(28,10))) AS DOUBLE) / COUNT({c})"
+        f" - (CAST(SUM(CAST(CAST({c} AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)"
+        f" / COUNT({c})) * (CAST(SUM(CAST(CAST({c} AS DOUBLE) AS DECIMAL(28,10)))"
+        f" AS DOUBLE) / COUNT({c})) <= 0.0 THEN 1.0"
+        f" ELSE sqrt(CAST(SUM(CAST(CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE)"
+        f" AS DECIMAL(28,10))) AS DOUBLE) / COUNT({c})"
+        f" - (CAST(SUM(CAST(CAST({c} AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)"
+        f" / COUNT({c})) * (CAST(SUM(CAST(CAST({c} AS DOUBLE) AS DECIMAL(28,10)))"
+        f" AS DOUBLE) / COUNT({c}))) END AS std_{c}"
+        for c in _FEATURES
+    )
+)
+
+
+@register(
+    "scaler_fit_stats",
+    oracle=_SQL_STATS,
+    description="distributed scaler fit: mean + zero-guarded population std per feature (M9)",
+    tags=("ml", "scaler"),
+)
+def scaler_fit_stats(spark, sf_dir):
+    from ..ml.pipeline import fit_standardizer
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return fit_standardizer(li, _FEATURES)
+
+
+@register(
+    "anomaly_score_routing",
+    oracle=f"""
+        WITH stats AS ({_SQL_STATS}),
+        z AS (
+            SELECT
+                l.l_orderkey, l.l_linenumber,
+                {", ".join(
+                    f"(CAST(l.{c} AS DOUBLE) - s.mean_{c}) / s.std_{c} AS z_{c}"
+                    for c in _FEATURES
+                )}
+            FROM lineitem l CROSS JOIN stats s
+        ),
+        scored AS (
+            SELECT
+                ({" + ".join(f"z_{c} * z_{c}" for c in _FEATURES)}) / 4.0
+                    AS anomaly_score
+            FROM z
+        )
+        SELECT
+            CASE WHEN anomaly_score > 2.0 THEN 'anomaly' ELSE 'normal' END
+                AS prediction,
+            COUNT(*) AS n,
+            CAST(SUM(CAST(1.0 / (1.0 + abs(anomaly_score)) AS DECIMAL(28,10)))
+                 AS DOUBLE) / COUNT(*) AS avg_confidence
+        FROM scored
+        GROUP BY 1
+    """,
+    bench=True,
+    description="end-to-end scoring envelope: standardize -> MSE score -> threshold route (M5/F11/F12/P12)",
+    tags=("ml", "scoring"),
+)
+def anomaly_score_routing(spark, sf_dir):
+    from ..ml.pipeline import fit_standardizer, score_and_route
+
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = fit_standardizer(li, _FEATURES)
+    scored = score_and_route(li, stats, _FEATURES, threshold=2.0)
+    return scored.groupBy("prediction").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.col("confidence").cast("decimal(28,10)")).cast("double")
+            / F.count("*")
+        ).alias("avg_confidence"),
+    )
+
+
+@register(
+    "zscore_features_sample",
+    oracle=f"""
+        WITH stats AS ({_SQL_STATS})
+        SELECT
+            l.l_orderkey, l.l_linenumber,
+            {", ".join(
+                f"(CAST(l.{c} AS DOUBLE) - s.mean_{c}) / s.std_{c} AS z_{c}"
+                for c in _FEATURES
+            )}
+        FROM lineitem l CROSS JOIN stats s
+        WHERE l.l_orderkey < 100
+    """,
+    description="standardized feature rows (F15 element-wise (x-mean)/std, distributed)",
+    tags=("ml", "scaler"),
+)
+def zscore_features_sample(spark, sf_dir):
+    from ..ml.pipeline import apply_standardizer, fit_standardizer
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    stats = fit_standardizer(load_table(spark, sf_dir, "lineitem"), _FEATURES)
+    z = apply_standardizer(li, stats, _FEATURES)
+    return z.select("l_orderkey", "l_linenumber", *[f"z_{c}" for c in _FEATURES])
+
+
+@register(
+    "pca_reconstruction",
+    oracle=None,
+    description="MLlib PCA reconstruction-error scorer (M7 autoencoder analog; rows-only)",
+    tags=("ml", "pca"),
+)
+def pca_reconstruction(spark, sf_dir):
+    from ..ml.pipeline import pca_reconstruction_scores
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "row_id",
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+    )
+    return pca_reconstruction_scores(li, _FEATURES, k=2, id_col="row_id")
+
+
+@register(
+    "batched_model_inference",
+    oracle=None,
+    description="Arrow-batched mapInPandas inference, model init per partition (M2 replacement)",
+    tags=("ml", "inference"),
+)
+def batched_model_inference(spark, sf_dir):
+    from ..ml.pipeline import batched_inference
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "row_id",
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+    )
+    return batched_inference(li, _FEATURES, id_col="row_id")

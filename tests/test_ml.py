@@ -1,0 +1,53 @@
+"""Invariant tests for the non-oracle ML ops (PCA scorer, batched inference)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_and_ml_system_spark.ml.pipeline import (
+    pca_reconstruction_scores,
+)
+from end_to_end_data_engineering_and_ml_system_spark.plans.registry import all_queries
+from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import load_table
+
+FEATURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _with_id(df):
+    return df.withColumn("row_id", F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+
+
+def test_pca_full_rank_zero_error(spark, sf_dir):
+    li = _with_id(load_table(spark, sf_dir, "lineitem"))
+    full = pca_reconstruction_scores(li, FEATURES, k=len(FEATURES), id_col="row_id")
+    mx = full.agg(F.max("recon_error")).collect()[0][0]
+    assert mx < 1e-9  # k = dim -> perfect reconstruction
+
+
+def test_pca_partial_rank_nonneg_and_meaningful(spark, sf_dir):
+    li = _with_id(load_table(spark, sf_dir, "lineitem"))
+    part = pca_reconstruction_scores(li, FEATURES, k=2, id_col="row_id")
+    row = part.agg(
+        F.min("recon_error").alias("mn"),
+        F.max("recon_error").alias("mx"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert row.mn >= 0.0
+    assert row.mx > 0.0  # something is actually lost at k=2
+    assert row.n == li.count()
+
+
+def test_batched_inference_deterministic_and_bounded(spark, sf_dir):
+    q = all_queries()["batched_model_inference"].build
+    a = {r.row_id: r.model_score for r in q(spark, sf_dir).collect()}
+    b = {r.row_id: r.model_score for r in q(spark, sf_dir).collect()}
+    assert a == b  # per-partition seeded model -> reproducible
+    assert all(0.0 < s < 1.0 for s in a.values())
+
+
+def test_routing_partitions_input(spark, sf_dir):
+    out = all_queries()["anomaly_score_routing"].build(spark, sf_dir).collect()
+    total = sum(r.n for r in out)
+    li_n = load_table(spark, sf_dir, "lineitem").count()
+    assert total == li_n  # normal + anomaly partition the input (P12)
+    assert all(0.0 < r.avg_confidence <= 1.0 for r in out)
