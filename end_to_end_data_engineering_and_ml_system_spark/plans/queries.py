@@ -1383,3 +1383,72 @@ def batched_model_inference(spark, sf_dir):
         F.col("l_orderkey") * 10 + F.col("l_linenumber"),
     )
     return batched_inference(li, _FEATURES, id_col="row_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming (§2.10): genuine Structured Streaming executions (availableNow
+# over a staged multi-file source, memory sink) whose final results are
+# batch-equivalent — so the windowed-count stream is checked against the
+# SAME oracle as the batch query. Stateful dedup is rows-only.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_window_counts",
+    oracle="""
+        SELECT
+            to_timestamp(floor(epoch(ts) / 5) * 5) AS bucket_start,
+            event_type,
+            COUNT(*) AS n_events,
+            {avg_value}
+        FROM events
+        GROUP BY 1, 2
+    """.format(avg_value=sql_dec_avg("value", "avg_value")),
+    description="watermarked 5s window agg executed as a real stream (ST4/ST5), batch-equivalent",
+    tags=("streaming",),
+)
+def stream_window_counts(spark, sf_dir):
+    from ..streaming.pipeline import events_stream, run_to_memory_sink, windowed_counts
+
+    return run_to_memory_sink(windowed_counts(events_stream(spark, sf_dir)))
+
+
+@register(
+    "stream_json_decode_counts",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1
+    """,
+    description="streaming JSON envelope encode->decode->flatten->agg (S5/F1/F2/P4)",
+    tags=("streaming", "json"),
+)
+def stream_json_decode_counts(spark, sf_dir):
+    from ..streaming.pipeline import (
+        events_stream,
+        json_envelope_decode,
+        run_to_memory_sink,
+    )
+
+    decoded = json_envelope_decode(events_stream(spark, sf_dir))
+    agg = decoded.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    return run_to_memory_sink(agg)
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle=None,
+    description="keyed streaming dedup with watermark-bounded state (P10 on streams)",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_within_watermark(spark, sf_dir):
+    from ..streaming.pipeline import (
+        dedup_within_watermark,
+        events_stream,
+        run_to_memory_sink,
+    )
+
+    dedup = dedup_within_watermark(events_stream(spark, sf_dir))
+    return run_to_memory_sink(
+        dedup.select("event_id", "event_type", "value"), output_mode="append"
+    )

@@ -1,0 +1,197 @@
+"""Structured Streaming layer (SURVEY.md §2.10).
+
+Re-expresses the reference's streaming scorer
+(/root/reference/scripts/stream_anomaly_detector.py:390-425) and adds what it
+lacks: event-time watermarks (ST4), native windowed aggregation in the stream
+(ST5 — the reference buckets post-hoc in pandas), watermarked dedup, rate
+control via ``maxFilesPerTrigger``/``maxOffsetsPerTrigger`` (ST3's working
+equivalent), and cached-batch dual-sink routing in ``foreachBatch`` (the
+reference recomputes each micro-batch 4-6×, SURVEY §3.1 step 7).
+
+A file source stands in for Kafka (no broker in the test container): the
+events fixture is staged into a multi-file directory and replayed
+incrementally. The Kafka wiring differs only in ``format("kafka")`` +
+``from_json(value)`` — the JSON decode path is exercised here too (S5/F1).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: schema of the *staged* stream source (staging already rebuilt ts as a
+#: proper timestamp from the fixtures' nanos longs)
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_STAGE_ROOT = os.path.join(tempfile.gettempdir(), "e2e_spark_stream_stage")
+
+
+def stage_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
+    """Stage the events fixture as an n-file parquet directory so the file
+    stream source replays it as multiple micro-batches. Idempotent per
+    (sf_dir, n_files)."""
+    key = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(_STAGE_ROOT, f"{key}_{n_files}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        from ..sources.catalog import load_table
+
+        (
+            load_table(spark, sf_dir, "events")
+            # range-partition on event time: files replay as roughly
+            # time-ordered micro-batches, so watermarks behave as in a live
+            # stream instead of seeing arbitrary-order arrivals
+            .repartitionByRange(n_files, "ts")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        # FileStreamSource replays in modification-time order, and write-task
+        # completion order is arbitrary — pin increasing mtimes along the
+        # part index (= ts-range order) so replay follows event time
+        parts = sorted(
+            f for f in os.listdir(out) if f.startswith("part-")
+        )
+        base = int(os.path.getmtime(os.path.join(out, parts[0])))
+        for i, f in enumerate(parts):
+            t = base + i * 10
+            os.utime(os.path.join(out, f), (t, t))
+    return out
+
+
+def events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 2
+) -> DataFrame:
+    """Incremental file-source stream of the events table with the ns→µs
+    timestamp rebuild (same conversion as the batch catalog)."""
+    staged = stage_events_dir(spark, sf_dir)
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(staged)
+    )
+
+
+def windowed_counts(stream_df: DataFrame, watermark: str = "10 seconds") -> DataFrame:
+    """Watermarked 5s tumbling-window counts + mean value per class — the
+    dashboard query (A8/A11) running *inside* the stream (ST4/ST5)."""
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "5 seconds").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+                / F.count("value")
+            ).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def json_envelope_decode(stream_df: DataFrame) -> DataFrame:
+    """Kafka-value shape: encode each event to a JSON string, then decode with
+    a pinned schema and flatten (S5→F1→P4, stream_anomaly_detector.py:413-416).
+    The encode half mimics the producer (S10); in production the string
+    arrives from Kafka."""
+    value = F.to_json(
+        F.struct("event_id", "user_id", "event_type", "value")
+    ).alias("value")
+    decoded_schema = "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    return (
+        stream_df.select(F.col("ts"), value)
+        .select("ts", F.from_json("value", decoded_schema).alias("data"))
+        .select("ts", "data.*")
+    )
+
+
+def dedup_within_watermark(
+    stream_df: DataFrame, key: str = "event_id", watermark: str = "30 seconds"
+) -> DataFrame:
+    """Keyed streaming dedup with bounded state (the 100 TB answer to P10 on
+    streams: state is pruned past the watermark)."""
+    return stream_df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        [key]
+    )
+
+
+def run_to_memory_sink(
+    agg_df: DataFrame,
+    output_mode: str = "complete",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion with availableNow and
+    return the memory-sink contents as a batch DataFrame."""
+    spark = agg_df.sparkSession
+    name = "sink_" + uuid.uuid4().hex[:12]
+    ck = tempfile.mkdtemp(prefix="e2e_ck_")
+    q = (
+        agg_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.table(name)
+
+
+def run_routed_foreach_batch(
+    stream_df: DataFrame,
+    score_fn: Callable[[DataFrame], DataFrame],
+    threshold: float = 2.0,
+    timeout_s: int = 300,
+) -> tuple[list[int], list[int]]:
+    """The reference's flagship loop done right (S8/P12/ST8): per micro-batch,
+    cache once, split by prediction, emit to two sinks, unpersist. Returns the
+    per-batch (normal, anomaly) counts the sinks received."""
+    normal_counts: list[int] = []
+    anomaly_counts: list[int] = []
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        scored = score_fn(batch_df).persist()
+        try:
+            normal = scored.filter(F.col("prediction") == "normal")
+            anomaly = scored.filter(F.col("prediction") == "anomaly")
+            # stand-ins for the two Kafka topic sinks (S7)
+            normal_counts.append(normal.count())
+            anomaly_counts.append(anomaly.count())
+        finally:
+            scored.unpersist()
+
+    ck = tempfile.mkdtemp(prefix="e2e_ck_")
+    q = (
+        stream_df.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return normal_counts, anomaly_counts
