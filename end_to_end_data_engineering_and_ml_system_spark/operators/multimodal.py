@@ -1,0 +1,109 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata structs.
+
+The Spark-side plumbing is real and tested — schema, partition-preserving
+``mapInPandas`` batch shape, Arrow transfer of binary columns. The actual
+media decode is stubbed: the container ships no image/audio libraries, so
+``decode_media_features`` uses a deterministic byte-level fake (normalized
+byte histogram) and ``decode_image_real`` raises ``NotImplementedError``
+pointing at where a real decoder (PIL/torchvision/ffmpeg) plugs in. At
+100 TB the payloads stay in executor memory one Arrow batch at a time; only
+fixed-width features leave the operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_HIST_BINS = 16
+
+
+def payload_from_text(text: Column | str) -> Column:
+    """Stand-in binary payload (UTF-8 bytes of the text column) — the fixture
+    tables have no media blobs, so documents.text doubles as payload bytes."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.encode(c, "UTF-8")
+
+
+def with_media_metadata(df: DataFrame, payload_col: str) -> DataFrame:
+    """Attach the typed metadata struct every multimodal column carries:
+    (mime, n_bytes, checksum). Cheap, JVM-side, computed once at ingest."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length(F.col(payload_col)).alias("n_bytes"),
+            F.md5(F.col(payload_col)).alias("checksum"),
+        ),
+    )
+
+
+def decode_media_features(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """STUB decode → feature-extract over ``mapInPandas``.
+
+    Real pipelines replace the histogram with an image decode + model
+    embedding; the signature, schema, and Arrow batch shape stay identical.
+    The fake is deterministic: normalized byte-value histogram with
+    ``N_HIST_BINS`` bins.
+    """
+    import numpy as np
+
+    schema = (
+        f"{id_col} bigint, n_bytes bigint, "
+        f"features array<double>"
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            sizes = []
+            for blob in pdf[payload_col]:
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                sizes.append(len(arr))
+                if len(arr) == 0:
+                    feats.append([0.0] * N_HIST_BINS)
+                    continue
+                hist, _ = np.histogram(arr, bins=N_HIST_BINS, range=(0, 256))
+                feats.append((hist / len(arr)).tolist())
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "n_bytes": sizes, "features": feats}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def decode_image_real(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Where a real image decoder plugs in (PIL/torchvision are not in this
+    container). Kept as an explicit, clearly-marked stub."""
+    raise NotImplementedError(
+        "real image decode requires PIL/torchvision; use decode_media_features "
+        "for the deterministic fake with the identical plan shape"
+    )
+
+
+def frame_sample(
+    df: DataFrame, id_col: str, payload_col: str, every_n_bytes: int = 64
+) -> DataFrame:
+    """Frame-sampling analog for video payloads: take one 'frame' (byte
+    chunk) every ``every_n_bytes``, exploded to (id, frame_no, frame_bytes).
+    JVM-side substring arithmetic — no Python."""
+    n_frames = F.floor(F.octet_length(F.col(payload_col)) / every_n_bytes).cast(
+        "int"
+    )
+    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
+    frames = F.transform(
+        idx,
+        lambda i: F.substring(
+            F.col(payload_col).cast("string"), i * every_n_bytes + 1, every_n_bytes
+        ),
+    )
+    return df.select(
+        id_col, F.posexplode(frames).alias("frame_no", "frame_bytes")
+    )

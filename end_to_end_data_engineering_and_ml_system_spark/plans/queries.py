@@ -1452,3 +1452,152 @@ def stream_dedup_within_watermark(spark, sf_dir):
     return run_to_memory_sink(
         dedup.select("event_id", "event_type", "value"), output_mode="append"
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns + composed ETL. Payload plumbing (binary + metadata
+# struct) is oracle-checked; the decode stub (mapInPandas byte histogram) is
+# rows-only with determinism invariants.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_payload_stats",
+    oracle="""
+        SELECT
+            doc_id,
+            octet_length(encode(text)) AS n_bytes,
+            md5(text) AS checksum
+        FROM documents
+    """,
+    description="binary payload column + typed metadata struct (multimodal ingest)",
+    tags=("multimodal",),
+)
+def multimodal_payload_stats(spark, sf_dir):
+    from ..operators.multimodal import payload_from_text, with_media_metadata
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", payload_from_text("text")
+    )
+    meta = with_media_metadata(docs, "payload")
+    return meta.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        # checksum of the utf-8 payload == md5 of the text in both engines
+        F.col("media_meta.checksum").alias("checksum"),
+    )
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle=None,
+    description="STUB media decode -> byte-histogram features via mapInPandas (Arrow batches)",
+    tags=("multimodal", "inference"),
+)
+def multimodal_feature_extract(spark, sf_dir):
+    from ..operators.multimodal import decode_media_features, payload_from_text
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", payload_from_text("text")
+    )
+    return decode_media_features(docs, "doc_id", "payload")
+
+
+@register(
+    "etl_end_to_end",
+    oracle="""
+        WITH masked AS (
+            SELECT
+                event_id, user_id, ts,
+                CASE WHEN event_type = 'error' THEN NULL ELSE event_type END
+                    AS event_type,
+                CASE WHEN value BETWEEN 100 AND 110 THEN NULL ELSE value END
+                    AS value
+            FROM events
+        ),
+        cleaned AS (
+            SELECT * FROM masked
+            WHERE event_type IS NOT NULL AND value IS NOT NULL
+        ),
+        labeled AS (
+            SELECT *,
+                CASE
+                    WHEN lower(trim(event_type)) LIKE '%purchase%'
+                      OR lower(trim(event_type)) LIKE '%signup%' THEN 'conversion'
+                    WHEN lower(trim(event_type)) LIKE '%click%'
+                      OR lower(trim(event_type)) LIKE '%view%' THEN 'engagement'
+                    ELSE 'other'
+                END AS label
+            FROM cleaned
+        ),
+        stats AS (
+            SELECT
+                CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                    / COUNT(value) AS mean_v,
+                CASE WHEN CAST(SUM(CAST(value * value AS DECIMAL(28,10)))
+                          AS DOUBLE) / COUNT(value)
+                        - (CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                           / COUNT(value))
+                        * (CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                           / COUNT(value)) <= 0.0
+                     THEN 1.0
+                     ELSE sqrt(CAST(SUM(CAST(value * value AS DECIMAL(28,10)))
+                               AS DOUBLE) / COUNT(value)
+                             - (CAST(SUM(CAST(value AS DECIMAL(28,10)))
+                                AS DOUBLE) / COUNT(value))
+                             * (CAST(SUM(CAST(value AS DECIMAL(28,10)))
+                                AS DOUBLE) / COUNT(value)))
+                END AS std_v
+            FROM labeled
+        )
+        SELECT
+            l.label,
+            COUNT(*) AS n_rows,
+            CAST(SUM(CAST((l.value - s.mean_v) / s.std_v AS DECIMAL(28,10)))
+                 AS DOUBLE) / COUNT(*) AS avg_z
+        FROM labeled l CROSS JOIN stats s
+        GROUP BY l.label
+    """,
+    bench=True,
+    description="composed batch ETL: mask->clean->label->standardize->agg (reference §3.2 end-to-end)",
+    tags=("etl", "pipeline"),
+)
+def etl_end_to_end(spark, sf_dir):
+    """The reference's full preprocess flow (preprocess_cicids2017.py:98-342)
+    as one lazy composed plan: dirty-value masking (P7) -> null drop (P9) ->
+    canonical label mapping (F5, when/contains) -> distributed scaler fit +
+    apply (M9) -> grouped summary (A1). One pipeline, zero driver collects,
+    zero redundant count jobs."""
+    from ..ml.pipeline import apply_standardizer, fit_standardizer
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.when(F.col("value").between(100, 110), F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    cleaned = ev.na.drop(subset=["event_type", "value"])
+    labeled = cleaned.withColumn(
+        "label",
+        canonical_label(
+            "event_type",
+            {
+                "conversion": ["purchase", "signup"],
+                "engagement": ["click", "view"],
+            },
+        ),
+    )
+    stats = fit_standardizer(labeled, ["value"])
+    z = apply_standardizer(labeled, stats, ["value"])
+    return z.groupBy("label").agg(
+        F.count("*").alias("n_rows"),
+        (
+            F.sum(F.col("z_value").cast("decimal(28,10)")).cast("double")
+            / F.count("*")
+        ).alias("avg_z"),
+    )

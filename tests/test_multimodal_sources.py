@@ -1,0 +1,105 @@
+"""Multimodal plumbing + file source/sink round-trips."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from end_to_end_data_engineering_and_ml_system_spark.operators.multimodal import (
+    decode_image_real,
+    decode_media_features,
+    frame_sample,
+    payload_from_text,
+)
+from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import load_table
+from end_to_end_data_engineering_and_ml_system_spark.sources.files import (
+    read_csv_permissive,
+    write_metadata_sidecar,
+    write_single_csv,
+)
+
+
+def test_media_features_deterministic_and_normalized(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", payload_from_text("text")
+    )
+    a = {r.doc_id: r.features for r in decode_media_features(docs, "doc_id", "payload").collect()}
+    b = {r.doc_id: r.features for r in decode_media_features(docs, "doc_id", "payload").collect()}
+    assert a == b
+    for feats in a.values():
+        assert len(feats) == 16
+        assert abs(sum(feats) - 1.0) < 1e-9
+
+
+def test_media_feature_bytes_match(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", payload_from_text("text")
+    )
+    out = decode_media_features(docs, "doc_id", "payload")
+    joined = out.join(
+        docs.select("doc_id", F.octet_length("payload").alias("expect")),
+        "doc_id",
+    )
+    assert joined.filter(F.col("n_bytes") != F.col("expect")).count() == 0
+
+
+def test_decode_image_real_is_explicit_stub(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(NotImplementedError):
+        decode_image_real(docs, "doc_id", "text")
+
+
+def test_frame_sample_shapes(spark):
+    df = spark.createDataFrame([(1, "x" * 200)], ["id", "payload"])
+    frames = frame_sample(df, "id", "payload", every_n_bytes=64).collect()
+    assert len(frames) == 3
+    assert all(len(r.frame_bytes) == 64 for r in frames[:2])
+
+
+def test_csv_permissive_and_single_file_sink(spark):
+    tmp = tempfile.mkdtemp()
+    src = os.path.join(tmp, "in.csv")
+    with open(src, "w") as f:
+        f.write("id,name,score\n1,a,1.5\n2,b,2.5\nnot,a,valid,row,at all\n3,c,3.5\n")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    # Spark disallows lazy queries touching only the corrupt-record column;
+    # materialize once first (documented in read_csv_permissive)
+    df = read_csv_permissive(spark, src, schema).cache()
+    df.count()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 3
+    assert bad.count() == 1
+
+    dest = os.path.join(tmp, "out.csv")
+    write_single_csv(good.select("id", "name", "score"), dest)
+    back = spark.read.option("header", True).schema(schema).csv(dest)
+    assert back.count() == 3
+
+    side = write_metadata_sidecar(
+        good.agg(F.count("*").alias("n_rows")), os.path.join(tmp, "meta")
+    )
+    meta = spark.read.json(side)
+    assert meta.collect()[0].n_rows == 3
+
+
+def test_single_csv_sink_refuses_scale(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    with pytest.raises(ValueError):
+        write_single_csv(li, "/tmp/never.csv", max_rows=10)
