@@ -1,0 +1,65 @@
+"""As-of (most-recent-match) join — a custom operator Spark lacks natively.
+
+Implemented as the scalable union-sort trick rather than a range cross join:
+
+1. tag left (probe) and right (reference) rows, union them on aligned columns;
+2. one window per key ordered by (time, tag): ``last(value, ignorenulls)``
+   carries the latest reference row forward onto each probe row;
+3. filter back to probe rows.
+
+Cost: one shuffle on the key + a sort within partitions — same order as a
+sort-merge join, no range explosion, no skew amplification beyond the key
+distribution itself. This is how as-of joins stay tractable at 100 TB.
+
+Right rows must be unique per (key, time) — pre-aggregate if not, or ties
+make the match nondeterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """For each left row, append the ``value_cols`` of the right row with the
+    greatest ``right_time`` ≤ ``left_time`` for the same ``key`` (nulls when
+    no such row)."""
+    lt = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_probe"),
+        F.struct(*left.columns).alias("__left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+    )
+    rt = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_probe"),
+        F.lit(None).cast(lt.schema["__left"].dataType).alias("__left"),
+        *[F.col(c) for c in value_cols],
+    )
+    unioned = lt.unionByName(rt)
+    # reference rows sort before probe rows at equal time (__is_probe asc),
+    # so a match at exactly left_time counts
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t"), F.col("__is_probe"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried: list[Column] = [
+        F.last(F.col(c), ignorenulls=True).over(w).alias(f"__m_{c}")
+        for c in value_cols
+    ]
+    matched = unioned.select("*", *carried).filter(F.col("__is_probe") == 1)
+    return matched.select(
+        F.col("__left.*"),
+        *[F.col(f"__m_{c}").alias(c) for c in value_cols],
+    )

@@ -1601,3 +1601,119 @@ def etl_end_to_end(spark, sf_dir):
             / F.count("*")
         ).alias("avg_z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal completeness: sliding windows, session windows (gaps-and-islands
+# oracle), as-of join (DuckDB native ASOF JOIN as the oracle).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+        WITH b AS (
+            SELECT
+                unnest([to_timestamp(floor(epoch(ts) / 5) * 5),
+                        to_timestamp(floor(epoch(ts) / 5) * 5 - 5)])
+                    AS bucket_start,
+                event_type
+            FROM events
+        )
+        SELECT bucket_start, event_type, COUNT(*) AS n_events
+        FROM b
+        GROUP BY 1, 2
+    """,
+    description="10s window sliding every 5s (each event in 2 buckets) — ST5 sliding variant",
+    tags=("window-agg", "streaming-analog"),
+)
+def events_sliding_window(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 seconds", "5 seconds").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("bucket_start"), "event_type", "n_events"
+        )
+    )
+
+
+@register(
+    "user_session_windows",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_ts
+            FROM events
+        ),
+        marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN prev_ts IS NULL
+                             OR epoch(ts) - epoch(prev_ts) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM o
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM marked
+        )
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        FROM sess
+        GROUP BY user_id, session_no
+    """,
+    description="session windows (30min gap) — native session_window vs gaps-and-islands oracle",
+    tags=("window-agg", "session"),
+)
+def user_session_windows(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"))
+        .select("user_id", "session_start", "n_events")
+    )
+
+
+@register(
+    "events_asof_latest_order",
+    oracle="""
+        WITH ro AS (
+            SELECT o_custkey, o_orderdate,
+                   MAX(o_orderkey) AS o_orderkey
+            FROM orders
+            GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderkey AS last_orderkey
+        FROM events e
+        ASOF LEFT JOIN ro o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    bench=True,
+    description="as-of join: latest order at-or-before each event (union-sort trick vs native ASOF)",
+    tags=("join", "asof"),
+)
+def events_asof_latest_order(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # uniquify reference rows per (key, time): max orderkey per day
+    ro = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ots"),
+            "last_orderkey",
+        )
+    )
+    return asof_join(
+        ev, ro, key="user_id", left_time="ts", right_time="ots",
+        value_cols=["last_orderkey"],
+    )
