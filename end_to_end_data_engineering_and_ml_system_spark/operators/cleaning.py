@@ -53,11 +53,17 @@ def sanitize_columns(df: DataFrame) -> DataFrame:
 def find_column(df: DataFrame, target: str) -> str | None:
     """Case/punctuation-insensitive column resolution (ref: P2/F14,
     preprocess_cicids2017.py:172-179, 212-219)."""
-    want = target.lower().replace("_", "").replace(" ", "")
+    want = _fold_name(target)
     for c in df.columns:
-        if c.lower().replace("_", "").replace(" ", "") == want:
+        if _fold_name(c) == want:
             return c
     return None
+
+
+def _fold_name(name: str) -> str:
+    """Lowercase alphanumerics only — so a raw spelling ("Down/Up Ratio")
+    resolves against its sanitized form ("Down_Up_Ratio")."""
+    return "".join(ch for ch in name.lower() if ch.isalnum())
 
 
 def drop_columns_fuzzy(df: DataFrame, names: Iterable[str]) -> DataFrame:

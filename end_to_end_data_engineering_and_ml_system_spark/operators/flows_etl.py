@@ -1,0 +1,115 @@
+"""The reference's batch-ETL pipeline on flow-shaped data, end to end
+(/root/reference/scripts/preprocess_cicids2017.py:98-342), Spark-first.
+
+Differences from the reference, by design (SURVEY §4):
+- label mapping is a when/contains chain, not a row-at-a-time UDF (:170,188);
+- Infinity→null is one projection, not ~79 filter+count jobs (:152-162);
+- the scaler fits and applies distributed — no ``toPandas`` collect
+  (:262-304);
+- stage row counts ride a single ``observe`` pass, not count() actions
+  (:81-86).
+
+Semantics preserved: sanitize→dedup→Infinity-null→drop-null→label-map→
+column-drop→benign/attack split→seeded randomSplit→union→cast→z-score with
+population stddev and the zero-std→1.0 guard (:240,246,257-260,279-280).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalars import canonical_label
+from ..ml.pipeline import apply_standardizer, fit_standardizer
+from .cleaning import (
+    drop_columns_fuzzy,
+    exact_dedup,
+    find_column,
+    replace_values_with_null,
+    sanitize_columns,
+)
+
+#: canonical attack classes and their keyword triggers
+#: (preprocess_cicids2017.py:38-63). DDoS must precede DoS: first match wins
+#: and "ddos" contains "dos".
+LABEL_CLASSES: dict[str, list[str]] = {
+    "BENIGN": ["benign"],
+    "DDoS": ["ddos"],
+    "DoS": ["dos", "hulk", "goldeneye", "slowloris", "slowhttptest"],
+    "PortScan": ["portscan", "port scan"],
+    "Bot": ["bot"],
+    "BruteForce": ["patator", "brute", "ssh", "ftp"],
+    "WebAttack": ["web attack", "xss", "sql injection"],
+}
+
+#: the 14 redundant columns the reference drops, resolved fuzzily
+#: (preprocess_cicids2017.py:195-229; list in FIXTURES.md §2)
+DROP_COLUMNS: tuple[str, ...] = (
+    "Destination Port",
+    "Total Backward Packets",
+    "Total Length of Bwd Packets",
+    "Subflow Bwd Bytes",
+    "Avg Fwd Segment Size",
+    "Avg Bwd Segment Size",
+    "ECE Flag Count",
+    "RST Flag Count",
+    "Fwd URG Flags",
+    "Idle Std",
+    "Fwd PSH Flags",
+    "Active Std",
+    "Down/Up Ratio",
+    "URG Flag Count",
+)
+
+INFINITY_VALUES = ("Infinity", "-Infinity", "inf", "-inf")
+
+
+@dataclass
+class FlowsEtlResult:
+    train: DataFrame  # z-scored BENIGN training split
+    stream_eval: DataFrame  # held-out benign + all attacks, z-scored
+    stats: DataFrame  # 1-row scaler stats (mean_/std_ per feature)
+    feature_cols: list[str]
+
+
+def preprocess_flows(raw: DataFrame, seed: int = 42) -> FlowsEtlResult:
+    """Full reference ETL over a raw flow table (dirty headers, string-typed
+    numerics, Infinity sentinels, raw label spellings)."""
+    df = sanitize_columns(raw)  # P1/P16
+    df = exact_dedup(df)  # P10
+
+    label_col = find_column(df, "label")  # P2
+    if label_col is None:
+        raise ValueError("no label-like column found")
+    if label_col != "Label":
+        df = df.withColumnRenamed(label_col, "Label")
+
+    feature_candidates = [c for c in df.columns if c != "Label"]
+    df = replace_values_with_null(df, feature_candidates, list(INFINITY_VALUES))  # P7
+    df = df.na.drop()  # P9
+    df = df.withColumn("Label", canonical_label("Label", LABEL_CLASSES, "other"))  # F5
+    df = drop_columns_fuzzy(df, DROP_COLUMNS)  # P3
+
+    feature_cols = [c for c in df.columns if c != "Label"]
+    df = df.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols], "Label"
+    )  # P6
+    df = df.na.drop()  # non-numeric strings became null at cast
+
+    benign = df.filter(F.col("Label") == "BENIGN")  # P11
+    attacks = df.filter(F.col("Label") != "BENIGN")
+    train_b, test_b = benign.randomSplit([0.8, 0.2], seed=seed)  # R1
+    stream_eval = test_b.unionByName(attacks)  # U1
+
+    stats = fit_standardizer(train_b, feature_cols)  # M9 (fit on train only)
+    train_z = apply_standardizer(train_b, stats, feature_cols).select(
+        *[F.col(f"z_{c}").alias(c) for c in feature_cols]
+    )
+    eval_z = apply_standardizer(stream_eval, stats, feature_cols).select(
+        *[F.col(f"z_{c}").alias(c) for c in feature_cols], "Label"
+    )
+    return FlowsEtlResult(
+        train=train_z, stream_eval=eval_z, stats=stats, feature_cols=feature_cols
+    )

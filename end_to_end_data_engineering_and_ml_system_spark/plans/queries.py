@@ -1717,3 +1717,49 @@ def events_asof_latest_order(spark, sf_dir):
         ev, ro, key="user_id", left_time="ts", right_time="ots",
         value_cols=["last_orderkey"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Reference-shaped flows ETL (§3.2 end to end): dirty headers -> sanitize ->
+# dedup -> Infinity-null -> label-map -> drop -> seeded split -> union ->
+# z-score. Rows-only: randomSplit's seeded partitioning is Spark-specific,
+# so the oracle can't reproduce it; the invariants (z-mean~0, z-std~1,
+# split arithmetic, canonical labels) are asserted in tests/test_flows_etl.py.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flows_preprocess_summary",
+    oracle=None,
+    description="full flows ETL (sanitize/dedup/inf-null/label/split/z-score) summary counts (§3.2)",
+    tags=("etl", "pipeline", "flows"),
+)
+def flows_preprocess_summary(spark, sf_dir):
+    """Runs preprocess_flows (operators/flows_etl.py) over a flow-shaped
+    projection of lineitem with the reference's raw-CSV pathologies (dirty
+    headers, string numerics, Infinity sentinels, raw label spellings;
+    preprocess_cicids2017.py:98-342) and summarizes both output splits."""
+    from ..operators.flows_etl import preprocess_flows
+
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = li.select(
+        F.col("l_orderkey").cast("string").alias(" Flow Duration"),
+        F.col("l_partkey").cast("string").alias("Total Fwd Packets"),
+        F.when(F.col("l_suppkey") % 7 == 0, F.lit("Infinity"))
+        .otherwise(F.col("l_extendedprice").cast("string"))
+        .alias("Flow Bytes/s"),
+        F.col("l_discount").cast("string").alias("Down/Up Ratio"),
+        F.when(F.col("l_quantity") < 25, F.lit("BENIGN"))
+        .when(F.col("l_quantity") < 35, F.lit("DoS Hulk"))
+        .when(F.col("l_quantity") < 45, F.lit("Web Attack XSS"))
+        .otherwise(F.lit("DDoS"))
+        .alias(" Label"),
+    )
+    res = preprocess_flows(raw, seed=42)
+    train_summary = res.train.agg(F.count("*").alias("n")).select(
+        F.lit("train").alias("part"), F.lit("BENIGN").alias("Label"), "n"
+    )
+    eval_summary = res.stream_eval.groupBy("Label").agg(
+        F.count("*").alias("n")
+    ).select(F.lit("stream_eval").alias("part"), "Label", "n")
+    return train_summary.unionByName(eval_summary)

@@ -1,0 +1,101 @@
+"""Kafka source/sink wiring (SURVEY §2.1 S5/S6/S7/S10/S11/S13).
+
+The test container has no broker and no spark-sql-kafka package, so these
+builders are import-safe and fail with a clear error only when started.
+Everything downstream of the source (JSON decode, watermarking, scoring,
+routing) is broker-agnostic and fully tested via the file-source harness in
+``streaming/pipeline.py`` — swapping the source/sink is exactly these
+functions.
+
+Reference parity notes:
+- subscribe to one or many topics (S5/S6: ``subscribe="a,b"``); the
+  ``topic`` metadata column replaces the dashboard's manual tagging (U2).
+- rate control belongs to ``maxOffsetsPerTrigger`` — the reference sets the
+  legacy DStream conf which Structured Streaming ignores
+  (stream_anomaly_detector.py:42, ST3).
+- the sink takes a pre-serialized ``value`` (and optional ``key``) column;
+  ``serialize_json_value`` mirrors the producer's envelope
+  (common_kafka/producer.py:51-84, S10) with ``to_json(struct(*))``.
+- exactly-once: the Kafka sink is at-least-once; downstream must dedup by
+  key (``event_id``) — documented limit of foreachBatch+Kafka (ST2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+    group_id: str | None = None,
+) -> DataFrame:
+    """Streaming Kafka source; ``value`` arrives as binary → cast + decode
+    with a pinned schema downstream (F1)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    if group_id is not None:
+        reader = reader.option("kafka.group.id", group_id)
+    return reader.load()
+
+
+def decode_json_stream(kafka_df: DataFrame, schema_ddl: str) -> DataFrame:
+    """value bytes → string → ``from_json`` with pinned schema → flattened
+    columns + the topic metadata column (S5→F1→P4)."""
+    return (
+        kafka_df.select(
+            F.col("topic"),
+            F.from_json(F.col("value").cast("string"), schema_ddl).alias("data"),
+        )
+        .select("topic", "data.*")
+    )
+
+
+def serialize_json_value(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """Full-row JSON envelope for the sink (F2/S10): value = to_json(struct
+    of all columns), key = optional routing key for partition affinity."""
+    cols = [c for c in df.columns if c != key_col]
+    out = df.select(
+        *( [F.col(key_col).cast("string").alias("key")] if key_col else [] ),
+        F.to_json(F.struct(*cols)).alias("value"),
+    )
+    return out
+
+
+def kafka_sink_batch(df: DataFrame, bootstrap_servers: str, topic: str) -> None:
+    """Per-micro-batch Kafka write (S7, used inside foreachBatch). Expects
+    ``value`` (and optional ``key``) columns already serialized."""
+    (
+        df.write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .mode("append")
+        .save()
+    )
+
+
+def kafka_sink_streaming(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+):
+    """Continuous Kafka sink with checkpointed offsets (the exactly-once-ish
+    alternative to per-batch writes; still at-least-once into Kafka)."""
+    return (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
