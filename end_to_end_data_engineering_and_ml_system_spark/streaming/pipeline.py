@@ -195,3 +195,81 @@ def run_routed_foreach_batch(
     )
     q.awaitTermination(timeout_s)
     return normal_counts, anomaly_counts
+
+
+def rate_replay_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    rows_per_batch: int = 500,
+    table: str = "events",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Rate-limited fixture replay (S14): the Spark-native analog of the
+    reference's sleep-loop simulator (simulate_network_traffic.py:54-215).
+
+    A ``rate-micro-batch`` source emits exactly ``rows_per_batch`` sequence
+    numbers per trigger; a stream-static join on the fixture's row index
+    turns those into fixture rows, so replay order and batch boundaries are
+    deterministic (unlike wall-clock ``rate``, and unlike the reference's
+    asyncio sleeps). ``arrival_ts`` carries the synthetic arrival time.
+
+    Scale path: the static side is the bounded fixture; at 100 TB you replay
+    from Kafka instead — this operator exists to test downstream logic under
+    micro-batch arrival without a broker.
+    """
+    from pyspark.sql import Window
+
+    from ..sources.catalog import load_table
+
+    static = load_table(spark, sf_dir, table)
+    # row index 0..N-1 in replay order. A global row_number needs a single
+    # sort partition — fine for a bounded replay fixture, never used on the
+    # 100 TB path (see docstring).
+    w = Window.orderBy(order_col)
+    indexed = static.withColumn("__idx", F.row_number().over(w) - F.lit(1))
+    rate = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .load()
+        .select(
+            F.col("value").alias("__idx"),
+            F.col("timestamp").alias("arrival_ts"),
+        )
+    )
+    return rate.join(indexed, "__idx").drop("__idx")
+
+
+def run_replay_until(
+    replay_df: DataFrame,
+    expected_rows: int,
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Run a rate-replay stream until the memory sink holds ``expected_rows``
+    rows (the rate source is unbounded, so availableNow doesn't apply), then
+    stop and return the sink contents."""
+    import time
+
+    spark = replay_df.sparkSession
+    name = "replay_" + uuid.uuid4().hex[:12]
+    ck = tempfile.mkdtemp(prefix="e2e_ck_")
+    q = (
+        replay_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            if spark.table(name).count() >= expected_rows:
+                break
+            time.sleep(0.5)
+        else:
+            raise TimeoutError(
+                f"replay produced {spark.table(name).count()} of "
+                f"{expected_rows} rows within {timeout_s}s"
+            )
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -39,3 +39,24 @@ def test_foreach_batch_routing_partitions_stream(spark, sf_dir):
         load_table(spark, sf_dir, "events").filter(F.col("value") > 400).count()
     )
     assert sum(anomaly) == expected_anomaly
+
+
+def test_rate_replay_delivers_fixture_rows_in_batches(spark, sf_dir):
+    from end_to_end_data_engineering_and_ml_system_spark.streaming.pipeline import (
+        rate_replay_stream,
+        run_replay_until,
+    )
+
+    total = load_table(spark, sf_dir, "events").count()
+    n = min(total, 1000)
+    replay = rate_replay_stream(spark, sf_dir, rows_per_batch=250)
+    out = run_replay_until(replay, expected_rows=n).persist()
+    # replayed rows are real fixture rows with a synthetic arrival time
+    assert "arrival_ts" in out.columns and "event_id" in out.columns
+    got = out.limit(n)
+    assert got.select("event_id").distinct().count() == got.count()
+    joined = got.join(
+        load_table(spark, sf_dir, "events").select("event_id"), "event_id", "left_anti"
+    )
+    assert joined.count() == 0  # every replayed id exists in the fixture
+    out.unpersist()
