@@ -27,24 +27,30 @@ from pyspark.sql import functions as F
 from .text import tokens
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (1-based ``element_at`` indexing so SQL
-    mirrors align)."""
-    toks = tokens(col)
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a *materialized token array*
+    column, as zip_with over shifted slices.
 
-    def make(i: Column) -> Column:
-        parts = [F.element_at(toks, i + j) for j in range(n)]
-        return F.concat_ws(" ", *parts)
-
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(F.transform(idx, make))
+    Deliberately NOT ``transform(sequence(1, m), i -> element_at ...)``:
+    that shape interpret-evaluates an O(m) element_at per lambda call and
+    measured 10-20× slower (sf0.1: 9-18s vs 0.9s for the same 260k
+    shingles). zip_with walks the arrays once."""
+    sh = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    # tail entries (null-padded by zip_with) are not full n-grams — cut them
+    full = F.slice(sh, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(full)
 
 
 def exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """(id, n_shingles, shingle) long format — the inverted-index input."""
-    sh = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+    sh = df.select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    ).select(F.col(id_col), shingles(F.col("__toks"), n).alias("sh"))
     return sh.select(
         id_col,
         F.size("sh").alias("n_sh"),
@@ -62,29 +68,31 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Similarity join: pairs (id1 < id2) with shingle-set Jaccard ≥ threshold."""
     s = exploded_shingles(df, id_col, text_col, n)
+    # join on an 8-byte hash, not the shingle string: narrower shuffle, and
+    # the inverted-index semantics are unchanged (shingles are distinct per
+    # doc before hashing)
+    s = s.select(id_col, "n_sh", F.xxhash64("shingle").alias("sh"))
     if max_shingle_doc_freq is not None:
-        freq = s.groupBy("shingle").agg(F.count("*").alias("df_"))
-        keep = freq.filter(F.col("df_") <= max_shingle_doc_freq).select("shingle")
-        s = s.join(keep, "shingle")
-    a = s.select(
-        F.col(id_col).alias("id1"),
-        F.col("n_sh").alias("n1"),
-        "shingle",
-    )
-    b = s.select(
-        F.col(id_col).alias("id2"),
-        F.col("n_sh").alias("n2"),
-        "shingle",
-    )
+        freq = s.groupBy("sh").agg(F.count("*").alias("df_"))
+        keep = freq.filter(F.col("df_") <= max_shingle_doc_freq).select("sh")
+        s = s.join(keep, "sh")
+    sizes = s.groupBy(id_col).agg(F.first("n_sh").alias("n_sh"))
+    a = s.select(F.col(id_col).alias("id1"), "sh")
+    b = s.select(F.col(id_col).alias("id2"), "sh")
     pairs = (
-        a.join(b, ["shingle"])
+        a.join(b, ["sh"])
         .filter(F.col("id1") < F.col("id2"))
         .groupBy("id1", "id2")
-        .agg(
-            F.count("*").alias("shared"),
-            F.first("n1").alias("n1"),
-            F.first("n2").alias("n2"),
-        )
+        .agg(F.count("*").alias("shared"))
+    )
+    # doc-size lookup rides a broadcast: one row per doc, tiny next to the
+    # pair shuffle even at corpus scale
+    pairs = pairs.join(
+        F.broadcast(sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1"))),
+        "id1",
+    ).join(
+        F.broadcast(sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2"))),
+        "id2",
     )
     jac = F.col("shared").cast("double") / (
         F.col("n1") + F.col("n2") - F.col("shared")
@@ -94,21 +102,40 @@ def jaccard_pairs(
     )
 
 
+def minhash_wide(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, n: int = 3
+) -> DataFrame:
+    """Wide MinHash signatures: one row per doc, columns h0..h{k-1}.
+
+    All k min-hashes fold in a single partial-aggregated groupBy over the
+    exploded shingles — no seed cross-join (which costs a k× row blowup
+    through the shuffle), and banding becomes a projection instead of a
+    second shuffle."""
+    s = exploded_shingles(df, id_col, text_col, n).select(id_col, "shingle")
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return s.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, n: int = 3
 ) -> DataFrame:
-    """Long-format MinHash signatures: (id, seed, minhash)."""
-    spark = df.sparkSession
-    s = exploded_shingles(df, id_col, text_col, n).select(id_col, "shingle")
-    seeds = spark.range(num_hashes).select(F.col("id").alias("seed"))
-    return (
-        s.crossJoin(F.broadcast(seeds))
-        .groupBy(id_col, "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
-            ).alias("minhash")
-        )
+    """Long-format MinHash signatures (id, seed, minhash) — the
+    shuffle-friendly interchange shape; computed wide, unpivoted free."""
+    wide = minhash_wide(df, id_col, text_col, num_hashes, n)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("bigint").alias("seed"),
+                F.col(f"h{i}").alias("minhash"),
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return wide.select(id_col, F.explode(pairs).alias("p")).select(
+        id_col, "p.seed", "p.minhash"
     )
 
 
@@ -129,6 +156,35 @@ def lsh_buckets(
     )
 
 
+def lsh_buckets_wide(
+    wide: DataFrame, id_col: str, num_hashes: int, rows_per_band: int = 2
+) -> DataFrame:
+    """(id, band, bucket) from wide signatures: pure projection + explode,
+    zero extra shuffles. Bucket key = md5 of the seed-ordered minhash
+    concatenation within the band (same definition as ``lsh_buckets``)."""
+    bands = num_hashes // rows_per_band
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("bigint").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"h{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return wide.select(id_col, F.explode(rows).alias("bb")).select(
+        id_col, "bb.band", "bb.bucket"
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -138,8 +194,8 @@ def lsh_candidate_pairs(
     n: int = 3,
 ) -> DataFrame:
     """Distinct candidate pairs (id1 < id2) sharing ≥1 LSH band bucket."""
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
-    buckets = lsh_buckets(sig, id_col, rows_per_band)
+    wide = minhash_wide(df, id_col, text_col, num_hashes, n)
+    buckets = lsh_buckets_wide(wide, id_col, num_hashes, rows_per_band)
     a = buckets.select(F.col(id_col).alias("id1"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("id2"), "band", "bucket")
     return (
