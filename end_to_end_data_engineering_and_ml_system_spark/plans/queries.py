@@ -1123,10 +1123,10 @@ def doc_lsh_candidates(spark, sf_dir):
     tags=("dedup", "simhash"),
 )
 def doc_simhash(spark, sf_dir):
-    from ..operators.dedup import simhash64
+    from ..operators.dedup import simhash_table
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash64("text").alias("simhash"))
+    return simhash_table(docs, "doc_id", "text")
 
 
 @register(
