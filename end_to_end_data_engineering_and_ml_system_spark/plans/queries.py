@@ -1763,3 +1763,30 @@ def flows_preprocess_summary(spark, sf_dir):
         F.count("*").alias("n")
     ).select(F.lit("stream_eval").alias("part"), "Label", "n")
     return train_summary.unionByName(eval_summary)
+
+
+@register(
+    "stream_stateful_user_counts",
+    oracle="""
+        SELECT user_id, COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1
+    """,
+    description="applyInPandasWithState running per-key counts (ST6), final state batch-equivalent",
+    tags=("streaming", "stateful"),
+)
+def stream_stateful_user_counts(spark, sf_dir):
+    """Custom stateful operator executed as a real stream: per-user running
+    counts via applyInPandasWithState (streaming/pipeline.py). The final
+    update per key must equal the batch groupBy — exact-integer oracle; the
+    float running totals are tolerance-checked in tests/test_streaming.py."""
+    from ..streaming.pipeline import (
+        events_stream,
+        run_to_memory_sink,
+        running_user_totals,
+    )
+
+    out = run_to_memory_sink(
+        running_user_totals(events_stream(spark, sf_dir)), output_mode="update"
+    )
+    return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))

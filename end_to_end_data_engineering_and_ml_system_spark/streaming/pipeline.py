@@ -273,3 +273,49 @@ def run_replay_until(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def running_user_totals(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator (ST6, declared-optional surface): per-key
+    running (count, sum) maintained across micro-batches with
+    ``applyInPandasWithState`` — the engine's supported path for stateful
+    logic Spark's built-in windowed aggs can't express (e.g. model-state
+    per entity). Arrow-batched; state is one small tuple per key.
+
+    Scale note: state lives in the state store partitioned by key; with a
+    watermark + ``GroupStateTimeout.EventTimeTimeout`` idle keys expire.
+    Here the replay fixture is bounded, so NoTimeout keeps the test
+    deterministic."""
+    import pandas as pd  # noqa: F401  (worker-side)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf[value_col].fillna(0.0).sum())
+        state.update((int(n), float(total)))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [int(n)], "total_value": [float(total)]}
+        )
+
+    return (
+        stream_df.select(key_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

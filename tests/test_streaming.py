@@ -60,3 +60,35 @@ def test_rate_replay_delivers_fixture_rows_in_batches(spark, sf_dir):
     )
     assert joined.count() == 0  # every replayed id exists in the fixture
     out.unpersist()
+
+
+def test_stateful_running_totals_match_batch(spark, sf_dir):
+    import pyspark.sql.functions as SF
+
+    from end_to_end_data_engineering_and_ml_system_spark.streaming.pipeline import (
+        events_stream,
+        running_user_totals,
+        run_to_memory_sink,
+    )
+
+    out = run_to_memory_sink(
+        running_user_totals(events_stream(spark, sf_dir)), output_mode="update"
+    )
+    # the last update per key is the final running total; with multiple
+    # micro-batches a key emits several rows - take max n_events per key
+    final = out.groupBy("user_id").agg(
+        SF.max("n_events").alias("n_events"),
+        SF.max("total_value").alias("total_value"),
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(SF.count("*").alias("bn"), SF.sum("value").alias("bt"))
+    )
+    j = final.join(batch, "user_id").persist()
+    assert j.count() == batch.count()
+    assert j.filter(SF.col("n_events") != SF.col("bn")).count() == 0
+    assert (
+        j.filter(SF.abs(SF.col("total_value") - SF.col("bt")) > 1e-6).count() == 0
+    )
+    j.unpersist()
