@@ -155,3 +155,78 @@ def lsh_bucket_candidates(
         .select("id1", "id2")
         .distinct()
     )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_cells: int = 16,
+    seed: int = 42,
+):
+    """IVF coarse quantizer: MLlib KMeans partitions the corpus into cells.
+
+    Returns ``(assigned, centroids)``: the corpus with a ``cell_id`` column,
+    and the small (k_cells × dim) centroid table. At scale the assigned
+    corpus is written out partitioned by ``cell_id`` so a search touches
+    only the probed cells' files (partition pruning); centroids stay a
+    broadcast table."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.withColumn(
+        "__features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(
+        k=k_cells, seed=seed, featuresCol="__features", predictionCol="cell_id"
+    ).fit(feat)
+    assigned = model.transform(feat).select(id_col, vec_col, "cell_id")
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell_id int, centroid array<double>",
+    )
+    return assigned, centroids
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """ANN top-k: probe the ``nprobe`` nearest cells per query, exact cosine
+    re-rank inside them. Both the centroid table and the query set ride
+    broadcasts; the only distributed work is the within-cell re-rank, which
+    scans ~nprobe/k_cells of the corpus instead of all of it."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    # nearest nprobe cells per query (tiny cross join: |Q| × k_cells)
+    qc = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "qv",
+        "cell_id",
+        cosine(F.col("qv"), F.col("centroid")).alias("c_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("c_sim").desc(), "cell_id")
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cell_id")
+    )
+    cand = assigned.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), "cell_id"
+    )
+    scored = (
+        cand.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cosine")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "cand_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

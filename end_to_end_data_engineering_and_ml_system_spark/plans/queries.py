@@ -1790,3 +1790,24 @@ def stream_stateful_user_counts(spark, sf_dir):
         running_user_totals(events_stream(spark, sf_dir)), output_mode="update"
     )
     return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@register(
+    "embedding_ivf_topk",
+    oracle=None,
+    description="IVF ANN: KMeans coarse cells + probed exact re-rank (scale path; rows-only)",
+    tags=("similarity", "ann", "ivf"),
+)
+def embedding_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (operators/similarity.py): nprobe-of-k_cells
+    probing bounds the re-rank to a corpus fraction; recall vs brute force
+    is asserted in tests/test_dedup_similarity.py. KMeans is Spark-specific,
+    so no SQL oracle."""
+    from ..operators.similarity import ivf_index, ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    assigned, centroids = ivf_index(emb, k_cells=8, seed=42)
+    return ivf_search(assigned, centroids, queries, nprobe=4, k=3).select(
+        "query_id", "cand_id", "cosine"
+    )

@@ -62,3 +62,32 @@ def test_lsh_candidates_subset_of_pairs(spark, sf_dir):
         assert r.id1 < r.id2
         ids.add((r.id1, r.id2))
     assert len(ids) == len(rows)  # distinct pairs
+
+
+def test_ivf_search_recall_vs_bruteforce(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_index,
+        ivf_search,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk_bruteforce(emb, queries, k=3).select(
+        "query_id", F.col("cand_id").alias("exact_cand")
+    )
+    assigned, centroids = ivf_index(emb, k_cells=8, seed=42)
+    approx = ivf_search(assigned, centroids, queries, nprobe=4, k=3)
+    assert approx.groupBy("query_id").count().filter("count != 3").count() == 0
+    hits = exact.join(
+        approx.select("query_id", F.col("cand_id").alias("exact_cand")),
+        ["query_id", "exact_cand"],
+    ).count()
+    total = exact.count()
+    # nprobe=4 of 8 cells must recover well over half the true neighbors
+    assert hits / total >= 0.5, f"recall {hits}/{total}"
