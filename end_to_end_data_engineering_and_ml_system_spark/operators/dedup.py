@@ -71,12 +71,17 @@ def jaccard_pairs(
     # join on an 8-byte hash, not the shingle string: narrower shuffle, and
     # the inverted-index semantics are unchanged (shingles are distinct per
     # doc before hashing)
-    s = s.select(id_col, "n_sh", F.xxhash64("shingle").alias("sh"))
+    s = s.select(id_col, F.xxhash64("shingle").alias("sh"))
     if max_shingle_doc_freq is not None:
         freq = s.groupBy("sh").agg(F.count("*").alias("df_"))
         keep = freq.filter(F.col("df_") <= max_shingle_doc_freq).select("sh")
         s = s.join(keep, "sh")
-    sizes = s.groupBy(id_col).agg(F.first("n_sh").alias("n_sh"))
+    # doc sizes come straight off the shingle array — no third explode pass
+    # (capping, when active, deliberately keeps the original sizes: the
+    # oracle's Jaccard denominator uses the full distinct-shingle counts)
+    sizes = df.select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    ).select(F.col(id_col), F.size(shingles(F.col("__toks"), n)).alias("n_sh"))
     a = s.select(F.col(id_col).alias("id1"), "sh")
     b = s.select(F.col(id_col).alias("id2"), "sh")
     pairs = (
