@@ -82,3 +82,27 @@ def capped_sample(
     if n <= cap:
         return df
     return df.sample(withReplacement=False, fraction=cap / n, seed=seed)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-safe equi-join: hot keys on the big side are spread across
+    ``salt_buckets`` shuffle partitions by a random salt; the small side is
+    replicated once per bucket so every salted row still meets its match.
+
+    Use when one join key dominates (AQE's skew-join split helps at the
+    partition level; salting fixes the single-hot-key case it can't).
+    Result is identical to ``left.join(right, on, how)``."""
+    spark = left.sparkSession
+    salted_l = left.withColumn(
+        "__salt", (F.rand(seed) * salt_buckets).cast("int")
+    )
+    salts = spark.range(salt_buckets).select(F.col("id").cast("int").alias("__salt"))
+    salted_r = right.crossJoin(F.broadcast(salts))
+    return salted_l.join(salted_r, [on, "__salt"], how).drop("__salt")

@@ -1811,3 +1811,38 @@ def embedding_ivf_topk(spark, sf_dir):
     return ivf_search(assigned, centroids, queries, nprobe=4, k=3).select(
         "query_id", "cand_id", "cosine"
     )
+
+
+@register(
+    "partition_pruned_counts",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n_events
+        FROM events
+        WHERE date_trunc('day', ts) = '2024-01-05'
+        GROUP BY 1
+    """,
+    description="per-type counts for one day off a date-partitioned layout (pruned scan)",
+    tags=("storage", "partitioning"),
+)
+def partition_pruned_counts(spark, sf_dir):
+    """Writes events Hive-partitioned by event_date (idempotent per sf_dir),
+    then answers a one-day query off the pruned layout: the scan's
+    PartitionFilters carries the predicate, so 29 of 30 day-directories are
+    never opened (sources/partitioned.py; asserted in
+    tests/test_partitioned.py)."""
+    import os
+    import tempfile
+
+    from ..sources.partitioned import read_pruned, write_partitioned
+
+    key = sf_dir.strip("/").replace("/", "_")
+    dest = os.path.join(
+        tempfile.gettempdir(), "e2e_spark_part", f"{key}_events_by_date"
+    )
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "event_date", F.to_date("ts")
+        )
+        write_partitioned(ev, dest, ["event_date"])
+    pruned = read_pruned(spark, dest, "event_date = '2024-01-05'")
+    return pruned.groupBy("event_type").agg(F.count("*").alias("n_events"))

@@ -1,0 +1,84 @@
+"""Partitioned & bucketed parquet layout — the 100 TB storage story.
+
+The reference writes flat single-file CSVs (preprocess_cicids2017.py:23-35,
+316-317); at scale the same tables must be laid out so queries touch only
+the data they need:
+
+- **Hive-style partitioning** by a low-cardinality derived key (e.g. event
+  date): a predicate on the partition column prunes whole directories at
+  plan time — the scan's ``PartitionFilters`` carries the predicate and
+  unmatched files are never opened.
+- **Bucketing** by a high-cardinality join key: both sides of a recurring
+  join pre-shuffled into the same bucket layout join with ZERO runtime
+  exchanges (``SortMergeJoin`` over bucketed scans, no ``Exchange``
+  children) — the shuffle is paid once at write time, amortized over every
+  subsequent join.
+- **Salting** (operators/relational.py::salted_join) handles skewed keys
+  that neither layout fixes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    dest_dir: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet. Partition columns should be
+    low-cardinality (a date, a class, a shard id) — one directory per
+    value; high-cardinality keys belong in bucketing instead."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(dest_dir)
+
+
+def read_pruned(
+    spark: SparkSession, src_dir: str, predicate: str
+) -> DataFrame:
+    """Read with a partition predicate. Catalyst turns the predicate into
+    ``PartitionFilters`` — verify with ``scan_partition_filters``."""
+    return spark.read.parquet(src_dir).filter(predicate)
+
+
+def scan_partition_filters(df: DataFrame) -> str:
+    """The PartitionFilters clause of the plan's scan node (empty string if
+    no pruning applies) — lets tests assert pruning instead of hoping."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "PartitionFilters" in line:
+            start = line.index("PartitionFilters")
+            return line[start:].split("]", 1)[0] + "]"
+    return ""
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 8,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (bucketing requires ``saveAsTable``; plain
+    ``.parquet(path)`` cannot record bucket metadata)."""
+    w = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of *shuffle* Exchange nodes in the executed plan — a bucketed
+    co-located join must show 0. Broadcast exchanges don't count: they move
+    a small table, not the data."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line
+        and "ReusedExchange" not in line
+        and "BroadcastExchange" not in line
+    )

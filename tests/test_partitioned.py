@@ -1,0 +1,84 @@
+"""Storage-layout scale features: partition pruning, bucketed co-located
+joins (zero-exchange), salted skew joins — asserted on the actual plans,
+not hoped for."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_and_ml_system_spark.operators.relational import salted_join
+from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import load_table
+from end_to_end_data_engineering_and_ml_system_spark.sources.partitioned import (
+    count_exchanges,
+    read_pruned,
+    scan_partition_filters,
+    write_bucketed_table,
+    write_partitioned,
+)
+
+
+def test_partition_pruning_hits_partition_filters(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    dest = os.path.join(tempfile.mkdtemp(prefix="e2e_part_"), "events_by_date")
+    write_partitioned(ev, dest, ["event_date"])
+
+    some_date = ev.select(F.min("event_date")).first()[0]
+    pruned = read_pruned(spark, dest, f"event_date = '{some_date}'")
+    pf = scan_partition_filters(pruned)
+    assert "event_date" in pf, f"no partition filter in scan: {pf!r}"
+    expected = ev.filter(F.col("event_date") == F.lit(some_date)).count()
+    assert pruned.count() == expected
+
+
+def test_bucketed_join_needs_no_exchange(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    write_bucketed_table(orders, "b_orders", "o_custkey", num_buckets=4,
+                         sort_col="o_custkey")
+    write_bucketed_table(
+        cust.withColumnRenamed("c_custkey", "o_custkey"),
+        "b_customer", "o_custkey", num_buckets=4, sort_col="o_custkey",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable auto-broadcast so the planner must use the bucket layout
+        # (at real scale neither side broadcasts; this simulates that)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+        # co-located bucketed join: the shuffle was paid at write time
+        assert count_exchanges(j) == 0, "bucketed join still shuffles"
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, "scan did not use bucket layout"
+        plain = orders.join(
+            cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+        )
+        assert j.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    nations = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("o_custkey"), "n_name"
+    )
+    # force the worst case: every orders row keyed to one hot value
+    hot = orders.withColumn("o_custkey", F.lit(7).cast("bigint")).select(
+        "o_orderkey", "o_custkey"
+    )
+    salted = salted_join(hot, nations, "o_custkey")
+    plain = hot.join(nations, "o_custkey")
+    assert salted.count() == plain.count()
+    assert salted.select("o_custkey").distinct().count() == 1
+    assert (
+        salted.agg(F.sum("o_orderkey")).first()[0]
+        == plain.agg(F.sum("o_orderkey")).first()[0]
+    )
