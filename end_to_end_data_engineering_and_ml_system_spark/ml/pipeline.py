@@ -172,3 +172,69 @@ def batched_inference(
             yield pd.DataFrame({id_col: pdf[id_col], "model_score": score})
 
     return df.select(id_col, *feature_cols).mapInPandas(run, schema=schema)
+
+
+def align_features(
+    df: DataFrame,
+    expected_cols: Sequence[str],
+    fill: float = 0.0,
+) -> DataFrame:
+    """Feature-dimension alignment (M3): project onto the model's declared
+    feature schema in its exact order — extra columns dropped, missing
+    columns zero-filled — so inference never sees a shape mismatch
+    (reference introspects the Keras input_shape and pads/trims ad hoc,
+    stream_anomaly_detector.py:237-261; here the schema is declared and the
+    alignment is one projection)."""
+    present = set(df.columns)
+    return df.select(
+        *[
+            F.col(c).cast("double").alias(c)
+            if c in present
+            else F.lit(fill).alias(c)
+            for c in expected_cols
+        ]
+    )
+
+
+def inference_with_fallback(
+    df: DataFrame,
+    cols: Sequence[str],
+    id_col: str,
+    seed: int = 42,
+    poison_col: str | None = None,
+) -> DataFrame:
+    """M4: per-batch inference errors mark the batch's rows normal with
+    score 0.0 instead of failing the stream (stream_anomaly_detector.py:
+    266-276). ``poison_col`` (tests only) injects a failure when any row
+    has it set."""
+    import numpy as np
+
+    feature_cols = list(cols)
+    schema = f"{id_col} bigint, model_score double, inference_ok boolean"
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        rng = np.random.RandomState(seed)
+        w = rng.uniform(-1.0, 1.0, size=len(feature_cols))
+        for pdf in batches:
+            try:
+                if poison_col is not None and bool(pdf[poison_col].any()):
+                    raise RuntimeError("injected inference failure")
+                x = pdf[feature_cols].to_numpy(dtype="float64")
+                logits = np.tanh(x) @ w
+                score = 1.0 / (1.0 + np.exp(-logits))
+                ok = True
+            except Exception:
+                score = np.zeros(len(pdf))
+                ok = False
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "model_score": score,
+                    "inference_ok": ok,
+                }
+            )
+
+    keep = [id_col, *feature_cols] + ([poison_col] if poison_col else [])
+    return df.select(*dict.fromkeys(keep)).mapInPandas(run, schema=schema)

@@ -1846,3 +1846,30 @@ def partition_pruned_counts(spark, sf_dir):
         write_partitioned(ev, dest, ["event_date"])
     pruned = read_pruned(spark, dest, "event_date = '2024-01-05'")
     return pruned.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
+@register(
+    "stream_dead_letter_counts",
+    oracle="""
+        SELECT 'good' AS side, COUNT(*) AS n FROM events WHERE event_id % 5 <> 0
+        UNION ALL
+        SELECT 'dead' AS side, COUNT(*) AS n FROM events WHERE event_id % 5 = 0
+    """,
+    description="dead-letter routing (ST8): undecodable payloads split to a DLQ, good rows flow on",
+    tags=("streaming", "error-handling"),
+)
+def stream_dead_letter_counts(spark, sf_dir):
+    """Every 5th payload is corrupted, the stream decodes with a declared
+    _corrupt_record column, and the foreachBatch router sends each side to
+    its sink (streaming/pipeline.py::decode_or_dead_letter)."""
+    from ..streaming.pipeline import events_stream, run_dead_letter_foreach_batch
+
+    stream_vals = events_stream(spark, sf_dir).select(
+        F.when(F.col("event_id") % 5 == 0, F.lit("{not json"))
+        .otherwise(F.to_json(F.struct("event_id", "value")))
+        .alias("value")
+    )
+    g, d = run_dead_letter_foreach_batch(
+        stream_vals, "event_id bigint, value double"
+    )
+    return spark.createDataFrame([("good", g), ("dead", d)], "side string, n bigint")

@@ -319,3 +319,64 @@ def running_user_totals(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def decode_or_dead_letter(
+    df: DataFrame, schema_ddl: str, value_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """ST8 done right: instead of dropping a whole micro-batch on error
+    (stream_anomaly_detector.py:371-372), undecodable records split off to
+    a dead-letter frame (raw payload + arrival time) while good records
+    flow on. ``from_json`` yields NULL for malformed input, so the split is
+    a pair of filters — no row-level try/except.
+
+    PERMISSIVE ``from_json`` yields an all-null struct (not NULL) for
+    malformed input, so corruption is detected via the declared
+    ``_corrupt_record`` column, which Spark fills with the raw payload."""
+    full_ddl = f"{schema_ddl}, _corrupt_record string"
+    parsed = df.withColumn(
+        "__data",
+        F.from_json(
+            F.col(value_col),
+            full_ddl,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
+    bad = F.col("__data._corrupt_record").isNotNull()
+    good = parsed.filter(~bad).select("__data.*").drop("_corrupt_record")
+    dead = parsed.filter(bad).select(
+        F.col(value_col).alias("raw_value"),
+        F.current_timestamp().alias("dlq_ts"),
+    )
+    return good, dead
+
+
+def run_dead_letter_foreach_batch(
+    value_stream: DataFrame,
+    schema_ddl: str,
+    timeout_s: int = 300,
+) -> tuple[int, int]:
+    """Per micro-batch: decode, route good rows onward and bad rows to the
+    dead-letter sink (counts stand in for the two sinks). Cache once per
+    batch — the reference recomputes each batch per consumer."""
+    good_total = [0]
+    dead_total = [0]
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        cached = batch_df.persist()
+        try:
+            good, dead = decode_or_dead_letter(cached, schema_ddl)
+            good_total[0] += good.count()
+            dead_total[0] += dead.count()
+        finally:
+            cached.unpersist()
+
+    ck = tempfile.mkdtemp(prefix="e2e_ck_")
+    q = (
+        value_stream.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return good_total[0], dead_total[0]

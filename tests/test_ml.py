@@ -51,3 +51,41 @@ def test_routing_partitions_input(spark, sf_dir):
     li_n = load_table(spark, sf_dir, "lineitem").count()
     assert total == li_n  # normal + anomaly partition the input (P12)
     assert all(0.0 < r.avg_confidence <= 1.0 for r in out)
+
+
+def test_align_features_trims_pads_and_orders(spark, sf_dir):
+    from end_to_end_data_engineering_and_ml_system_spark.ml.pipeline import align_features
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_tax"
+    )
+    out = align_features(li, ["l_extendedprice", "l_quantity", "l_missing"])
+    assert out.columns == ["l_extendedprice", "l_quantity", "l_missing"]
+    assert out.schema["l_missing"].dataType.typeName() == "double"
+    assert out.filter("l_missing != 0.0").count() == 0
+
+
+def test_inference_fallback_marks_batch_normal(spark, sf_dir):
+    import pyspark.sql.functions as SF
+
+    from end_to_end_data_engineering_and_ml_system_spark.ml.pipeline import (
+        inference_with_fallback,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_tax")
+        .withColumn("poison", SF.col("l_orderkey") % 2 == 0)
+        .repartition(4)
+    )
+    out = inference_with_fallback(
+        li, ["l_quantity", "l_tax"], "l_orderkey", poison_col="poison"
+    ).persist()
+    assert out.count() == li.count()
+    failed = out.filter(~SF.col("inference_ok"))
+    # failed batches score 0.0 (the reference's mark-all-normal fallback)
+    assert failed.filter(SF.col("model_score") != 0.0).count() == 0
+    assert failed.count() > 0  # poison actually fired somewhere
+    ok = out.filter(SF.col("inference_ok"))
+    assert ok.filter((SF.col("model_score") <= 0) | (SF.col("model_score") >= 1)).count() == 0
+    out.unpersist()

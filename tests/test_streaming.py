@@ -92,3 +92,53 @@ def test_stateful_running_totals_match_batch(spark, sf_dir):
         j.filter(SF.abs(SF.col("total_value") - SF.col("bt")) > 1e-6).count() == 0
     )
     j.unpersist()
+
+
+def test_dead_letter_split_counts(spark, sf_dir):
+    from end_to_end_data_engineering_and_ml_system_spark.streaming.pipeline import (
+        decode_or_dead_letter,
+        events_stream,
+        run_dead_letter_foreach_batch,
+    )
+
+    # batch semantics: corrupt every 5th payload
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 5 == 0, F.lit("{not json"))
+        .otherwise(F.to_json(F.struct("event_id", "value")))
+        .alias("value")
+    )
+    good, dead = decode_or_dead_letter(ev, "event_id bigint, value double")
+    total = ev.count()
+    n_bad = load_table(spark, sf_dir, "events").filter("event_id % 5 = 0").count()
+    assert dead.count() == n_bad
+    assert good.count() == total - n_bad
+    assert dead.columns == ["raw_value", "dlq_ts"]
+
+    # streaming: same split through foreachBatch routing
+    stream_vals = events_stream(spark, sf_dir).select(
+        F.when(F.col("event_id") % 5 == 0, F.lit("{not json"))
+        .otherwise(F.to_json(F.struct("event_id", "value")))
+        .alias("value")
+    )
+    g, d = run_dead_letter_foreach_batch(stream_vals, "event_id bigint, value double")
+    assert (g, d) == (total - n_bad, n_bad)
+
+
+def test_udf_surface_registration(spark, sf_dir):
+    # M1/F6: the declared row-at-a-time UDF surface (the engine prefers
+    # native exprs; this pins the API contract the reference used)
+    from pyspark.sql.types import StringType
+
+    def label_of(v):
+        return "anomaly" if (v or 0.0) > 400 else "normal"
+
+    spark.udf.register("label_of_udf", label_of, StringType())
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_udf_test")
+    out = spark.sql(
+        "SELECT label_of_udf(value) AS lbl, COUNT(*) AS n FROM events_udf_test GROUP BY 1"
+    )
+    rows = {r["lbl"]: r["n"] for r in out.collect()}
+    expected_anom = ev.filter(F.col("value") > 400).count()
+    assert rows.get("anomaly", 0) == expected_anom
+    assert sum(rows.values()) == ev.count()
