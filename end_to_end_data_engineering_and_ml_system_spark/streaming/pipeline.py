@@ -141,6 +141,27 @@ def dedup_within_watermark(
     )
 
 
+class _replay_shuffle_partitions:
+    """Pin spark.sql.shuffle.partitions for the lifetime of one bounded
+    replay query, then restore. A streaming query fixes its state-store
+    partition count at start; the vanilla-session default of 200 turns a
+    10k-row fixture replay into 200-task micro-batches of pure overhead
+    (measured 3-10× slower). Harness-only: production streams size this to
+    the cluster, not to a fixture."""
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        if int(self.prev) > self.n:
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def run_to_memory_sink(
     agg_df: DataFrame,
     output_mode: str = "complete",
@@ -151,15 +172,16 @@ def run_to_memory_sink(
     spark = agg_df.sparkSession
     name = "sink_" + uuid.uuid4().hex[:12]
     ck = tempfile.mkdtemp(prefix="e2e_ck_")
-    q = (
-        agg_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ck)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
+    with _replay_shuffle_partitions(spark):
+        q = (
+            agg_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
     return spark.table(name)
 
 
@@ -187,13 +209,14 @@ def run_routed_foreach_batch(
             scored.unpersist()
 
     ck = tempfile.mkdtemp(prefix="e2e_ck_")
-    q = (
-        stream_df.writeStream.foreachBatch(process)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ck)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
+    with _replay_shuffle_partitions(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.foreachBatch(process)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
     return normal_counts, anomaly_counts
 
 
@@ -252,13 +275,14 @@ def run_replay_until(
     spark = replay_df.sparkSession
     name = "replay_" + uuid.uuid4().hex[:12]
     ck = tempfile.mkdtemp(prefix="e2e_ck_")
-    q = (
-        replay_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ck)
-        .start()
-    )
+    with _replay_shuffle_partitions(spark):
+        q = (
+            replay_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .start()
+        )
     try:
         deadline = time.monotonic() + timeout_s
         while time.monotonic() < deadline:
@@ -372,11 +396,12 @@ def run_dead_letter_foreach_batch(
             cached.unpersist()
 
     ck = tempfile.mkdtemp(prefix="e2e_ck_")
-    q = (
-        value_stream.writeStream.foreachBatch(process)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ck)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
+    with _replay_shuffle_partitions(value_stream.sparkSession):
+        q = (
+            value_stream.writeStream.foreachBatch(process)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
     return good_total[0], dead_total[0]
