@@ -1,0 +1,163 @@
+"""Property-based tests (hypothesis): invariants that example tests can't
+pin down — name-sanitize uniqueness, first-match label semantics, as-of
+join vs a naive per-row reference, partitioning-invariance of the
+decimal-exact scaler, salted-join equivalence under arbitrary skew."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_and_ml_system_spark.functions.scalars import (
+    canonical_label,
+)
+from end_to_end_data_engineering_and_ml_system_spark.ml.pipeline import (
+    fit_standardizer,
+)
+from end_to_end_data_engineering_and_ml_system_spark.operators.asof import asof_join
+from end_to_end_data_engineering_and_ml_system_spark.operators.cleaning import (
+    sanitize_columns,
+    sanitize_name,
+)
+from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+    salted_join,
+)
+
+SLOW = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+name_st = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=1, max_size=24
+)
+
+
+@given(st.lists(name_st, min_size=1, max_size=12))
+@settings(max_examples=50, deadline=None)
+def test_sanitize_name_is_identifier_and_idempotent(names):
+    for n in names:
+        s = sanitize_name(n)
+        assert s, f"empty sanitized name for {n!r}"
+        assert all(c.isalnum() or c == "_" for c in s)
+        assert not s[0].isdigit()
+        assert sanitize_name(s) == s  # idempotent
+
+
+@given(st.lists(name_st, min_size=1, max_size=10, unique=True))
+@SLOW
+def test_sanitize_columns_unique_and_stable(spark, raw_names):
+    df = spark.createDataFrame(
+        [tuple("x" for _ in raw_names)], schema=list(raw_names)
+    )
+    out = sanitize_columns(df)
+    assert len(set(out.columns)) == len(out.columns)  # collisions uniquified
+    # re-sanitizing sanitized names is a no-op
+    assert sanitize_columns(out).columns == out.columns
+
+
+LABELS = {
+    "BENIGN": ["benign"],
+    "DDoS": ["ddos"],
+    "DoS": ["dos", "hulk"],
+    "Bot": ["bot"],
+}
+
+
+def _py_label(raw: str) -> str:
+    low = raw.strip().lower()
+    for cls, kws in LABELS.items():
+        if any(k in low for k in kws):
+            return cls
+    return "other"
+
+
+@given(st.lists(name_st, min_size=1, max_size=60))
+@SLOW
+def test_canonical_label_matches_python_reference(spark, raws):
+    df = spark.createDataFrame([(r,) for r in raws], "raw string")
+    got = {
+        (r["raw"], r["lbl"])
+        for r in df.select(
+            "raw", canonical_label("raw", LABELS).alias("lbl")
+        ).collect()
+    }
+    want = {(r, _py_label(r)) for r in raws}
+    # set-compare tolerates duplicate raw values
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=40
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(-99, 99)),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@SLOW
+def test_asof_join_matches_naive_reference(spark, left_rows, right_rows):
+    # uniquify right on (key, time): as-of semantics need one value per time
+    rmap = {}
+    for k, t, v in right_rows:
+        rmap[(k, t)] = v
+    right_rows = [(k, t, v) for (k, t), v in rmap.items()]
+
+    left = spark.createDataFrame(left_rows, "k int, t int")
+    right = spark.createDataFrame(right_rows, "k int, rt int, v int")
+    out = asof_join(left, right, key="k", left_time="t", right_time="rt",
+                    value_cols=["v"])
+    got = {(r["k"], r["t"], r["v"]) for r in out.collect()}
+
+    want = set()
+    for k, t in left_rows:
+        best = None
+        for rk, rt, v in right_rows:
+            if rk == k and rt <= t and (best is None or rt > best[0]):
+                best = (rt, v)
+        want.add((k, t, best[1] if best else None))
+    # duplicates in left collapse identically on both sides (set compare)
+    assert got == want
+
+
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=2, max_size=50))
+@SLOW
+def test_fit_standardizer_partitioning_invariant(spark, xs):
+    """The decimal-sum fit must be bit-identical under any partitioning —
+    the property that makes the scaler reproducible on a cluster."""
+    rows = [(float(x),) for x in xs]
+    one = fit_standardizer(
+        spark.createDataFrame(rows, "x double").coalesce(1), ["x"]
+    ).first()
+    many = fit_standardizer(
+        spark.createDataFrame(rows, "x double").repartition(7), ["x"]
+    ).first()
+    assert one["mean_x"] == many["mean_x"]  # exact, not approx
+    assert one["std_x"] == many["std_x"]
+    ref_mean = sum(xs) / len(xs)
+    assert math.isclose(one["mean_x"], ref_mean, rel_tol=1e-9, abs_tol=1e-6)
+
+
+@given(
+    st.lists(st.integers(0, 2), min_size=1, max_size=80),
+    st.integers(2, 8),
+)
+@SLOW
+def test_salted_join_equivalent_under_any_skew(spark, keys, buckets):
+    left = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)], "k int, payload int"
+    )
+    right = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k int, tag string")
+    got = salted_join(left, right, "k", salt_buckets=buckets)
+    want = left.join(right, "k")
+    assert got.count() == want.count()
+    assert (
+        got.agg(F.sum("payload")).first()[0] == want.agg(F.sum("payload")).first()[0]
+    )
