@@ -88,3 +88,36 @@ def test_kafka_json_envelope_round_trip(spark, sf_dir):
     orig_sum = ev.agg(F.sum("value")).first()[0]
     rt_sum = decoded.agg(F.sum("value")).first()[0]
     assert abs(orig_sum - rt_sum) < 1e-6
+
+
+def test_flow_event_schema_decode_round_trip(spark):
+    from end_to_end_data_engineering_and_ml_system_spark.streaming.schemas import (
+        EXCLUDED_FEATURES,
+        FLOW_FEATURES,
+        MODEL_FEATURES,
+        flow_event_ddl,
+        flow_event_schema,
+    )
+
+    assert len(FLOW_FEATURES) == 66
+    assert len(MODEL_FEATURES) == 64  # the model input excludes the two *_std
+    assert set(EXCLUDED_FEATURES).isdisjoint(MODEL_FEATURES)
+    schema = flow_event_schema()
+    assert len(schema.fields) == 66 + 4 + 1  # features + envelope + label
+    assert all(f.nullable for f in schema.fields)
+
+    # a JSON flow event decodes against both schema forms identically
+    payload = (
+        '{"flow_id":"flow_1","event_id":"e1","event_type":"network_flow",'
+        '"timestamp":"2024-01-01T00:00:00","flow_duration":1.5,'
+        '"label":"BENIGN"}'
+    )
+    df = spark.createDataFrame([(payload,)], "value string").select(
+        F.lit("network_flows").alias("topic"), "value"
+    )
+    decoded = decode_json_stream(df, flow_event_ddl())
+    row = decoded.first()
+    assert row["flow_id"] == "flow_1"
+    assert row["flow_duration"] == 1.5
+    assert row["fwd_iat_mean"] is None  # absent fields decode null, not error
+    assert row["label"] == "BENIGN"
