@@ -1873,3 +1873,69 @@ def stream_dead_letter_counts(spark, sf_dir):
         stream_vals, "event_id bigint, value double"
     )
     return spark.createDataFrame([("good", g), ("dead", d)], "side string, n bigint")
+
+
+@register(
+    "stream_flow_scoring",
+    oracle="""
+        WITH stats AS (
+            SELECT
+                CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                    / COUNT(value) AS mean_v,
+                CASE WHEN CAST(SUM(CAST(value * value AS DECIMAL(28,10)))
+                          AS DOUBLE) / COUNT(value)
+                        - (CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                           / COUNT(value))
+                        * (CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                           / COUNT(value)) <= 0.0
+                     THEN 1.0
+                     ELSE sqrt(CAST(SUM(CAST(value * value AS DECIMAL(28,10)))
+                               AS DOUBLE) / COUNT(value)
+                             - (CAST(SUM(CAST(value AS DECIMAL(28,10)))
+                                AS DOUBLE) / COUNT(value))
+                             * (CAST(SUM(CAST(value AS DECIMAL(28,10)))
+                                AS DOUBLE) / COUNT(value)))
+                END AS std_v
+            FROM events
+        )
+        SELECT
+            CASE WHEN ((e.value - s.mean_v) / s.std_v)
+                     * ((e.value - s.mean_v) / s.std_v) > 2.0
+                 THEN 'anomaly' ELSE 'normal' END AS prediction,
+            COUNT(*) AS n
+        FROM events e CROSS JOIN stats s
+        GROUP BY 1
+    """,
+    bench=True,
+    description="flagship detect path as a real stream: decode -> standardize -> threshold -> route (SURVEY §3.1)",
+    tags=("streaming", "ml", "scoring"),
+)
+def stream_flow_scoring(spark, sf_dir):
+    """The reference's flagship micro-batch scoring loop (§3.1 steps 4-7),
+    Spark-first: scaler stats fit once on the batch table (M9), broadcast
+    into every micro-batch; each batch standardizes, thresholds (M5/F12) and
+    routes to the two sinks through one cached pass (P12/S8 — the reference
+    recomputes each batch 4-6×). Counts routed per side must equal the
+    batch-computed oracle exactly (decimal-exact stats)."""
+    from ..ml.pipeline import fit_standardizer
+    from ..streaming.pipeline import events_stream, run_routed_foreach_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = fit_standardizer(ev, ["value"])
+
+    def score(batch_df):
+        from ..ml.pipeline import apply_standardizer
+
+        z = apply_standardizer(batch_df, stats, ["value"])
+        return z.withColumn(
+            "prediction",
+            F.when(F.col("z_value") * F.col("z_value") > 2.0, "anomaly").otherwise(
+                "normal"
+            ),
+        )
+
+    normal, anomaly = run_routed_foreach_batch(events_stream(spark, sf_dir), score)
+    return spark.createDataFrame(
+        [("normal", sum(normal)), ("anomaly", sum(anomaly))],
+        "prediction string, n bigint",
+    )
