@@ -230,3 +230,31 @@ def ivf_search(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "cand_id")
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    num_tables: int = 4,
+    planes_per_table: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, the composed scale pipeline:
+    sign-sketch LSH proposes candidates (~linear), exact cosine verifies
+    only those pairs. Same shape as the text path
+    (dedup.lsh_verified_near_dups); recall depends on the banding params —
+    near-identical vectors agree on almost every plane, so they collide in
+    ≥1 table with high probability."""
+    cands = lsh_bucket_candidates(
+        corpus, id_col, vec_col, num_planes, num_tables, planes_per_table
+    )
+    vecs = corpus.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    j = (
+        cands.join(vecs.select(F.col(id_col).alias("id1"), F.col("__v").alias("v1")), "id1")
+        .join(vecs.select(F.col(id_col).alias("id2"), F.col("__v").alias("v2")), "id2")
+    )
+    return j.select(
+        "id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

@@ -113,3 +113,41 @@ def quality_score(col: Column | str) -> Column:
     up_ok = F.when(uppercase_ratio(col) <= 0.3, F.lit(1.0)).otherwise(F.lit(0.0))
     punct_ok = F.when(punct_ratio(col) <= 0.1, F.lit(1.0)).otherwise(F.lit(0.0))
     return (len_ok + sw_ok + up_ok + punct_ok) / F.lit(4.0)
+
+
+def tf_idf_topk(df, id_col: str, text_col: str, k: int = 3):
+    """Top-k TF-IDF terms per document (§7.8 text analysis), pure built-ins:
+
+    - tf: token count per (doc, term) off one explode;
+    - idf: smooth ``ln((N+1)/(df+1)) + 1`` with df = docs containing the
+      term (the sklearn-style formulation — stated here so the SQL oracle
+      mirrors it exactly);
+    - score = tf · idf, ranked per doc with ties broken by term.
+
+    Scale shape: one explode + two partial-aggregated groupBys + a window
+    over (doc, k) rows; the df table is term-keyed and broadcasts."""
+    from pyspark.sql import DataFrame, Window
+
+    assert isinstance(df, DataFrame)
+    toked = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toked.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = toked.groupBy("term").agg(
+        F.count_distinct(id_col).alias("df_")
+    )
+    idf = dfreq.select(
+        "term",
+        (
+            F.log((F.lit(float(n_docs + 1))) / (F.col("df_") + F.lit(1.0)))
+            + F.lit(1.0)
+        ).alias("idf"),
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        id_col, "term", (F.col("tf") * F.col("idf")).alias("tfidf")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )

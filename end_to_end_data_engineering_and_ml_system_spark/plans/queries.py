@@ -1995,3 +1995,61 @@ def doc_lsh_verified_near_dups(spark, sf_dir):
     return lsh_verified_near_dups(
         docs, "doc_id", "text", num_hashes=8, rows_per_band=2, n=3, threshold=0.6
     )
+
+
+@register(
+    "doc_tfidf_topk",
+    oracle="""
+        WITH toked AS (
+            SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(trim(text), '\\s+'), tk -> tk <> ''
+            )) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM toked GROUP BY 1, 2
+        ),
+        idf AS (
+            SELECT term,
+                   ln((SELECT COUNT(DISTINCT doc_id) + 1 FROM documents)
+                      / (COUNT(DISTINCT doc_id) + 1.0)) + 1.0 AS idf
+            FROM toked GROUP BY 1
+        ),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS tfidf,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * idf.idf DESC, tf.term
+                   ) AS rank
+            FROM tf JOIN idf USING (term)
+        )
+        SELECT doc_id, term, tfidf, rank
+        FROM scored WHERE rank <= 3
+    """,
+    description="top-3 TF-IDF terms per document (smooth idf, tie-broken by term)",
+    tags=("text", "tfidf"),
+)
+def doc_tfidf_topk(spark, sf_dir):
+    from ..operators.text import tf_idf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tf_idf_topk(docs, "doc_id", "text", k=3)
+
+
+@register(
+    "embedding_near_dups",
+    oracle=None,
+    description="embedding-cosine near-dup pairs: LSH candidates + exact cosine verify (rows-only: sketch uses xxhash64)",
+    tags=("dedup", "similarity", "ann"),
+)
+def embedding_near_dups(spark, sf_dir):
+    """Verified pairs are a subset of the brute-force threshold pairs by
+    construction; subset + recall asserted in tests/test_dedup_similarity.py.
+    Threshold 0.3 ≈ the 99th percentile of candidate-pair cosine in the
+    synthetic corpus (max 0.49 — it has no true near-identical vectors), so
+    the query returns the most-similar ~1% instead of an empty frame."""
+    from ..operators.similarity import embedding_near_dups as op
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return op(emb, "vec_id", "embedding", threshold=0.3)

@@ -110,3 +110,30 @@ def test_lsh_verified_matches_exact_on_candidates(spark, sf_dir):
     expected = exact.join(cands, ["id1", "id2"]).select("id1", "id2", "jaccard")
     assert verified.exceptAll(expected).count() == 0
     assert expected.exceptAll(verified).count() == 0
+
+
+def test_embedding_near_dups_subset_of_bruteforce(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.similarity import (
+        cosine,
+        embedding_near_dups,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = embedding_near_dups(emb, threshold=0.9).persist()
+    # every verified pair really is >= threshold (exact check on the pair)
+    a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
+    b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
+    back = got.join(a, "id1").join(b, "id2").select(
+        "id1", "id2", "cosine", cosine(F.col("v1"), F.col("v2")).alias("exact")
+    )
+    assert back.filter(F.abs(F.col("cosine") - F.col("exact")) > 1e-9).count() == 0
+    assert back.filter(F.col("exact") < 0.9).count() == 0
+    # pairs are canonical (id1 < id2) and unique
+    assert got.filter(F.col("id1") >= F.col("id2")).count() == 0
+    assert got.count() == got.select("id1", "id2").distinct().count()
+    got.unpersist()
