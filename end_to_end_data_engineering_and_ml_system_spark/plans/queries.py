@@ -2053,3 +2053,50 @@ def embedding_near_dups(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return op(emb, "vec_id", "embedding", threshold=0.3)
+
+
+@register(
+    "stream_stream_join_counts",
+    oracle="""
+        WITH p AS (
+            SELECT user_id, ts AS pts, event_id AS pid FROM events
+            WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT user_id, ts AS cts, event_id AS cid FROM events
+            WHERE event_type = 'click'
+        )
+        SELECT COUNT(*) AS n_pairs,
+               COUNT(DISTINCT pid) AS n_purchases_matched
+        FROM p JOIN c ON p.user_id = c.user_id
+                      AND c.cts >= p.pts
+                      AND c.cts <= p.pts + INTERVAL 60 SECOND
+    """,
+    description="watermarked stream-stream interval join (purchase->click within 60s), batch-equivalent",
+    tags=("streaming", "join"),
+)
+def stream_stream_join_counts(spark, sf_dir):
+    """Both sides are real streams; the time-range predicate bounds join
+    state so the watermark can expire it (streaming/pipeline.py::
+    stream_stream_join)."""
+    from ..streaming.pipeline import (
+        events_stream,
+        run_to_memory_sink,
+        stream_stream_join,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    c = events_stream(spark, sf_dir).filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    joined = stream_stream_join(
+        p, c, key="user_id", left_ts="pts", right_ts="cts", within="60 seconds"
+    ).select("pid", "cid")
+    out = run_to_memory_sink(joined, output_mode="append")
+    return out.agg(
+        F.count("*").alias("n_pairs"),
+        F.count_distinct("pid").alias("n_purchases_matched"),
+    )

@@ -142,3 +142,37 @@ def test_udf_surface_registration(spark, sf_dir):
     expected_anom = ev.filter(F.col("value") > 400).count()
     assert rows.get("anomaly", 0) == expected_anom
     assert sum(rows.values()) == ev.count()
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    from end_to_end_data_engineering_and_ml_system_spark.streaming.pipeline import (
+        events_stream,
+        run_to_memory_sink,
+        stream_stream_join,
+    )
+
+    def split(df):
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+        )
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+        )
+        return purchases, clicks
+
+    sp, sc = split(events_stream(spark, sf_dir))
+    joined = stream_stream_join(
+        sp, sc, key="user_id", left_ts="pts", right_ts="cts", within="60 seconds"
+    ).select("pid", "cid")
+    got = run_to_memory_sink(joined, output_mode="append")
+
+    bp, bc = split(load_table(spark, sf_dir, "events"))
+    want = bp.join(
+        bc,
+        (bp.user_id == bc.user_id)
+        & (bc.cts >= bp.pts)
+        & (bc.cts <= bp.pts + F.expr("INTERVAL 60 seconds")),
+    ).select("pid", "cid")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
