@@ -2100,3 +2100,50 @@ def stream_stream_join_counts(spark, sf_dir):
         F.count("*").alias("n_pairs"),
         F.count_distinct("pid").alias("n_purchases_matched"),
     )
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_ts
+            FROM events
+        ),
+        marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN prev_ts IS NULL
+                             OR epoch(ts) - epoch(prev_ts) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM o
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM marked
+        )
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        FROM sess
+        GROUP BY user_id, session_no
+    """,
+    description="session windows computed IN the stream (ST5): watermarked session_window agg, batch-equivalent",
+    tags=("streaming", "session"),
+)
+def stream_session_windows(spark, sf_dir):
+    """Same gaps-and-islands oracle as the batch query, but the
+    session_window aggregation runs inside a real stream with a watermark —
+    merging sessions across micro-batches is exactly the stateful behavior
+    the batch query can't demonstrate."""
+    from ..streaming.pipeline import events_stream, run_to_memory_sink
+
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"))
+        .select("user_id", "session_start", "n_events")
+    )
+    return run_to_memory_sink(agg, output_mode="complete")
