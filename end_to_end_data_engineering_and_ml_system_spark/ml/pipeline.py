@@ -238,3 +238,25 @@ def inference_with_fallback(
 
     keep = [id_col, *feature_cols] + ([poison_col] if poison_col else [])
     return df.select(*dict.fromkeys(keep)).mapInPandas(run, schema=schema)
+
+
+def apply_standardizer_literal(
+    df: DataFrame, stats_row, cols: Sequence[str], prefix: str = "z_"
+) -> DataFrame:
+    """Z-score with the 1-row stats frame collected to literals.
+
+    Same math as ``apply_standardizer``; use this when the feature count is
+    large or the frame fans out to several consumers: the crossJoin variant
+    embeds the full stats *plan* (which itself embeds the training branch)
+    into every downstream tree, and with ~64 features Catalyst analysis of
+    the duplicated subtrees dominates wall time (measured minutes on the
+    reference-width 65-column input vs seconds with literals). Collecting
+    one row of scalars is not a data-path collect."""
+    zcols = [
+        (
+            (F.col(c).cast("double") - F.lit(float(stats_row[f"mean_{c}"])))
+            / F.lit(float(stats_row[f"std_{c}"]))
+        ).alias(f"{prefix}{c}")
+        for c in cols
+    ]
+    return df.select(*df.columns, *zcols)

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scalars import canonical_label
-from ..ml.pipeline import apply_standardizer, fit_standardizer
+from ..ml.pipeline import apply_standardizer_literal, fit_standardizer
 from .cleaning import (
     drop_columns_fuzzy,
     exact_dedup,
@@ -74,6 +74,16 @@ class FlowsEtlResult:
     feature_cols: list[str]
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Parquet round-trip through a temp dir: materializes the frame and
+    truncates the logical plan (see the call-site comment)."""
+    import tempfile
+
+    dest = tempfile.mkdtemp(prefix="e2e_flows_clean_")
+    df.write.mode("overwrite").parquet(dest)
+    return df.sparkSession.read.parquet(dest)
+
+
 def preprocess_flows(raw: DataFrame, seed: int = 42) -> FlowsEtlResult:
     """Full reference ETL over a raw flow table (dirty headers, string-typed
     numerics, Infinity sentinels, raw label spellings)."""
@@ -98,16 +108,32 @@ def preprocess_flows(raw: DataFrame, seed: int = 42) -> FlowsEtlResult:
     )  # P6
     df = df.na.drop()  # non-numeric strings became null at cast
 
+    # Materialize the cleaned frame to parquet and cut lineage here — the
+    # ETL's natural fan-out point (4 consumers: train/eval × fit/apply).
+    # Without the cut, Catalyst's constraint propagation over the ~8-layer ×
+    # 65-column projection stack goes superlinear once filters/randomSplit
+    # stack on top (measured: >4 min on the reference-width input vs ~15 s
+    # with the cut; disabling spark.sql.constraintPropagation.enabled
+    # confirms the cause but can't be assumed in a caller's session, and
+    # localCheckpoint exhibits the same pathology through its toRdd path).
+    # At 100 TB you'd persist the cleaned table anyway — it is re-read four
+    # times either way.
+    df = _materialize(df)
+
     benign = df.filter(F.col("Label") == "BENIGN")  # P11
     attacks = df.filter(F.col("Label") != "BENIGN")
     train_b, test_b = benign.randomSplit([0.8, 0.2], seed=seed)  # R1
     stream_eval = test_b.unionByName(attacks)  # U1
 
     stats = fit_standardizer(train_b, feature_cols)  # M9 (fit on train only)
-    train_z = apply_standardizer(train_b, stats, feature_cols).select(
+    # collect the 1-row stats to literals: with ~64 features the crossJoin
+    # variant duplicates the training-branch plan into every consumer and
+    # Catalyst analysis blows up (minutes on the reference-width input)
+    stats_row = stats.first()
+    train_z = apply_standardizer_literal(train_b, stats_row, feature_cols).select(
         *[F.col(f"z_{c}").alias(c) for c in feature_cols]
     )
-    eval_z = apply_standardizer(stream_eval, stats, feature_cols).select(
+    eval_z = apply_standardizer_literal(stream_eval, stats_row, feature_cols).select(
         *[F.col(f"z_{c}").alias(c) for c in feature_cols], "Label"
     )
     return FlowsEtlResult(

@@ -121,3 +121,30 @@ def test_flow_event_schema_decode_round_trip(spark):
     assert row["flow_duration"] == 1.5
     assert row["fwd_iat_mean"] is None  # absent fields decode null, not error
     assert row["label"] == "BENIGN"
+
+
+def test_preprocess_flows_reference_width(spark, sf_dir):
+    """Regression: the composed ETL must stay analyzable at the reference's
+    real width (~65 columns). Constraint propagation over the stacked
+    projections went superlinear (>4 min) before the lineage cut at the
+    fan-out point; this pins the fix with a wall-clock budget."""
+    import time
+
+    li = load_table(spark, sf_dir, "lineitem").limit(500)
+    cols = [
+        ((F.col("l_extendedprice") * (1 + i)) % 1000).cast("string").alias(f"Feat {i}")
+        for i in range(64)
+    ]
+    raw = li.select(
+        *cols,
+        F.when(F.col("l_quantity") < 25, F.lit("BENIGN"))
+        .otherwise(F.lit("DoS Hulk"))
+        .alias(" Label"),
+    )
+    t0 = time.time()
+    res = preprocess_flows(raw, seed=42)
+    total = res.train.count() + res.stream_eval.count()
+    elapsed = time.time() - t0
+    assert total == 500
+    assert len(res.feature_cols) == 64
+    assert elapsed < 120, f"wide ETL took {elapsed:.0f}s - plan blowup regressed"
