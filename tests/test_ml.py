@@ -89,3 +89,35 @@ def test_inference_fallback_marks_batch_normal(spark, sf_dir):
     ok = out.filter(SF.col("inference_ok"))
     assert ok.filter((SF.col("model_score") <= 0) | (SF.col("model_score") >= 1)).count() == 0
     out.unpersist()
+
+
+def test_pca_scorer_on_reference_train_batch(spark):
+    """Quality parity vs the reference's recorded autoencoder metrics
+    (BASELINE.md: mse_mean 0.65-0.82, mse_max 4.65-6.62 at code size 16 on
+    data_example/train_batch.csv). PCA is the optimal linear code, so at
+    the same code size its reconstruction error must come in far lower -
+    measured ~0.02 mean / ~0.17 max."""
+    import os
+
+    import pyspark.sql.functions as SF
+
+    from end_to_end_data_engineering_and_ml_system_spark.ml.pipeline import (
+        pca_reconstruction_scores,
+    )
+
+    path = "/root/reference/data_example/train_batch.csv"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference example data not present")
+    df = spark.read.option("header", True).option("inferSchema", True).csv(path)
+    feats = df.columns
+    assert len(feats) == 64
+    df = df.withColumn("rid", SF.monotonically_increasing_id())
+    scored = pca_reconstruction_scores(df, feats, k=16, id_col="rid")
+    r = scored.agg(
+        SF.avg("recon_error").alias("mean"), SF.max("recon_error").alias("mx")
+    ).first()
+    # beat the reference's best recorded run with margin
+    assert r["mean"] < 0.65, r
+    assert r["mx"] < 4.65, r
