@@ -2147,3 +2147,32 @@ def stream_session_windows(spark, sf_dir):
         .select("user_id", "session_start", "n_events")
     )
     return run_to_memory_sink(agg, output_mode="complete")
+
+
+@register(
+    "lineitem_grouping_sets",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               GROUPING(l_returnflag) AS g_flag,
+               GROUPING(l_linestatus) AS g_status
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    description="explicit GROUPING SETS with grouping() disambiguation (general form of cube/rollup)",
+    tags=("aggregation", "grouping-sets"),
+)
+def lineitem_grouping_sets(spark, sf_dir):
+    """The general grouping form (cube/rollup are specializations —
+    lineitem_cube / orders_rollup_by_year). grouping() distinguishes
+    'aggregated over' from a genuine NULL group value."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
