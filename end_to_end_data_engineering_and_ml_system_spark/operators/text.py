@@ -151,3 +151,17 @@ def tf_idf_topk(df, id_col: str, text_col: str, k: int = 3):
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tfidf", "rank")
     )
+
+
+#: GPT-2-style pre-tokenizer shape, restricted to constructs both Java
+#: regex (Spark) and RE2 (DuckDB) support identically: contraction
+#: suffixes, space-prefixed letter runs, digit runs, punctuation runs.
+BPE_TOKEN_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Subword-style token count via the BPE-ish pre-tokenizer regex — the
+    training-data-pipeline complement to whitespace ``token_count`` (both
+    declared in the engine's text surface). JVM-side regexp, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))

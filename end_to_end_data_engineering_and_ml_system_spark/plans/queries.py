@@ -2176,3 +2176,31 @@ def lineitem_grouping_sets(spark, sf_dir):
         FROM li_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """)
+
+
+@register(
+    "doc_bpe_token_counts",
+    oracle="""
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               tk -> tk <> '')) AS ws_tokens,
+               len(regexp_extract_all(text,
+                   '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+'
+               )) AS bpe_tokens
+        FROM documents
+    """,
+    description="whitespace + BPE-ish-regex token counts per doc (cross-engine-identical pattern)",
+    tags=("text", "tokens"),
+)
+def doc_bpe_token_counts(spark, sf_dir):
+    """Both token-counting modes the brief declares: whitespace split and
+    the GPT-2-shaped pre-tokenizer regex, restricted to constructs Java
+    regex and RE2 treat identically (verified 0 mismatches on the corpus)."""
+    from ..operators.text import bpe_token_count, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_token_count("text").alias("bpe_tokens"),
+    )
