@@ -1,0 +1,59 @@
+"""Scan-level plan assertions: pushdown and pruning must actually appear in
+the physical plan, not just be hoped for (PLANS.md documents the full
+plans)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_and_ml_system_spark.plans.registry import all_queries
+from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(l_quantity,45", plan), plan
+
+
+def test_column_pruning_reaches_parquet_scan(spark, sf_dir):
+    # a 3-column projection must not read all 16 lineitem columns
+    q = all_queries()["revenue_by_nation"].build(spark, sf_dir)
+    plan = _plan(q)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    lineitem_schemas = [
+        s for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan) if "l_" in s
+    ]
+    assert lineitem_schemas, plan
+    assert all(len(s.split(",")) <= 4 for s in lineitem_schemas), lineitem_schemas
+
+
+def test_dimensional_join_broadcasts_not_shuffles(spark, sf_dir):
+    q = all_queries()["revenue_by_nation"].build(spark, sf_dir)
+    plan = _plan(q)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    # exactly one data shuffle: the final grouped aggregate
+    shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "Broadcast" not in ln
+    ]
+    assert len(shuffles) == 1, shuffles
+
+
+def test_whole_stage_codegen_covers_agg_pipeline(spark, sf_dir):
+    q = all_queries()["pricing_summary"].build(spark, sf_dir)
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    )
+    assert "Found 2 WholeStageCodegen subtrees" in plan or "WholeStageCodegen" in plan
