@@ -161,3 +161,51 @@ def test_salted_join_equivalent_under_any_skew(spark, keys, buckets):
     assert (
         got.agg(F.sum("payload")).first()[0] == want.agg(F.sum("payload")).first()[0]
     )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 120),  # seconds offset
+            st.integers(0, 2),    # type index
+            st.integers(-100, 100),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@SLOW
+def test_tumbling_window_agg_matches_duckdb_on_random_data(spark, rows):
+    """The windowed-aggregation semantics (A8) hold on arbitrary event
+    layouts, not just the fixture: 5s tumbling counts + integer sums match
+    DuckDB's floor-bucket formulation exactly."""
+    import duckdb
+    import pandas as pd
+
+    from tests.oracle import compare
+
+    base = 1_700_000_000
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime([base + s for s, _, _ in rows], unit="s"),
+            "event_type": [f"t{i}" for _, i, _ in rows],
+            "value": [v for _, _, v in rows],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        sdf.groupBy(F.window("ts", "5 seconds").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n", "total")
+    )
+    con = duckdb.connect()
+    con.register("ev", pdf)
+    want = con.execute(
+        """
+        SELECT to_timestamp(floor(epoch(ts) / 5) * 5) AS bucket_start,
+               event_type, COUNT(*) AS n, SUM(value) AS total
+        FROM ev GROUP BY 1, 2
+        """
+    ).df()
+    errs = compare(got, want)
+    assert not errs, errs
