@@ -82,3 +82,41 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         salted.agg(F.sum("o_orderkey")).first()[0]
         == plain.agg(F.sum("o_orderkey")).first()[0]
     )
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """AQE's skew-join handling (enabled in the session factory) actually
+    fires: one hot key dominating the build side gets its partition split,
+    visible as SortMergeJoin(skew=true) in the final adaptive plan."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = (
+            spark.range(200000)
+            .select(F.lit(7).cast("long").alias("k"), F.col("id").alias("payload"))
+            .unionAll(
+                spark.range(1000).select(
+                    (F.col("id") % 100).cast("long").alias("k"),
+                    F.col("id").alias("payload"),
+                )
+            )
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), F.concat(F.lit("tag"), F.col("id")).alias("tag")
+        )
+        j = left.join(right, "k")
+        rows = j.collect()
+        assert len(rows) == 201000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
