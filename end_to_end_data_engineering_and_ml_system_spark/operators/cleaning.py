@@ -133,3 +133,23 @@ def exact_dedup(df: DataFrame, keys: Sequence[str] | None = None) -> DataFrame:
     """Full-row or keyed dedup (ref: P10, preprocess_cicids2017.py:146-149).
     At scale prefer keyed dedup: full-row dedup shuffles every column."""
     return df.dropDuplicates(list(keys)) if keys else df.dropDuplicates()
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_by: Sequence[Column],
+) -> DataFrame:
+    """Keyed dedup keeping the best row per key (P10 at pipeline scale:
+    near-dup groups keep their canonical representative — longest text,
+    newest version, highest score). ``row_number`` over a deterministic
+    ordering; ties must be broken by a unique column in ``order_by`` for
+    reproducibility."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

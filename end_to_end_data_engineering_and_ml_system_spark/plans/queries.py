@@ -1934,7 +1934,12 @@ def stream_flow_scoring(spark, sf_dir):
             ),
         )
 
-    normal, anomaly = run_routed_foreach_batch(events_stream(spark, sf_dir), score)
+    # 4 files/trigger -> 2 micro-batches: still exercises cross-batch
+    # streaming, halves the per-batch persist/sink overhead in the bench
+    # (routed counts are batch-boundary-invariant)
+    normal, anomaly = run_routed_foreach_batch(
+        events_stream(spark, sf_dir, max_files_per_trigger=4), score
+    )
     return spark.createDataFrame(
         [("normal", sum(normal)), ("anomaly", sum(anomaly))],
         "prediction string, n bigint",
@@ -2204,3 +2209,37 @@ def doc_bpe_token_counts(spark, sf_dir):
         token_count("text").alias("ws_tokens"),
         bpe_token_count("text").alias("bpe_tokens"),
     )
+
+
+@register(
+    "documents_dedup_keep_best",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, lang, length(text) AS text_len,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(lower(trim(text)))
+                       ORDER BY length(text) DESC, doc_id
+                   ) AS rn
+            FROM documents
+        )
+        SELECT doc_id, lang, text_len FROM ranked WHERE rn = 1
+    """,
+    description="keyed dedup keeping the canonical row per content fingerprint (longest text, tie by id)",
+    tags=("dedup", "cleaning"),
+)
+def documents_dedup_keep_best(spark, sf_dir):
+    """Keep-best dedup (operators/cleaning.py::dedup_keep_best): groups by
+    normalized-content fingerprint, keeps the longest text (doc_id ties) —
+    the canonical-representative pattern every near-dedup pipeline ends
+    with."""
+    from ..operators.cleaning import dedup_keep_best
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "fp", F.md5(F.lower(F.trim("text")))
+    )
+    best = dedup_keep_best(
+        docs,
+        ["fp"],
+        [F.length("text").desc(), F.col("doc_id")],
+    )
+    return best.select("doc_id", "lang", F.length("text").alias("text_len"))
