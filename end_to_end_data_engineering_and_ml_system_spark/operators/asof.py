@@ -32,19 +32,23 @@ def asof_join(
     """For each left row, append the ``value_cols`` of the right row with the
     greatest ``right_time`` ≤ ``left_time`` for the same ``key`` (nulls when
     no such row)."""
+    # carry the whole reference row as ONE struct: last(ignorenulls) then
+    # skips only missing reference ROWS, never a NULL inside a value column
+    # of the latest row (true as-of / DuckDB ASOF semantics)
+    ref_struct = F.struct(*[F.col(c) for c in value_cols])
     lt = left.select(
         F.col(key).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_probe"),
         F.struct(*left.columns).alias("__left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(right.select(ref_struct).schema[0].dataType).alias("__ref"),
     )
     rt = right.select(
         F.col(key).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_probe"),
         F.lit(None).cast(lt.schema["__left"].dataType).alias("__left"),
-        *[F.col(c) for c in value_cols],
+        ref_struct.alias("__ref"),
     )
     unioned = lt.unionByName(rt)
     # reference rows sort before probe rows at equal time (__is_probe asc),
@@ -54,12 +58,9 @@ def asof_join(
         .orderBy(F.col("__t"), F.col("__is_probe"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried: list[Column] = [
-        F.last(F.col(c), ignorenulls=True).over(w).alias(f"__m_{c}")
-        for c in value_cols
-    ]
-    matched = unioned.select("*", *carried).filter(F.col("__is_probe") == 1)
+    carried: Column = F.last(F.col("__ref"), ignorenulls=True).over(w).alias("__m")
+    matched = unioned.select("*", carried).filter(F.col("__is_probe") == 1)
     return matched.select(
         F.col("__left.*"),
-        *[F.col(f"__m_{c}").alias(c) for c in value_cols],
+        *[F.col("__m").getField(c).alias(c) for c in value_cols],
     )

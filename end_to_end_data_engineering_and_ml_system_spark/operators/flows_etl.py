@@ -18,10 +18,9 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.scalars import canonical_label
 from ..ml.pipeline import apply_standardizer_literal, fit_standardizer
 from .cleaning import (
     drop_columns_fuzzy,
@@ -31,18 +30,51 @@ from .cleaning import (
     sanitize_columns,
 )
 
-#: canonical attack classes and their keyword triggers
-#: (preprocess_cicids2017.py:38-63). DDoS must precede DoS: first match wins
-#: and "ddos" contains "dos".
-LABEL_CLASSES: dict[str, list[str]] = {
-    "BENIGN": ["benign"],
-    "DDoS": ["ddos"],
-    "DoS": ["dos", "hulk", "goldeneye", "slowloris", "slowhttptest"],
-    "PortScan": ["portscan", "port scan"],
-    "Bot": ["bot"],
-    "BruteForce": ["patator", "brute", "ssh", "ftp"],
-    "WebAttack": ["web attack", "xss", "sql injection"],
-}
+#: DoS-family keyword triggers (preprocess_cicids2017.py:45): any of these
+#: marks the DoS family, then an explicit "ddos" substring promotes to DDoS.
+_DOS_TOKENS = (
+    "ddos",
+    "distributed",
+    "dos",
+    "hulk",
+    "goldeneye",
+    "slowloris",
+    "slowhttptest",
+)
+
+
+def _contains_any(c: Column, tokens: tuple[str, ...]) -> Column:
+    cond = c.contains(tokens[0])
+    for t in tokens[1:]:
+        cond = cond | c.contains(t)
+    return cond
+
+
+def map_label_reference(col: str) -> Column:
+    """Exact column-expression port of the reference's ``map_label_simple``
+    UDF (preprocess_cicids2017.py:38-63): NULL→'Other', exact 'benign' match
+    (not substring), DoS family incl. 'distributed' with 'ddos' promotion,
+    'patator'/'brute' for BruteForce (no ssh/ftp triggers), 'sql' and
+    'injection' matched separately, and unmatched labels kept verbatim."""
+    raw = F.col(col)
+    low = F.lower(F.trim(raw))
+    return (
+        F.when(raw.isNull(), F.lit("Other"))
+        .when(low == "benign", F.lit("BENIGN"))
+        .when(_contains_any(low, _DOS_TOKENS) & low.contains("ddos"), F.lit("DDoS"))
+        .when(_contains_any(low, _DOS_TOKENS), F.lit("DoS"))
+        .when(low.contains("portscan") | low.contains("port scan"), F.lit("PortScan"))
+        .when(low.contains("bot"), F.lit("Bot"))
+        .when(
+            _contains_any(low, ("patator", "brute", "bruteforce", "brute-force")),
+            F.lit("BruteForce"),
+        )
+        .when(
+            _contains_any(low, ("web attack", "xss", "sql", "injection")),
+            F.lit("WebAttack"),
+        )
+        .otherwise(raw)  # keep-original fallback, exactly like the reference
+    )
 
 #: the 14 redundant columns the reference drops, resolved fuzzily
 #: (preprocess_cicids2017.py:195-229; list in FIXTURES.md §2)
@@ -99,7 +131,7 @@ def preprocess_flows(raw: DataFrame, seed: int = 42) -> FlowsEtlResult:
     feature_candidates = [c for c in df.columns if c != "Label"]
     df = replace_values_with_null(df, feature_candidates, list(INFINITY_VALUES))  # P7
     df = df.na.drop()  # P9
-    df = df.withColumn("Label", canonical_label("Label", LABEL_CLASSES, "other"))  # F5
+    df = df.withColumn("Label", map_label_reference("Label"))  # F5
     df = drop_columns_fuzzy(df, DROP_COLUMNS)  # P3
 
     feature_cols = [c for c in df.columns if c != "Label"]

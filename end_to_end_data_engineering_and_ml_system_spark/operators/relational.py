@@ -98,7 +98,15 @@ def salted_join(
 
     Use when one join key dominates (AQE's skew-join split helps at the
     partition level; salting fixes the single-hot-key case it can't).
-    Result is identical to ``left.join(right, on, how)``."""
+    Result is identical to ``left.join(right, on, how)`` for inner/left
+    joins only: the salt-replicated right side would emit each unmatched
+    right row ``salt_buckets`` times under right/full-outer, so those are
+    rejected."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "replicating the right side breaks right/full-outer semantics"
+        )
     spark = left.sparkSession
     salted_l = left.withColumn(
         "__salt", (F.rand(seed) * salt_buckets).cast("int")

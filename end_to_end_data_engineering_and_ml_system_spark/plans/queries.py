@@ -1679,7 +1679,7 @@ def events_sliding_window(spark, sf_dir):
         marked AS (
             SELECT user_id, ts,
                    CASE WHEN prev_ts IS NULL
-                             OR epoch(ts) - epoch(prev_ts) > 1800
+                             OR epoch(ts) - epoch(prev_ts) >= 1800
                         THEN 1 ELSE 0 END AS new_session
             FROM o
         ),
@@ -2146,7 +2146,7 @@ def stream_stream_join_counts(spark, sf_dir):
         marked AS (
             SELECT user_id, ts,
                    CASE WHEN prev_ts IS NULL
-                             OR epoch(ts) - epoch(prev_ts) > 1800
+                             OR epoch(ts) - epoch(prev_ts) >= 1800
                         THEN 1 ELSE 0 END AS new_session
             FROM o
         ),

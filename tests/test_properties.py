@@ -92,6 +92,44 @@ def test_canonical_label_matches_python_reference(spark, raws):
     assert got == want
 
 
+def _py_map_label_reference(lbl):
+    """Verbatim-semantics mirror of the reference map_label_simple
+    (preprocess_cicids2017.py:38-63)."""
+    if lbl is None:
+        return "Other"
+    low = lbl.strip().lower()
+    if low == "benign":
+        return "BENIGN"
+    if any(t in low for t in ["ddos", "distributed", "dos", "hulk", "goldeneye",
+                              "slowloris", "slowhttptest"]):
+        return "DDoS" if "ddos" in low else "DoS"
+    if "portscan" in low or "port scan" in low:
+        return "PortScan"
+    if "bot" in low:
+        return "Bot"
+    if any(t in low for t in ["patator", "brute", "bruteforce", "brute-force"]):
+        return "BruteForce"
+    if any(t in low for t in ["web attack", "xss", "sql", "injection"]):
+        return "WebAttack"
+    return lbl
+
+
+@given(st.lists(st.one_of(st.none(), name_st), min_size=1, max_size=60))
+@SLOW
+def test_map_label_reference_matches_python_port(spark, raws):
+    from end_to_end_data_engineering_and_ml_system_spark.operators.flows_etl import (
+        map_label_reference,
+    )
+
+    df = spark.createDataFrame([(r,) for r in raws], "raw string")
+    got = {
+        (r["raw"], r["lbl"])
+        for r in df.select("raw", map_label_reference("raw").alias("lbl")).collect()
+    }
+    want = {(r, _py_map_label_reference(r)) for r in raws}
+    assert got == want
+
+
 @given(
     st.lists(
         st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=40
