@@ -194,6 +194,28 @@ def lsh_buckets_wide(
     )
 
 
+def cap_bucket_size(
+    buckets: DataFrame, bucket_keys: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Drop rows belonging to buckets with more than ``max_bucket_size``
+    members — the hot-bucket guard for LSH candidate generation.
+
+    A single viral bucket of k members yields k² candidate pairs in the
+    self-join; at corpus scale one such bucket dominates the whole stage
+    (same stop-shingle pathology ``max_shingle_doc_freq`` caps on the exact
+    Jaccard path). The size count is a window over the same (band, bucket)
+    partitioning the candidate self-join shuffles on, so Catalyst reuses
+    the exchange — no extra data pass."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*bucket_keys)
+    return (
+        buckets.withColumn("__bsz", F.count("*").over(w))
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -201,10 +223,17 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Distinct candidate pairs (id1 < id2) sharing ≥1 LSH band bucket."""
+    """Distinct candidate pairs (id1 < id2) sharing ≥1 LSH band bucket.
+
+    ``max_bucket_size`` caps hot buckets (see :func:`cap_bucket_size`);
+    None keeps every bucket — exact banding semantics, quadratic in the
+    largest bucket."""
     wide = minhash_wide(df, id_col, text_col, num_hashes, n)
     buckets = lsh_buckets_wide(wide, id_col, num_hashes, rows_per_band)
+    if max_bucket_size is not None:
+        buckets = cap_bucket_size(buckets, ["band", "bucket"], max_bucket_size)
     a = buckets.select(F.col(id_col).alias("id1"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("id2"), "band", "bucket")
     return (
@@ -281,6 +310,7 @@ def lsh_verified_near_dups(
     rows_per_band: int = 2,
     n: int = 3,
     threshold: float = 0.6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """The 100 TB near-dedup pipeline: LSH banding proposes candidate pairs,
     exact Jaccard verifies only those pairs.
@@ -291,7 +321,9 @@ def lsh_verified_near_dups(
     → 13× wall). Candidates from banding scale ~linearly, and verification
     is one ``array_intersect`` per candidate pair over the docs' shingle-hash
     arrays — no explode, no inverted-index shuffle."""
-    cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, rows_per_band, n)
+    cands = lsh_candidate_pairs(
+        df, id_col, text_col, num_hashes, rows_per_band, n, max_bucket_size
+    )
     sets_ = df.select(
         F.col(id_col), tokens(text_col).alias("__toks")
     ).select(

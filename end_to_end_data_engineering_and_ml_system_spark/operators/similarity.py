@@ -128,10 +128,15 @@ def lsh_bucket_candidates(
     num_planes: int = 16,
     num_tables: int = 4,
     planes_per_table: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """ANN candidate pairs: vectors sharing a sub-signature in ≥1 of
     ``num_tables`` tables (banding over the sign sketch — trades precision
-    for recall exactly like MinHash bands)."""
+    for recall exactly like MinHash bands).
+
+    ``max_bucket_size`` drops viral buckets before the self-join (a bucket
+    of k vectors emits k² candidate rows) — same guard as
+    ``dedup.cap_bucket_size``."""
     sig = lsh_signatures_table(corpus, id_col, vec_col, num_planes)
     mask = (1 << planes_per_table) - 1
     tables = []
@@ -147,6 +152,10 @@ def lsh_bucket_candidates(
     buckets = tables[0]
     for t in tables[1:]:
         buckets = buckets.unionByName(t)
+    if max_bucket_size is not None:
+        from .dedup import cap_bucket_size
+
+        buckets = cap_bucket_size(buckets, ["table_id", "bucket"], max_bucket_size)
     a = buckets.select(F.col(id_col).alias("id1"), "table_id", "bucket")
     b = buckets.select(F.col(id_col).alias("id2"), "table_id", "bucket")
     return (
@@ -240,6 +249,7 @@ def embedding_near_dups(
     num_planes: int = 16,
     num_tables: int = 4,
     planes_per_table: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, the composed scale pipeline:
     sign-sketch LSH proposes candidates (~linear), exact cosine verifies
@@ -248,7 +258,8 @@ def embedding_near_dups(
     near-identical vectors agree on almost every plane, so they collide in
     ≥1 table with high probability."""
     cands = lsh_bucket_candidates(
-        corpus, id_col, vec_col, num_planes, num_tables, planes_per_table
+        corpus, id_col, vec_col, num_planes, num_tables, planes_per_table,
+        max_bucket_size,
     )
     vecs = corpus.select(F.col(id_col), F.col(vec_col).alias("__v"))
     j = (

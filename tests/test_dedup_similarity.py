@@ -137,3 +137,63 @@ def test_embedding_near_dups_subset_of_bruteforce(spark, sf_dir):
     assert got.filter(F.col("id1") >= F.col("id2")).count() == 0
     assert got.count() == got.select("id1", "id2").distinct().count()
     got.unpersist()
+
+
+def test_hot_bucket_cap_bounds_candidates(spark):
+    """A planted viral bucket (many identical docs) is dropped by
+    max_bucket_size while normal-sized buckets are untouched."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    viral = [(i, "spam spam spam wonderful spam lovely spam baked beans spam")
+             for i in range(40)]
+    normal = [
+        (100, "the quick brown fox jumps over the lazy dog near the river"),
+        (101, "the quick brown fox jumps over the lazy dog near the river"),
+        (200, "databases shuffle partitions across executors for joins daily"),
+    ]
+    df = spark.createDataFrame(viral + normal, ["doc_id", "text"])
+
+    uncapped = lsh_candidate_pairs(df, "doc_id", "text", 8, 2, 3)
+    capped = lsh_candidate_pairs(df, "doc_id", "text", 8, 2, 3, max_bucket_size=10)
+
+    # uncapped: the 40-replica group alone yields 40*39/2 pairs
+    assert uncapped.count() >= 40 * 39 // 2
+    # capped: the viral bucket is gone, the small pair survives
+    got = {(r.id1, r.id2) for r in capped.collect()}
+    assert (100, 101) in got
+    assert all(not (a < 40 and b < 40) for a, b in got)
+
+
+def test_hot_bucket_cap_no_change_on_fixture(spark, sf_dir):
+    """On the fixture corpus (no viral buckets at cap=50) capping changes
+    nothing — the guard only fires on genuinely hot buckets."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    plain = lsh_candidate_pairs(docs, "doc_id", "text", 8, 2, 3)
+    capped = lsh_candidate_pairs(docs, "doc_id", "text", 8, 2, 3, max_bucket_size=50)
+    assert plain.exceptAll(capped).count() == 0
+    assert capped.exceptAll(plain).count() == 0
+
+
+def test_embedding_bucket_cap_subset(spark, sf_dir):
+    """Capped ANN candidate pairs are a subset of the uncapped ones."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.similarity import (
+        lsh_bucket_candidates,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plain = lsh_bucket_candidates(emb)
+    capped = lsh_bucket_candidates(emb, max_bucket_size=20)
+    assert capped.exceptAll(plain).count() == 0
+    assert capped.count() <= plain.count()
