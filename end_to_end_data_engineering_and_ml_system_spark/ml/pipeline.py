@@ -174,6 +174,79 @@ def batched_inference(
     return df.select(id_col, *feature_cols).mapInPandas(run, schema=schema)
 
 
+def train_serialized_autoencoder(
+    df: DataFrame, cols: Sequence[str], k: int = 2
+) -> bytes:
+    """Fit a linear autoencoder (PCA weights — the closed-form optimum for
+    a linear encoder/decoder) DISTRIBUTED, then serialize the weights to
+    bytes: the artifact a model registry (e.g. MLflow) would store, and
+    what the reference persists as a Keras .h5 (train_autoencoder.py:34-51,
+    240-269). Only the (dim×k) weight matrix and the scaler stats leave the
+    cluster — never the data."""
+    import pickle
+
+    import numpy as np
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import PCA, StandardScaler, VectorAssembler
+
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=list(cols), outputCol="features"),
+            StandardScaler(
+                inputCol="features", outputCol="scaled", withMean=True, withStd=True
+            ),
+            PCA(k=k, inputCol="scaled", outputCol="pc"),
+        ]
+    )
+    model = pipe.fit(df)
+    scaler, pca = model.stages[1], model.stages[2]
+    payload = {
+        "cols": list(cols),
+        "mean": np.array(scaler.mean.toArray(), dtype="float64"),
+        "std": np.array(scaler.std.toArray(), dtype="float64"),
+        "w": np.array(pca.pc.toArray(), dtype="float64"),  # (dim, k), orthonormal
+    }
+    return pickle.dumps(payload, protocol=4)
+
+
+def serialized_model_inference(
+    df: DataFrame, model_bytes: bytes, id_col: str
+) -> DataFrame:
+    """End-to-end M2 replacement: a SERIALIZED model rides a Spark broadcast,
+    each executor partition deserializes it once, Arrow batches stream
+    through numpy scoring (reference: per-micro-batch driver-side
+    model.predict, stream_anomaly_detector.py:212-303). Swapping the pickle
+    for keras.models.load_model(bytes) changes only the closure body — the
+    plan shape, broadcast, and batch flow are identical.
+
+    Score = 1 / (1 + reconstruction_mse) ∈ (0, 1], deterministic."""
+    import pickle
+
+    import numpy as np
+
+    cols = pickle.loads(model_bytes)["cols"]
+    bc = df.sparkSession.sparkContext.broadcast(model_bytes)
+    schema = f"{id_col} bigint, model_score double"
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        m = pickle.loads(bc.value)  # once per partition, not per batch
+        mean, std, w = m["mean"], np.where(m["std"] == 0, 1.0, m["std"]), m["w"]
+        for pdf in batches:
+            x = pdf[m["cols"]].to_numpy(dtype="float64")
+            z = (x - mean) / std
+            # orthonormal W: reconstruction error = ||z||^2 - ||zW||^2
+            err = np.maximum(
+                (z * z).sum(axis=1) - ((z @ w) ** 2).sum(axis=1), 0.0
+            ) / float(len(m["cols"]))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "model_score": 1.0 / (1.0 + err)}
+            )
+
+    return df.select(id_col, *cols).mapInPandas(run, schema=schema)
+
+
 def align_features(
     df: DataFrame,
     expected_cols: Sequence[str],

@@ -1405,6 +1405,26 @@ def batched_model_inference(spark, sf_dir):
     return batched_inference(li, _FEATURES, id_col="row_id")
 
 
+@register(
+    "serialized_model_scores",
+    oracle=None,
+    description=(
+        "full M2 path: distributed fit -> serialized weights -> broadcast -> "
+        "per-partition deserialize -> Arrow-batched numpy scoring (rows-only)"
+    ),
+    tags=("ml", "inference"),
+)
+def serialized_model_scores(spark, sf_dir):
+    from ..ml.pipeline import serialized_model_inference, train_serialized_autoencoder
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "row_id",
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+    )
+    model_bytes = train_serialized_autoencoder(li, _FEATURES, k=2)
+    return serialized_model_inference(li, model_bytes, id_col="row_id")
+
+
 # ---------------------------------------------------------------------------
 # Streaming (§2.10): genuine Structured Streaming executions (availableNow
 # over a staged multi-file source, memory sink) whose final results are

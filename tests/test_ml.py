@@ -121,3 +121,58 @@ def test_pca_scorer_on_reference_train_batch(spark):
     # beat the reference's best recorded run with margin
     assert r["mean"] < 0.65, r
     assert r["mx"] < 4.65, r
+
+
+def test_serialized_model_inference_deterministic(spark, sf_dir):
+    """M2 end-to-end: distributed fit -> pickled weights -> broadcast ->
+    mapInPandas scoring. Scores are in (0, 1], deterministic, and invariant
+    to partitioning (per-partition model init must not leak state)."""
+    import pickle
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_and_ml_system_spark.ml.pipeline import (
+        serialized_model_inference,
+        train_serialized_autoencoder,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "row_id", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    model_bytes = train_serialized_autoencoder(li, cols, k=2)
+
+    # the serialized artifact is self-describing
+    m = pickle.loads(model_bytes)
+    assert m["cols"] == cols and m["w"].shape == (4, 2)
+
+    scored = serialized_model_inference(li, model_bytes, "row_id").toPandas()
+    assert ((scored["model_score"] > 0) & (scored["model_score"] <= 1)).all()
+
+    # partitioning-invariant: same scores from a different physical layout
+    again = serialized_model_inference(
+        li.repartition(13), model_bytes, "row_id"
+    ).toPandas()
+    # row_id has ties in the fixture (l_orderkey,l_linenumber not unique),
+    # so align on (row_id, score) — equal multisets line up exactly
+    a = scored.sort_values(["row_id", "model_score"]).reset_index(drop=True)
+    b = again.sort_values(["row_id", "model_score"]).reset_index(drop=True)
+    assert (a["row_id"] == b["row_id"]).all()
+    assert np.allclose(a["model_score"], b["model_score"], rtol=1e-12, atol=1e-15)
+
+    # spot-check against a local numpy evaluation of the same weights,
+    # row-by-row on the full projected frame (no id joins: ids collide)
+    sample = li.select("row_id", *cols).toPandas()
+    x = sample[cols].to_numpy(dtype="float64")
+    std = np.where(m["std"] == 0, 1.0, m["std"])
+    z = (x - m["mean"]) / std
+    err = np.maximum((z * z).sum(axis=1) - ((z @ m["w"]) ** 2).sum(axis=1), 0.0) / 4.0
+    sample["want"] = 1.0 / (1.0 + err)
+    w_sorted = sample.sort_values(["row_id", "want"]).reset_index(drop=True)
+    assert np.allclose(
+        a["model_score"], w_sorted["want"], rtol=1e-9, atol=1e-12
+    )

@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
 from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import load_table
@@ -195,3 +198,45 @@ def test_running_max_with_state_matches_batch_or_skips():
         pytest.skip("protobuf not installed - state API v2 unavailable here")
     # with protobuf present this would run the batch-equivalence check
     # (mirrors test_stateful_running_totals_match_batch)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("KAFKA_BOOTSTRAP_SERVERS"),
+    reason="no Kafka broker in this environment (set KAFKA_BOOTSTRAP_SERVERS "
+    "to run); decode/route logic is covered by the file-source harness",
+)
+def test_kafka_round_trip_against_real_broker(spark, sf_dir, tmp_path):
+    """Real-broker integration: produce the events envelope to a topic,
+    consume it back, and check batch-equivalence with the file path. Skipped
+    (visibly) when no broker is reachable — the builders themselves are
+    import-safe and covered only to the .load()/.save() boundary otherwise."""
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.streaming.kafka import (
+        decode_json_stream,
+        kafka_sink_batch,
+        kafka_source,
+        serialize_json_value,
+    )
+
+    servers = os.environ["KAFKA_BOOTSTRAP_SERVERS"]
+    topic = f"e2e_events_{os.getpid()}"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    kafka_sink_batch(serialize_json_value(ev, key_col="event_id"), servers, topic)
+    src = kafka_source(spark, servers, topic, starting_offsets="earliest")
+    decoded = decode_json_stream(
+        src, "event_id bigint, event_type string, value double"
+    )
+    q = (
+        decoded.writeStream.format("memory")
+        .queryName("kafka_rt")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select count(*) n from kafka_rt").first()["n"]
+    assert got == ev.count()
