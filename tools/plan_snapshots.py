@@ -1,0 +1,88 @@
+"""Generate PLAN_SNAPSHOTS.md: normalized `.explain(formatted)` output for
+every headline (bench=True) batch query.
+
+Expression IDs, plan ids, file paths/sizes, and session-specific noise are
+stripped so the snapshot is stable across runs on the same Spark version —
+any diff in a PR is a real physical-plan change (a new shuffle, a lost
+broadcast, a widened scan), which is exactly what should be reviewed.
+
+Usage:  python tools/plan_snapshots.py            # rewrite PLAN_SNAPSHOTS.md
+        (tests/test_plan_snapshots.py asserts the committed file is current)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+SF_DIR = "/root/testdata/sf0.01"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "PLAN_SNAPSHOTS.md")
+
+# streaming queries run a real stream to a memory sink: the returned frame's
+# plan is the sink scan, not the streaming plan — skip them here (the
+# streaming plans are covered by tests/test_streaming.py equivalence runs)
+SKIP_TAGS = {"streaming"}
+
+
+def normalize(plan: str) -> str:
+    plan = re.sub(r"#\d+L?", "#x", plan)            # expression ids
+    plan = re.sub(r"plan_id=\d+", "plan_id=x", plan)
+    plan = re.sub(r"Statistics\([^)]*\)", "Statistics(x)", plan)
+    plan = re.sub(r"\[id=#x\]", "", plan)
+    plan = re.sub(r"file:[^,\]\s]+", "file:<path>", plan)
+    plan = re.sub(r"Location: \S+", "Location: <path>", plan)
+    plan = re.sub(r"(size=)\d+(\.\d+)?\s*\w*B", r"\1<n>", plan)
+    # partition counts vary with session parallelism, not plan shape
+    plan = re.sub(r"(partitioning\(.*), \d+\)", r"\1, <p>)", plan)
+    plan = re.sub(r"e2e_flows_clean_\w+", "e2e_flows_clean_<tmp>", plan)
+    plan = re.sub(r"[ \t]+$", "", plan, flags=re.M)
+    return plan.strip() + "\n"
+
+
+def formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def build_snapshots() -> str:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from end_to_end_data_engineering_and_ml_system_spark.plans.registry import (
+        bench_queries,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.session import get_spark
+
+    # the engine's own session factory: identical configs (AQE, broadcast
+    # threshold) whether run standalone or inside the pytest session, so the
+    # snapshot never flips on session-config drift
+    spark = get_spark(app_name="plan-snapshots", cpus=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    parts = [
+        "# PLAN_SNAPSHOTS — generated physical plans (do not edit by hand)\n",
+        "Normalized `.explain(formatted)` for every headline query at "
+        "sf0.01/8 shuffle partitions.\nRegenerate with `python "
+        "tools/plan_snapshots.py`; tests fail if this file is stale.\n"
+        "Curated commentary on WHY each plan looks this way lives in "
+        "PLANS.md.\n",
+    ]
+    for name, q in sorted(bench_queries().items()):
+        if SKIP_TAGS & set(q.tags):
+            parts.append(f"## {name}\n\n(streaming — plan not snapshotted; "
+                         "see tests/test_streaming.py)\n")
+            continue
+        df = q.build(spark, SF_DIR)
+        parts.append(f"## {name}\n\n```\n{normalize(formatted_plan(df))}```\n")
+    # NOTE: the session is NOT stopped here — under pytest, getOrCreate
+    # returns the suite's shared session and stopping it would kill it
+    return "\n".join(parts)
+
+
+if __name__ == "__main__":
+    content = build_snapshots()
+    with open(OUT, "w") as f:
+        f.write(content)
+    print(f"wrote {OUT} ({len(content.splitlines())} lines)")
