@@ -1478,7 +1478,14 @@ def stream_json_decode_counts(spark, sf_dir):
 
 @register(
     "stream_dedup_within_watermark",
-    oracle=None,
+    # event_id is unique in the fixtures, so watermarked dropDuplicates must
+    # pass every row through exactly once, values intact — a real equality
+    # check on the stateful path (dup-dropping itself is covered by
+    # tests/test_streaming.py with planted duplicates)
+    oracle="""
+        SELECT event_id, event_type, value
+        FROM events
+    """,
     description="keyed streaming dedup with watermark-bounded state (P10 on streams)",
     tags=("streaming", "dedup"),
 )

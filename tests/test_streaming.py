@@ -240,3 +240,33 @@ def test_kafka_round_trip_against_real_broker(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("select count(*) n from kafka_rt").first()["n"]
     assert got == ev.count()
+
+
+def test_stream_dedup_drops_planted_duplicates(spark, sf_dir, tmp_path):
+    """Planted cross-micro-batch duplicates: the same 100 events staged as
+    two files -> watermarked dedup must emit each event_id exactly once."""
+    from end_to_end_data_engineering_and_ml_system_spark.streaming.pipeline import (
+        EVENTS_SCHEMA,
+        _replay_shuffle_partitions,
+    )
+
+    ev = load_table(spark, sf_dir, "events").limit(100).select(
+        "event_id", "user_id", "event_type", "value", "props", "ts"
+    )
+    src = tmp_path / "dup_src"
+    ev.coalesce(1).write.parquet(str(src / "a"))
+    ev.coalesce(1).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    with _replay_shuffle_partitions(spark):
+        out = run_to_memory_sink(
+            dedup_within_watermark(stream).select("event_id"),
+            output_mode="append",
+        )
+        got = out.toPandas()
+    assert len(got) == 100
+    assert got["event_id"].is_unique

@@ -28,6 +28,8 @@ SKIP_TAGS = {"streaming"}
 
 def normalize(plan: str) -> str:
     plan = re.sub(r"#\d+L?", "#x", plan)            # expression ids
+    # lambda variable names embed a session-global counter (x_1, y_42, ...)
+    plan = re.sub(r"\b(lambda )?([xy])_\d+#x", r"\1\2_n#x", plan)
     plan = re.sub(r"plan_id=\d+", "plan_id=x", plan)
     plan = re.sub(r"Statistics\([^)]*\)", "Statistics(x)", plan)
     plan = re.sub(r"\[id=#x\]", "", plan)
