@@ -84,6 +84,82 @@ def capped_sample(
     return df.sample(withReplacement=False, fraction=cap / n, seed=seed)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``) — the class-balancing
+    primitive for training-data pipelines (downsample the dominant class,
+    keep the rare ones). One scan, no shuffle; strata absent from
+    ``fractions`` are dropped, fraction 1.0 keeps a stratum whole."""
+    return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+_INTERVAL_SECONDS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _interval_to_seconds(spec: str) -> int:
+    """'7 days' / '90 seconds' → seconds. Interval specs are operator
+    config (literals), so driver-side parsing costs nothing."""
+    qty, unit = spec.strip().split()
+    return int(qty) * _INTERVAL_SECONDS[unit.lower()]
+
+
+def banded_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "0 seconds",
+    equi_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Scalable range join: rows where ``right_ts ∈ [left_ts - lower,
+    left_ts + upper]`` (optionally AND-ed with ``equi_keys``), executed as
+    an EQUI-join on coarse time bands instead of the O(|L|·|R|)
+    broadcast-nested-loop Spark picks for a pure range predicate.
+
+    The standard banding (bucketed interval join) trick: band width =
+    lower + upper, so a left row's window overlaps at most 2 bands — left
+    rows are replicated into exactly those, right rows land in one. The
+    band is part of the join key, so the work shuffles and partitions like
+    any equi-join (AQE skew-split applies), which is what keeps range
+    joins tractable at 100 TB; the exact predicate filters after the band
+    match. ``lower``/``upper`` are interval strings like ``'7 days'``."""
+    width = _interval_to_seconds(lower) + _interval_to_seconds(upper)
+    if width <= 0:
+        raise ValueError("banded_range_join needs a nonzero [lower, upper] window")
+    lo_s, up_s = _interval_to_seconds(lower), _interval_to_seconds(upper)
+    l_epoch = F.unix_timestamp(F.col(left_ts))
+    r_epoch = F.unix_timestamp(F.col(right_ts))
+    lt = left.withColumn(
+        "__band",
+        F.explode(
+            F.sequence(
+                F.floor((l_epoch - lo_s) / width), F.floor((l_epoch + up_s) / width)
+            )
+        ),
+    )
+    rt = right.withColumn("__band", F.floor(r_epoch / width))
+    cond = [lt["__band"] == rt["__band"]]
+    for k in equi_keys:
+        cond.append(lt[k] == rt[k])
+    r_ts, l_ts = rt[right_ts], lt[left_ts]
+    joined = lt.join(rt, cond).filter(
+        (r_ts >= l_ts - F.expr(f"INTERVAL {lower}"))
+        & (r_ts <= l_ts + F.expr(f"INTERVAL {upper}"))
+    )
+    keep = [lt[c] for c in left.columns] + [
+        rt[c] for c in right.columns if c not in set(equi_keys)
+    ]
+    return joined.select(*keep)
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -241,6 +241,39 @@ def ivf_search(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def centroids_long(
+    corpus: DataFrame,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group centroid in LONG format (group, dim, mean_val): posexplode
+    the vectors, one partial-aggregated groupBy over (group, dim).
+
+    The long shape is the 100 TB-friendly one — the shuffle carries one row
+    per (group, dim) after map-side combine, aggregation is plain codegen'd
+    sums (no per-row array rebuilds), and the result joins back to vectors
+    by position without array UDFs. ``array_agg``-style wide centroids are
+    a ``collect_list`` away when groups are small.
+
+    Values are quantized to 1e-10 via ``floor(v*1e10 + 0.5)`` INTEGER
+    arithmetic rather than a decimal cast: engines disagree on decimal tie
+    rounding (Spark HALF_UP vs DuckDB half-even — any float that is an odd
+    multiple of 2^-11 ties at scale 10), while floor over IEEE doubles is
+    bit-identical everywhere. Exact int64 sums make the centroid
+    partition-order-independent; headroom is ~1e9 rows/group at unit-scale
+    values (switch the sum to decimal(38,0) beyond that)."""
+    exploded = corpus.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"),
+    )
+    q = F.floor(F.col("val").cast("double") * F.lit(1e10) + F.lit(0.5))
+    return exploded.groupBy(group_col, "dim").agg(
+        (F.sum(q).cast("double") / F.lit(1e10) / F.count("val")).alias("mean_val"),
+        F.count("val").alias("n_vecs"),
+    )
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     id_col: str = "vec_id",

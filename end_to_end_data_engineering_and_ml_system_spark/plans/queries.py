@@ -2297,3 +2297,159 @@ def documents_dedup_keep_best(spark, sf_dir):
         [F.length("text").desc(), F.col("doc_id")],
     )
     return best.select("doc_id", "lang", F.length("text").alias("text_len"))
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: banded range join, composed corpus quality filter,
+# stratified sampling, per-class embedding centroids. The scale shapes:
+# range join as an equi-join on time bands; centroids in long format.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_orders_range_join",
+    oracle="""
+        SELECT e.event_id,
+               COUNT(*) AS n_orders,
+               MAX(o.o_orderkey) AS max_orderkey
+        FROM events e
+        JOIN orders o
+          ON e.user_id = o.o_custkey
+         AND o.o_orderdate >= e.ts - INTERVAL 7 DAY
+         AND o.o_orderdate <= e.ts
+        GROUP BY 1
+    """,
+    bench=True,
+    description="range join (orders within 7 days before each event) via time-band equi-join",
+    tags=("join", "range"),
+)
+def events_orders_range_join(spark, sf_dir):
+    """Banded range join (operators/relational.py::banded_range_join): the
+    range predicate becomes part of the shuffle key via coarse time bands,
+    so Spark plans a sort-merge equi-join instead of the
+    broadcast-nested-loop it picks for raw range predicates."""
+    from ..operators.relational import banded_range_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_ts"),
+    )
+    j = banded_range_join(
+        ev,
+        orders,
+        left_ts="ts",
+        right_ts="o_ts",
+        lower="7 days",
+        upper="0 seconds",
+        equi_keys=("user_id",),
+    )
+    return j.groupBy("event_id").agg(
+        F.count("*").alias("n_orders"),
+        F.max("o_orderkey").alias("max_orderkey"),
+    )
+
+
+_SQL_STOPFILTER = (
+    "len(list_filter(toks, tk -> list_contains("
+    "['the','a','an','and','or','of','to','in','is','it'], tk)))"
+)
+
+
+@register(
+    "corpus_quality_filter",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, text, {_SQL_TOKENS} AS toks, length(text) AS n
+            FROM documents
+        ), scored AS (
+            SELECT
+                doc_id, lang, toks,
+                (
+                  (CASE WHEN n BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN CAST({_SQL_STOPFILTER} AS DOUBLE) / len(toks)
+                       BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                       AS DOUBLE) / n <= 0.3 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                       AS DOUBLE) / n <= 0.1 THEN 1.0 ELSE 0.0 END)
+                ) / 4.0 AS quality
+            FROM t
+        )
+        SELECT doc_id, lang, quality, len(toks) AS n_tokens
+        FROM scored
+        WHERE quality >= 0.75 AND len(toks) BETWEEN 5 AND 5000
+    """,
+    description="composed C4-style corpus filter: quality + token-count gates in one scan",
+    tags=("text", "cleaning"),
+)
+def corpus_quality_filter(spark, sf_dir):
+    """The composed pre-training corpus filter (quality score and token
+    count gates in a single projection + filter — one scan, fully
+    pushed-down)."""
+    from ..operators.text import quality_score, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        quality_score("text").alias("quality"),
+        token_count("text").alias("n_tokens").cast("bigint"),
+    )
+    return scored.filter(
+        (F.col("quality") >= 0.75) & F.col("n_tokens").between(5, 5000)
+    )
+
+
+@register(
+    "stratified_sample_counts",
+    oracle=None,
+    description="per-class Bernoulli downsampling (sampleBy) — seeded, engine-specific membership (rows-only)",
+    tags=("sampling",),
+)
+def stratified_sample_counts(spark, sf_dir):
+    """Class rebalancing: downsample the dominant event types, keep the
+    rare ones whole; output per-stratum surviving counts."""
+    from ..operators.relational import stratified_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    sampled = stratified_sample(
+        ev,
+        "event_type",
+        {"click": 0.1, "view": 0.25, "purchase": 1.0, "signup": 1.0, "error": 1.0},
+    )
+    return sampled.groupBy("event_type").agg(F.count("*").alias("n_sampled"))
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+        WITH e AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) - 1 AS dim,
+                   unnest(embedding) AS val
+            FROM embeddings
+        )
+        -- floor-quantized integer sums, NOT decimal casts: engines disagree
+        -- on decimal tie rounding (HALF_UP vs half-even); floor over IEEE
+        -- doubles is bit-identical in both
+        SELECT label, dim,
+               CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1e10 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e10 / COUNT(*)
+                   AS mean_val,
+               COUNT(*) AS n_vecs
+        FROM e
+        GROUP BY 1, 2
+    """,
+    description="per-class embedding centroids, long format (label, dim, mean) — decimal-exact",
+    tags=("embedding", "aggregation"),
+)
+def embedding_label_centroids(spark, sf_dir):
+    """Long-format class centroids (operators/similarity.py::centroids_long):
+    posexplode + one partial-aggregated groupBy; shuffle carries one row
+    per (label, dim)."""
+    from ..operators.similarity import centroids_long
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroids_long(emb, "label")

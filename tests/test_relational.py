@@ -60,3 +60,104 @@ def test_select_first_occurrence(spark):
     out = select_first_occurrence(a)
     assert out.columns == ["id"]
     assert [r.id for r in out.orderBy("id").collect()] == [0, 1, 2]
+
+
+def test_banded_range_join_matches_naive(spark):
+    """Band equi-join + exact filter == the naive range join, including
+    window-boundary rows and band-straddling matches."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        banded_range_join,
+    )
+
+    left = spark.createDataFrame(
+        [(i, f"2024-01-01 00:{m:02d}:00") for i, m in enumerate([0, 5, 17, 42, 59])],
+        ["lid", "lts"],
+    ).select("lid", F.col("lts").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [(j, f"2024-01-01 00:{m:02d}:{s:02d}") for j, (m, s) in enumerate(
+            [(0, 0), (2, 30), (4, 59), (5, 1), (16, 59), (17, 0), (40, 0), (58, 30)]
+        )],
+        ["rid", "rts"],
+    ).select("rid", F.col("rts").cast("timestamp").alias("rts"))
+
+    got = banded_range_join(
+        left, right, "lts", "rts", lower="3 minutes", upper="1 minute"
+    ).select("lid", "rid")
+    want = left.join(
+        right,
+        (F.col("rts") >= F.col("lts") - F.expr("INTERVAL 3 minutes"))
+        & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 1 minute")),
+    ).select("lid", "rid")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert want.count() > 0  # the fixture actually exercises matches
+
+
+def test_banded_range_join_plans_equi_join(spark, sf_dir):
+    """The banding must buy an equi-join plan: no BroadcastNestedLoopJoin
+    (what Spark picks for a raw range predicate, O(|L|*|R|) at scale)."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        banded_range_join,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_ts"),
+    )
+    j = banded_range_join(
+        ev, orders, "ts", "o_ts", lower="7 days", upper="0 seconds",
+        equi_keys=("user_id",),
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_stratified_sample_invariants(spark, sf_dir):
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        stratified_sample,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    fr = {"click": 0.1, "view": 0.3, "purchase": 1.0}
+    s = stratified_sample(ev, "event_type", fr, seed=7)
+    base = {r["event_type"]: r["n"] for r in
+            ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    got = {r["event_type"]: r["n"] for r in
+           s.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert set(got) <= set(fr)                     # absent strata dropped
+    assert got.get("purchase", 0) == base["purchase"]  # fraction 1.0 keeps all
+    for k, f in [("click", 0.1), ("view", 0.3)]:
+        assert got.get(k, 0) <= base[k]
+        assert abs(got.get(k, 0) / base[k] - f) < 0.1  # ~fraction at 1k rows
+    # seeded: same seed+partitioning -> identical membership
+    s2 = stratified_sample(ev, "event_type", fr, seed=7)
+    assert s.select("event_id").exceptAll(s2.select("event_id")).count() == 0
+
+
+def test_centroids_long_partitioning_invariant(spark, sf_dir):
+    from end_to_end_data_engineering_and_ml_system_spark.operators.similarity import (
+        centroids_long,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = centroids_long(emb, "label").toPandas().sort_values(["label", "dim"])
+    b = (
+        centroids_long(emb.repartition(17), "label")
+        .toPandas()
+        .sort_values(["label", "dim"])
+    )
+    assert (a["mean_val"].to_numpy() == b["mean_val"].to_numpy()).all()
