@@ -2453,3 +2453,39 @@ def embedding_label_centroids(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return centroids_long(emb, "label")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+        WITH f AS (
+            SELECT doc_id, text,
+                   CAST(floor(octet_length(encode(text)) / 64.0) AS BIGINT)
+                       AS n_frames
+            FROM documents
+        ), x AS (
+            SELECT doc_id, text,
+                   unnest(range(0, CASE WHEN n_frames < 1 THEN 1
+                                        ELSE n_frames END)) AS frame_no
+            FROM f
+        )
+        SELECT doc_id,
+               CAST(frame_no AS BIGINT) AS frame_no,
+               substr(text, CAST(frame_no * 64 + 1 AS INT), 64) AS frame_bytes
+        FROM x
+    """,
+    description="frame-sampling analog for video payloads: one 64-byte 'frame' per chunk, JVM substring arithmetic",
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark, sf_dir):
+    from ..operators.multimodal import frame_sample, payload_from_text
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", payload_from_text("text")
+    )
+    frames = frame_sample(docs, "doc_id", "payload", every_n_bytes=64)
+    return frames.select(
+        "doc_id",
+        F.col("frame_no").cast("bigint").alias("frame_no"),
+        "frame_bytes",
+    )

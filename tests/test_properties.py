@@ -247,3 +247,43 @@ def test_tumbling_window_agg_matches_duckdb_on_random_data(spark, rows):
     ).df()
     errs = compare(got, want)
     assert not errs, errs
+
+
+@given(
+    st.lists(st.integers(0, 3600), min_size=1, max_size=30),
+    st.lists(st.integers(0, 3600), min_size=1, max_size=30),
+    st.integers(0, 600),
+    st.integers(0, 600),
+)
+@SLOW
+def test_banded_range_join_matches_naive_reference(
+    spark, left_secs, right_secs, lo, up
+):
+    """Band replication + exact filter == naive O(n^2) range join for
+    arbitrary timestamp layouts and window widths (incl. zero-width edges)."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        banded_range_join,
+    )
+
+    if lo + up == 0:
+        lo = 1  # operator rejects empty windows by contract
+    left = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(left_secs)], "lid int, sec int"
+    ).select("lid", F.timestamp_seconds(F.col("sec") + 1_700_000_000).alias("lts"))
+    right = spark.createDataFrame(
+        [(j, s) for j, s in enumerate(right_secs)], "rid int, sec int"
+    ).select("rid", F.timestamp_seconds(F.col("sec") + 1_700_000_000).alias("rts"))
+    got = {
+        (r.lid, r.rid)
+        for r in banded_range_join(
+            left, right, "lts", "rts",
+            lower=f"{lo} seconds", upper=f"{up} seconds",
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, ls in enumerate(left_secs)
+        for j, rs in enumerate(right_secs)
+        if ls - lo <= rs <= ls + up
+    }
+    assert got == want
