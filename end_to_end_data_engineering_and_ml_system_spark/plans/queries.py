@@ -1975,12 +1975,16 @@ def stream_flow_scoring(spark, sf_dir):
     from ..streaming.pipeline import events_stream, run_routed_foreach_batch
 
     ev = load_table(spark, sf_dir, "events")
-    stats = fit_standardizer(ev, ["value"])
+    # 1-row collect to literals: the broadcast-crossJoin variant embeds the
+    # stats PLAN into every micro-batch, re-running the fit aggregate per
+    # batch; literals fit once (the justified scalar fetch —
+    # ml/pipeline.py::apply_standardizer_literal)
+    stats_row = fit_standardizer(ev, ["value"]).first()
 
     def score(batch_df):
-        from ..ml.pipeline import apply_standardizer
+        from ..ml.pipeline import apply_standardizer_literal
 
-        z = apply_standardizer(batch_df, stats, ["value"])
+        z = apply_standardizer_literal(batch_df, stats_row, ["value"])
         return z.withColumn(
             "prediction",
             F.when(F.col("z_value") * F.col("z_value") > 2.0, "anomaly").otherwise(
