@@ -3,8 +3,10 @@
 Implemented as the scalable union-sort trick rather than a range cross join:
 
 1. tag left (probe) and right (reference) rows, union them on aligned columns;
-2. one window per key ordered by (time, tag): ``last(value, ignorenulls)``
-   carries the latest reference row forward onto each probe row;
+2. one window per key ordered by (time, tag): ``last(ref_struct,
+   ignorenulls)`` carries the latest whole reference ROW forward onto each
+   probe row (struct-level carry: a NULL inside a value column of the
+   latest row stays NULL — true as-of semantics);
 3. filter back to probe rows.
 
 Cost: one shuffle on the key + a sort within partitions — same order as a
