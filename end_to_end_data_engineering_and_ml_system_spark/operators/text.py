@@ -153,6 +153,36 @@ def tf_idf_topk(df, id_col: str, text_col: str, k: int = 3):
     )
 
 
+#: PII patterns restricted to constructs Java regex (Spark) and RE2
+#: (DuckDB) match identically — the standard pre-training redaction pass.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("number", r"[0-9]{7,}", "<NUM>"),  # long digit runs: phones, ids, cards
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Mask emails, URLs, and long digit runs with typed placeholder tokens
+    — the redaction pass every training-data pipeline runs before
+    tokenization. One chained ``regexp_replace`` projection: JVM-side,
+    single scan, order fixed (emails before bare digit runs so a masked
+    token is never re-masked)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pattern, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-type PII hit counts (audit metric for the redaction pass)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+        for name, pattern, _ in PII_PATTERNS
+    }
+
+
 #: GPT-2-style pre-tokenizer shape, restricted to constructs both Java
 #: regex (Spark) and RE2 (DuckDB) support identically: contraction
 #: suffixes, space-prefixed letter runs, digit runs, punctuation runs.

@@ -2493,3 +2493,57 @@ def multimodal_frame_sample(spark, sf_dir):
         F.col("frame_no").cast("bigint").alias("frame_no"),
         "frame_bytes",
     )
+
+
+@register(
+    "doc_pii_redaction",
+    oracle="""
+        WITH synth AS (
+            -- plant deterministic PII so the redaction patterns are
+            -- genuinely exercised (the fixture corpus is clean prose)
+            SELECT doc_id,
+                   text || ' contact user' || doc_id ||
+                   '@example.com or https://site.example/d/' || doc_id ||
+                   ' ref 900' || doc_id || '1234567' AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   AS n_email,
+               len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_url,
+               len(regexp_extract_all(text, '[0-9]{7,}')) AS n_number,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   'https?://[^\s]+', '<URL>', 'g'),
+                   '[0-9]{7,}', '<NUM>', 'g')) AS redacted_md5
+        FROM synth
+    """,
+    description="PII redaction pass (emails/URLs/long digit runs -> typed tokens) with audit counts",
+    tags=("text", "cleaning"),
+)
+def doc_pii_redaction(spark, sf_dir):
+    """Redaction (operators/text.py::redact_pii) over the corpus with
+    planted deterministic PII; output = per-type hit counts + md5 of the
+    redacted text (compact, hashable proof the masking is identical)."""
+    from ..operators.text import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://site.example/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" ref 900"), F.col("doc_id").cast("string"), F.lit("1234567"),
+        ).alias("text"),
+    )
+    counts = pii_counts("text")
+    return docs.select(
+        "doc_id",
+        counts["email"].cast("bigint").alias("n_email"),
+        counts["url"].cast("bigint").alias("n_url"),
+        counts["number"].cast("bigint").alias("n_number"),
+        F.md5(redact_pii("text")).alias("redacted_md5"),
+    )
