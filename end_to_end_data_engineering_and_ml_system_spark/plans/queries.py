@@ -2547,3 +2547,37 @@ def doc_pii_redaction(spark, sf_dir):
         counts["number"].cast("bigint").alias("n_number"),
         F.md5(redact_pii("text")).alias("redacted_md5"),
     )
+
+
+@register(
+    "customers_orders_full_outer",
+    oracle="""
+        SELECT
+            CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+                 WHEN o.o_custkey IS NULL THEN 'customer_only'
+                 ELSE 'matched' END AS side,
+            COUNT(*) AS n
+        FROM customer c
+        FULL OUTER JOIN (
+            SELECT o_custkey, COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
+        ) o ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+    """,
+    description="full-outer join with match-status classification (declared 2.3 parity)",
+    tags=("join",),
+)
+def customers_orders_full_outer(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    j = cust.join(per_cust, cust["c_custkey"] == per_cust["o_custkey"], "full_outer")
+    side = (
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("o_custkey").isNull(), "customer_only")
+        .otherwise("matched")
+    )
+    return j.groupBy(side.alias("side")).agg(F.count("*").alias("n"))
