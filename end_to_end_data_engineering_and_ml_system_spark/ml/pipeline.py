@@ -102,6 +102,24 @@ def score_and_route(
     ).withColumn("confidence", confidence("anomaly_score"))
 
 
+def score_and_route_literal(
+    df: DataFrame,
+    stats_row,
+    cols: Sequence[str],
+    threshold: float = 2.0,
+) -> DataFrame:
+    """``score_and_route`` with the 1-row stats frame pre-collected to
+    literals (see :func:`apply_standardizer_literal` for when and why)."""
+    from ..functions.scalars import classify_by_threshold, confidence
+
+    z = apply_standardizer_literal(df, stats_row, cols)
+    zcols = [f"z_{c}" for c in cols]
+    scored = z.withColumn("anomaly_score", mse_score(zcols))
+    return scored.withColumn(
+        "prediction", classify_by_threshold("anomaly_score", threshold)
+    ).withColumn("confidence", confidence("anomaly_score"))
+
+
 def pca_reconstruction_scores(
     df: DataFrame, cols: Sequence[str], k: int, id_col: str
 ) -> DataFrame:
