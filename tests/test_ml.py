@@ -176,3 +176,42 @@ def test_serialized_model_inference_deterministic(spark, sf_dir):
     assert np.allclose(
         a["model_score"], w_sorted["want"], rtol=1e-9, atol=1e-12
     )
+
+
+def test_detect_path_on_reference_traffic_csv(spark):
+    """The reference's own simulator feed (data_example/network_traffic.csv:
+    65 pre-scaled feature columns, no labels) through the engine's detect
+    ingest path: permissive CSV read -> feature alignment -> serialized-
+    model scoring. Pins the §3.1 contract on real reference data."""
+    import os
+
+    import pytest
+
+    from end_to_end_data_engineering_and_ml_system_spark.ml.pipeline import (
+        align_features,
+        serialized_model_inference,
+        train_serialized_autoencoder,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.sources.files import (
+        read_csv_permissive,
+    )
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    path = "/root/reference/data_example/network_traffic.csv"
+    if not os.path.exists(path):
+        pytest.skip("reference example data not present")
+    header = spark.read.option("header", True).csv(path).columns
+    schema = StructType([StructField(c, DoubleType(), True) for c in header])
+    raw = read_csv_permissive(spark, path, schema)
+    # the simulator feed carries 64 features + a string Label column
+    feats = [
+        c for c in raw.columns if not c.startswith("_corrupt") and c != "Label"
+    ]
+    assert len(feats) == 64
+    aligned = align_features(raw, feats)  # casts everything double, ordered
+    aligned = aligned.withColumn("rid", F.monotonically_increasing_id())
+    model = train_serialized_autoencoder(aligned, feats, k=8)
+    scored = serialized_model_inference(aligned, model, "rid").toPandas()
+    assert len(scored) == raw.count() == 16
+    assert ((scored["model_score"] > 0) & (scored["model_score"] <= 1)).all()
