@@ -183,6 +183,73 @@ def pii_counts(col: Column | str) -> dict[str, Column]:
     }
 
 
+def chunk_documents(
+    df,
+    id_col: str,
+    text_col: str,
+    chunk_chars: int = 512,
+    overlap: int = 64,
+):
+    """Split long documents into fixed-size overlapping chunks — the
+    context-window preparation step of every training/RAG pipeline.
+
+    Chunk starts step by ``chunk_chars - overlap``; the final partial chunk
+    is kept. Pure JVM ``sequence`` + ``posexplode`` + ``substring`` — rows
+    fan out ~len/stride per doc with no Python and no shuffle (chunking is
+    a map-side operation; downstream ops shuffle on chunk keys)."""
+    from pyspark.sql import DataFrame
+
+    assert isinstance(df, DataFrame)
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    n = F.length(F.col(text_col))
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)), F.lit(1)
+    ).cast("bigint")
+    starts = F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)
+    return df.select(
+        F.col(id_col), F.col(text_col), F.posexplode(starts).alias("chunk_no", "__i")
+    ).select(
+        F.col(id_col),
+        F.col("chunk_no").cast("bigint").alias("chunk_no"),
+        F.substring(
+            F.col(text_col), F.col("__i").cast("int") * stride + 1, chunk_chars
+        ).alias("chunk_text"),
+    )
+
+
+def pack_tokens_into_bins(
+    df,
+    group_col: str,
+    id_col: str,
+    text_col: str,
+    bin_tokens: int = 2048,
+):
+    """Assign documents to ~``bin_tokens``-sized context bins per group —
+    the distributed approximation of sequence packing: a running token
+    total over a deterministic order, floor-divided into bins. One window
+    shuffle per group; exact greedy packing is inherently sequential, this
+    is the standard scalable stand-in (bins can overflow by at most one
+    document)."""
+    from pyspark.sql import DataFrame, Window
+
+    assert isinstance(df, DataFrame)
+    n_tok = token_count(text_col)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(n_tok).over(w)
+    return df.select(
+        F.col(group_col),
+        F.col(id_col),
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.floor((running - n_tok) / F.lit(bin_tokens)).cast("bigint").alias("bin_id"),
+    )
+
+
 #: GPT-2-style pre-tokenizer shape, restricted to constructs both Java
 #: regex (Spark) and RE2 (DuckDB) support identically: contraction
 #: suffixes, space-prefixed letter runs, digit runs, punctuation runs.

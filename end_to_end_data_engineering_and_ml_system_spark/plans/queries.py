@@ -2584,3 +2584,57 @@ def customers_orders_full_outer(spark, sf_dir):
         .otherwise("matched")
     )
     return j.groupBy(side.alias("side")).agg(F.count("*").alias("n"))
+
+
+@register(
+    "doc_chunking",
+    oracle="""
+        WITH f AS (
+            SELECT doc_id, text,
+                   greatest(CAST(ceil((length(text) - 64) / 448.0) AS BIGINT),
+                            1) AS n_chunks
+            FROM documents
+        ), x AS (
+            SELECT doc_id, text,
+                   unnest(range(0, n_chunks)) AS chunk_no
+            FROM f
+        )
+        SELECT doc_id,
+               CAST(chunk_no AS BIGINT) AS chunk_no,
+               substr(text, CAST(chunk_no * 448 + 1 AS INT), 512) AS chunk_text
+        FROM x
+    """,
+    description="fixed-size overlapping document chunking (512 chars, 64 overlap) — context-window prep",
+    tags=("text", "chunking"),
+)
+def doc_chunking(spark, sf_dir):
+    from ..operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_chars=512, overlap=64)
+
+
+@register(
+    "doc_token_packing",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   len({_SQL_TOKENS}) AS n_tokens
+            FROM documents
+        )
+        SELECT lang, doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(floor(
+                   (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0
+               ) AS BIGINT) AS bin_id
+        FROM t
+    """,
+    description="sequence packing approximation: running token totals per lang into ~2048-token bins",
+    tags=("text", "packing"),
+)
+def doc_token_packing(spark, sf_dir):
+    from ..operators.text import pack_tokens_into_bins
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_tokens_into_bins(docs, "lang", "doc_id", "text", bin_tokens=2048)
