@@ -231,7 +231,13 @@ def pack_tokens_into_bins(
     total over a deterministic order, floor-divided into bins. One window
     shuffle per group; exact greedy packing is inherently sequential, this
     is the standard scalable stand-in (bins can overflow by at most one
-    document)."""
+    document).
+
+    Skew note: the window serializes within each group, so a low-cardinality
+    ``group_col`` (e.g. 5 languages over 100 TB) bottlenecks on 5 tasks. At
+    scale pass a sharded group — e.g. ``F.concat(lang, pmod(xxhash64(id),
+    F.lit(256)))`` — bins stay valid because packing never needs to be
+    globally optimal, only locally bounded."""
     from pyspark.sql import DataFrame, Window
 
     assert isinstance(df, DataFrame)
