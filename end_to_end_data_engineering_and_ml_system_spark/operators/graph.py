@@ -1,0 +1,105 @@
+"""Connected components over an edge list — pairs → dedup groups.
+
+The near-dup operators (operators/dedup.py, operators/similarity.py) stop at
+verified PAIRS; an actual corpus dedup needs the transitive closure so each
+group of mutual near-duplicates keeps exactly one canonical document. The
+reference has no graph step at all (its dedup surface is pairwise only), so
+this is part of the LLM-data extension surface, not reference parity.
+
+Algorithm: iterative min-label propagation ("hash-to-min", Rastogi et al.,
+"Finding Connected Components in Map-Reduce in Logarithmic Rounds", ICDE'13
+— simplified to the small-diameter case). Each round every node takes the
+minimum component label among itself and its neighbors; convergence is a
+driver-side emptiness check on the changed set. Rounds needed = graph
+diameter, and near-dup graphs are unions of near-cliques (the verify step
+keeps only pairs above the similarity threshold), so 2-3 rounds in practice;
+``max_iters`` bounds the worst case.
+
+Scale notes (100 TB):
+- The edge list is repartitioned ONCE on the join key and persisted; every
+  round's propagation join then reuses that exchange instead of reshuffling
+  the (large) edge set per round. Only the (small, one-row-per-node) label
+  table moves each round.
+- Each round ends in ``localCheckpoint(eager=True)``: iterated self-joins
+  otherwise stack Catalyst plans superlinearly (same pathology measured in
+  flows_etl.py — see NOTES.md). On a real cluster with unreliable executors
+  prefer ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``; local
+  checkpoints trade fault tolerance for speed, which is the right call in
+  local mode.
+- The convergence probe is ``isEmpty()`` on the label diff — one cheap
+  action per round, never a full collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Return ``(id, comp)`` where ``comp`` is the minimum node id reachable
+    from ``id`` — a deterministic, engine-independent component label.
+
+    Only nodes that appear in at least one edge are returned; callers give
+    isolated nodes their own id via ``coalesce`` after a left join (see
+    ``doc_dedup_clusters`` in plans/queries.py).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .distinct()
+        .repartition("dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        e.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_labels = e.join(
+            labels.withColumnRenamed("id", "dst"), "dst"
+        ).select(F.col("src").alias("id"), "comp")
+        new_labels = (
+            labels.union(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if converged:
+            break
+    e.unpersist()
+    return labels
+
+
+def dedup_cluster_labels(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    pair_left: str = "id1",
+    pair_right: str = "id2",
+) -> DataFrame:
+    """Label every row of ``df`` with its near-dup cluster id (singletons get
+    their own id) and whether it is the cluster's canonical representative
+    (the minimum id — the same keep-lowest rule as ``doc_fingerprints``)."""
+    comp = connected_components(pairs, pair_left, pair_right)
+    return (
+        df.join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .withColumn("cluster_id", F.coalesce("comp", F.col(id_col)))
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+        .drop("comp")
+    )

@@ -2638,3 +2638,252 @@ def doc_token_packing(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_tokens_into_bins(docs, "lang", "doc_id", "text", bin_tokens=2048)
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering (LLM-data surface): the near-dup operators produce verified
+# PAIRS; these queries close the loop — transitive closure into groups, one
+# canonical doc kept per group. The reference stops at pairwise similarity,
+# so this extends, not ports. Oracle: DuckDB WITH RECURSIVE reachability
+# (min reachable id == the min-label fixpoint the Spark operator converges to).
+# ---------------------------------------------------------------------------
+
+_SQL_VERIFIED_PAIRS = """
+        s AS (SELECT doc_id, unnest(sh) AS shingle FROM t),
+        sig AS (
+            SELECT s.doc_id, r.seed,
+                   MIN(md5(r.seed::VARCHAR || ':' || s.shingle)) AS minhash
+            FROM s CROSS JOIN (SELECT unnest(range(8)) AS seed) r
+            GROUP BY 1, 2
+        ),
+        buckets AS (
+            SELECT doc_id, seed // 2 AS band,
+                   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+            FROM sig
+            GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM buckets a
+            JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                           AND a.doc_id < b.doc_id
+        ),
+        sz AS (SELECT doc_id, len(sh) AS n_sh FROM t),
+        shared AS (
+            SELECT c.id1, c.id2, COUNT(*) AS shared
+            FROM cand c
+            JOIN s s1 ON s1.doc_id = c.id1
+            JOIN s s2 ON s2.doc_id = c.id2 AND s2.shingle = s1.shingle
+            GROUP BY 1, 2
+        ),
+        vp AS (
+            SELECT sh.id1, sh.id2
+            FROM shared sh
+            JOIN sz z1 ON sh.id1 = z1.doc_id
+            JOIN sz z2 ON sh.id2 = z2.doc_id
+            WHERE CAST(sh.shared AS DOUBLE)
+                  / (z1.n_sh + z2.n_sh - sh.shared) >= 0.6
+        ),
+        e AS (
+            SELECT id1 AS src, id2 AS dst FROM vp
+            UNION
+            SELECT id2, id1 FROM vp
+        ),
+        reach AS (
+            SELECT doc_id AS id, doc_id AS comp FROM documents
+            UNION
+            SELECT e.dst AS id, r.comp AS comp
+            FROM e JOIN reach r ON e.src = r.id
+        ),
+        labels AS (SELECT id AS doc_id, MIN(comp) AS cluster_id
+                   FROM reach GROUP BY 1)
+"""
+
+
+@register(
+    "doc_dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE t AS ({_SQL_SHINGLES}),
+        {_SQL_VERIFIED_PAIRS}
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM labels
+        GROUP BY 1
+    """,
+    bench=True,
+    description=(
+        "near-dup pairs -> connected components -> cluster sizes "
+        "(min-label propagation; singletons are their own cluster)"
+    ),
+    tags=("dedup", "graph", "scale"),
+)
+def doc_dedup_clusters(spark, sf_dir):
+    """LSH-verified pairs (dedup.py:305) fed through min-label propagation
+    (graph.py:41) — the step that turns pairwise similarity into dedup
+    groups. Cluster id = min doc_id in the component (deterministic across
+    engines and partitionings)."""
+    from ..operators.dedup import lsh_verified_near_dups
+    from ..operators.graph import dedup_cluster_labels
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_verified_near_dups(
+        docs, "doc_id", "text", num_hashes=8, rows_per_band=2, n=3, threshold=0.6
+    )
+    labeled = dedup_cluster_labels(docs, pairs, "doc_id")
+    return labeled.groupBy("cluster_id").agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "corpus_near_dedup_kept",
+    oracle=f"""
+        WITH RECURSIVE t AS ({_SQL_SHINGLES}),
+        {_SQL_VERIFIED_PAIRS}
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d
+        JOIN labels l ON d.doc_id = l.doc_id
+        WHERE l.doc_id = l.cluster_id
+    """,
+    description=(
+        "the deduplicated corpus: keep each cluster's canonical doc "
+        "(minimum doc_id), drop the rest"
+    ),
+    tags=("dedup", "graph"),
+)
+def corpus_near_dedup_kept(spark, sf_dir):
+    """End-to-end near-dedup output — what a 100 TB pipeline would write
+    back out: every document whose id is its cluster's canonical id."""
+    from ..operators.dedup import lsh_verified_near_dups
+    from ..operators.graph import dedup_cluster_labels
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_verified_near_dups(
+        docs, "doc_id", "text", num_hashes=8, rows_per_band=2, n=3, threshold=0.6
+    )
+    labeled = dedup_cluster_labels(docs, pairs, "doc_id")
+    return labeled.filter("is_canonical").select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Changelog semantics (CDC analogs on the events table): latest-state
+# compaction (SCD1 upsert view) and validity intervals (SCD2). One shuffle
+# by key each — the same cost envelope as the groupBy it replaces, so the
+# plan scales like any keyed aggregation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_latest_state",
+    oracle="""
+        SELECT user_id,
+               event_id AS last_event_id,
+               ts AS last_ts,
+               event_type AS last_event_type,
+               value AS last_value
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+    description=(
+        "changelog compaction: latest event per user (SCD1 upsert view; "
+        "ties broken by event_id)"
+    ),
+    tags=("cdc", "window"),
+)
+def user_latest_state(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@register(
+    "user_state_intervals",
+    oracle="""
+        SELECT user_id, event_id, event_type,
+               ts AS valid_from,
+               LEAD(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS valid_to
+        FROM events
+        WHERE user_id < 50
+    """,
+    description=(
+        "SCD2 intervals from a changelog: each event valid from its ts "
+        "until the user's next event (NULL = current)"
+    ),
+    tags=("cdc", "window"),
+)
+def user_state_intervals(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+
+
+@register(
+    "customer_spend_quartiles",
+    oracle="""
+        WITH spend AS (
+            SELECT c.c_custkey, c.c_mktsegment,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,10)))
+                        AS DOUBLE) AS total_spend
+            FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2
+        )
+        SELECT c_custkey, c_mktsegment, total_spend,
+               CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume
+        FROM spend
+        WINDOW w AS (
+            PARTITION BY c_mktsegment ORDER BY total_spend, c_custkey
+        )
+    """,
+    description=(
+        "rank-family windows (ntile/percent_rank/cume_dist) over per-segment "
+        "customer spend; total order incl. key so ntile is deterministic"
+    ),
+    tags=("window", "ranking"),
+)
+def customer_spend_quartiles(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(dec_sum("o_totalprice", "total_spend"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("total_spend", "c_custkey")
+    return spend.select(
+        "c_custkey",
+        "c_mktsegment",
+        "total_spend",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

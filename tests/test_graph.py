@@ -1,0 +1,54 @@
+"""Unit tests for connected components (operators/graph.py) — the
+pairs→groups step of the near-dedup pipeline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_and_ml_system_spark.operators.graph import (
+    connected_components,
+    dedup_cluster_labels,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src", "dst"])
+
+
+def test_components_basic(spark):
+    # two components: {1,2,3,4} (a path, not a clique) and {10,11}
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    got = {
+        r["id"]: r["comp"] for r in connected_components(e).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_components_long_chain_converges(spark):
+    # diameter > 2 forces multiple propagation rounds
+    chain = [(i, i + 1) for i in range(0, 12)]
+    got = {r["id"]: r["comp"] for r in connected_components(_edges(spark, chain)).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 13
+
+
+def test_components_direction_independent(spark):
+    # labels must not depend on which side of the pair held the smaller id
+    a = connected_components(_edges(spark, [(5, 9), (9, 7)])).collect()
+    b = connected_components(_edges(spark, [(9, 5), (7, 9)])).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) == [(5, 5), (7, 5), (9, 5)]
+
+
+def test_dedup_cluster_labels_singletons_and_canonical(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    pairs = spark.createDataFrame([(2, 5), (5, 6)], ["id1", "id2"])
+    out = dedup_cluster_labels(docs, pairs, "doc_id")
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in out.collect()}
+    # singletons keep their own id and are canonical
+    assert rows[1] == (1, True) and rows[3] == (3, True) and rows[4] == (4, True)
+    # the {2,5,6} cluster labels to its min id; only 2 is canonical
+    assert rows[2] == (2, True)
+    assert rows[5] == (2, False) and rows[6] == (2, False)
+    # exactly one canonical row per cluster
+    canon = out.filter("is_canonical").groupBy("cluster_id").count()
+    assert canon.filter(F.col("count") != 1).isEmpty()
