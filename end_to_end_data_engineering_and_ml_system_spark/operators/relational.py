@@ -97,6 +97,76 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions, seed=seed)
 
 
+def hash_uniform(col: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform in [0,1) keyed on a column — engine-portable.
+
+    ``randomSplit``/``sample`` are seeded but engine- and partitioning-
+    specific: no other system can reproduce the membership. This uses the
+    first 8 hex chars of ``md5(salt || key)`` as a 32-bit integer, so ANY
+    engine reproduces the exact same sample — the DuckDB mirror is
+    ``CAST(concat('0x', substr(md5(salt || x), 1, 8)) AS BIGINT) / 4294967296.0``.
+    At 100 TB this is also the property that makes train/test membership
+    stable across re-runs, repartitions, and engine migrations. Pure
+    projection: no shuffle, stays in whole-stage codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") / F.lit(4294967296.0)
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keyed Bernoulli sample with engine-portable membership (R2's
+    reproducible form): a row survives iff ``hash_uniform(key) < fraction``."""
+    return df.filter(hash_uniform(key_col, salt) < fraction)
+
+
+def deterministic_split(
+    df: DataFrame, key_col: str, fractions: dict, salt: str = ""
+) -> DataFrame:
+    """Label every row with a split name by cumulative hash ranges
+    (R1's reproducible form). ``fractions`` maps label -> fraction and must
+    sum to 1.0; iteration order defines the ranges, so use the same order in
+    the oracle. Returns ``df`` plus a ``split`` column — one projection, no
+    shuffle, membership decided row-locally at any scale."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    u = hash_uniform(key_col, salt)
+    expr = None
+    hi = 0.0
+    labels = list(fractions)
+    for label in labels[:-1]:
+        # round the cumulative bound: 0.8+0.1 floats to 0.9000000000000001,
+        # which would diverge from an oracle's literal 0.9
+        hi = round(hi + fractions[label], 12)
+        cond = u < F.lit(hi)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    expr = F.lit(labels[0]) if expr is None else expr.otherwise(labels[-1])
+    return df.withColumn("split", expr)
+
+
+def weighted_corpus_mix(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weights: dict,
+    default_weight: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Mix corpora by per-source sampling weights — the dataset-mixture
+    primitive of a training-data pipeline (e.g. downweight crawl dupes,
+    keep curated sources whole). Deterministic keyed membership, so the
+    mixture is reproducible across runs and engines. One projection+filter;
+    the weight lookup is a literal CASE chain, no join."""
+    w = None
+    for src, frac in weights.items():
+        cond = F.col(group_col) == src
+        w = F.when(cond, frac) if w is None else w.when(cond, frac)
+    w = F.lit(default_weight) if w is None else w.otherwise(default_weight)
+    return df.filter(hash_uniform(key_col, salt) < w)
+
+
 _INTERVAL_SECONDS = {
     "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
     "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,

@@ -2887,3 +2887,91 @@ def customer_spend_quartiles(spark, sf_dir):
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic keyed sampling (LLM-data surface): engine-portable md5-hash
+# membership, so mixtures and splits reproduce bit-identically across runs,
+# partitionings, and engines — unlike seeded randomSplit/sample (R1/R2),
+# which are registered rows-only. Keying the split on user_id is the
+# leakage-safe form: every row of a user lands in the same split.
+# ---------------------------------------------------------------------------
+
+_SQL_HASH_U = (
+    "CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " / 4294967296.0"
+)
+
+
+@register(
+    "corpus_weighted_mix_counts",
+    oracle=f"""
+        WITH u AS (
+            SELECT source, {_SQL_HASH_U.format(key="doc_id")} AS u
+            FROM documents
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM u
+        WHERE u < CASE source
+            WHEN 'src0' THEN 1.0
+            WHEN 'src1' THEN 0.5
+            WHEN 'src2' THEN 0.25
+            WHEN 'src3' THEN 0.0
+            ELSE 0.6 END
+        GROUP BY 1
+    """,
+    description=(
+        "dataset-mixture sampling: per-source weights, deterministic "
+        "md5-keyed membership (reproducible across engines)"
+    ),
+    tags=("sampling", "corpus", "deterministic"),
+)
+def corpus_weighted_mix_counts(spark, sf_dir):
+    from ..operators.relational import weighted_corpus_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = weighted_corpus_mix(
+        docs,
+        "source",
+        "doc_id",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0},
+        default_weight=0.6,
+    )
+    return mixed.groupBy("source").agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "deterministic_split_counts",
+    oracle=f"""
+        WITH s AS (
+            SELECT user_id,
+                   CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT user_id, {_SQL_HASH_U.format(key="user_id")} AS u
+                  FROM events)
+        )
+        SELECT split,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM s
+        GROUP BY 1
+    """,
+    description=(
+        "leakage-safe train/val/test split keyed on user_id "
+        "(cumulative hash ranges; membership engine-portable, unlike R1's "
+        "randomSplit)"
+    ),
+    tags=("sampling", "split", "deterministic"),
+)
+def deterministic_split_counts(spark, sf_dir):
+    from ..operators.relational import deterministic_split
+
+    ev = load_table(spark, sf_dir, "events")
+    split = deterministic_split(
+        ev, "user_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

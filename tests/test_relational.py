@@ -161,3 +161,60 @@ def test_centroids_long_partitioning_invariant(spark, sf_dir):
         .sort_values(["label", "dim"])
     )
     assert (a["mean_val"].to_numpy() == b["mean_val"].to_numpy()).all()
+
+
+def test_deterministic_split_leakage_safe(spark, sf_dir):
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        deterministic_split,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = deterministic_split(ev, "user_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    # exhaustive: every row labeled, sizes sum to total
+    assert out.filter(F.col("split").isNull()).isEmpty()
+    assert out.count() == ev.count()
+    # leakage-safe: each user lands in exactly one split
+    multi = (
+        out.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    assert multi.isEmpty()
+    # reproducible: rerun gives identical membership
+    out2 = deterministic_split(ev, "user_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert (
+        out.select("event_id", "split")
+        .exceptAll(out2.select("event_id", "split"))
+        .isEmpty()
+    )
+
+
+def test_weighted_corpus_mix_weights(spark, sf_dir):
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        weighted_corpus_mix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = weighted_corpus_mix(
+        docs, "source", "doc_id", {"src0": 1.0, "src1": 0.0}, default_weight=0.5
+    )
+    per = {r["source"]: r["n"] for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    n0 = docs.filter(F.col("source") == "src0").count()
+    assert per["src0"] == n0  # weight 1.0 keeps the source whole
+    assert "src1" not in per  # weight 0.0 drops it entirely
+    # default-weight sources are subsampled, not dropped
+    others = [v for k, v in per.items() if k not in ("src0", "src1")]
+    assert others and all(v > 0 for v in others)
+
+
+def test_hash_uniform_range_and_determinism(spark):
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        hash_uniform,
+    )
+
+    df = spark.range(1000).select(hash_uniform("id").alias("u"))
+    row = df.agg(
+        F.min("u").alias("lo"), F.max("u").alias("hi"), F.avg("u").alias("m")
+    ).first()
+    assert 0.0 <= row["lo"] and row["hi"] < 1.0
+    assert 0.4 < row["m"] < 0.6  # roughly uniform
