@@ -2975,3 +2975,100 @@ def deterministic_split_counts(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics (engine surface beyond the reference's dashboard):
+# first-touch funnel and weekly retention cohorts. Both are one shuffle on
+# user_id + a small aggregate — the canonical scale shape for per-entity
+# analytics over an event log (no window over the full table, no collect).
+# Week indexes are computed with date arithmetic only (no tz-dependent
+# unix_timestamp), so they are engine- and session-timezone-portable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_funnel_counts",
+    oracle="""
+        WITH s AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS t_purchase
+            FROM events
+            GROUP BY 1
+        )
+        SELECT
+            CAST(COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS BIGINT)
+                AS n_view,
+            CAST(COUNT(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT)
+                AS n_view_click,
+            CAST(COUNT(CASE WHEN t_click > t_view AND t_purchase > t_click
+                       THEN 1 END) AS BIGINT) AS n_view_click_purchase
+        FROM s
+    """,
+    description=(
+        "first-touch funnel: users whose first view precedes first click "
+        "precedes first purchase (single-pass conditional MINs per user)"
+    ),
+    tags=("analytics", "funnel"),
+)
+def event_funnel_counts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    stage2 = F.col("t_click") > F.col("t_view")
+    stage3 = stage2 & (F.col("t_purchase") > F.col("t_click"))
+    return s.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), True)).alias("n_view"),
+        F.count(F.when(stage2, True)).alias("n_view_click"),
+        F.count(F.when(stage3, True)).alias("n_view_click_purchase"),
+    )
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+        WITH f AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+            FROM events
+            GROUP BY 1
+        ),
+        a AS (
+            SELECT e.user_id,
+                   CAST(floor(date_diff('day', DATE '2024-01-01', f.first_day)
+                              / 7.0) AS BIGINT) AS cohort_week,
+                   CAST(floor(date_diff('day', f.first_day, CAST(e.ts AS DATE))
+                              / 7.0) AS BIGINT) AS week_offset
+            FROM events e JOIN f ON e.user_id = f.user_id
+        )
+        SELECT cohort_week, week_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM a
+        GROUP BY 1, 2
+    """,
+    description=(
+        "weekly retention cohorts: users grouped by first-seen week x "
+        "weeks-since-first-seen activity (date arithmetic only, tz-free)"
+    ),
+    tags=("analytics", "retention"),
+)
+def user_retention_cohorts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    first = ev.groupBy("user_id").agg(F.min("d").alias("first_day"))
+    a = ev.join(first, "user_id").select(
+        "user_id",
+        F.floor(
+            F.datediff("first_day", F.lit("2024-01-01").cast("date")) / 7.0
+        ).alias("cohort_week"),
+        F.floor(F.datediff("d", "first_day") / 7.0).alias("week_offset"),
+    )
+    return a.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
