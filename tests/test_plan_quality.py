@@ -57,3 +57,36 @@ def test_whole_stage_codegen_covers_agg_pipeline(spark, sf_dir):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
     )
     assert "Found 2 WholeStageCodegen subtrees" in plan or "WholeStageCodegen" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """A selective filter on the build side of a shuffle join should inject a
+    runtime bloom filter into the fact-side scan (Spark's row-level runtime
+    filtering). At 100 TB this is the difference between shuffling the whole
+    fact table and shuffling only rows that can possibly match; the fixture
+    thresholds are lowered because the default application-side gate is 10 GB."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        q = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count("*").alias("n"))
+        plan = _plan(q).lower()
+        assert "might_contain" in plan or "bloomfilter" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
