@@ -287,3 +287,47 @@ def test_banded_range_join_matches_naive_reference(
         if ls - lo <= rs <= ls + up
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_match_union_find(spark, edges):
+    """Distributed min-label propagation must agree with a driver-side
+    union-find on arbitrary small graphs (self-loops and duplicates included)."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.graph import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in the component
+    expected = {}
+    for node in parent:
+        root = find(node)
+        members = [n for n in parent if find(n) == root]
+        expected[node] = min(members)
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == expected
