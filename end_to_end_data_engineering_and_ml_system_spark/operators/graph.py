@@ -50,38 +50,50 @@ def connected_components(
     isolated nodes their own id via ``coalesce`` after a left join (see
     ``doc_dedup_clusters`` in plans/queries.py).
     """
+    # materialize the pair list ONCE before symmetrizing: a union of two
+    # selects over `edges` would recompute the (expensive) upstream pair
+    # pipeline per branch — measured ~2x the LSH-verify cost on the dedup path
+    base = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .repartition("dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # fold the first propagation round into initialization:
+    # comp_0(x) = min(x, min neighbor) — cliques (the common near-dup case)
+    # are already converged here, so the loop usually runs once to confirm
     labels = (
-        e.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
+        e.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(
+            F.col("src").alias("id"), F.least("src", "mn").alias("comp")
+        )
         .localCheckpoint(eager=True)
     )
+
+    def _total(lbl: DataFrame):
+        # labels only ever decrease (min is monotone), so an unchanged sum
+        # IS the fixpoint — a 1-row aggregate instead of a diff join
+        return lbl.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+
+    prev = _total(labels)
     for _ in range(max_iters):
         neighbor_labels = e.join(
             labels.withColumnRenamed("id", "dst"), "dst"
         ).select(F.col("src").alias("id"), "comp")
-        new_labels = (
+        labels = (
             labels.union(neighbor_labels)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        converged = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .isEmpty()
-        )
-        labels = new_labels
-        if converged:
+        cur = _total(labels)
+        if cur == prev:
             break
+        prev = cur
     e.unpersist()
     return labels
 
