@@ -342,3 +342,40 @@ def lsh_verified_near_dups(
     return j.select("id1", "id2", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def simhash_table_portable(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 60
+) -> DataFrame:
+    """(id, simhash) like :func:`simhash_table`, but engine-portable.
+
+    ``xxhash64`` exists only in Spark; this variant hashes each token with
+    md5 and takes the first 15 hex chars (60 bits — 16 would overflow signed
+    BIGINT), so any engine with md5 reproduces the signature bit-for-bit
+    (DuckDB mirror: ``CAST(concat('0x', substr(md5(tok),1,15)) AS BIGINT)``).
+    Same scale shape as the fast path: explode + ``bits`` codegen'd grouped
+    vote sums, map-side partial aggregation, one vote row per doc on the
+    shuffle. Use the xxhash64 table for throughput, this one when signatures
+    must be reproducible outside Spark."""
+    if not 1 <= bits <= 60:
+        raise ValueError("bits must be in [1, 60]")
+    toked = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    hashed = toked.select(id_col, h.alias("h"))
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = None
+    for j in range(bits):
+        bit = F.when(
+            F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)
+        ).otherwise(F.lit(0).cast("bigint"))
+        sig = bit if sig is None else sig + bit
+    return votes.select(id_col, sig.alias("simhash"))

@@ -3072,3 +3072,42 @@ def user_retention_cohorts(spark, sf_dir):
     return a.groupBy("cohort_week", "week_offset").agg(
         F.countDistinct("user_id").alias("n_users")
     )
+
+
+@register(
+    "doc_simhash_portable",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                      tk -> tk <> '')) AS tok
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+            FROM tok
+        ),
+        v AS (
+            SELECT doc_id, b.j,
+                   SUM(CASE WHEN (h >> b.j) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+            FROM h CROSS JOIN (SELECT unnest(range(60)) AS j) b
+            GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << j)
+                        ELSE 0 END) AS BIGINT) AS simhash
+        FROM v
+        GROUP BY 1
+    """,
+    description=(
+        "engine-portable 60-bit SimHash (md5 token hashes) — oracle-checked "
+        "bit-for-bit, unlike the xxhash64 fast path"
+    ),
+    tags=("dedup", "simhash", "deterministic"),
+)
+def doc_simhash_portable(spark, sf_dir):
+    from ..operators.dedup import simhash_table_portable
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_table_portable(docs, "doc_id", "text")
