@@ -74,3 +74,27 @@ def with_stage_observation(
     obs = Observation(name)
     cols = [F.count(F.lit(1)).alias("n_rows"), *metrics]
     return df.observe(obs, *cols), obs
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """One-pass data-profiling summary: (column, n_rows, n_nulls, n_distinct)
+    per requested column, long format.
+
+    All counts ride a single aggregate job; exact per-column distincts make
+    Spark plan an Expand (one stream per column), which is the honest cost
+    of exactness — at 100 TB profile with approx_count_distinct instead
+    (same shape, no Expand) and accept ~2% error. Min/max are deliberately
+    omitted: their string rendering is engine-specific, and a profile that
+    can't be reproduced elsewhere is a weaker contract."""
+    aggs = [F.count("*").alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
+    row = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}" for c in cols
+    )
+    return row.selectExpr(
+        f"stack({len(cols)}, {stacked}) AS (column, n_nulls, n_distinct)",
+        "__n AS n_rows",
+    ).select("column", "n_rows", "n_nulls", "n_distinct")

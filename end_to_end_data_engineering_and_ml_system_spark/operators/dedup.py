@@ -379,3 +379,62 @@ def simhash_table_portable(
         ).otherwise(F.lit(0).cast("bigint"))
         sig = bit if sig is None else sig + bit
     return votes.select(id_col, sig.alias("simhash"))
+
+
+def incremental_near_dups(
+    corpus: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dups of a NEW document batch against an EXISTING corpus — the
+    shape production dedup actually runs: a daily increment is checked
+    against the accumulated 100 TB corpus, never corpus-vs-corpus.
+
+    Returns (new_id, corpus_id, jaccard >= threshold). Only cross-side pairs
+    are reported; dups *within* the new batch are `lsh_verified_near_dups`'s
+    job. The candidate join is new-buckets × corpus-buckets on (band,
+    bucket) — at scale the corpus side is precomputed once and stored
+    partitioned by (band, bucket) (see sources/partitioned.py), so each
+    increment shuffles only the new batch's buckets; ``max_bucket_size``
+    caps hot corpus buckets the same way the self-join path does."""
+    cb = lsh_buckets_wide(
+        minhash_wide(corpus, id_col, text_col, num_hashes, n),
+        id_col,
+        num_hashes,
+        rows_per_band,
+    ).select(F.col(id_col).alias("corpus_id"), "band", "bucket")
+    if max_bucket_size is not None:
+        cb = cap_bucket_size(
+            cb.withColumnRenamed("corpus_id", id_col), ["band", "bucket"], max_bucket_size
+        ).withColumnRenamed(id_col, "corpus_id")
+    nb = lsh_buckets_wide(
+        minhash_wide(new, id_col, text_col, num_hashes, n),
+        id_col,
+        num_hashes,
+        rows_per_band,
+    ).select(F.col(id_col).alias("new_id"), "band", "bucket")
+    cands = nb.join(cb, ["band", "bucket"]).select("new_id", "corpus_id").distinct()
+
+    def _sets(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(F.col(id_col).alias(alias), tokens(text_col).alias("__toks")).select(
+            alias,
+            F.array_sort(
+                F.transform(shingles(F.col("__toks"), n), lambda s: F.xxhash64(s))
+            ).alias(f"sh_{alias}"),
+        )
+
+    j = cands.join(_sets(new, "new_id"), "new_id").join(
+        _sets(corpus, "corpus_id"), "corpus_id"
+    )
+    inter = F.size(F.array_intersect(F.col("sh_new_id"), F.col("sh_corpus_id")))
+    union = F.size(F.col("sh_new_id")) + F.size(F.col("sh_corpus_id")) - inter
+    jac = inter.cast("double") / union
+    return j.select("new_id", "corpus_id", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )

@@ -3111,3 +3111,109 @@ def doc_simhash_portable(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_table_portable(docs, "doc_id", "text")
+
+
+@register(
+    "events_table_profile",
+    oracle="""
+        WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events)
+        SELECT p.column, n.n_rows, p.n_nulls, p.n_distinct
+        FROM n, (
+            SELECT 'event_id' AS column,
+                   CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+            FROM events
+            UNION ALL
+            SELECT 'user_id',
+                   CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'event_type',
+                   CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'value',
+                   CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(COUNT(DISTINCT value) AS BIGINT)
+            FROM events
+        ) p
+    """,
+    description=(
+        "one-pass data profile: per-column null/distinct counts, long format "
+        "(exact distincts -> Expand; swap approx_count_distinct at scale)"
+    ),
+    tags=("profiling", "aggregation"),
+)
+def events_table_profile(spark, sf_dir):
+    from ..operators.aggregations import profile_columns
+
+    ev = load_table(spark, sf_dir, "events")
+    return profile_columns(ev, ["event_id", "user_id", "event_type", "value"])
+
+
+@register(
+    "new_docs_vs_corpus_near_dups",
+    oracle=f"""
+        WITH t AS ({_SQL_SHINGLES}),
+        s AS (SELECT doc_id, unnest(sh) AS shingle FROM t),
+        sig AS (
+            SELECT s.doc_id, r.seed,
+                   MIN(md5(r.seed::VARCHAR || ':' || s.shingle)) AS minhash
+            FROM s CROSS JOIN (SELECT unnest(range(8)) AS seed) r
+            GROUP BY 1, 2
+        ),
+        buckets AS (
+            SELECT doc_id, seed // 2 AS band,
+                   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+            FROM sig
+            GROUP BY 1, 2
+        ),
+        new_ids AS (SELECT doc_id FROM documents
+                    WHERE source IN ('src18', 'src19')),
+        corpus_ids AS (SELECT doc_id FROM documents
+                       WHERE source NOT IN ('src18', 'src19')),
+        cand AS (
+            SELECT DISTINCT bn.doc_id AS new_id, bc.doc_id AS corpus_id
+            FROM buckets bn
+            JOIN new_ids ni ON bn.doc_id = ni.doc_id
+            JOIN buckets bc ON bn.band = bc.band AND bn.bucket = bc.bucket
+            JOIN corpus_ids ci ON bc.doc_id = ci.doc_id
+        ),
+        sz AS (SELECT doc_id, len(sh) AS n_sh FROM t),
+        shared AS (
+            SELECT c.new_id, c.corpus_id, COUNT(*) AS shared
+            FROM cand c
+            JOIN s s1 ON s1.doc_id = c.new_id
+            JOIN s s2 ON s2.doc_id = c.corpus_id AND s2.shingle = s1.shingle
+            GROUP BY 1, 2
+        )
+        SELECT sh.new_id, sh.corpus_id,
+               CAST(sh.shared AS DOUBLE) / (z1.n_sh + z2.n_sh - sh.shared)
+                   AS jaccard
+        FROM shared sh
+        JOIN sz z1 ON sh.new_id = z1.doc_id
+        JOIN sz z2 ON sh.corpus_id = z2.doc_id
+        WHERE CAST(sh.shared AS DOUBLE) / (z1.n_sh + z2.n_sh - sh.shared) >= 0.6
+    """,
+    description=(
+        "incremental dedup: near-dups of a new batch (src18/19) vs the "
+        "existing corpus — the daily-increment-vs-100TB production shape"
+    ),
+    tags=("dedup", "lsh", "incremental", "scale"),
+)
+def new_docs_vs_corpus_near_dups(spark, sf_dir):
+    from ..operators.dedup import incremental_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("source").isin("src18", "src19"))
+    corpus = docs.filter(~F.col("source").isin("src18", "src19"))
+    return incremental_near_dups(
+        corpus, new, "doc_id", "text",
+        num_hashes=8, rows_per_band=2, n=3, threshold=0.6,
+    )

@@ -82,3 +82,53 @@ def count_exchanges(df: DataFrame) -> int:
         and "ReusedExchange" not in line
         and "BroadcastExchange" not in line
     )
+
+
+def compact_partitioned_dataset(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    partition_cols: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> None:
+    """Small-file compaction — the maintenance pass every long-lived 100 TB
+    dataset needs: streaming sinks and fine-grained partition writes leave
+    thousands of kB-sized parquet files whose per-file open/footer cost
+    eventually dominates scans.
+
+    Rewrites the dataset with ~``target_file_bytes`` per output file in each
+    Hive partition, preserving the layout. Per-partition sizes come from the
+    scan's own file metadata (``input_file_name``/``input_file_block_length``)
+    — computed distributedly, never a driver-side directory walk — and the
+    files-per-partition plan rides a broadcast join, not a generated CASE
+    chain (a thousand-partition dataset would otherwise blow up the analyzer;
+    see NOTES.md on superlinear constraint propagation). Output file count is
+    enforced by hash-repartitioning on (partition key, spread), where spread
+    fans a partition out only when it needs more than one file."""
+    df = spark.read.parquet(src_dir)
+    sizes = (
+        df.select(
+            *partition_cols,
+            F.input_file_name().alias("__f"),
+            F.input_file_block_length().alias("__len"),
+        )
+        .groupBy(*partition_cols, "__f")
+        .agg(F.first("__len").alias("__len"))
+        .groupBy(*partition_cols)
+        .agg(F.sum("__len").alias("__bytes"))
+    )
+    plan = sizes.withColumn(
+        "__n_out",
+        F.greatest(
+            F.lit(1), F.ceil(F.col("__bytes") / F.lit(target_file_bytes))
+        ).cast("int"),
+    ).drop("__bytes")
+    (
+        df.join(F.broadcast(plan), partition_cols)
+        .withColumn("__spread", (F.rand(42) * F.col("__n_out")).cast("int"))
+        .repartition(*[F.col(c) for c in partition_cols], F.col("__spread"))
+        .drop("__n_out", "__spread")
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(dest_dir)
+    )

@@ -197,3 +197,35 @@ def test_embedding_bucket_cap_subset(spark, sf_dir):
     capped = lsh_bucket_candidates(emb, max_bucket_size=20)
     assert capped.exceptAll(plain).count() == 0
     assert capped.count() <= plain.count()
+
+
+def test_incremental_near_dups_cross_side_only(spark):
+    from end_to_end_data_engineering_and_ml_system_spark.operators.dedup import (
+        incremental_near_dups,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "completely unrelated text about spark physical plans and shuffles"),
+            (3, base + " ok"),  # near-dup INSIDE the corpus: must not be reported
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (100, base + " yes"),  # near-dup of corpus docs 1 and 3
+            (101, "fresh document with entirely new content and no overlap at all"),
+            (102, base + " yes!"),  # near-dup of 100 (same side): must not be reported
+        ],
+        ["doc_id", "text"],
+    )
+    got = incremental_near_dups(corpus, new, "doc_id", "text", threshold=0.5)
+    pairs = {(r["new_id"], r["corpus_id"]) for r in got.collect()}
+    assert (100, 1) in pairs and (100, 3) in pairs
+    assert (102, 1) in pairs  # the other new near-dup also matches the corpus
+    # no same-side pairs, no fresh-doc pairs
+    assert all(n in (100, 102) and c in (1, 3) for n, c in pairs)
+    jacs = [r["jaccard"] for r in got.collect()]
+    assert all(0.5 <= j <= 1.0 for j in jacs)

@@ -151,3 +151,41 @@ def test_ivf_cells_partition_prune(spark, sf_dir):
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_compaction_reduces_files_preserves_data(spark, sf_dir, tmp_path):
+    from end_to_end_data_engineering_and_ml_system_spark.sources.partitioned import (
+        compact_partitioned_dataset,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    frag_dir = str(tmp_path / "frag")
+    # simulate a streaming sink's fragmentation: many tiny files per partition
+    ev.repartition(16).write.partitionBy("day").parquet(frag_dir)
+
+    def parquet_files(d):
+        import os
+
+        return [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    n_frag = len(parquet_files(frag_dir))
+    compact_dir = str(tmp_path / "compact")
+    compact_partitioned_dataset(spark, frag_dir, compact_dir, ["day"])
+    n_compact = len(parquet_files(compact_dir))
+    # tiny partitions collapse to one file each
+    days = ev.select("day").distinct().count()
+    assert n_compact == days < n_frag
+
+    before = spark.read.parquet(frag_dir)
+    after = spark.read.parquet(compact_dir)
+    assert after.count() == before.count()
+    assert before.select(*sorted(before.columns)).exceptAll(
+        after.select(*sorted(before.columns))
+    ).isEmpty()

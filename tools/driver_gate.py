@@ -168,7 +168,17 @@ if __name__ == "__main__":
             or (v.get("rows_match") and v.get("schema_match") and v.get("hash_match"))
         )
     }
+    # merge into the existing artifact so a targeted re-run refreshes only
+    # its own rows instead of clobbering the full-registry evidence
+    merged = {}
+    if os.path.exists("GATE_LOCAL.json"):
+        try:
+            with open("GATE_LOCAL.json") as f:
+                merged = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            merged = {}
+    merged.update(results)
     with open("GATE_LOCAL.json", "w") as f:
-        json.dump(results, f, indent=1, default=str)
+        json.dump(merged, f, indent=1, default=str)
     print(f"\n{len(results) - len(bad)}/{len(results)} strict-green; failures: {sorted(bad)}")
     sys.exit(1 if bad else 0)
