@@ -90,3 +90,48 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_funnel_is_two_exchange_plan(spark, sf_dir):
+    # conditional MINs per user then a global agg: exactly two shuffles,
+    # no window sort over the full event log
+    q = all_queries()["event_funnel_counts"].build(spark, sf_dir)
+    plan = _plan(q)
+    shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln
+        and "ReusedExchange" not in ln
+        and "BroadcastExchange" not in ln
+    ]
+    assert len(shuffles) <= 2, shuffles
+    assert "Window" not in plan
+
+
+def test_latest_state_single_shuffle(spark, sf_dir):
+    # changelog compaction = one hash exchange on the key + in-partition sort
+    q = all_queries()["user_latest_state"].build(spark, sf_dir)
+    plan = _plan(q)
+    shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln
+        and "ReusedExchange" not in ln
+        and "BroadcastExchange" not in ln
+    ]
+    assert len(shuffles) == 1, shuffles
+
+
+def test_deterministic_sampling_is_scan_local(spark, sf_dir):
+    # hash membership is a pure projection+filter: zero exchanges before
+    # the final count aggregation's
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        deterministic_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = deterministic_sample(docs, "doc_id", 0.25).select("doc_id")
+    plan = _plan(q)
+    assert "Exchange" not in plan, plan
+    # "*(n)" is the codegen-stage marker in the compact plan rendering
+    assert "WholeStageCodegen" in plan or "*(1)" in plan, plan

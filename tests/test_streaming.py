@@ -270,3 +270,34 @@ def test_stream_dedup_drops_planted_duplicates(spark, sf_dir, tmp_path):
         got = out.toPandas()
     assert len(got) == 100
     assert got["event_id"].is_unique
+
+
+def test_deterministic_split_identical_in_stream_and_batch(spark, sf_dir, tmp_path):
+    """hash-keyed splits are stateless projections, so the same operator
+    runs unchanged on a stream and must assign every event the same split
+    it gets in batch — the stream/batch unification contract."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        deterministic_split,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.streaming.pipeline import (
+        EVENTS_SCHEMA,
+    )
+
+    ev = load_table(spark, sf_dir, "events").limit(500).select(
+        "event_id", "user_id", "event_type", "value", "props", "ts"
+    )
+    src = tmp_path / "split_src"
+    ev.coalesce(2).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    fracs = {"train": 0.8, "val": 0.1, "test": 0.1}
+    streamed = run_to_memory_sink(
+        deterministic_split(stream, "user_id", fracs).select("event_id", "split"),
+        output_mode="append",
+    )
+    batch = deterministic_split(ev, "user_id", fracs).select("event_id", "split")
+    assert streamed.count() == batch.count() == 500
+    assert streamed.exceptAll(batch).isEmpty()
