@@ -25,3 +25,36 @@ def test_observe_counts_without_extra_job(spark, sf_dir):
     n = observed.count()  # one action; observation rides along
     assert obs.get["n_rows"] == n
     assert 0 <= obs.get["n_big"] <= n
+
+
+def test_profile_columns_counts_nulls_and_distincts(spark):
+    from end_to_end_data_engineering_and_ml_system_spark.operators.aggregations import (
+        profile_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, None)],
+        ["x", "y"],
+    )
+    got = {r["column"]: r for r in profile_columns(df, ["x", "y"]).collect()}
+    assert got["x"]["n_rows"] == 4 and got["y"]["n_rows"] == 4
+    assert got["x"]["n_nulls"] == 1 and got["y"]["n_nulls"] == 2
+    assert got["x"]["n_distinct"] == 3 and got["y"]["n_distinct"] == 1
+
+
+def test_approx_aggregates_within_tolerance(spark, sf_dir):
+    """approx_count_distinct and percentile_approx are the declared 100 TB
+    swap-ins for the exact profile/percentile paths — pin their error here."""
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id").alias("approx"),
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        F.expr("percentile_approx(value, 0.5, 1000)").alias("p50_approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) <= 0.05 * row["exact"]
+    assert abs(row["p50_approx"] - row["p50_exact"]) <= 0.02 * abs(row["p50_exact"]) + 1e-9

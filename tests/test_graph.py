@@ -52,3 +52,22 @@ def test_dedup_cluster_labels_singletons_and_canonical(spark):
     # exactly one canonical row per cluster
     canon = out.filter("is_canonical").groupBy("cluster_id").count()
     assert canon.filter(F.col("count") != 1).isEmpty()
+
+
+def test_components_empty_edges(spark):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField("src", LongType()), StructField("dst", LongType())])
+    )
+    assert connected_components(empty).isEmpty()
+    docs = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    out = dedup_cluster_labels(docs, empty, "doc_id", "src", "dst")
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in out.collect()}
+    assert rows == {1: (1, True), 2: (2, True)}
+
+
+def test_components_self_loops_and_duplicate_edges(spark):
+    e = _edges(spark, [(3, 3), (4, 5), (5, 4), (4, 5)])
+    got = {r["id"]: r["comp"] for r in connected_components(e).collect()}
+    assert got == {3: 3, 4: 4, 5: 4}

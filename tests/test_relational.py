@@ -218,3 +218,17 @@ def test_hash_uniform_range_and_determinism(spark):
     ).first()
     assert 0.0 <= row["lo"] and row["hi"] < 1.0
     assert 0.4 < row["m"] < 0.6  # roughly uniform
+
+
+def test_deterministic_split_single_label_and_validation(spark, sf_dir):
+    import pytest
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        deterministic_split,
+    )
+
+    ev = load_table(spark, sf_dir, "events").limit(50)
+    out = deterministic_split(ev, "user_id", {"all": 1.0})
+    assert out.filter(F.col("split") != "all").isEmpty()
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        deterministic_split(ev, "user_id", {"a": 0.5, "b": 0.2})
