@@ -105,6 +105,12 @@ def compact_partitioned_dataset(
     see NOTES.md on superlinear constraint propagation). Output file count is
     enforced by hash-repartitioning on (partition key, spread), where spread
     fans a partition out only when it needs more than one file."""
+    import os
+
+    if os.path.abspath(src_dir) == os.path.abspath(dest_dir):
+        # parquet overwrite deletes the destination before the read plan
+        # finishes scanning it — in-place compaction needs a staging dir
+        raise ValueError("compaction cannot write in place; use a staging dest_dir")
     df = spark.read.parquet(src_dir)
     sizes = (
         df.select(

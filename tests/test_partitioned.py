@@ -189,3 +189,15 @@ def test_compaction_reduces_files_preserves_data(spark, sf_dir, tmp_path):
     assert before.select(*sorted(before.columns)).exceptAll(
         after.select(*sorted(before.columns))
     ).isEmpty()
+
+
+def test_compaction_refuses_in_place(spark, tmp_path):
+    import pytest
+
+    from end_to_end_data_engineering_and_ml_system_spark.sources.partitioned import (
+        compact_partitioned_dataset,
+    )
+
+    d = str(tmp_path / "x")
+    with pytest.raises(ValueError, match="in place"):
+        compact_partitioned_dataset(spark, d, d, ["day"])

@@ -331,3 +331,48 @@ def test_connected_components_match_union_find(spark, edges):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(-(2**31), 2**31),
+            st.text(
+                alphabet=st.characters(min_codepoint=33, max_codepoint=0x024F),
+                min_size=0,
+                max_size=20,
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_hash_uniform_matches_duckdb_bit_for_bit(spark, keys):
+    """The engine-portability contract of deterministic sampling: Spark's
+    hash_uniform must equal DuckDB's md5-prefix formula exactly, for ints
+    and unicode strings alike (md5 runs over UTF-8 bytes in both)."""
+    import duckdb
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        hash_uniform,
+    )
+
+    df = spark.createDataFrame([(str(k),) for k in keys], ["k"])
+    got = {
+        r["k"]: r["u"]
+        for r in df.select("k", hash_uniform("k").alias("u")).collect()
+    }
+    con = duckdb.connect()
+    for k in keys:
+        want = con.execute(
+            "SELECT CAST(concat('0x', substr(md5(?), 1, 8)) AS BIGINT)"
+            " / 4294967296.0",
+            [str(k)],
+        ).fetchone()[0]
+        assert got[str(k)] == want, (k, got[str(k)], want)
