@@ -49,6 +49,13 @@ def connected_components(
     Only nodes that appear in at least one edge are returned; callers give
     isolated nodes their own id via ``coalesce`` after a left join (see
     ``doc_dedup_clusters`` in plans/queries.py).
+
+    Rounds needed = graph diameter, which is 1-2 for near-dup graphs (the
+    verify step emits near-cliques). Raises if ``max_iters`` rounds pass
+    without reaching the fixpoint rather than returning silently-wrong
+    labels — a graph deep enough to trip this (a 25-hop path) is not a
+    dedup graph, and wants an O(log n)-round formulation (large-star /
+    small-star, Kiveris et al. 2014) instead of a bigger ``max_iters``.
     """
     # materialize the pair list ONCE before symmetrizing: a union of two
     # selects over `edges` would recompute the (expensive) upstream pair
@@ -80,6 +87,7 @@ def connected_components(
         return lbl.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
 
     prev = _total(labels)
+    converged = False
     for _ in range(max_iters):
         neighbor_labels = e.join(
             labels.withColumnRenamed("id", "dst"), "dst"
@@ -92,9 +100,15 @@ def connected_components(
         )
         cur = _total(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
     e.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds; "
+            "the graph's diameter exceeds the dedup-shaped assumption"
+        )
     return labels
 
 

@@ -71,3 +71,12 @@ def test_components_self_loops_and_duplicate_edges(spark):
     e = _edges(spark, [(3, 3), (4, 5), (5, 4), (4, 5)])
     got = {r["id"]: r["comp"] for r in connected_components(e).collect()}
     assert got == {3: 3, 4: 4, 5: 4}
+
+
+def test_components_raise_on_nonconvergence(spark):
+    import pytest
+
+    # a 6-hop path cannot converge in 2 rounds after the folded init
+    chain = _edges(spark, [(i, i + 1) for i in range(6)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=1)

@@ -301,3 +301,52 @@ def test_deterministic_split_identical_in_stream_and_batch(spark, sf_dir, tmp_pa
     batch = deterministic_split(ev, "user_id", fracs).select("event_id", "split")
     assert streamed.count() == batch.count() == 500
     assert streamed.exceptAll(batch).isEmpty()
+
+
+def test_stateless_corpus_ops_identical_in_stream(spark, sf_dir, tmp_path):
+    """Quality scoring, PII redaction and chunking are stateless projections,
+    so the text library runs unchanged over a documents stream with
+    bit-identical output — corpus preprocessing as a streaming pipeline."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.text import (
+        chunk_documents,
+        quality_score,
+        redact_pii,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    src = tmp_path / "docs_src"
+    docs.coalesce(2).write.parquet(str(src))
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+    def pipeline(df):
+        scored = df.select(
+            "doc_id",
+            quality_score("text").alias("q"),
+            redact_pii("text").alias("clean_text"),
+        ).filter(F.col("q") > 0.3)
+        return chunk_documents(scored, "doc_id", "clean_text", 256, 32)
+
+    streamed = run_to_memory_sink(pipeline(stream), output_mode="append")
+    batch = pipeline(spark.read.parquet(str(src)))
+    assert streamed.count() == batch.count() > 0
+    assert streamed.exceptAll(batch).isEmpty()
