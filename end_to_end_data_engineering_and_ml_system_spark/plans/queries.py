@@ -3217,3 +3217,58 @@ def new_docs_vs_corpus_near_dups(spark, sf_dir):
         corpus, new, "doc_id", "text",
         num_hashes=8, rows_per_band=2, n=3, threshold=0.6,
     )
+
+
+@register(
+    "multimodal_feature_histogram",
+    oracle="""
+        WITH hx AS (
+            SELECT doc_id, hex(encode(text)) AS h,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents
+        ),
+        byte_bins AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(h, CAST(i * 2 + 1 AS INT), 2))
+                        AS INT) // 16 AS bin
+            FROM hx, UNNEST(range(n_bytes)) AS t(i)
+        ),
+        counts AS (
+            SELECT doc_id, bin, COUNT(*) AS c
+            FROM byte_bins
+            GROUP BY 1, 2
+        )
+        SELECT hx.doc_id,
+               CAST(hx.n_bytes AS BIGINT) AS n_bytes,
+               CAST(b.bin AS BIGINT) AS bin,
+               CASE WHEN hx.n_bytes = 0 THEN 0.0
+                    ELSE COALESCE(c.c, 0) / CAST(hx.n_bytes AS DOUBLE)
+               END AS frac
+        FROM hx
+        CROSS JOIN (SELECT unnest(range(16)) AS bin) b
+        LEFT JOIN counts c ON c.doc_id = hx.doc_id AND c.bin = b.bin
+    """,
+    description=(
+        "mapInPandas media decode (deterministic byte-histogram fake), "
+        "unpacked long so the Arrow path is ORACLE-checked value-for-value"
+    ),
+    tags=("multimodal", "inference"),
+)
+def multimodal_feature_histogram(spark, sf_dir):
+    """Same mapInPandas decode as multimodal_feature_extract
+    (operators/multimodal.py:45), but posexploded to (doc_id, n_bytes, bin,
+    frac) — proving the Python/Arrow batch path computes exactly what the
+    declarative oracle says, not just 'some rows'."""
+    from ..operators.multimodal import decode_media_features, payload_from_text
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", payload_from_text("text")
+    )
+    feats = decode_media_features(docs, "doc_id", "payload")
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.posexplode("features").alias("bin", "frac"),
+    ).select(
+        "doc_id", "n_bytes", F.col("bin").cast("bigint").alias("bin"), "frac"
+    )
