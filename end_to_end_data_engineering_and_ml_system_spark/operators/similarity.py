@@ -302,3 +302,50 @@ def embedding_near_dups(
     return j.select(
         "id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+def lsh_signatures_portable(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+) -> DataFrame:
+    """Engine-portable sign-sketch signatures: plane signs from md5 (not
+    Spark-only xxhash64) and projections summed as floor(x*sign*1e6 + 0.5)
+    integers — the repo's decimal-tie-safe quantization (NOTES.md) — so any
+    engine reproduces every bit. Same batch shape as
+    :func:`lsh_signatures_table`: posexplode + codegen'd grouped sums, one
+    signature row per vector on the shuffle. Quantization at 1e-6 only
+    flips a bit when |<v, plane>| < 5e-7 — noise-level projections whose
+    bucket membership is arbitrary in ANY floating formulation."""
+    ex = corpus.select(
+        F.col(id_col), F.posexplode(vec_col).alias("pos", "xf")
+    ).select(id_col, "pos", F.col("xf").cast("double").alias("x"))
+
+    def sign(j: int):
+        nib = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{j}:"), F.col("pos").cast("string"))), 1, 1
+            ),
+            16,
+            10,
+        ).cast("int")
+        return F.when(nib % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    projs = ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.floor(F.col("x") * sign(j) * F.lit(1000000.0) + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias(f"p{j}")
+            for j in range(num_planes)
+        ]
+    )
+    sig = None
+    for j in range(num_planes):
+        bit = F.when(
+            F.col(f"p{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)
+        ).otherwise(F.lit(0).cast("bigint"))
+        sig = bit if sig is None else sig + bit
+    return projs.select(id_col, sig.alias("sig"))

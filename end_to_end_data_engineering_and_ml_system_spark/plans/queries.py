@@ -3272,3 +3272,41 @@ def multimodal_feature_histogram(spark, sf_dir):
     ).select(
         "doc_id", "n_bytes", F.col("bin").cast("bigint").alias("bin"), "frac"
     )
+
+
+@register(
+    "embedding_lsh_signatures_portable",
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS x
+            FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
+            WHERE vec_id < 500
+        ),
+        terms AS (
+            SELECT vec_id, p.j,
+                   CAST(floor(x * (CASE WHEN CAST(concat('0x',
+                            substr(md5(p.j || ':' || pos), 1, 1)) AS INT)
+                            % 2 = 1 THEN 1.0 ELSE -1.0 END)
+                        * 1000000.0 + 0.5) AS BIGINT) AS term
+            FROM ex CROSS JOIN (SELECT unnest(range(16)) AS j) p
+        ),
+        projs AS (SELECT vec_id, j, SUM(term) AS p FROM terms GROUP BY 1, 2)
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN p > 0
+                        THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                        ELSE 0 END) AS BIGINT) AS sig
+        FROM projs
+        GROUP BY 1
+    """,
+    description=(
+        "engine-portable hyperplane LSH signatures (md5 plane signs, "
+        "integer-quantized projections) — the ANN sketch, oracle-checked "
+        "bit-for-bit"
+    ),
+    tags=("similarity", "ann", "lsh", "deterministic"),
+)
+def embedding_lsh_signatures_portable(spark, sf_dir):
+    from ..operators.similarity import lsh_signatures_portable
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return lsh_signatures_portable(emb)
