@@ -351,3 +351,59 @@ def apply_standardizer_literal(
         for c in cols
     ]
     return df.select(*df.columns, *zcols)
+
+
+def pairwise_correlations(df, cols):
+    """Pearson correlation matrix in ONE distributed pass, long format
+    (feat_x, feat_y, corr), upper triangle.
+
+    All moments (Σx, Σx², Σxy) accumulate through exact decimals — sums of
+    doubles are order-dependent, and a correlation that changes with the
+    partitioning is not reproducible at 100 TB (see functions/numeric.py).
+    The final corr arithmetic runs in double over those exact sums, so any
+    engine computing the same formula gets the same bits. Products ride
+    DECIMAL(38,10): quadratic terms need the wider integral range.
+    Assumes no nulls in ``cols`` (fixture contract; COUNT(*) denominator)."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count("*").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast("double").cast("decimal(28,10)")).alias(f"s_{c}"))
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            name = f"sp_{a}__{b}"
+            pairs.append((a, b, name))
+            aggs.append(
+                F.sum(
+                    (F.col(a).cast("double") * F.col(b).cast("double")).cast(
+                        "decimal(38,10)"
+                    )
+                ).alias(name)
+            )
+    m = df.agg(*aggs)
+
+    def var_term(c):
+        return (
+            F.col("n").cast("double") * F.col(f"sp_{c}__{c}").cast("double")
+            - F.col(f"s_{c}").cast("double") * F.col(f"s_{c}").cast("double")
+        )
+
+    rows = []
+    for a, b, name in pairs:
+        if a == b:
+            continue
+        num = (
+            F.col("n").cast("double") * F.col(name).cast("double")
+            - F.col(f"s_{a}").cast("double") * F.col(f"s_{b}").cast("double")
+        )
+        rows.append(
+            F.struct(
+                F.lit(a).alias("feat_x"),
+                F.lit(b).alias("feat_y"),
+                (num / F.sqrt(var_term(a) * var_term(b))).alias("corr"),
+            )
+        )
+    return m.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.feat_x", "r.feat_y", "r.corr"
+    )

@@ -3310,3 +3310,49 @@ def embedding_lsh_signatures_portable(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     return lsh_signatures_portable(emb)
+
+
+@register(
+    "feature_correlations",
+    oracle="""
+        WITH m AS (
+            SELECT COUNT(*) AS n,
+                   SUM(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(28,10))) AS s_l_quantity,
+                   SUM(CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(28,10))) AS s_l_extendedprice,
+                   SUM(CAST(CAST(l_discount AS DOUBLE) AS DECIMAL(28,10))) AS s_l_discount,
+                   SUM(CAST(CAST(l_tax AS DOUBLE) AS DECIMAL(28,10))) AS s_l_tax,
+                   SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE) AS DECIMAL(38,10))) AS sp_l_quantity__l_quantity,
+                   SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,10))) AS sp_l_quantity__l_extendedprice,
+                   SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_discount AS DOUBLE) AS DECIMAL(38,10))) AS sp_l_quantity__l_discount,
+                   SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_tax AS DOUBLE) AS DECIMAL(38,10))) AS sp_l_quantity__l_tax,
+                   SUM(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,10))) AS sp_l_extendedprice__l_extendedprice,
+                   SUM(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_discount AS DOUBLE) AS DECIMAL(38,10))) AS sp_l_extendedprice__l_discount,
+                   SUM(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_tax AS DOUBLE) AS DECIMAL(38,10))) AS sp_l_extendedprice__l_tax,
+                   SUM(CAST(CAST(l_discount AS DOUBLE) * CAST(l_discount AS DOUBLE) AS DECIMAL(38,10))) AS sp_l_discount__l_discount,
+                   SUM(CAST(CAST(l_discount AS DOUBLE) * CAST(l_tax AS DOUBLE) AS DECIMAL(38,10))) AS sp_l_discount__l_tax,
+                   SUM(CAST(CAST(l_tax AS DOUBLE) * CAST(l_tax AS DOUBLE) AS DECIMAL(38,10))) AS sp_l_tax__l_tax
+            FROM lineitem
+        )
+        SELECT 'l_quantity' AS feat_x, 'l_extendedprice' AS feat_y, (CAST(n AS DOUBLE) * CAST(sp_l_quantity__l_extendedprice AS DOUBLE) - CAST(s_l_quantity AS DOUBLE) * CAST(s_l_extendedprice AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(sp_l_quantity__l_quantity AS DOUBLE) - CAST(s_l_quantity AS DOUBLE) * CAST(s_l_quantity AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(sp_l_extendedprice__l_extendedprice AS DOUBLE) - CAST(s_l_extendedprice AS DOUBLE) * CAST(s_l_extendedprice AS DOUBLE))) AS corr FROM m
+        UNION ALL
+        SELECT 'l_quantity' AS feat_x, 'l_discount' AS feat_y, (CAST(n AS DOUBLE) * CAST(sp_l_quantity__l_discount AS DOUBLE) - CAST(s_l_quantity AS DOUBLE) * CAST(s_l_discount AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(sp_l_quantity__l_quantity AS DOUBLE) - CAST(s_l_quantity AS DOUBLE) * CAST(s_l_quantity AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(sp_l_discount__l_discount AS DOUBLE) - CAST(s_l_discount AS DOUBLE) * CAST(s_l_discount AS DOUBLE))) AS corr FROM m
+        UNION ALL
+        SELECT 'l_quantity' AS feat_x, 'l_tax' AS feat_y, (CAST(n AS DOUBLE) * CAST(sp_l_quantity__l_tax AS DOUBLE) - CAST(s_l_quantity AS DOUBLE) * CAST(s_l_tax AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(sp_l_quantity__l_quantity AS DOUBLE) - CAST(s_l_quantity AS DOUBLE) * CAST(s_l_quantity AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(sp_l_tax__l_tax AS DOUBLE) - CAST(s_l_tax AS DOUBLE) * CAST(s_l_tax AS DOUBLE))) AS corr FROM m
+        UNION ALL
+        SELECT 'l_extendedprice' AS feat_x, 'l_discount' AS feat_y, (CAST(n AS DOUBLE) * CAST(sp_l_extendedprice__l_discount AS DOUBLE) - CAST(s_l_extendedprice AS DOUBLE) * CAST(s_l_discount AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(sp_l_extendedprice__l_extendedprice AS DOUBLE) - CAST(s_l_extendedprice AS DOUBLE) * CAST(s_l_extendedprice AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(sp_l_discount__l_discount AS DOUBLE) - CAST(s_l_discount AS DOUBLE) * CAST(s_l_discount AS DOUBLE))) AS corr FROM m
+        UNION ALL
+        SELECT 'l_extendedprice' AS feat_x, 'l_tax' AS feat_y, (CAST(n AS DOUBLE) * CAST(sp_l_extendedprice__l_tax AS DOUBLE) - CAST(s_l_extendedprice AS DOUBLE) * CAST(s_l_tax AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(sp_l_extendedprice__l_extendedprice AS DOUBLE) - CAST(s_l_extendedprice AS DOUBLE) * CAST(s_l_extendedprice AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(sp_l_tax__l_tax AS DOUBLE) - CAST(s_l_tax AS DOUBLE) * CAST(s_l_tax AS DOUBLE))) AS corr FROM m
+        UNION ALL
+        SELECT 'l_discount' AS feat_x, 'l_tax' AS feat_y, (CAST(n AS DOUBLE) * CAST(sp_l_discount__l_tax AS DOUBLE) - CAST(s_l_discount AS DOUBLE) * CAST(s_l_tax AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(sp_l_discount__l_discount AS DOUBLE) - CAST(s_l_discount AS DOUBLE) * CAST(s_l_discount AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(sp_l_tax__l_tax AS DOUBLE) - CAST(s_l_tax AS DOUBLE) * CAST(s_l_tax AS DOUBLE))) AS corr FROM m
+    """,
+    description=(
+        "Pearson correlation matrix in one pass (decimal-exact moments, "
+        "double finish) — partitioning-independent, engine-reproducible"
+    ),
+    tags=("ml", "statistics"),
+)
+def feature_correlations(spark, sf_dir):
+    from ..ml.pipeline import pairwise_correlations
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return pairwise_correlations(li, list(_FEATURES))
