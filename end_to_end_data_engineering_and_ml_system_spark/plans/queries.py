@@ -3356,3 +3356,98 @@ def feature_correlations(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem")
     return pairwise_correlations(li, list(_FEATURES))
+
+
+# ---------------------------------------------------------------------------
+# Classic OLAP shapes (TPC-H Q3/Q10 analogs on the synthetic schema —
+# o_orderpriority stands in for Q3's o_shippriority; dates fit the
+# fixtures' 1995-2001 range). Broadcast dims, decimal-exact revenue,
+# deterministic tie-breaks.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unshipped_orders_topk",
+    oracle="""
+        SELECT l.l_orderkey,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY 1, 3, 4
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """,
+    description=(
+        "TPC-H Q3 analog: top unshipped-order revenue in a segment "
+        "(selective dim filter -> broadcast -> one agg shuffle -> top-k)"
+    ),
+    tags=("olap", "join", "topk"),
+)
+def unshipped_orders_topk(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "returned_items_customers",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
+    description=(
+        "TPC-H Q10 analog: customers ranked by returned-item revenue "
+        "(fact filtered on the scan, two broadcast dims, one agg shuffle)"
+    ),
+    tags=("olap", "join", "topk"),
+)
+def returned_items_customers(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
