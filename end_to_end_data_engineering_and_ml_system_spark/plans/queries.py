@@ -3451,3 +3451,41 @@ def returned_items_customers(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "large_quantity_orders",
+    oracle="""
+        SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,10))) AS DOUBLE)
+                   AS total_qty
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2, 3
+        HAVING SUM(CAST(l.l_quantity AS DECIMAL(28,10))) > 150
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 50
+    """,
+    description=(
+        "TPC-H Q18 analog: orders whose summed line quantity clears a "
+        "HAVING threshold (post-aggregation filter, deterministic top-k)"
+    ),
+    tags=("olap", "having"),
+)
+def large_quantity_orders(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,10)")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("q").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(50)
+    )
