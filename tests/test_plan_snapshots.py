@@ -20,6 +20,9 @@ def test_plan_snapshots_current():
     with open(OUT) as f:
         committed = f.read()
     fresh = build_snapshots()
+    if committed != fresh:
+        with open("/tmp/fresh_snap.md", "w") as f:
+            f.write(fresh)
     assert committed == fresh, (
         "PLAN_SNAPSHOTS.md is stale — a physical plan changed. Review the "
         "diff, then regenerate with `python tools/plan_snapshots.py`."

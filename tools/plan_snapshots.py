@@ -31,6 +31,8 @@ def normalize(plan: str) -> str:
     # lambda variable names embed a session-global counter (x_1, y_42, ...)
     plan = re.sub(r"\b(lambda )?([xy])_\d+#x", r"\1\2_n#x", plan)
     plan = re.sub(r"plan_id=\d+", "plan_id=x", plan)
+    # localCheckpoint scans embed a session-global RDD id
+    plan = re.sub(r"MapPartitionsRDD\[\d+\]", "MapPartitionsRDD[n]", plan)
     plan = re.sub(r"Statistics\([^)]*\)", "Statistics(x)", plan)
     plan = re.sub(r"\[id=#x\]", "", plan)
     plan = re.sub(r"file:[^,\]\s]+", "file:<path>", plan)
@@ -60,9 +62,24 @@ def build_snapshots() -> str:
 
     # the engine's own session factory: identical configs (AQE, broadcast
     # threshold) whether run standalone or inside the pytest session, so the
-    # snapshot never flips on session-config drift
-    spark = get_spark(app_name="plan-snapshots", cpus=8, shuffle_partitions=8)
-    spark.sparkContext.setLogLevel("ERROR")
+    # snapshot never flips on session-config drift. Under pytest, getOrCreate
+    # returns the suite's SHARED session — whose runtime SQL confs other
+    # tests may have touched (and getOrCreate does not re-apply builder
+    # confs to an existing session). Plan on an isolated newSession() with
+    # the factory's SQL confs pinned explicitly.
+    base = get_spark(app_name="plan-snapshots", cpus=8, shuffle_partitions=8)
+    base.sparkContext.setLogLevel("ERROR")
+    spark = base.newSession()
+    for k, v in {
+        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }.items():
+        spark.conf.set(k, v)
     parts = [
         "# PLAN_SNAPSHOTS — generated physical plans (do not edit by hand)\n",
         "Normalized `.explain(formatted)` for every headline query at "
