@@ -42,6 +42,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 25,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Return ``(id, comp)`` where ``comp`` is the minimum node id reachable
     from ``id`` — a deterministic, engine-independent component label.
@@ -63,12 +64,15 @@ def connected_components(
     base = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).localCheckpoint(eager=True)
-    e = (
-        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .repartition("dst")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sym = base.union(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # duplicate edges multiply every round's join fan-out, so dedup by
+    # default; callers whose pairs are already unique with src < dst (the
+    # near-dup verify output) skip the extra shuffle via assume_distinct
+    if not assume_distinct:
+        sym = sym.distinct()
+    e = sym.repartition("dst").persist(StorageLevel.MEMORY_AND_DISK)
     # fold the first propagation round into initialization:
     # comp_0(x) = min(x, min neighbor) — cliques (the common near-dup case)
     # are already converged here, so the loop usually runs once to confirm
@@ -122,7 +126,9 @@ def dedup_cluster_labels(
     """Label every row of ``df`` with its near-dup cluster id (singletons get
     their own id) and whether it is the cluster's canonical representative
     (the minimum id — the same keep-lowest rule as ``doc_fingerprints``)."""
-    comp = connected_components(pairs, pair_left, pair_right)
+    # verify-step pairs are unique with id1 < id2: symmetrization cannot
+    # collide, so the dedup shuffle is skipped
+    comp = connected_components(pairs, pair_left, pair_right, assume_distinct=True)
     return (
         df.join(comp.withColumnRenamed("id", id_col), id_col, "left")
         .withColumn("cluster_id", F.coalesce("comp", F.col(id_col)))
