@@ -55,8 +55,8 @@ def connected_components(
     verify step emits near-cliques). Raises if ``max_iters`` rounds pass
     without reaching the fixpoint rather than returning silently-wrong
     labels — a graph deep enough to trip this (a 25-hop path) is not a
-    dedup graph, and wants an O(log n)-round formulation (large-star /
-    small-star, Kiveris et al. 2014) instead of a bigger ``max_iters``.
+    dedup graph, and wants the O(log n)-round formulation instead
+    (:func:`connected_components_stars`) rather than a bigger ``max_iters``.
     """
     # materialize the pair list ONCE before symmetrizing: a union of two
     # selects over `edges` would recompute the (expensive) upstream pair
@@ -135,3 +135,87 @@ def dedup_cluster_labels(
         .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
         .drop("comp")
     )
+
+
+def connected_components_stars(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components in O(log n) rounds via alternating large-star /
+    small-star (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the general-graph formulation for diameters the
+    propagation variant refuses (:func:`connected_components` raises past
+    ``max_iters`` rounds; this converges logarithmically even on paths).
+
+    Round shapes: each half-round is one groupBy (min per node) + one join
+    back — the same cost class as a propagation round, but the edge set
+    itself contracts toward stars, so the number of rounds is logarithmic
+    in component size instead of linear in diameter. Each half-round ends
+    in a lineage cut. Returns ``(id, comp)`` with comp = component minimum,
+    identical to :func:`connected_components`.
+    """
+    # canonical directed pairs (big, small): a > b, no self-loops, deduped
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(ed: DataFrame):
+        # multiset fingerprint for convergence: count + order-independent
+        # hash sum (exact equality of canonical edge sets is what stability
+        # means here; hash collision odds are negligible and the final
+        # labels are exact regardless — stars only ever contract further)
+        row = ed.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = _sig(e)
+    converged = False
+    for _ in range(max_iters):
+        # ---- large-star: every node links its LARGER neighbors to its min
+        adj = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = adj.groupBy("a").agg(F.min("b").alias("m"))
+        mins = mins.select("a", F.least("a", "m").alias("m"))
+        e = (
+            adj.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # ---- small-star: every node links its smaller neighbors (and
+        # itself) to the smallest of them; edges are (big, small) already
+        mins2 = e.groupBy("a").agg(F.min("b").alias("m"))
+        joined = e.join(mins2, "a")
+        e = (
+            joined.select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(joined.select("a", F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = _sig(e)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"star contraction did not stabilize in {max_iters} rounds"
+        )
+    # stable state is a forest of stars (child, root); roots label themselves
+    children = e.select(F.col("a").alias("id"), F.col("b").alias("comp"))
+    roots = e.select(F.col("b").alias("id")).distinct().withColumn(
+        "comp", F.col("id")
+    )
+    return children.union(roots).distinct()

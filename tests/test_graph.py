@@ -80,3 +80,22 @@ def test_components_raise_on_nonconvergence(spark):
     chain = _edges(spark, [(i, i + 1) for i in range(6)])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iters=1)
+
+
+def test_stars_long_chain_and_parity_with_propagation(spark):
+    from end_to_end_data_engineering_and_ml_system_spark.operators.graph import (
+        connected_components_stars,
+    )
+
+    # a 40-hop path: far beyond the propagation variant's round budget,
+    # logarithmic for star contraction
+    chain = _edges(spark, [(i, i + 1) for i in range(40)])
+    got = {r["id"]: r["comp"] for r in connected_components_stars(chain).collect()}
+    assert set(got.values()) == {0} and len(got) == 41
+    # same answer as propagation on a propagation-friendly graph
+    small = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)]
+    a = sorted(map(tuple, connected_components(_edges(spark, small)).collect()))
+    b = sorted(
+        map(tuple, connected_components_stars(_edges(spark, small)).collect())
+    )
+    assert a == b

@@ -376,3 +376,46 @@ def test_hash_uniform_matches_duckdb_bit_for_bit(spark, keys):
             [str(k)],
         ).fetchone()[0]
         assert got[str(k)] == want, (k, got[str(k)], want)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_star_contraction_matches_union_find(spark, edges):
+    """large-star/small-star must agree with union-find on arbitrary graphs
+    (self-loops dropped: a node with only self-edges has no component row)."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.graph import (
+        connected_components_stars,
+    )
+
+    real_edges = [(a, b) for a, b in edges if a != b]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in real_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for node in parent:
+        root = find(node)
+        expected[node] = min(n for n in parent if find(n) == root)
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["comp"] for r in connected_components_stars(df).collect()}
+    assert got == expected
