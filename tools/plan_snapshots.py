@@ -31,8 +31,12 @@ def normalize(plan: str) -> str:
     # lambda variable names embed a session-global counter (x_1, y_42, ...)
     plan = re.sub(r"\b(lambda )?([xy])_\d+#x", r"\1\2_n#x", plan)
     plan = re.sub(r"plan_id=\d+", "plan_id=x", plan)
-    # localCheckpoint scans embed a session-global RDD id
+    # localCheckpoint scans embed a session-global RDD id and a JVM
+    # call-site string that flips with method-accessor JIT inflation
     plan = re.sub(r"MapPartitionsRDD\[\d+\]", "MapPartitionsRDD[n]", plan)
+    plan = re.sub(
+        r"at localCheckpoint at [^,]*", "at localCheckpoint at <site>", plan
+    )
     plan = re.sub(r"Statistics\([^)]*\)", "Statistics(x)", plan)
     plan = re.sub(r"\[id=#x\]", "", plan)
     plan = re.sub(r"file:[^,\]\s]+", "file:<path>", plan)
