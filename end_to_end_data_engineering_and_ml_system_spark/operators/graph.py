@@ -37,12 +37,24 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+def _cut(df: DataFrame, reliable: bool) -> DataFrame:
+    """Lineage cut between rounds. ``reliable=False`` uses localCheckpoint —
+    fast, but blocks die with their executor; on a real cluster pass
+    ``reliable=True`` (requires ``spark.sparkContext.setCheckpointDir``)
+    so a lost executor replays from the checkpoint store instead of
+    recomputing the whole iteration history."""
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 25,
     assume_distinct: bool = False,
+    reliable_checkpoints: bool = False,
 ) -> DataFrame:
     """Return ``(id, comp)`` where ``comp`` is the minimum node id reachable
     from ``id`` — a deterministic, engine-independent component label.
@@ -61,9 +73,10 @@ def connected_components(
     # materialize the pair list ONCE before symmetrizing: a union of two
     # selects over `edges` would recompute the (expensive) upstream pair
     # pipeline per branch — measured ~2x the LSH-verify cost on the dedup path
-    base = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint(eager=True)
+    base = _cut(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
+        reliable_checkpoints,
+    )
     sym = base.union(
         base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -76,13 +89,11 @@ def connected_components(
     # fold the first propagation round into initialization:
     # comp_0(x) = min(x, min neighbor) — cliques (the common near-dup case)
     # are already converged here, so the loop usually runs once to confirm
-    labels = (
+    labels = _cut(
         e.groupBy("src")
         .agg(F.min("dst").alias("mn"))
-        .select(
-            F.col("src").alias("id"), F.least("src", "mn").alias("comp")
-        )
-        .localCheckpoint(eager=True)
+        .select(F.col("src").alias("id"), F.least("src", "mn").alias("comp")),
+        reliable_checkpoints,
     )
 
     def _total(lbl: DataFrame):
@@ -96,11 +107,11 @@ def connected_components(
         neighbor_labels = e.join(
             labels.withColumnRenamed("id", "dst"), "dst"
         ).select(F.col("src").alias("id"), "comp")
-        labels = (
+        labels = _cut(
             labels.union(neighbor_labels)
             .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("comp").alias("comp")),
+            reliable_checkpoints,
         )
         cur = _total(labels)
         if cur == prev:
@@ -142,6 +153,7 @@ def connected_components_stars(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 50,
+    reliable_checkpoints: bool = False,
 ) -> DataFrame:
     """Connected components in O(log n) rounds via alternating large-star /
     small-star (Kiveris et al., "Connected Components in MapReduce and
@@ -157,14 +169,12 @@ def connected_components_stars(
     identical to :func:`connected_components`.
     """
     # canonical directed pairs (big, small): a > b, no self-loops, deduped
-    e = (
+    e = _cut(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
-        .select(
-            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+        .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        .distinct(),
+        reliable_checkpoints,
     )
 
     def _sig(ed: DataFrame):
@@ -185,24 +195,24 @@ def connected_components_stars(
         adj = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         mins = adj.groupBy("a").agg(F.min("b").alias("m"))
         mins = mins.select("a", F.least("a", "m").alias("m"))
-        e = (
+        e = _cut(
             adj.join(mins, "a")
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
-            .distinct()
-            .localCheckpoint(eager=True)
+            .distinct(),
+            reliable_checkpoints,
         )
         # ---- small-star: every node links its smaller neighbors (and
         # itself) to the smallest of them; edges are (big, small) already
         mins2 = e.groupBy("a").agg(F.min("b").alias("m"))
         joined = e.join(mins2, "a")
-        e = (
+        e = _cut(
             joined.select(F.col("b").alias("a"), F.col("m").alias("b"))
             .union(joined.select("a", F.col("m").alias("b")))
             .filter(F.col("a") != F.col("b"))
-            .distinct()
-            .localCheckpoint(eager=True)
+            .distinct(),
+            reliable_checkpoints,
         )
         new_sig = _sig(e)
         if new_sig == sig:

@@ -99,3 +99,22 @@ def test_stars_long_chain_and_parity_with_propagation(spark):
         map(tuple, connected_components_stars(_edges(spark, small)).collect())
     )
     assert a == b
+
+
+def test_reliable_checkpoints_mode(spark, tmp_path):
+    from end_to_end_data_engineering_and_ml_system_spark.operators.graph import (
+        connected_components_stars,
+    )
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ck"))
+    e = _edges(spark, [(1, 2), (2, 3), (7, 8)])
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(e, reliable_checkpoints=True).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    got2 = {
+        r["id"]: r["comp"]
+        for r in connected_components_stars(e, reliable_checkpoints=True).collect()
+    }
+    assert got2 == got
