@@ -3489,3 +3489,75 @@ def large_quantity_orders(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(50)
     )
+
+
+@register(
+    "events_window_counts_gapfilled",
+    oracle="""
+        WITH ev AS (
+            SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-01 02:00:00'
+        ),
+        bounds AS (
+            SELECT to_timestamp(floor(epoch(MIN(ts)) / 5) * 5) AS mn,
+                   to_timestamp(floor(epoch(MAX(ts)) / 5) * 5) AS mx
+            FROM ev
+        ),
+        spine AS (
+            SELECT unnest(generate_series(mn, mx, INTERVAL 5 SECOND))
+                AS bucket
+            FROM bounds
+        ),
+        types AS (SELECT DISTINCT event_type FROM ev),
+        counts AS (
+            SELECT to_timestamp(floor(epoch(ts) / 5) * 5) AS bucket,
+                   event_type, COUNT(*) AS n
+            FROM ev
+            GROUP BY 1, 2
+        )
+        SELECT CAST(s.bucket AS TIMESTAMP) AS bucket_start,
+               t.event_type,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+        FROM spine s
+        CROSS JOIN types t
+        LEFT JOIN counts c
+          ON c.bucket = s.bucket AND c.event_type = t.event_type
+    """,
+    description=(
+        "gap-filled resample: 5s calendar spine x event types, zero-filled "
+        "buckets — 'no rows' becomes an explicit 0, not a missing row"
+    ),
+    tags=("window-agg", "resample", "gapfill"),
+)
+def events_window_counts_gapfilled(spark, sf_dir):
+    """Calendar-spine gap fill. The spine is GENERATED from a 1-row
+    min/max aggregate (sequence + explode on executors), never scanned or
+    collected; the fill is a left join of spine x type against the real
+    bucket counts. At 100 TB the spine stays proportional to the time
+    range, not the data."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-01 02:00:00").cast("timestamp")
+    )
+    counts = ev.groupBy(
+        F.window("ts", "5 seconds").start.alias("bucket"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    floor5 = lambda c: F.timestamp_seconds(
+        F.floor(F.unix_timestamp(c) / 5) * 5
+    )
+    bounds = ev.agg(
+        floor5(F.min("ts")).alias("mn"), floor5(F.max("ts")).alias("mx")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 5 SECONDS"))
+        ).alias("bucket")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(counts, ["bucket", "event_type"], "left")
+        .select(
+            F.col("bucket").alias("bucket_start"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )
