@@ -3561,3 +3561,45 @@ def events_window_counts_gapfilled(spark, sf_dir):
             F.coalesce("n", F.lit(0)).alias("n_events"),
         )
     )
+
+
+@register(
+    "events_dedup_time_window",
+    oracle="""
+        WITH b AS (
+            SELECT event_id, user_id, event_type, ts,
+                   to_timestamp(floor(epoch(ts) / 300) * 300) AS bucket
+            FROM events
+        ),
+        r AS (
+            SELECT event_id, user_id, event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type, bucket
+                       ORDER BY ts, event_id
+                   ) AS rn
+            FROM b
+        )
+        SELECT event_id, user_id, event_type
+        FROM r WHERE rn = 1
+    """,
+    description=(
+        "batch mirror of dropDuplicatesWithinWatermark: keep the first "
+        "(user, type) occurrence per 5-minute bucket"
+    ),
+    tags=("dedup", "window"),
+)
+def events_dedup_time_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.withColumn(
+        "bucket", F.window("ts", "300 seconds").start
+    )
+    w = Window.partitionBy("user_id", "event_type", "bucket").orderBy(
+        "ts", "event_id"
+    )
+    return (
+        b.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type")
+    )
