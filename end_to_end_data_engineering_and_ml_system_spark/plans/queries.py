@@ -3603,3 +3603,117 @@ def events_dedup_time_window(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type")
     )
+
+
+@register(
+    "events_resample_locf",
+    oracle="""
+        WITH ev AS (
+            SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-01 02:00:00'
+        ),
+        bounds AS (
+            SELECT to_timestamp(floor(epoch(MIN(ts)) / 5) * 5) AS mn,
+                   to_timestamp(floor(epoch(MAX(ts)) / 5) * 5) AS mx
+            FROM ev
+        ),
+        spine AS (
+            SELECT unnest(generate_series(mn, mx, INTERVAL 5 SECOND))
+                AS bucket
+            FROM bounds
+        ),
+        types AS (SELECT DISTINCT event_type FROM ev),
+        agg AS (
+            SELECT to_timestamp(floor(epoch(ts) / 5) * 5) AS bucket,
+                   event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                       / COUNT(value) AS avg_value
+            FROM ev
+            GROUP BY 1, 2
+        )
+        SELECT CAST(s.bucket AS TIMESTAMP) AS bucket_start,
+               t.event_type,
+               last_value(a.avg_value IGNORE NULLS) OVER (
+                   PARTITION BY t.event_type
+                   ORDER BY s.bucket
+                   ROWS UNBOUNDED PRECEDING
+               ) AS avg_value_ff
+        FROM spine s
+        CROSS JOIN types t
+        LEFT JOIN agg a ON a.bucket = s.bucket AND a.event_type = t.event_type
+    """,
+    description=(
+        "resample + forward fill: empty 5s buckets carry the last observed "
+        "per-type mean (LOCF) — gap-fill's companion for continuous metrics"
+    ),
+    tags=("window-agg", "resample", "locf"),
+)
+def events_resample_locf(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-01 02:00:00").cast("timestamp")
+    )
+    agg = ev.groupBy(
+        F.window("ts", "5 seconds").start.alias("bucket"), "event_type"
+    ).agg(dec_avg("value", "avg_value"))
+    floor5 = lambda c: F.timestamp_seconds(F.floor(F.unix_timestamp(c) / 5) * 5)
+    bounds = ev.agg(
+        floor5(F.min("ts")).alias("mn"), floor5(F.max("ts")).alias("mx")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 5 SECONDS"))).alias(
+            "bucket"
+        )
+    )
+    types = ev.select("event_type").distinct()
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(agg, ["bucket", "event_type"], "left")
+        .select(
+            F.col("bucket").alias("bucket_start"),
+            "event_type",
+            F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_ff"),
+        )
+    )
+
+
+@register(
+    "orders_priority_summary_sql",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        GROUP BY o_orderpriority
+    """,
+    description=(
+        "SQL front door: the engine driven through plain spark.sql over "
+        "registered views — same Catalyst plan as the DataFrame API"
+    ),
+    tags=("sql-surface", "aggregation"),
+)
+def orders_priority_summary_sql(spark, sf_dir):
+    """Everything else in this registry uses the DataFrame builder API; this
+    query registers the catalog tables as temp views and runs ANSI SQL text,
+    proving a SQL-only user gets the identical engine (Catalyst compiles
+    both to the same plan). The dialect delta vs the DuckDB oracle is nil
+    here by construction."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE)
+                   AS total_price
+        FROM orders_v
+        WHERE o_orderdate >= TIMESTAMP_NTZ '1996-01-01'
+        GROUP BY o_orderpriority
+        """
+    )
