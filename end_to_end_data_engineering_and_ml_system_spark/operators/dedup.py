@@ -438,3 +438,47 @@ def incremental_near_dups(
     return j.select("new_id", "corpus_id", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Benchmark-contamination scan: for each corpus document, the fraction
+    of its distinct word n-grams that also occur anywhere in a benchmark
+    corpus (the standard train/test-leakage check run before LLM training).
+
+    Returns (id, n_ngrams, shared_ngrams, contamination) for documents at or
+    above ``threshold``.
+
+    Scale shape (100 TB corpus vs MB-scale benchmark): eval suites are tiny,
+    so the benchmark's distinct-shingle set is built once and **broadcast**;
+    the corpus is exploded exactly once and inner-joined against that
+    broadcast set, so only matching shingle rows ever reach the per-document
+    count shuffle. No corpus self-join, no pairwise comparison, and the
+    corpus-side explode is map-side only."""
+    cand = exploded_shingles(corpus, id_col, text_col, n)
+    bench_sh = (
+        exploded_shingles(benchmark, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    shared = (
+        cand.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.min("n_sh").cast("bigint").alias("n_ngrams"),
+            F.count("*").alias("shared_ngrams"),
+        )
+    )
+    contamination = F.col("shared_ngrams").cast("double") / F.col("n_ngrams")
+    return shared.select(
+        id_col,
+        "n_ngrams",
+        "shared_ngrams",
+        contamination.alias("contamination"),
+    ).filter(F.col("contamination") >= threshold)

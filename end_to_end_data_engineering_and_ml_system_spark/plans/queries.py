@@ -3717,3 +3717,289 @@ def orders_priority_summary_sql(spark, sf_dir):
         GROUP BY o_orderpriority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# OLAP analog pack 2 (declared §2.3/§2.4 parity): the remaining classic
+# TPC-H query shapes expressible over the fixture schema — conditional-
+# aggregate ratios (Q14), derived-aggregate self-joins (Q17), OR-of-ANDs
+# pushdown predicates (Q19), scalar-subquery + anti-join (Q22) — plus the
+# benchmark-contamination scan (train/test leakage) and IQR outlier
+# detection for the training-data pipeline surface.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "promo_revenue_by_year",
+    oracle="""
+        -- TPC-H Q14 shape: conditional revenue ratio. Decimal-exact sums,
+        -- DOUBLE ratio (DECIMAL ratio rounds differently across engines).
+        SELECT
+            CAST(year(l_shipdate) AS INT) AS ship_year,
+            100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(28,10))
+                    ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE)
+                / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(28,10))) AS DOUBLE)
+                AS promo_pct,
+            CAST(COUNT(*) AS BIGINT) AS n_lineitems
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1
+    """,
+    bench=True,
+    description="conditional-aggregate ratio over a broadcast dim join (TPC-H Q14 shape)",
+    tags=("join", "aggregation", "olap"),
+)
+def promo_revenue_by_year(spark, sf_dir):
+    """Promotion revenue share per ship-year. The part dim broadcasts (it is
+    keys+p_type after pruning), so the fact table never shuffles before the
+    single aggregation exchange — the Q14 plan you want at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    zero = F.lit(0).cast("decimal(28,10)")
+    j = li.join(F.broadcast(part.select("p_partkey", "p_type")),
+                li.l_partkey == F.col("p_partkey"))
+    return (
+        j.groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+                    .cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_pct"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "small_quantity_part_revenue",
+    oracle="""
+        -- TPC-H Q17 shape: lineitems below half their part's average
+        -- quantity. The per-part average is decimal-exact (double AVG is
+        -- accumulation-order-dependent, not reproducible across engines or
+        -- partitionings).
+        WITH pa AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE)
+                       / COUNT(l_quantity) AS avg_qty
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT
+            CAST(COUNT(*) AS BIGINT) AS n_small,
+            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,10))) AS DOUBLE)
+                AS small_qty_revenue
+        FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+        WHERE l.l_quantity < 0.5 * pa.avg_qty
+    """,
+    description="derived-aggregate self-join: below-half-average-quantity revenue (TPC-H Q17 shape)",
+    tags=("join", "aggregation", "olap"),
+)
+def small_quantity_part_revenue(spark, sf_dir):
+    """The correlated-subquery classic as a derived-aggregate join: aggregate
+    lineitem per part, join back, filter, re-aggregate. The per-part
+    aggregate is one row per partkey — orders of magnitude smaller than the
+    fact table — and shares the fact table's join key, so AQE picks a
+    broadcast once the agg output fits; no second scan of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        dec_avg("l_quantity", "avg_qty")
+    ).withColumnRenamed("l_partkey", "pa_partkey")
+    j = li.join(pa, li.l_partkey == F.col("pa_partkey")).filter(
+        F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty")
+    )
+    return j.agg(
+        F.count("*").alias("n_small"),
+        dec_sum("l_extendedprice", "small_qty_revenue"),
+    )
+
+
+@register(
+    "brand_bucket_revenue",
+    oracle="""
+        -- TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+        SELECT
+            CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+            CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    description="OR-of-ANDs multi-bucket predicate over a dim join (TPC-H Q19 shape)",
+    tags=("join", "filter", "olap"),
+)
+def brand_bucket_revenue(spark, sf_dir):
+    """Catalyst extracts the common part-side disjunction
+    (brand IN (...) AND size <= 15) and pushes it into the part scan, so the
+    broadcast side is pre-filtered before the join — check PushedFilters in
+    the plan. The residual OR evaluates post-join in codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+                li.l_partkey == F.col("p_partkey"))
+    q = F.col("l_quantity")
+    pred = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(1, 10)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 15)
+           & q.between(20, 30))
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    return j.filter(pred).agg(
+        F.count("*").alias("n_lineitems"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "idle_rich_customers",
+    oracle="""
+        -- TPC-H Q22 shape: scalar subquery (global positive-balance mean)
+        -- + anti join (customers who never ordered), grouped by segment.
+        WITH avg_bal AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE)
+                       / COUNT(c_acctbal) AS v
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT
+            c.c_mktsegment AS mktsegment,
+            CAST(COUNT(*) AS BIGINT) AS n_customers,
+            CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,10))) AS DOUBLE)
+                AS total_acctbal
+        FROM customer c, avg_bal
+        WHERE c.c_acctbal > avg_bal.v
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+        GROUP BY 1
+    """,
+    description="scalar-subquery threshold + anti join (TPC-H Q22 shape)",
+    tags=("join", "aggregation", "olap"),
+)
+def idle_rich_customers(spark, sf_dir):
+    """Above-average-balance customers with no orders. The global mean is a
+    1-row aggregate broadcast as a cross join (never collected to the
+    driver); the no-orders test is a left-anti join on the shuffle key both
+    tables already share."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        dec_avg("c_acctbal", "v")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("v")
+    )
+    idle = rich.join(
+        orders.select("o_custkey"),
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return idle.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count("*").alias("n_customers"),
+        dec_sum("c_acctbal", "total_acctbal"),
+    )
+
+
+@register(
+    "benchmark_contamination",
+    oracle="""
+        -- Train/test leakage scan: fraction of each candidate document's
+        -- distinct 3-gram shingles that occur anywhere in the benchmark
+        -- (source = 'src0') corpus.
+        WITH t AS (
+            SELECT doc_id, source,
+                   list_distinct(list_transform(range(1, len(toks)-1),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+            FROM (SELECT doc_id, source,
+                         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                     tk -> tk <> '') AS toks
+                  FROM documents)
+        ),
+        b AS (SELECT DISTINCT unnest(sh) AS shingle FROM t
+              WHERE source = 'src0'),
+        c AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM t
+              WHERE source <> 'src0')
+        SELECT c.doc_id,
+               CAST(MIN(c.n_sh) AS BIGINT) AS n_ngrams,
+               CAST(COUNT(*) AS BIGINT) AS shared_ngrams,
+               CAST(COUNT(*) AS DOUBLE) / MIN(c.n_sh) AS contamination
+        FROM c JOIN b USING (shingle)
+        GROUP BY c.doc_id
+        HAVING CAST(COUNT(*) AS DOUBLE) / MIN(c.n_sh) >= 0.2
+    """,
+    bench=True,
+    description="benchmark-contamination scan: n-gram overlap vs a broadcast benchmark set",
+    tags=("dedup", "llm-data"),
+)
+def benchmark_contamination(spark, sf_dir):
+    from ..operators.dedup import contamination_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_check(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.2,
+    )
+
+
+@register(
+    "value_outliers_iqr",
+    oracle="""
+        -- Per-type Tukey-fence outlier counts. quantile_cont and Spark's
+        -- percentile() both interpolate linearly; the driver's 12-sig-digit
+        -- float rounding absorbs last-ulp interpolation differences.
+        WITH q AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.25) AS q1,
+                   quantile_cont(value, 0.75) AS q3
+            FROM events GROUP BY event_type
+        )
+        SELECT
+            e.event_type,
+            CAST(COUNT(*) AS BIGINT) AS n_events,
+            CAST(SUM(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                            OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+            q.q1, q.q3
+        FROM events e JOIN q USING (event_type)
+        GROUP BY e.event_type, q.q1, q.q3
+    """,
+    description="IQR (Tukey-fence) outlier detection per group — data-quality surface",
+    tags=("aggregation", "quality"),
+)
+def value_outliers_iqr(spark, sf_dir):
+    """Two-pass grouped outlier count: exact interpolated quartiles per
+    event_type (a tiny aggregate, broadcast back onto the fact scan), then a
+    conditional count against the Tukey fences. The quartile aggregate is
+    per-group rows only, so the broadcast join adds no fact-side shuffle
+    beyond the final per-group aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    j = ev.join(F.broadcast(q), "event_type")
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("value") < F.col("q1") - 1.5 * iqr) | (
+        F.col("value") > F.col("q3") + 1.5 * iqr
+    )
+    return j.groupBy("event_type", "q1", "q3").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+    ).select("event_type", "n_events", "n_outliers", "q1", "q3")
