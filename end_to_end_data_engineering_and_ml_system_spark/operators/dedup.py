@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import tokens
+from .text import ngrams, tokens
 
 
 def shingles(toks: Column, n: int = 3) -> Column:
@@ -35,13 +35,7 @@ def shingles(toks: Column, n: int = 3) -> Column:
     that shape interpret-evaluates an O(m) element_at per lambda call and
     measured 10-20× slower (sf0.1: 9-18s vs 0.9s for the same 260k
     shingles). zip_with walks the arrays once."""
-    sh = toks
-    for j in range(1, n):
-        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
-        sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    # tail entries (null-padded by zip_with) are not full n-grams — cut them
-    full = F.slice(sh, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(full)
+    return F.array_distinct(ngrams(toks, n))
 
 
 def exploded_shingles(

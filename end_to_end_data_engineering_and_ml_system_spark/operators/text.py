@@ -41,6 +41,79 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+def ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams (duplicates kept, document order) from a materialized
+    token array, as zip_with over shifted slices — one array walk, codegen'd.
+    ``dedup.shingles`` is ``array_distinct`` over this; repetition metrics
+    need the raw multiset."""
+    ng = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        ng = F.zip_with(ng, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(ng, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+
+
+def repetition_signals(df, id_col: str, text_col: str):
+    """Gopher-style repetition quality signals per document:
+
+    - ``dup_bigram_frac`` / ``dup_trigram_frac`` — fraction of word n-grams
+      that are repeats of an earlier n-gram (1 − distinct/total). Pure array
+      projection: no shuffle, computed in the scan stage.
+    - ``top_bigram_frac`` — share of all bigram occurrences taken by the
+      single most frequent bigram. Needs a real count: explode → per-(doc,
+      bigram) count → per-doc max. Both aggregations partial-combine
+      map-side (within-document duplicates collapse before the shuffle), so
+      the shuffled volume is distinct bigrams, not corpus tokens.
+
+    Boilerplate/templated text scores high on all three; the standard
+    pre-training corpus filter drops documents above ~0.2–0.3. Documents
+    with fewer than 3 tokens are excluded (no trigrams to measure)."""
+    base = (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .filter(F.size("__toks") >= 3)
+        .select(
+            id_col,
+            ngrams(F.col("__toks"), 2).alias("__bi"),
+            ngrams(F.col("__toks"), 3).alias("__tri"),
+        )
+    )
+    arrays = base.select(
+        id_col,
+        "__bi",
+        F.size("__bi").cast("bigint").alias("n_bigrams"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("__bi")).cast("double") / F.size("__bi")
+        ).alias("dup_bigram_frac"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("__tri")).cast("double")
+            / F.size("__tri")
+        ).alias("dup_trigram_frac"),
+    )
+    top = (
+        arrays.select(id_col, F.explode("__bi").alias("__b"))
+        .groupBy(id_col, "__b")
+        .agg(F.count("*").alias("__n"))
+        .groupBy(id_col)
+        .agg(F.max("__n").alias("top_bigram_n"))
+    )
+    return (
+        arrays.drop("__bi")
+        .join(top, id_col)
+        .select(
+            id_col,
+            "n_bigrams",
+            "top_bigram_n",
+            (F.col("top_bigram_n").cast("double") / F.col("n_bigrams")).alias(
+                "top_bigram_frac"
+            ),
+            "dup_bigram_frac",
+            "dup_trigram_frac",
+        )
+    )
+
+
 def punct_ratio(col: Column | str) -> Column:
     """Fraction of characters that are sentence punctuation."""
     c = F.col(col) if isinstance(col, str) else col

@@ -4003,3 +4003,47 @@ def value_outliers_iqr(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
     ).select("event_type", "n_events", "n_outliers", "q1", "q3")
+
+
+@register(
+    "doc_repetition_signals",
+    oracle="""
+        -- Gopher-style repetition filters: duplicate n-gram fractions are
+        -- pure list math; the top-bigram share needs the unnest + count.
+        WITH t AS (
+            SELECT doc_id, toks FROM (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   tk -> tk <> '') AS toks
+                FROM documents)
+            WHERE len(toks) >= 3
+        ),
+        arr AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(toks)),
+                       i -> concat_ws(' ', toks[i], toks[i+1])) AS bi,
+                   list_transform(range(1, len(toks)-1),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS tri
+            FROM t
+        ),
+        e AS (SELECT doc_id, unnest(bi) AS b FROM arr),
+        c AS (SELECT doc_id, b, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        m AS (SELECT doc_id, MAX(n) AS top_bigram_n FROM c GROUP BY 1)
+        SELECT a.doc_id,
+               CAST(len(a.bi) AS BIGINT) AS n_bigrams,
+               CAST(m.top_bigram_n AS BIGINT) AS top_bigram_n,
+               CAST(m.top_bigram_n AS DOUBLE) / len(a.bi) AS top_bigram_frac,
+               1.0 - CAST(len(list_distinct(a.bi)) AS DOUBLE) / len(a.bi)
+                   AS dup_bigram_frac,
+               1.0 - CAST(len(list_distinct(a.tri)) AS DOUBLE) / len(a.tri)
+                   AS dup_trigram_frac
+        FROM arr a JOIN m USING (doc_id)
+    """,
+    description="Gopher-style repetition quality signals (dup n-gram fractions, top-bigram share)",
+    tags=("quality", "llm-data"),
+)
+def doc_repetition_signals(spark, sf_dir):
+    from ..operators.text import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_signals(docs, "doc_id", "text")

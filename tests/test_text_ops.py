@@ -74,3 +74,32 @@ def test_token_packing_bins_bounded(spark, sf_dir):
     assert seq.filter(
         (F.col("lo") != 0) | (F.col("n_bins") != F.col("hi") + 1)
     ).count() == 0
+
+
+def test_repetition_signals_planted(spark):
+    """A templated/repetitive doc scores high; a diverse doc scores 0."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # "buy now" repeated 5x: bigrams = 9 total, top "now buy"/"buy now"
+            (1, "buy now buy now buy now buy now buy now"),
+            # all-distinct tokens: zero duplicate n-grams
+            (2, "one two three four five six seven"),
+            # too short to measure (< 3 tokens) -> excluded
+            (3, "hi there"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(docs, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2}
+    r1 = rows[1]
+    assert r1["n_bigrams"] == 9
+    assert r1["top_bigram_n"] == 5  # "buy now" x5
+    assert abs(r1["top_bigram_frac"] - 5 / 9) < 1e-12
+    assert abs(r1["dup_bigram_frac"] - (1 - 2 / 9)) < 1e-12
+    assert r1["dup_trigram_frac"] > 0.7
+    r2 = rows[2]
+    assert r2["dup_bigram_frac"] == 0.0
+    assert r2["dup_trigram_frac"] == 0.0
+    assert r2["top_bigram_n"] == 1
