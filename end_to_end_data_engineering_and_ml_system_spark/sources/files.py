@@ -70,3 +70,36 @@ def write_metadata_sidecar(df: DataFrame, dest_dir: str) -> str:
     the portable replacement for the reference's pickle (S12)."""
     df.coalesce(1).write.mode("overwrite").json(dest_dir)
     return dest_dir
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines scan with pinned schema — the interchange format training
+    corpora actually ship in. Same contract as the CSV scan: PERMISSIVE mode
+    with a corrupt-record column, never schema inference (a 100 TB corpus
+    cannot afford the extra inference pass, and drifting inferred types break
+    downstream casts silently)."""
+    from pyspark.sql.types import StringType, StructField
+
+    full = StructType(
+        [*schema.fields, StructField(corrupt_col, StringType(), True)]
+    )
+    return (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(full)
+        .json(path)
+    )
+
+
+def write_jsonl(df: DataFrame, dest_dir: str, partitions: int | None = None) -> str:
+    """Partitioned JSON-lines sink (one file per task — the scale shape;
+    readers glob the directory). ``partitions`` only coalesces down for
+    small outputs; it never repartitions up, so no extra shuffle."""
+    out = df.coalesce(partitions) if partitions else df
+    out.write.mode("overwrite").json(dest_dir)
+    return dest_dir

@@ -103,3 +103,38 @@ def test_single_csv_sink_refuses_scale(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     with pytest.raises(ValueError):
         write_single_csv(li, "/tmp/never.csv", max_rows=10)
+
+
+def test_jsonl_roundtrip_documents(spark, sf_dir, tmp_path):
+    """documents -> JSONL -> read back with pinned schema: content-identical
+    (JSONL is the training-corpus interchange format; S1/S9 analog)."""
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import load_table
+    from end_to_end_data_engineering_and_ml_system_spark.sources.files import read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents")
+    dest = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, dest, partitions=2)
+    # cache first: Spark refuses lazy queries touching only the
+    # corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    back = read_jsonl(spark, dest, docs.schema).cache()
+    assert back.filter("_corrupt_record IS NOT NULL").count() == 0
+    back = back.drop("_corrupt_record")
+    assert back.count() == docs.count()
+    assert dict(back.dtypes) == dict(docs.dtypes)
+    assert back.exceptAll(docs).count() == 0 and docs.exceptAll(back).count() == 0
+
+
+def test_jsonl_malformed_lines_land_in_corrupt_col(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from end_to_end_data_engineering_and_ml_system_spark.sources.files import read_jsonl
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\nnot json at all\n{"doc_id": 2, "text": "fine"}\n')
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = read_jsonl(spark, str(p), schema).cache()
+    assert df.count() == 3
+    assert df.filter("_corrupt_record IS NOT NULL").count() == 1
+    assert df.filter("doc_id IS NOT NULL").count() == 2
