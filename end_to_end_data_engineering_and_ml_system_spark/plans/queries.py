@@ -4047,3 +4047,101 @@ def doc_repetition_signals(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return repetition_signals(docs, "doc_id", "text")
+
+
+@register(
+    "stream_topk_alert_types",
+    oracle="""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_alerts
+        FROM events WHERE value > 400
+        GROUP BY 1
+        ORDER BY n_alerts DESC, event_type
+        LIMIT 5
+    """,
+    description="streaming alert leaderboard: filtered complete-mode agg + top-k (dashboard top-alerts mirror)",
+    tags=("streaming", "topk"),
+)
+def stream_topk_alert_types(spark, sf_dir):
+    """The reference dashboard's top-alerts table as a real streaming query
+    (streamlit_dashboard.py:200-226 sorts a pandas ring buffer): filter the
+    stream, maintain per-type counts in complete mode, take the top-k from
+    the finished replay. On an unbounded stream the same plan serves the
+    leaderboard from the state store each trigger."""
+    from ..streaming.pipeline import events_stream, run_to_memory_sink
+
+    s = events_stream(spark, sf_dir).filter(F.col("value") > 400)
+    agg = s.groupBy("event_type").agg(F.count("*").alias("n_alerts"))
+    res = run_to_memory_sink(agg)
+    return res.orderBy(F.col("n_alerts").desc(), "event_type").limit(5)
+
+
+@register(
+    "corpus_pipeline_summary",
+    oracle=f"""
+        -- The composed training-corpus pipeline as ONE declarative plan:
+        -- quality gate -> exact dedup (keep lowest doc_id per content hash)
+        -- -> per-language kept-token accounting.
+        WITH t AS (
+            SELECT doc_id, lang, text, {_SQL_TOKENS} AS toks,
+                   length(text) AS n
+            FROM documents
+        ), scored AS (
+            SELECT
+                doc_id, lang, text, len(toks) AS n_tokens,
+                (
+                  (CASE WHEN n BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN CAST({_SQL_STOPFILTER} AS DOUBLE) / len(toks)
+                       BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                       AS DOUBLE) / n <= 0.3 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                       AS DOUBLE) / n <= 0.1 THEN 1.0 ELSE 0.0 END)
+                ) / 4.0 AS quality
+            FROM t
+        ), q AS (
+            SELECT doc_id, lang, text, n_tokens FROM scored
+            WHERE quality >= 0.75 AND n_tokens BETWEEN 5 AND 5000
+        ), d AS (
+            SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM q GROUP BY 1
+        ), k AS (
+            SELECT q.* FROM q
+            JOIN d ON md5(q.text) = d.h AND q.doc_id = d.keep_id
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM k GROUP BY lang
+    """,
+    bench=True,
+    description="end-to-end corpus pipeline: quality gate -> exact dedup -> kept-token accounting",
+    tags=("llm-data", "etl"),
+)
+def corpus_pipeline_summary(spark, sf_dir):
+    """The whole pre-training data pipeline composed as one lazy plan —
+    Catalyst fuses the quality gate into the scan, the dedup is a single
+    hash shuffle on the content digest, and the final rollup reuses the
+    already-shuffled rows. At 100 TB each stage would otherwise be a
+    separate job with a materialization between; here nothing materializes
+    until the summary."""
+    from ..operators.text import quality_score, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        quality_score("text").alias("quality"),
+        token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    q = scored.filter(
+        (F.col("quality") >= 0.75) & F.col("n_tokens").between(5, 5000)
+    ).select("doc_id", "lang", "text", "n_tokens")
+    d = q.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("keep_id"))
+    k = q.join(
+        d,
+        (F.md5(q.text) == d.h) & (q.doc_id == d.keep_id),
+    )
+    return k.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
