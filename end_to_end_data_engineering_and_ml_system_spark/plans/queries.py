@@ -4145,3 +4145,44 @@ def corpus_pipeline_summary(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+        -- Per-dim int8 quantization stats. Codes are floor(x+0.5) over IEEE
+        -- doubles and the error sum is floor-quantized to integers — both
+        -- bit-identical across engines (decimal casts are not: tie rounding
+        -- differs HALF_UP vs half-even).
+        WITH e AS (
+            SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        ), s AS (
+            SELECT dim, MIN(val) AS mn, MAX(val) AS mx FROM e GROUP BY dim
+        ), c AS (
+            SELECT e.dim, s.mn, s.mx, e.val,
+                   CASE WHEN s.mx > s.mn
+                        THEN CAST(floor((e.val - s.mn) / (s.mx - s.mn) * 255
+                                        + 0.5) AS BIGINT)
+                        ELSE 0 END AS code
+            FROM e JOIN s USING (dim)
+        )
+        SELECT dim, mn, mx,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(code) AS DOUBLE) / COUNT(*) AS mean_code,
+               CAST(SUM(CAST(floor(abs(val - (mn + CAST(code AS DOUBLE) / 255.0
+                                              * (mx - mn))) * 1e10 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e10 / COUNT(*)
+                   AS mean_abs_err,
+        FROM c
+        GROUP BY dim, mn, mx
+    """,
+    description="int8 embedding quantization stats per dimension (4x storage/shuffle cut before ANN)",
+    tags=("embedding", "quantization"),
+)
+def embedding_quantize_int8(spark, sf_dir):
+    from ..operators.similarity import quantize_int8_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8_stats(emb, "embedding")

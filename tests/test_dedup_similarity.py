@@ -276,3 +276,20 @@ def test_contamination_benchmark_set_broadcasts(spark, sf_dir):
         df._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastExchange" in plan
+
+
+def test_int8_quantization_error_bounded(spark, sf_dir):
+    """Reconstruction error of int8 codes is bounded by half a quantization
+    step per dimension; codes stay inside [0, 255]."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.similarity import quantize_int8_stats
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = quantize_int8_stats(emb, "embedding").collect()
+    assert len(rows) > 0
+    for r in rows:
+        step = (r["mx"] - r["mn"]) / 255.0
+        assert 0.0 <= r["mean_code"] <= 255.0
+        # floor(x+0.5) rounds to nearest: per-value error <= step/2 (+ 1e-10
+        # quantization slack from the integer error aggregate)
+        assert r["mean_abs_err"] <= step / 2 + 1e-9
