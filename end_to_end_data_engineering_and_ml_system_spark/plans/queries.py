@@ -4186,3 +4186,127 @@ def embedding_quantize_int8(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantize_int8_stats(emb, "embedding")
+
+
+@register(
+    "revenue_share_by_segment",
+    oracle="""
+        -- share-of-total: window aggregate over a grouped aggregate
+        WITH seg AS (
+            SELECT c.c_mktsegment AS mktsegment,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,10)))
+                        AS DOUBLE) AS revenue
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        )
+        SELECT mktsegment, revenue,
+               revenue / SUM(revenue) OVER () AS revenue_share
+        FROM seg
+    """,
+    description="share-of-total via window-over-aggregate (percent-of-whole metric)",
+    tags=("window", "aggregation"),
+)
+def revenue_share_by_segment(spark, sf_dir):
+    """The unpartitioned window runs over the *aggregate* output (one row
+    per segment), not the fact table — a single-partition pass over a
+    handful of rows, which is the correct place to pay for a grand total."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    seg = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(dec_sum("o_totalprice", "revenue"))
+    )
+    w = Window.partitionBy()
+    return seg.select(
+        "mktsegment",
+        "revenue",
+        (F.col("revenue") / F.sum("revenue").over(w)).alias("revenue_share"),
+    )
+
+
+@register(
+    "event_type_unpivot_roundtrip",
+    oracle="""
+        -- unpivot(pivot(x)) = x: the melt side of the pivot surface.
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY 1, 2
+    """,
+    description="unpivot/melt: wide per-type counts back to long (inverse of event_type_pivot)",
+    tags=("aggregation", "pivot"),
+)
+def event_type_unpivot_roundtrip(spark, sf_dir):
+    """Pivot to wide per-user counts, then unpivot back to long — proves the
+    melt operator inverts the pivot exactly (absent combinations surface as
+    NULL and are dropped, never fabricated zeros)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    wide = (
+        ev.groupBy("user_id").pivot("event_type", types).count()
+    )
+    long = wide.unpivot(
+        ["user_id"], types, "event_type", "n"
+    ).filter(F.col("n").isNotNull())
+    return long.select("user_id", "event_type", F.col("n").cast("bigint"))
+
+
+@register(
+    "vocab_coverage_top100",
+    oracle="""
+        -- tokenizer-design curve: share of all token occurrences covered by
+        -- the top-k vocabulary entries, cumulatively.
+        WITH c AS (
+            SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest(list_filter(
+                      regexp_split_to_array(trim(text), '\\s+'),
+                      tk -> tk <> '')) AS t
+                  FROM documents)
+            GROUP BY 1
+        ),
+        top AS (
+            SELECT token, n FROM c ORDER BY n DESC, token LIMIT 100
+        )
+        SELECT token, n,
+               CAST(SUM(n) OVER (ORDER BY n DESC, token
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                   / (SELECT CAST(SUM(n) AS DOUBLE) FROM c) AS cum_coverage
+        FROM top
+    """,
+    description="vocabulary coverage curve: cumulative corpus share of the top-100 tokens",
+    tags=("text", "llm-data"),
+)
+def vocab_coverage_top100(spark, sf_dir):
+    """Distributed top-k first (orderBy+limit is a per-partition top-k plus
+    a k-row final merge), THEN the cumulative window over just those k rows
+    — never a global-order window over the full vocabulary. The grand-total
+    denominator rides a 1-row broadcast."""
+    from pyspark.sql import Window
+
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").cast("double").alias("total_n"))
+    top = counts.orderBy(F.col("n").desc(), "token").limit(100)
+    w = (
+        Window.partitionBy()
+        .orderBy(F.col("n").desc(), "token")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.join(F.broadcast(total))
+        .select(
+            "token",
+            "n",
+            (F.sum("n").over(w).cast("double") / F.col("total_n")).alias(
+                "cum_coverage"
+            ),
+        )
+    )
