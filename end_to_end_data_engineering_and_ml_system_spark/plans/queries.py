@@ -4310,3 +4310,55 @@ def vocab_coverage_top100(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "doc_rare_token_stats",
+    oracle="""
+        -- OOV-style quality signal: how much of each document is made of
+        -- corpus-rare tokens. All-integer aggregates (corpus frequencies),
+        -- so fully engine-portable.
+        WITH occ AS (
+            SELECT doc_id, unnest(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       tk -> tk <> '')) AS token
+            FROM documents
+        ),
+        vocab AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM occ GROUP BY 1
+        )
+        SELECT o.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.freq <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rare,
+               CAST(SUM(CASE WHEN v.freq <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS rare_frac,
+               CAST(SUM(v.freq) AS DOUBLE) / COUNT(*) AS mean_token_freq
+        FROM occ o JOIN vocab v USING (token)
+        GROUP BY o.doc_id
+    """,
+    description="rare-token (OOV-style) quality signal: per-doc corpus-frequency stats",
+    tags=("text", "quality", "llm-data"),
+)
+def doc_rare_token_stats(spark, sf_dir):
+    """Gibberish and mojibake score high on rare_frac; templated text scores
+    high on mean_token_freq. One explode of the corpus, a self-derived
+    vocabulary joined back on the token key (shuffle keyed by token, heavy
+    map-side combining — within-document repeats collapse before the
+    shuffle), then a per-document rollup."""
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    vocab = occ.groupBy("token").agg(F.count("*").alias("freq"))
+    j = occ.join(vocab, "token")
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("freq") <= 2, 1).otherwise(0)).alias("n_rare"),
+        (
+            F.sum(F.when(F.col("freq") <= 2, 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("rare_frac"),
+        (F.sum("freq").cast("double") / F.count("*")).alias("mean_token_freq"),
+    )
