@@ -138,3 +138,21 @@ def test_jsonl_malformed_lines_land_in_corrupt_col(spark, tmp_path):
     assert df.count() == 3
     assert df.filter("_corrupt_record IS NOT NULL").count() == 1
     assert df.filter("doc_id IS NOT NULL").count() == 2
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """A corpus grows a column mid-life: old partitions lack it, new ones
+    have it. mergeSchema must union the schemas with NULLs for old rows —
+    the scan must not fail or silently drop the new column."""
+    old = spark.createDataFrame([(1, "alpha"), (2, "beta")], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(3, "gamma", "en")], ["doc_id", "text", "lang"]
+    )
+    root = str(tmp_path / "evolving")
+    old.write.parquet(root + "/batch=0")
+    new.write.parquet(root + "/batch=1")
+    merged = spark.read.option("mergeSchema", True).parquet(root)
+    assert set(merged.columns) == {"doc_id", "text", "lang", "batch"}
+    rows = {r["doc_id"]: r for r in merged.collect()}
+    assert rows[1]["lang"] is None and rows[3]["lang"] == "en"
+    assert merged.count() == 3
