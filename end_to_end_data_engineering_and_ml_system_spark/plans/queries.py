@@ -4362,3 +4362,92 @@ def doc_rare_token_stats(spark, sf_dir):
         ).alias("rare_frac"),
         (F.sum("freq").cast("double") / F.count("*")).alias("mean_token_freq"),
     )
+
+
+@register(
+    "top_revenue_suppliers",
+    oracle="""
+        -- TPC-H Q15 shape: argmax via join-to-max. The max is a 1-row
+        -- scalar; ties (if any) all surface, exactly like the spec query.
+        WITH sr AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(28,10))) AS DOUBLE) AS total_rev
+            FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, sr.total_rev
+        FROM supplier s
+        JOIN sr ON s.s_suppkey = sr.l_suppkey
+        WHERE sr.total_rev = (SELECT MAX(total_rev) FROM sr)
+    """,
+    description="argmax via join-to-scalar-max (TPC-H Q15 shape)",
+    tags=("join", "aggregation", "olap"),
+)
+def top_revenue_suppliers(spark, sf_dir):
+    """Supplier(s) with the maximum revenue. The per-supplier aggregate is
+    computed once and self-compared against its own 1-row max via a
+    broadcast cross join — no second scan of lineitem, no driver-side
+    collect of the max. Decimal-exact revenue so the equality predicate is
+    reproducible (a float sum would make 'equal to the max' partitioning-
+    dependent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    sr = li.groupBy("l_suppkey").agg(
+        F.sum(rev).cast("double").alias("total_rev")
+    )
+    mx = sr.agg(F.max("total_rev").alias("max_rev"))
+    top = sr.join(F.broadcast(mx)).filter(
+        F.col("total_rev") == F.col("max_rev")
+    )
+    return (
+        supp.join(top, supp.s_suppkey == top.l_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@register(
+    "user_value_moving_avg",
+    oracle="""
+        -- RANGE frame over event time: trailing 1-hour mean per user.
+        -- Decimal-quantized window sums: float accumulation order inside a
+        -- moving frame is engine-specific, integers are not.
+        SELECT user_id, event_id, ts,
+               CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) OVER w
+                    AS DOUBLE) / 1e6
+                   / COUNT(*) OVER w AS trailing_1h_avg
+        FROM events
+        WHERE user_id < 50
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY epoch(ts)
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+        )
+    """,
+    description="time-range window frame: trailing 1-hour per-user moving average",
+    tags=("window", "timeseries"),
+)
+def user_value_moving_avg(spark, sf_dir):
+    """The RANGE-frame member of the window family (§2.5): frames defined by
+    event-time distance, not row counts — rows with sparse history average
+    over fewer events. Value sums are floor-quantized to integers inside
+    the frame so the result is independent of accumulation order (and of
+    engine)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    vq = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (
+            F.sum(vq).over(w).cast("double") / 1e6 / F.count("*").over(w)
+        ).alias("trailing_1h_avg"),
+    )
