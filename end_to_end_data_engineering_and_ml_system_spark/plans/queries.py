@@ -4451,3 +4451,29 @@ def user_value_moving_avg(spark, sf_dir):
             F.sum(vq).over(w).cast("double") / 1e6 / F.count("*").over(w)
         ).alias("trailing_1h_avg"),
     )
+
+
+@register(
+    "user_event_type_sets",
+    oracle="""
+        -- collect_set surface. Arrays crash the driver canonicalizer
+        -- (unhashable cells), so the set is rendered as an ordered
+        -- comma-joined string — portable and hashable.
+        SELECT user_id,
+               string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+                   AS event_types,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+        FROM events
+        GROUP BY user_id
+    """,
+    description="grouped set aggregation (collect_set), order-canonical string rendering",
+    tags=("aggregation",),
+)
+def user_event_type_sets(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("event_type")), ","
+        ).alias("event_types"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
