@@ -4135,12 +4135,14 @@ def corpus_pipeline_summary(spark, sf_dir):
     )
     q = scored.filter(
         (F.col("quality") >= 0.75) & F.col("n_tokens").between(5, 5000)
-    ).select("doc_id", "lang", "text", "n_tokens")
-    d = q.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("keep_id"))
-    k = q.join(
-        d,
-        (F.md5(q.text) == d.h) & (q.doc_id == d.keep_id),
-    )
+    ).select("doc_id", "lang", F.md5("text").alias("h"), "n_tokens")
+    # keep-lowest-id per content hash as ONE shuffle (window over h), not a
+    # groupBy + join-back — the join would reshuffle the same key twice and
+    # hash the text a second time
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy("doc_id")
+    k = q.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return k.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
