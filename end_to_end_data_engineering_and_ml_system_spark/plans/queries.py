@@ -4479,3 +4479,64 @@ def user_event_type_sets(spark, sf_dir):
         ).alias("event_types"),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+@register(
+    "value_trend_by_type",
+    oracle="""
+        -- OLS slope per group from the closed form over EXACT integer
+        -- moments (quantized y, epoch-second x): both engines produce the
+        -- same integers, so the final double division is bit-identical.
+        -- The slope is shift-invariant, so session-timezone epoch offsets
+        -- cancel exactly.
+        WITH b AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS x,
+                   CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS yq
+            FROM events
+        ), a AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   SUM(CAST(x AS HUGEINT)) AS sx,
+                   SUM(CAST(yq AS HUGEINT)) AS sy,
+                   SUM(CAST(x AS HUGEINT) * yq) AS sxy,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx
+            FROM b GROUP BY 1
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_events,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) / 1e6
+                   AS slope_per_sec
+        FROM a
+    """,
+    description="per-group OLS trend slope from exact integer moments (regression analytics)",
+    tags=("aggregation", "timeseries"),
+)
+def value_trend_by_type(spark, sf_dir):
+    """Single-pass grouped regression: five integer moments per group, all
+    partial-aggregated map-side, slope assembled from the closed form. No
+    second scan, no window. x is centered on a fixed epoch so the decimal
+    moments stay far from the 38-digit cap at fixture span; at much larger
+    time spans or group sizes center x per window first (the slope is
+    shift-invariant, so centering never changes the answer)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.unix_timestamp("ts") - F.lit(1704067200)).cast("decimal(38,0)")
+    yq = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("decimal(38,0)")
+    a = ev.select("event_type", x.alias("x"), yq.alias("yq")).groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum("x").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("x") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n_events").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return a.select(
+        "event_type",
+        "n_events",
+        (num / den / F.lit(1e6)).alias("slope_per_sec"),
+    )
