@@ -4540,3 +4540,33 @@ def value_trend_by_type(spark, sf_dir):
         "n_events",
         (num / den / F.lit(1e6)).alias("slope_per_sec"),
     )
+
+
+@register(
+    "distinct_users_hll_rollup",
+    oracle=None,  # DataSketches HLL estimates are engine-specific by nature;
+    # the exact-count sibling distinct_user_stats carries the oracle row and
+    # tests pin the estimates to within 5% of exact
+    description="mergeable HLL sketch rollup: per-type estimates + global union WITHOUT recount",
+    tags=("aggregation", "sketch"),
+)
+def distinct_users_hll_rollup(spark, sf_dir):
+    """The 100 TB distinct-count story: per-group DataSketches HLL sketches
+    are built in one pass, and the global cardinality is a UNION OF
+    SKETCHES — never a second scan or a re-shuffle of raw user_ids. The
+    same mergeability is what lets daily sketches roll into monthly ones
+    at constant cost. Estimates are deterministic for a given input set
+    (hash-based, insertion-order independent)."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    per_type = per.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    )
+    merged = per.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("__ALL__").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    )
+    return per_type.unionByName(merged)

@@ -58,3 +58,27 @@ def test_approx_aggregates_within_tolerance(spark, sf_dir):
     ).first()
     assert abs(row["approx"] - row["exact"]) <= 0.05 * row["exact"]
     assert abs(row["p50_approx"] - row["p50_exact"]) <= 0.02 * abs(row["p50_exact"]) + 1e-9
+
+
+def test_hll_rollup_close_to_exact_and_merge_consistent(spark, sf_dir):
+    """Sketch estimates land within 5% of exact; the global row comes from
+    merging the per-type sketches, so it must match a direct global count
+    estimate too (union-of-sketches == sketch-of-union for HLL)."""
+    from end_to_end_data_engineering_and_ml_system_spark.plans.registry import all_queries
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import load_table
+
+    rows = {
+        r["event_type"]: r["est_users"]
+        for r in all_queries()["distinct_users_hll_rollup"].build(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n")
+        ).collect()
+    }
+    exact["__ALL__"] = ev.agg(F.countDistinct("user_id")).collect()[0][0]
+    assert set(rows) == set(exact)
+    for k, est in rows.items():
+        assert abs(est - exact[k]) / exact[k] <= 0.05, (k, est, exact[k])
