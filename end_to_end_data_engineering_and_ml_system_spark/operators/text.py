@@ -341,3 +341,71 @@ def bpe_token_count(col: Column | str) -> Column:
     declared in the engine's text surface). JVM-side regexp, no UDF."""
     c = F.col(col) if isinstance(col, str) else col
     return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
+def pack_bins_ffd(
+    df,
+    id_col: str,
+    token_col: str,
+    capacity: int = 2048,
+    num_groups: int = 64,
+):
+    """First-fit-decreasing sequence packing via ``applyInPandas``: assign
+    documents to training-sequence bins of ``capacity`` tokens, wasting less
+    tail space than running-total chunking (``pack_tokens_into_bins``).
+
+    Exact global FFD is inherently sequential, so the distributed shape is
+    GROUP-LOCAL packing: documents hash deterministically into
+    ``num_groups`` packing groups (at corpus scale: thousands of groups,
+    each a few thousand docs — the Arrow batch a worker packs in memory),
+    and FFD runs independently per group. Bin ids are globally unique as
+    (group, local_bin). Deterministic: group = crc32(id) % num_groups,
+    in-group order = (tokens desc, id).
+
+    Oversized documents (> capacity) get a dedicated bin each — flagged
+    ``oversize`` so downstream can truncate or split them.
+
+    Returns (id, tokens, pack_group, bin_id, oversize)."""
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} bigint, tokens bigint, pack_group int, "
+        "bin_id bigint, oversize boolean"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["tokens", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins: list[int] = []  # remaining capacity per local bin
+        assigned = []
+        oversize = []
+        for t in pdf["tokens"]:
+            t = int(t)
+            if t > capacity:
+                bins.append(0)
+                assigned.append(len(bins) - 1)
+                oversize.append(True)
+                continue
+            for b, rem in enumerate(bins):
+                if rem >= t:
+                    bins[b] = rem - t
+                    assigned.append(b)
+                    break
+            else:
+                bins.append(capacity - t)
+                assigned.append(len(bins) - 1)
+            oversize.append(False)
+        grp = int(pdf["pack_group"].iloc[0])
+        pdf["bin_id"] = [grp * 1_000_000 + b for b in assigned]
+        pdf["oversize"] = oversize
+        return pdf[[id_col, "tokens", "pack_group", "bin_id", "oversize"]]
+
+    staged = df.select(
+        F.col(id_col),
+        F.col(token_col).cast("bigint").alias("tokens"),
+        (F.crc32(F.col(id_col).cast("string")) % num_groups)
+        .cast("int")
+        .alias("pack_group"),
+    )
+    return staged.groupBy("pack_group").applyInPandas(pack, out_schema)

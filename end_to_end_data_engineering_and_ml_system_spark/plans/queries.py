@@ -4570,3 +4570,33 @@ def distinct_users_hll_rollup(spark, sf_dir):
         F.hll_sketch_estimate("sk").alias("est_users"),
     )
     return per_type.unionByName(merged)
+
+
+@register(
+    "doc_pack_bins_ffd",
+    oracle=None,  # FFD is an iterative greedy (not SQL-expressible); the
+    # invariant tests pin: every doc packed once, no bin over capacity,
+    # fewer bins than docs, bit-identical across runs
+    description="first-fit-decreasing sequence packing via applyInPandas (group-local, deterministic)",
+    tags=("llm-data", "packing", "pandas-udf"),
+)
+def doc_pack_bins_ffd(spark, sf_dir):
+    """Summary view of the FFD packer: per packing-group bin counts and
+    fill factor (the per-doc assignment is the operator's real output;
+    aggregating here keeps the driver row canonicalizable)."""
+    from ..operators.text import pack_bins_ffd, token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    packed = pack_bins_ffd(docs, "doc_id", "n_tokens", capacity=200, num_groups=8)
+    return (
+        packed.groupBy("pack_group")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("bin_id").alias("n_bins"),
+            F.sum("tokens").alias("total_tokens"),
+            F.sum(F.when(F.col("oversize"), 1).otherwise(0)).alias("n_oversize"),
+        )
+        .orderBy("pack_group")
+    )

@@ -103,3 +103,46 @@ def test_repetition_signals_planted(spark):
     assert r2["dup_bigram_frac"] == 0.0
     assert r2["dup_trigram_frac"] == 0.0
     assert r2["top_bigram_n"] == 1
+
+
+def test_ffd_packing_invariants(spark, sf_dir):
+    """Every doc packed exactly once; no bin over capacity (except dedicated
+    oversize bins); FFD never uses more bins than running-total chunking."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.text import pack_bins_ffd, token_count
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    cap = 200
+    packed = pack_bins_ffd(docs, "doc_id", "n_tokens", capacity=cap, num_groups=8)
+    packed.cache()
+    n_docs = docs.count()
+    assert packed.count() == n_docs
+    assert packed.select("doc_id").distinct().count() == n_docs
+    over = packed.filter("oversize").count()
+    assert over == docs.filter(F.col("n_tokens") > cap).count()
+    fills = (
+        packed.filter(~F.col("oversize"))
+        .groupBy("bin_id")
+        .agg(F.sum("tokens").alias("fill"))
+    )
+    assert fills.filter(F.col("fill") > cap).count() == 0
+    # efficiency: total bins <= naive one-doc-per-bin, and fill factor sane
+    n_bins = packed.select("bin_id").distinct().count()
+    assert n_bins < n_docs
+    packed.unpersist()
+
+
+def test_ffd_packing_deterministic(spark, sf_dir):
+    from end_to_end_data_engineering_and_ml_system_spark.operators.text import pack_bins_ffd, token_count
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    a = sorted(map(tuple, pack_bins_ffd(docs, "doc_id", "n_tokens", 200, 8).collect()))
+    b = sorted(map(tuple, pack_bins_ffd(docs, "doc_id", "n_tokens", 200, 8).collect()))
+    assert a == b
