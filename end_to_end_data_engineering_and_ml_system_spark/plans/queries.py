@@ -4600,3 +4600,40 @@ def doc_pack_bins_ffd(spark, sf_dir):
         )
         .orderBy("pack_group")
     )
+
+
+@register(
+    "value_quantiles_kll_rollup",
+    oracle=None,  # DataSketches KLL quantile estimates are engine-specific;
+    # the exact sibling value_percentiles_by_type carries the oracle row and
+    # tests pin the estimates against exact quantiles
+    description="mergeable KLL quantile sketch rollup: per-type quantiles + global merge WITHOUT rescan",
+    tags=("aggregation", "sketch"),
+)
+def value_quantiles_kll_rollup(spark, sf_dir):
+    """Quantiles at 100 TB, the mergeable way: per-group KLL sketches in one
+    pass, the global distribution obtained by MERGING SKETCHES — never by
+    re-sorting or rescanning values. Same rollup algebra as the HLL
+    distinct-count sibling: daily sketches fold into monthly ones at
+    constant cost."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    )
+    qs = [0.25, 0.5, 0.9]
+
+    def quantiles(df):
+        return df.select(
+            "event_type",
+            *[
+                F.kll_sketch_get_quantile_double("sk", F.lit(q)).alias(
+                    f"p{int(q * 100)}"
+                )
+                for q in qs
+            ],
+        )
+
+    merged = per.agg(F.kll_merge_agg_double("sk").alias("sk")).select(
+        F.lit("__ALL__").alias("event_type"), "sk"
+    )
+    return quantiles(per).unionByName(quantiles(merged))

@@ -82,3 +82,27 @@ def test_hll_rollup_close_to_exact_and_merge_consistent(spark, sf_dir):
     assert set(rows) == set(exact)
     for k, est in rows.items():
         assert abs(est - exact[k]) / exact[k] <= 0.05, (k, est, exact[k])
+
+
+def test_kll_rollup_close_to_exact_quantiles(spark, sf_dir):
+    """KLL estimates land within the sketch's rank-error bound of exact
+    quantiles (value-space tolerance: 2% of the per-group value range)."""
+    from end_to_end_data_engineering_and_ml_system_spark.plans.registry import all_queries
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import load_table
+
+    got = {
+        r["event_type"]: r
+        for r in all_queries()["value_quantiles_kll_rollup"].build(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    groups = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    for g in [*groups, "__ALL__"]:
+        sub = ev if g == "__ALL__" else ev.filter(F.col("event_type") == g)
+        exact = sub.agg(
+            F.expr("percentile(value, array(0.25, 0.5, 0.9))").alias("p"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        ).collect()[0]
+        tol = (exact["mx"] - exact["mn"]) * 0.02
+        for q, ex in zip((25, 50, 90), exact["p"]):
+            assert abs(got[g][f"p{q}"] - ex) <= tol, (g, q, got[g][f"p{q}"], ex)
