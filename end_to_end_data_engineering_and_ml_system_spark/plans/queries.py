@@ -4637,3 +4637,32 @@ def value_quantiles_kll_rollup(spark, sf_dir):
         F.lit("__ALL__").alias("event_type"), "sk"
     )
     return quantiles(per).unionByName(quantiles(merged))
+
+
+@register(
+    "stream_events_by_segment",
+    oracle="""
+        SELECT c.c_mktsegment AS mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1
+    """,
+    description="stream-static dimension join: streaming events enriched by a broadcast dim, then aggregated",
+    tags=("streaming", "join"),
+)
+def stream_events_by_segment(spark, sf_dir):
+    """The canonical streaming enrichment: each micro-batch joins against a
+    static dimension (re-read per trigger, broadcast by Catalyst — no
+    stream-side shuffle, no state store for the join itself), with the
+    aggregation carrying the only streaming state."""
+    from ..streaming.pipeline import events_stream, run_to_memory_sink
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    s = events_stream(spark, sf_dir)
+    joined = s.join(F.broadcast(cust), s.user_id == cust.c_custkey)
+    agg = joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count("*").alias("n_events")
+    )
+    return run_to_memory_sink(agg)
