@@ -350,3 +350,43 @@ def test_stateless_corpus_ops_identical_in_stream(spark, sf_dir, tmp_path):
     batch = pipeline(spark.read.parquet(str(src)))
     assert streamed.count() == batch.count() > 0
     assert streamed.exceptAll(batch).isEmpty()
+
+
+def test_streaming_resume_from_checkpoint_exactly_once(spark, tmp_path):
+    """Kill-and-resume with the same checkpoint: the restarted query must
+    process ONLY files that arrived while it was down — no reprocessing of
+    already-committed source offsets, no lost batches (ST2 recovery)."""
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    def arrive(lo, hi, name):
+        spark.range(lo, hi).selectExpr("id", "id * 2 AS v").coalesce(
+            1
+        ).write.parquet(f"{src}/{name}")
+
+    def run_once():
+        s = (
+            spark.readStream.schema("id bigint, v bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    arrive(0, 100, "a")
+    run_once()
+    assert spark.read.parquet(sink).count() == 100
+    arrive(100, 150, "b")
+    run_once()
+    got = spark.read.parquet(sink)
+    assert got.count() == 150  # 100 old NOT reprocessed + 50 new
+    assert got.select("id").distinct().count() == 150
+    assert got.agg(F.max("id")).collect()[0][0] == 149
