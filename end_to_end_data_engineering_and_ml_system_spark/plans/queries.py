@@ -2500,7 +2500,7 @@ def multimodal_frame_sample(spark, sf_dir):
 
 @register(
     "doc_pii_redaction",
-    oracle="""
+    oracle=r"""
         WITH synth AS (
             -- plant deterministic PII so the redaction patterns are
             -- genuinely exercised (the fixture corpus is clean prose)

@@ -24,6 +24,9 @@ def test_plan_snapshots_current():
         with open("/tmp/fresh_snap.md", "w") as f:
             f.write(fresh)
     assert committed == fresh, (
-        "PLAN_SNAPSHOTS.md is stale — a physical plan changed. Review the "
-        "diff, then regenerate with `python tools/plan_snapshots.py`."
+        "PLAN_SNAPSHOTS.md is stale — a physical plan changed (this also "
+        "happens when the test-fixture schemas drift, e.g. a column's type "
+        "changes and a conversion Project disappears; that kind of diff is "
+        "benign). Review the diff vs /tmp/fresh_snap.md, then regenerate "
+        "with `python tools/plan_snapshots.py` and commit the result."
     )
