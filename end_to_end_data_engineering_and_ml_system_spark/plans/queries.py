@@ -437,17 +437,25 @@ def customers_with_orders_semi(spark, sf_dir):
     oracle="""
         SELECT c.c_custkey, c.c_name
         FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate < TIMESTAMP '1996-01-01')
     """,
-    description="left-anti join (NOT EXISTS)",
+    description="left-anti join (NOT EXISTS): customers with no pre-1996 order",
     tags=("join",),
 )
 def customers_without_orders_anti(spark, sf_dir):
+    # The fixture generator gives essentially every customer at least one
+    # order, so an unrestricted anti join returns ~0 rows at every SF and
+    # its oracle match proves nothing (0 == 0). Restricting the orders side
+    # to the first fixture year keeps the anti-join semantics under test
+    # while leaving a few hundred surviving customers at sf0.01.
     from ..operators.relational import anti_join
 
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+        .select(F.col("o_custkey").alias("c_custkey"))
     )
     return anti_join(cust, orders, "c_custkey").select("c_custkey", "c_name")
 
@@ -2322,8 +2330,8 @@ def documents_dedup_keep_best(spark, sf_dir):
         FROM events e
         JOIN orders o
           ON e.user_id = o.o_custkey
-         AND o.o_orderdate >= e.ts - INTERVAL 7 DAY
-         AND o.o_orderdate <= e.ts
+         AND o.o_orderdate >= e.ts - INTERVAL 26 YEAR - INTERVAL 7 DAY
+         AND o.o_orderdate <= e.ts - INTERVAL 26 YEAR
         GROUP BY 1
     """,
     bench=True,
@@ -2334,10 +2342,21 @@ def events_orders_range_join(spark, sf_dir):
     """Banded range join (operators/relational.py::banded_range_join): the
     range predicate becomes part of the shuffle key via coarse time bands,
     so Spark plans a sort-merge equi-join instead of the
-    broadcast-nested-loop it picks for raw range predicates."""
+    broadcast-nested-loop it picks for raw range predicates.
+
+    The fixture events all fall in Jan-2024 while orders span 1995-2001, so
+    the raw 7-day-lookback join is empty at every SF (a vacuous oracle
+    match). Shifting the event probe back 26 years lands it in Jan-1998 —
+    mid-domain — so the driver row exercises real matches (~235 groups at
+    sf0.01). Calendar-year arithmetic on a January timestamp is identical
+    in Spark and DuckDB (no leap-day edge)."""
     from ..operators.relational import banded_range_join
 
-    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 26 YEARS")).alias("ts"),
+    )
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"),
         "o_orderkey",
