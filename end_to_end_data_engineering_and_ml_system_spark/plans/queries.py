@@ -3902,16 +3902,20 @@ def brand_bucket_revenue(spark, sf_dir):
         FROM customer c, avg_bal
         WHERE c.c_acctbal > avg_bal.v
           AND NOT EXISTS (SELECT 1 FROM orders o
-                          WHERE o.o_custkey = c.c_custkey)
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1999-01-01')
         GROUP BY 1
     """,
     description="scalar-subquery threshold + anti join (TPC-H Q22 shape)",
     tags=("join", "aggregation", "olap"),
 )
 def idle_rich_customers(spark, sf_dir):
-    """Above-average-balance customers with no orders. The global mean is a
-    1-row aggregate broadcast as a cross join (never collected to the
-    driver); the no-orders test is a left-anti join on the shuffle key both
+    """Above-average-balance customers with no RECENT orders (none since
+    1999 — the fixture generator gives every customer at least one order
+    overall, so the unrestricted Q22 'never ordered' form is empty at every
+    SF and its oracle match would be vacuous). The global mean is a 1-row
+    aggregate broadcast as a cross join (never collected to the driver);
+    the no-recent-orders test is a left-anti join on the shuffle key both
     tables already share."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
@@ -3922,7 +3926,10 @@ def idle_rich_customers(spark, sf_dir):
         F.col("c_acctbal") > F.col("v")
     )
     idle = rich.join(
-        orders.select("o_custkey"),
+        orders.where(
+            F.col("o_orderdate")
+            >= F.lit("1999-01-01").cast("timestamp_ntz")
+        ).select("o_custkey"),
         rich.c_custkey == F.col("o_custkey"),
         "left_anti",
     )
@@ -4071,8 +4078,10 @@ def doc_repetition_signals(spark, sf_dir):
 @register(
     "stream_topk_alert_types",
     oracle="""
+        -- threshold 200 ~= the fixtures' p99 value, so alerts exist at
+        -- every SF (400 matched nothing at sf0.001 -> vacuous green)
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_alerts
-        FROM events WHERE value > 400
+        FROM events WHERE value > 200
         GROUP BY 1
         ORDER BY n_alerts DESC, event_type
         LIMIT 5
@@ -4088,7 +4097,7 @@ def stream_topk_alert_types(spark, sf_dir):
     leaderboard from the state store each trigger."""
     from ..streaming.pipeline import events_stream, run_to_memory_sink
 
-    s = events_stream(spark, sf_dir).filter(F.col("value") > 400)
+    s = events_stream(spark, sf_dir).filter(F.col("value") > 200)
     agg = s.groupBy("event_type").agg(F.count("*").alias("n_alerts"))
     res = run_to_memory_sink(agg)
     return res.orderBy(F.col("n_alerts").desc(), "event_type").limit(5)

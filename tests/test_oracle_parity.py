@@ -17,6 +17,13 @@ QUERIES = all_queries()
 WITH_ORACLE = sorted(n for n, q in QUERIES.items() if q.oracle is not None)
 ROWS_ONLY = sorted(n for n, q in QUERIES.items() if q.oracle is None)
 
+# A green oracle row on an EMPTY result proves nothing (0 == 0 matched for
+# the round-2 range join whose date domains never overlapped). Every query
+# must therefore return rows on the fixtures; a query that is legitimately
+# empty at small SF goes here with a reason, so emptiness is always a
+# conscious, reviewed decision.
+MAY_BE_EMPTY: dict[str, str] = {}
+
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_oracle_parity(spark, sf_dir, name):
@@ -25,11 +32,22 @@ def test_oracle_parity(spark, sf_dir, name):
     oracle_df = duckdb_run(q.oracle, sf_dir)
     errs = compare(spark_df, oracle_df)
     assert not errs, f"{name}: " + "; ".join(errs)
+    if name not in MAY_BE_EMPTY:
+        assert spark_df.count() > 0, (
+            f"{name}: empty result — the oracle match is vacuous. Make the "
+            "query non-empty on the fixtures or add it to MAY_BE_EMPTY with "
+            "a reason."
+        )
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_runs(spark, sf_dir, name):
     q = QUERIES[name]
     df = q.build(spark, sf_dir)
-    assert df.count() >= 0
     assert len(df.schema.fields) > 0
+    if name not in MAY_BE_EMPTY:
+        assert df.count() > 0, (
+            f"{name}: empty result — a rows-only query that returns nothing "
+            "verifies nothing. Make it non-empty on the fixtures or add it "
+            "to MAY_BE_EMPTY with a reason."
+        )
