@@ -2177,6 +2177,73 @@ def stream_stream_join_counts(spark, sf_dir):
 
 
 @register(
+    "stream_stream_left_outer_counts",
+    oracle="""
+        WITH p AS (
+            SELECT user_id, ts AS pts, event_id AS pid FROM events
+            WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT user_id, ts AS cts, event_id AS cid FROM events
+            WHERE event_type = 'click'
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(cid) AS BIGINT) AS n_matched_pairs,
+               CAST(SUM(CASE WHEN cid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unmatched_purchases
+        FROM p LEFT JOIN c ON p.user_id = c.user_id
+                           AND c.cts >= p.pts
+                           AND c.cts <= p.pts + INTERVAL 60 SECOND
+    """,
+    description="left-outer stream-stream join, tail state flushed by watermark-closing sentinels",
+    tags=("streaming", "join"),
+)
+def stream_stream_left_outer_counts(spark, sf_dir):
+    """The left-outer variant round 2 documented as a limitation: unmatched
+    left rows only emit when the watermark passes them, and a bounded
+    replay's watermark stalls at the last real event. The staged source now
+    appends two far-future sentinel files (streaming/pipeline.py::
+    _write_sentinel_files): the first advances the max seen event time, the
+    second runs a batch under that raised watermark, so every unmatched
+    purchase is null-extended and emitted before the replay stops — making
+    the complete left-join result deterministic and oracle-checkable.
+    Sentinel rows (user_id = -1) are filtered from the sink output."""
+    from ..streaming.pipeline import (
+        events_stream,
+        run_to_memory_sink,
+        stream_stream_join,
+    )
+
+    p = (
+        events_stream(spark, sf_dir, max_files_per_trigger=1, sentinels=True)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid"))
+    )
+    c = (
+        events_stream(spark, sf_dir, max_files_per_trigger=1, sentinels=True)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid"))
+    )
+    joined = stream_stream_join(
+        p,
+        c,
+        key="user_id",
+        left_ts="pts",
+        right_ts="cts",
+        within="60 seconds",
+        how="leftOuter",
+    ).select(F.col("l.user_id").alias("uid"), "pid", "cid")
+    out = run_to_memory_sink(joined, output_mode="append")
+    return out.filter(F.col("uid") >= 0).agg(
+        F.count("*").alias("n_rows"),
+        F.count("cid").alias("n_matched_pairs"),
+        F.sum(F.when(F.col("cid").isNull(), 1).otherwise(0)).alias(
+            "n_unmatched_purchases"
+        ),
+    )
+
+
+@register(
     "stream_session_windows",
     oracle="""
         WITH o AS (

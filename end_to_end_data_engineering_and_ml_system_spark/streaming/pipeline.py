@@ -48,12 +48,26 @@ EVENTS_SCHEMA = StructType(
 _STAGE_ROOT = os.path.join(tempfile.gettempdir(), "e2e_spark_stream_stage")
 
 
-def stage_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
+def stage_events_dir(
+    spark: SparkSession, sf_dir: str, n_files: int = 8, sentinels: bool = False
+) -> str:
     """Stage the events fixture as an n-file parquet directory so the file
     stream source replays it as multiple micro-batches. Idempotent per
-    (sf_dir, n_files)."""
+    (sf_dir, n_files, sentinels).
+
+    With ``sentinels=True``, two extra single-purpose files are appended
+    AFTER the data files (far-future event times, later mtimes). Replayed
+    last, they advance the event-time watermark past every real row, which
+    lets outer stream-stream joins and late-closing windows flush their
+    final state during a bounded replay: the first sentinel batch raises
+    the max seen event time, the second gives the engine a batch that RUNS
+    with that raised watermark (a batch's watermark reflects data through
+    the previous batch), so eviction — and outer-row emission — happens
+    before the query stops. Sentinel rows carry ``user_id = -1`` /
+    negative event_ids so query code can filter them from results."""
     key = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(_STAGE_ROOT, f"{key}_{n_files}")
+    suffix = "_sentinel" if sentinels else ""
+    out = os.path.join(_STAGE_ROOT, f"{key}_{n_files}{suffix}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         from ..sources.catalog import load_table
@@ -77,15 +91,47 @@ def stage_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
         for i, f in enumerate(parts):
             t = base + i * 10
             os.utime(os.path.join(out, f), (t, t))
+        if sentinels:
+            _write_sentinel_files(spark, out, base + n_files * 10 + 100)
     return out
 
 
+def _write_sentinel_files(spark: SparkSession, out: str, mtime_base: int) -> None:
+    """Append two watermark-closing sentinel files (see stage_events_dir).
+    Each carries one far-future row per joined event class so the sentinel
+    survives a per-side ``event_type`` filter and advances BOTH sides'
+    watermarks."""
+    import datetime
+    import glob
+    import shutil
+
+    for idx, day in enumerate((1, 2)):
+        ts = datetime.datetime(2100, 1, day)
+        rows = [
+            (-1 - 10 * idx, ts, -1, "purchase", 0.0, "{}"),
+            (-2 - 10 * idx, ts, -1, "click", 0.0, "{}"),
+        ]
+        tmp = os.path.join(out, f"_sentinel_tmp_{idx}")
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dest = os.path.join(out, f"sentinel-{idx}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(tmp)
+        t = mtime_base + idx * 10
+        os.utime(dest, (t, t))
+
+
 def events_stream(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 2
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int = 2,
+    sentinels: bool = False,
 ) -> DataFrame:
     """Incremental file-source stream of the events table with the ns→µs
     timestamp rebuild (same conversion as the batch catalog)."""
-    staged = stage_events_dir(spark, sf_dir)
+    staged = stage_events_dir(spark, sf_dir, sentinels=sentinels)
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -415,12 +461,20 @@ def stream_stream_join(
     right_ts: str = "ts",
     within: str = "60 seconds",
     watermark: str = "30 seconds",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join (the declared §2.3 surface the
+    """Watermarked stream-stream join (the declared §2.3 surface the
     reference never needed): both sides buffer state bounded by the
     watermark, matches require the right event within ``within`` AFTER the
     left event. The time-range predicate is what lets Spark expire state —
-    an unconstrained stream-stream join would buffer forever."""
+    an unconstrained stream-stream join would buffer forever.
+
+    ``how="leftOuter"`` additionally emits null-extended left rows once the
+    watermark proves no match can still arrive. In a bounded replay those
+    tail rows only flush if something advances the watermark past the last
+    real event — replay the source with watermark-closing sentinels
+    (``stage_events_dir(..., sentinels=True)``) to get the complete,
+    deterministic left-join result set."""
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
     cond = (
@@ -431,7 +485,7 @@ def stream_stream_join(
             <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}")
         )
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def running_max_with_state(
