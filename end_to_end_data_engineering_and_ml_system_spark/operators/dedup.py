@@ -476,3 +476,56 @@ def contamination_check(
         "shared_ngrams",
         contamination.alias("contamination"),
     ).filter(F.col("contamination") >= threshold)
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    prefix_len: int = 64,
+    block_len: int = 8,
+    length_band: int = 32,
+    max_dist: int = 8,
+    extra_block_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Blocked edit-distance near-dup pairs — the entity-resolution-style
+    sibling of the shingle family: pairs whose normalized text PREFIXES are
+    within ``max_dist`` Levenshtein edits.
+
+    Blocking (the scale shape): candidates must agree on ``extra_block_cols``
+    and on the first ``block_len`` normalized characters, and their
+    normalized lengths must differ by at most ``length_band``. The join is a
+    plain equi-join on the block key, so work is quadratic only within a
+    block — the classic prefix-blocking trade: a near-dup differing inside
+    the first ``block_len`` characters is missed, in exchange for never
+    materializing the O(n²) pair matrix. The expensive ``levenshtein`` runs
+    only on surviving candidates, JVM-side (no UDF).
+
+    Text is normalized to printable ASCII first: Spark's levenshtein counts
+    characters while engines like DuckDB count bytes, and on ASCII the two
+    agree — making the operator's results portable across engines (this is
+    also why the oracle for the registered query is exact)."""
+    norm = F.regexp_replace(F.col(text_col), "[^ -~]", "")
+    t = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_block_cols],
+        F.substring(norm, 1, prefix_len).alias("__pfx"),
+        F.substring(norm, 1, block_len).alias("__blk"),
+        F.length(norm).alias("__n"),
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    block_eq = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in extra_block_cols]
+    cond = (
+        F.col("a.__blk") == F.col("b.__blk"),
+        *block_eq,
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+        F.abs(F.col("a.__n") - F.col("b.__n")) <= F.lit(length_band),
+    )
+    joined = a.join(b, list(cond), "inner")
+    dist = F.levenshtein(F.col("a.__pfx"), F.col("b.__pfx"))
+    return joined.select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        dist.alias("prefix_edit_distance"),
+    ).filter(F.col("prefix_edit_distance") <= max_dist)

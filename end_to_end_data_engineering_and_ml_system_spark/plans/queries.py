@@ -3200,6 +3200,53 @@ def doc_simhash_portable(spark, sf_dir):
 
 
 @register(
+    "doc_edit_distance_near_dups",
+    oracle="""
+        -- Blocked Levenshtein near-dup pairs. Text normalized to printable
+        -- ASCII so byte-based (DuckDB) and char-based (Spark) edit distance
+        -- agree; blocking = same lang + same first 8 normalized chars +
+        -- length within 32.
+        WITH t AS (
+            SELECT doc_id, lang,
+                   substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 64)
+                       AS pfx,
+                   substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 8)
+                       AS blk,
+                   length(regexp_replace(text, '[^ -~]', '', 'g')) AS n
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.pfx, b.pfx) AS INTEGER)
+                   AS prefix_edit_distance
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+         AND abs(a.n - b.n) <= 32
+        WHERE levenshtein(a.pfx, b.pfx) <= 8
+    """,
+    description="blocked Levenshtein near-dup pairs (prefix blocking, JVM-side levenshtein)",
+    tags=("dedup", "text"),
+)
+def doc_edit_distance_near_dups(spark, sf_dir):
+    """Edit-distance dedup sibling (operators/dedup.py::edit_distance_pairs):
+    prefix-blocked candidate generation, Levenshtein only on candidates —
+    the entity-resolution shape that survives corpus scale because work is
+    quadratic only within tiny blocks, never across the corpus."""
+    from ..operators.dedup import edit_distance_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return edit_distance_pairs(
+        docs,
+        "doc_id",
+        "text",
+        prefix_len=64,
+        block_len=8,
+        length_band=32,
+        max_dist=8,
+        extra_block_cols=("lang",),
+    )
+
+
+@register(
     "events_table_profile",
     oracle="""
         WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events)

@@ -293,3 +293,55 @@ def test_int8_quantization_error_bounded(spark, sf_dir):
         # floor(x+0.5) rounds to nearest: per-value error <= step/2 (+ 1e-10
         # quantization slack from the integer error aggregate)
         assert r["mean_abs_err"] <= step / 2 + 1e-9
+
+
+def test_edit_distance_pairs_vs_naive(spark):
+    from end_to_end_data_engineering_and_ml_system_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumped over the lazy dog", "en"),  # 2 edits
+        (3, "the quick brown cat naps under the warm sun!", "en"),  # same blk
+        (4, "a completely different document altogether here", "en"),
+        (5, "the quick brown fox jumps over the lazy dog", "fr"),  # lang block
+        (6, "the quick 中文 fox jumps over the lazy dog", "en"),  # non-ASCII stripped
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "lang"])
+    got = {
+        (r.doc_a, r.doc_b): r.prefix_edit_distance
+        for r in edit_distance_pairs(
+            df, "doc_id", "text", prefix_len=64, block_len=8,
+            length_band=32, max_dist=8, extra_block_cols=("lang",),
+        ).collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    import re
+
+    def norm(s: str) -> str:
+        return re.sub(r"[^ -~]", "", s)
+
+    want = {}
+    for i, (ida, ta, la) in enumerate(docs):
+        for idb, tb, lb in docs[i + 1:]:
+            na, nb = norm(ta), norm(tb)
+            if la != lb or na[:8] != nb[:8] or abs(len(na) - len(nb)) > 32:
+                continue
+            d = lev(na[:64], nb[:64])
+            if d <= 8:
+                want[(min(ida, idb), max(ida, idb))] = d
+
+    assert got == want
+    assert (1, 2) in got  # the planted near-dup survives blocking
+    assert (1, 5) not in got  # lang block separates identical text
