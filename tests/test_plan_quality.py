@@ -135,3 +135,16 @@ def test_deterministic_sampling_is_scan_local(spark, sf_dir):
     assert "Exchange" not in plan, plan
     # "*(n)" is the codegen-stage marker in the compact plan rendering
     assert "WholeStageCodegen" in plan or "*(1)" in plan, plan
+
+
+def test_edit_distance_join_is_equi_not_nested_loop(spark, sf_dir):
+    # blocking must plan as a hash/sort-merge equi-join on the block key;
+    # a BroadcastNestedLoop or CartesianProduct would mean the levenshtein
+    # predicate leaked into the join strategy (quadratic across the corpus)
+    q = all_queries()["doc_edit_distance_near_dups"].build(spark, sf_dir)
+    plan = _plan(q)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
