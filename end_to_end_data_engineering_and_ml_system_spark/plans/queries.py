@@ -1879,6 +1879,167 @@ def embedding_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "embedding_ivf_topk_portable",
+    oracle="""
+        -- Medoid-quantizer IVF, fully deterministic: 8 seed vectors picked
+        -- by md5(vec_id) order stand in for trained centroids; assignment
+        -- and ranking use order-independent decimal dot products, so every
+        -- engine computes the identical index and result.
+        WITH ex AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ),
+        norms AS (
+            SELECT vec_id,
+                   CAST(SUM(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS nrm
+            FROM ex GROUP BY 1
+        ),
+        seeds AS (
+            SELECT vec_id AS cell_id FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+        ),
+        cdots AS (
+            SELECT v.vec_id, c.vec_id AS cell_id,
+                   CAST(SUM(CAST(v.x * c.x AS DECIMAL(28,10))) AS DOUBLE)
+                       AS dot
+            FROM ex v
+            JOIN ex c ON c.pos = v.pos
+            JOIN seeds s ON c.vec_id = s.cell_id
+            GROUP BY 1, 2
+        ),
+        ranked_cells AS (
+            SELECT d.vec_id, d.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.vec_id
+                       ORDER BY d.dot / sqrt(nc.nrm) DESC, d.cell_id) AS crn
+            FROM cdots d JOIN norms nc ON nc.vec_id = d.cell_id
+        ),
+        asg AS (SELECT vec_id, cell_id FROM ranked_cells WHERE crn = 1),
+        probes AS (
+            SELECT vec_id AS query_id, cell_id FROM ranked_cells
+            WHERE vec_id < 8 AND crn <= 2
+        ),
+        cand AS (
+            SELECT p.query_id, a.vec_id AS cand_id
+            FROM probes p
+            JOIN asg a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+        ),
+        dots AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   CAST(SUM(CAST(q.x * c.x AS DECIMAL(28,10))) AS DOUBLE)
+                       AS dot
+            FROM cand
+            JOIN ex q ON q.vec_id = cand.query_id
+            JOIN ex c ON c.vec_id = cand.cand_id AND c.pos = q.pos
+            GROUP BY 1, 2
+        ),
+        cos AS (
+            SELECT d.query_id, d.cand_id,
+                   d.dot / (sqrt(nq.nrm) * sqrt(nc.nrm)) AS cosine
+            FROM dots d
+            JOIN norms nq ON nq.vec_id = d.query_id
+            JOIN norms nc ON nc.vec_id = d.cand_id
+        )
+        SELECT query_id, cand_id, cosine, rn
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
+            FROM cos
+        )
+        WHERE rn <= 3
+    """,
+    description="deterministic medoid-quantizer IVF ANN (oracle-checked sibling of the KMeans path)",
+    tags=("similarity", "ann", "ivf"),
+)
+def embedding_ivf_topk_portable(spark, sf_dir):
+    """Oracle-checked IVF sibling: `embedding_ivf_topk` is rows-only because
+    MLlib KMeans centroids are seed/engine-specific, which leaves the IVF
+    *mechanism* (cell assignment -> nprobe probing -> within-cell re-rank)
+    without hash-level cross-engine evidence. This variant swaps the trained
+    quantizer for 8 deterministic medoid seeds (smallest md5(vec_id)) and
+    keeps every IVF mechanic identical, with order-independent decimal dot
+    products so Spark and DuckDB build the same index bit-for-bit. The
+    distributed shapes match the production path: seeds/probes are
+    broadcast-sized, assignment is one groupBy over the position-exploded
+    corpus, and the re-rank touches only probed cells."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    norms = ex.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("nrm")
+    )
+    seeds = (
+        emb.select(F.col("vec_id").alias("cell_id"))
+        .orderBy(F.md5(F.col("cell_id").cast("string")), "cell_id")
+        .limit(8)
+    )
+    cex = ex.join(
+        F.broadcast(seeds), ex.vec_id == F.col("cell_id"), "inner"
+    ).select("cell_id", "pos", F.col("x").alias("cx"))
+    cdots = (
+        ex.join(F.broadcast(cex), "pos")
+        .groupBy("vec_id", "cell_id")
+        .agg(
+            F.sum((F.col("x") * F.col("cx")).cast("decimal(28,10)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    ncell = norms.select(
+        F.col("vec_id").alias("cell_id"), F.col("nrm").alias("nrm_cell")
+    )
+    wc = Window.partitionBy("vec_id").orderBy(
+        (F.col("dot") / F.sqrt("nrm_cell")).desc(), F.col("cell_id")
+    )
+    ranked_cells = cdots.join(F.broadcast(ncell), "cell_id").withColumn(
+        "crn", F.row_number().over(wc)
+    )
+    asg = ranked_cells.filter(F.col("crn") == 1).select("vec_id", "cell_id")
+    probes = (
+        ranked_cells.filter((F.col("vec_id") < 8) & (F.col("crn") <= 2))
+        .select(F.col("vec_id").alias("query_id"), "cell_id")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(asg, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+    qx = ex.select(F.col("vec_id").alias("query_id"), "pos", F.col("x").alias("qx"))
+    cx = ex.select(F.col("vec_id").alias("cand_id"), "pos", F.col("x").alias("cx"))
+    dots = (
+        F.broadcast(cand)
+        .join(qx, "query_id")
+        .join(cx, ["cand_id", "pos"])
+        .groupBy("query_id", "cand_id")
+        .agg(
+            F.sum((F.col("qx") * F.col("cx")).cast("decimal(28,10)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    nq = norms.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("nrm_q"))
+    nc = norms.select(F.col("vec_id").alias("cand_id"), F.col("nrm").alias("nrm_c"))
+    cos = (
+        dots.join(F.broadcast(nq), "query_id")
+        .join(nc, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            (F.col("dot") / (F.sqrt("nrm_q") * F.sqrt("nrm_c"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return cos.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@register(
     "partition_pruned_counts",
     oracle="""
         SELECT event_type, COUNT(*) AS n_events
