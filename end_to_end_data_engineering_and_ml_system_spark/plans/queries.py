@@ -3009,6 +3009,64 @@ def corpus_near_dedup_kept(spark, sf_dir):
     return labeled.filter("is_canonical").select("doc_id", "lang", "source")
 
 
+@register(
+    "cluster_aware_split_counts",
+    oracle=f"""
+        -- Leakage-safe split done right: membership is keyed on the
+        -- near-dup CLUSTER id, not the document id, so near-duplicates can
+        -- never straddle train/test (the standard eval-contamination
+        -- failure a per-doc split allows).
+        WITH RECURSIVE t AS ({_SQL_SHINGLES}),
+        {_SQL_VERIFIED_PAIRS},
+        splits AS (
+            SELECT doc_id, cluster_id,
+                   CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, cluster_id,
+                         CAST(concat('0x',
+                              substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) / 4294967296.0 AS u
+                  FROM labels)
+        )
+        SELECT split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+        FROM splits
+        GROUP BY 1
+    """,
+    description=(
+        "dedup-cluster-aware train/val/test split: near-dup groups move as "
+        "a unit, so no pair leaks across splits"
+    ),
+    tags=("dedup", "graph", "sampling", "split"),
+)
+def cluster_aware_split_counts(spark, sf_dir):
+    """Composition of the engine's pieces into the split a real training
+    pipeline needs: LSH-verified pairs -> connected components -> keyed
+    deterministic split on the CLUSTER id. Splitting on doc_id lets two
+    near-duplicates land in train and test (silent eval contamination);
+    hashing the cluster's canonical id moves each dedup group atomically.
+    Membership stays a pure projection (md5 hash range) on top of the
+    cluster labels, so the only non-map work is the clustering itself."""
+    from ..operators.dedup import lsh_verified_near_dups
+    from ..operators.graph import dedup_cluster_labels
+    from ..operators.relational import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_verified_near_dups(
+        docs, "doc_id", "text", num_hashes=8, rows_per_band=2, n=3, threshold=0.6
+    )
+    labeled = dedup_cluster_labels(docs, pairs, "doc_id")
+    split = deterministic_split(
+        labeled, "cluster_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Changelog semantics (CDC analogs on the events table): latest-state
 # compaction (SCD1 upsert view) and validity intervals (SCD2). One shuffle

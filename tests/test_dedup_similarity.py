@@ -345,3 +345,37 @@ def test_edit_distance_pairs_vs_naive(spark):
     assert got == want
     assert (1, 2) in got  # the planted near-dup survives blocking
     assert (1, 5) not in got  # lang block separates identical text
+
+
+def test_cluster_aware_split_never_splits_a_pair(spark, sf_dir):
+    from end_to_end_data_engineering_and_ml_system_spark.operators.dedup import (
+        lsh_verified_near_dups,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.operators.graph import (
+        dedup_cluster_labels,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        deterministic_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_verified_near_dups(
+        docs, "doc_id", "text", num_hashes=8, rows_per_band=2, n=3, threshold=0.6
+    )
+    labeled = dedup_cluster_labels(docs, pairs, "doc_id")
+    split = deterministic_split(
+        labeled, "cluster_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+    assert pairs.count() > 0  # fixture must actually exercise the property
+    straddlers = (
+        pairs.join(
+            split.select(F.col("doc_id").alias("id1"), F.col("split").alias("s1")),
+            "id1",
+        )
+        .join(
+            split.select(F.col("doc_id").alias("id2"), F.col("split").alias("s2")),
+            "id2",
+        )
+        .filter(F.col("s1") != F.col("s2"))
+    )
+    assert straddlers.count() == 0
