@@ -2040,6 +2040,104 @@ def embedding_ivf_topk_portable(spark, sf_dir):
 
 
 @register(
+    "contrastive_negatives",
+    oracle="""
+        -- Deterministic negative sampling for contrastive training: each
+        -- anchor (vec_id < 8) draws 4 negatives from ONE hash bucket of
+        -- the corpus (16 buckets), ranked by a pair hash, different-label
+        -- only. Bucket probing keeps the work anchor-count x bucket-size,
+        -- never anchors x corpus.
+        WITH b AS (
+            SELECT vec_id, label,
+                   CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 16 AS bucket
+            FROM embeddings
+        ),
+        anchors AS (
+            SELECT vec_id AS anchor_id, label AS anchor_label,
+                   CAST(concat('0x',
+                        substr(md5(CAST(vec_id + 7919 AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 16 AS probe_bucket
+            FROM embeddings WHERE vec_id < 8
+        ),
+        ranked AS (
+            SELECT a.anchor_id, c.vec_id AS negative_id, c.label AS neg_label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.anchor_id
+                       ORDER BY md5(CAST(a.anchor_id AS VARCHAR) || ':'
+                                    || CAST(c.vec_id AS VARCHAR)),
+                                c.vec_id) AS rn
+            FROM anchors a
+            JOIN b c ON c.bucket = a.probe_bucket
+                     AND c.label <> a.anchor_label
+                     AND c.vec_id <> a.anchor_id
+        )
+        SELECT anchor_id, negative_id, neg_label, rn
+        FROM ranked WHERE rn <= 4
+    """,
+    description=(
+        "deterministic bucket-probed negative sampling (contrastive "
+        "training pairs without an anchors x corpus join)"
+    ),
+    tags=("sampling", "ml", "deterministic"),
+)
+def contrastive_negatives(spark, sf_dir):
+    """Negative sampling the way a 100 TB pipeline must do it: candidates
+    are pre-bucketed by a key hash (a one-projection pass), each anchor
+    probes exactly one bucket (equi-join on the bucket id — broadcastable
+    anchor side), and the per-anchor draw is a pair-hash ranking, so the
+    sample is reproducible across runs, partitionings, and engines. The
+    naive formulation — rank random() over anchors x corpus — is a
+    cross join that dies at scale and is unreproducible everywhere."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def hash_mod(col, offset, mod):
+        h = F.md5((F.col(col) + F.lit(offset)).cast("string")) if offset else F.md5(
+            F.col(col).cast("string")
+        )
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % mod
+
+    cand = emb.select(
+        F.col("vec_id"),
+        F.col("label"),
+        hash_mod("vec_id", 0, 16).alias("bucket"),
+    )
+    anchors = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        hash_mod("vec_id", 7919, 16).alias("probe_bucket"),
+    )
+    joined = (
+        F.broadcast(anchors)
+        .join(cand, cand.bucket == anchors.probe_bucket)
+        .filter(
+            (F.col("label") != F.col("anchor_label"))
+            & (F.col("vec_id") != F.col("anchor_id"))
+        )
+    )
+    pair_hash = F.md5(
+        F.concat(
+            F.col("anchor_id").cast("string"),
+            F.lit(":"),
+            F.col("vec_id").cast("string"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(pair_hash, F.col("vec_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("neg_label"),
+            "rn",
+        )
+    )
+
+
+@register(
     "partition_pruned_counts",
     oracle="""
         SELECT event_type, COUNT(*) AS n_events
