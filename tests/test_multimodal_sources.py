@@ -156,3 +156,29 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     rows = {r["doc_id"]: r for r in merged.collect()}
     assert rows[1]["lang"] is None and rows[3]["lang"] == "en"
     assert merged.count() == 3
+
+
+def test_orc_roundtrip_events(spark, sf_dir, tmp_path):
+    # ORC is the other columnar format Spark ships natively (no extra
+    # package); round-trip must preserve schema and values bit-for-bit
+    # including timestamps and nested-ish string payloads
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    dest = str(tmp_path / "events_orc")
+    ev.write.mode("overwrite").orc(dest)
+    back = spark.read.orc(dest)
+    assert back.schema == ev.schema
+    a = {tuple(r) for r in ev.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+    # predicate pushdown reaches the ORC scan like it does for parquet
+    plan = (
+        back.filter(F.col("event_id") == 7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "event_id" in plan
