@@ -3133,6 +3133,7 @@ def corpus_near_dedup_kept(spark, sf_dir):
         FROM splits
         GROUP BY 1
     """,
+    bench=True,
     description=(
         "dedup-cluster-aware train/val/test split: near-dup groups move as "
         "a unit, so no pair leaks across splits"
