@@ -3565,6 +3565,94 @@ def doc_edit_distance_near_dups(spark, sf_dir):
 
 
 @register(
+    "event_time_disorder_stats",
+    oracle="""
+        -- How out-of-order is the stream, per user lane? The statistic that
+        -- sizes a watermark delay: an event is disordered if an earlier
+        -- ARRIVAL in the same lane carries a later event time; max_lag_s is
+        -- the worst inversion in seconds. The fixtures carry no arrival
+        -- column (event_id is time-sorted, which would make the metric
+        -- vacuously zero), so arrival is simulated with a deterministic
+        -- md5-keyed jitter of up to 1 day — same planted-input pattern as
+        -- doc_pii_redaction.
+        WITH j AS (
+            SELECT user_id, ts, event_id,
+                   floor(epoch(ts)) +
+                   CAST(concat('0x',
+                        substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 86401 AS arrival_s
+            FROM events
+        ),
+        w AS (
+            SELECT ts,
+                   MAX(ts) OVER (PARTITION BY user_id
+                                 ORDER BY arrival_s, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS prior_max
+            FROM j
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN ts < prior_max THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_out_of_order,
+               CAST(SUM(CASE WHEN ts < prior_max THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS disorder_frac,
+               CAST(MAX(CASE WHEN ts < prior_max
+                             THEN CAST(floor(epoch(prior_max)) AS BIGINT)
+                                  - CAST(floor(epoch(ts)) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS max_lag_s
+        FROM w
+    """,
+    description=(
+        "event-time disorder profile (out-of-order fraction + worst lag "
+        "under a deterministic simulated arrival order) — the measurement "
+        "behind a watermark-delay choice"
+    ),
+    tags=("streaming", "quality", "window"),
+)
+def event_time_disorder_stats(spark, sf_dir):
+    """ST4's missing half: picking a watermark delay needs the arrival-vs-
+    event-time disorder measured, not guessed. The fixture's ingestion
+    order is time-sorted (zero disorder — a vacuous metric), so arrival is
+    simulated as event time plus a deterministic md5-keyed jitter of up to
+    one day. One running-max window per user lane plus a global 1-row
+    aggregate — no shuffle beyond the window's own. Ordering keys and lags
+    use truncated epoch seconds with event_id tie-breaks: shift-invariant,
+    so session-tz epoch offsets cancel between engines (fixtures span
+    Jan-2024 only — no DST transition inside the window)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    jitter = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 86401
+    )
+    j = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.unix_timestamp("ts") + jitter).alias("arrival_s"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arrival_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = j.select("ts", F.max("ts").over(w).alias("prior_max"))
+    late = F.when(F.col("ts") < F.col("prior_max"), 1).otherwise(0)
+    lag = F.when(
+        F.col("ts") < F.col("prior_max"),
+        F.unix_timestamp("prior_max") - F.unix_timestamp("ts"),
+    ).otherwise(0)
+    return marked.agg(
+        F.count("*").alias("n_events"),
+        F.sum(late).alias("n_out_of_order"),
+        (F.sum(late).cast("double") / F.count("*")).alias("disorder_frac"),
+        F.max(lag).cast("bigint").alias("max_lag_s"),
+    )
+
+
+@register(
     "events_table_profile",
     oracle="""
         WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events)
