@@ -3653,6 +3653,164 @@ def event_time_disorder_stats(spark, sf_dir):
 
 
 @register(
+    "balanced_class_sample",
+    oracle="""
+        -- Exact-k balanced subsample: 20 vectors per label, membership
+        -- decided by md5 rank so the sample is identical on any engine,
+        -- any partitioning, any run.
+        SELECT label, vec_id, rn
+        FROM (
+            SELECT label, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY label
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM embeddings
+        )
+        WHERE rn <= 20
+    """,
+    description=(
+        "deterministic exact-k per-class subsample (balanced training set "
+        "without a global sort or RNG)"
+    ),
+    tags=("sampling", "ml", "deterministic"),
+)
+def balanced_class_sample(spark, sf_dir):
+    """Class-balanced subsampling — the fraction-based stratified sample
+    (R2) can't promise exact counts per class; ranking an md5 hash inside
+    each label partition can, and stays reproducible across engines. One
+    window per class partition; no RNG, no global sort, no driver trip."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        emb.select("label", "vec_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+    )
+
+
+@register(
+    "returnflag_target_encoding",
+    oracle="""
+        -- Smoothed target (mean) encoding: per-category mean of the target
+        -- shrunk toward the global mean by m pseudo-observations
+        -- (enc = (sum + m * global_mean) / (n + m)), decimal-exact sums so
+        -- every engine derives the identical encoding table.
+        WITH g AS (
+            SELECT CAST(SUM(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE)
+                       / COUNT(*) AS gmean
+            FROM lineitem
+        ),
+        per_cat AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE)
+                       AS s
+            FROM lineitem
+            GROUP BY 1
+        )
+        SELECT l_returnflag, n,
+               (s + 10.0 * g.gmean) / (n + 10.0) AS encoded
+        FROM per_cat, g
+    """,
+    description=(
+        "smoothed target encoding (per-category shrunk mean; the "
+        "feature-engineering join table, decimal-exact)"
+    ),
+    tags=("ml", "feature", "aggregation"),
+)
+def returnflag_target_encoding(spark, sf_dir):
+    """Target encoding the distributed way: one grouped aggregate for the
+    category stats, a 1-row global mean broadcast as a cross join (never
+    collected), and the shrunk mean computed as a projection. The output
+    IS the encoding table a feature pipeline broadcast-joins back onto the
+    fact rows — at 100 TB the categories stay tiny even when the facts
+    don't."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.agg(
+        (
+            F.sum(F.col("l_discount").cast("decimal(28,10)")).cast("double")
+            / F.count("*")
+        ).alias("gmean")
+    )
+    per_cat = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_discount").cast("decimal(28,10)")).cast("double").alias("s"),
+    )
+    return per_cat.join(F.broadcast(g)).select(
+        "l_returnflag",
+        "n",
+        ((F.col("s") + F.lit(10.0) * F.col("gmean")) / (F.col("n") + F.lit(10.0))).alias(
+            "encoded"
+        ),
+    )
+
+
+@register(
+    "events_table_fingerprint",
+    oracle="""
+        -- Order-independent table checksum: per-row md5 over a canonical
+        -- rendering, first 8 hex chars as a 32-bit int, decimal-summed.
+        -- Two snapshots (on any engine, any row order) match iff the sums
+        -- and counts match — the cheap cross-cluster audit primitive.
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(
+                   CAST(concat('0x', substr(md5(
+                       CAST(event_id AS VARCHAR) || '|' ||
+                       CAST(user_id AS VARCHAR) || '|' ||
+                       COALESCE(event_type, '') || '|' ||
+                       strftime(ts, '%Y-%m-%d %H:%M:%S')
+                   ), 1, 8)) AS BIGINT)
+               AS DECIMAL(28,0))) % 2305843009213693951 AS BIGINT)
+                   AS fingerprint
+        FROM events
+    """,
+    description=(
+        "order-independent table fingerprint (summed row hashes) — "
+        "snapshot-equality audits across runs, engines, clusters"
+    ),
+    tags=("quality", "audit", "deterministic"),
+)
+def events_table_fingerprint(spark, sf_dir):
+    """Did two pipelines produce the same table? Comparing 100 TB row-by-row
+    needs a shuffle-heavy join; comparing (count, sum of row hashes) needs
+    one scan and transfers 2 values. Addition is commutative, so the
+    fingerprint is independent of row order and partitioning; md5 over a
+    canonical '|'-joined rendering makes it engine-portable, and the
+    decimal sum cannot overflow before ~10^19 rows. The timestamp is
+    rendered as its naive wall-clock string (second precision) — unlike
+    epoch arithmetic this never touches a session timezone, so any engine
+    reading the same ntz values produces the same bytes. ``F.concat``
+    (NULL-propagating, like SQL ``||``), not ``concat_ws`` (which silently
+    DROPS null fields and would hash a different rendering than the
+    oracle's)."""
+    ev = load_table(spark, sf_dir, "events")
+    canonical = F.concat(
+        F.col("event_id").cast("string"),
+        F.lit("|"),
+        F.col("user_id").cast("string"),
+        F.lit("|"),
+        F.coalesce(F.col("event_type"), F.lit("")),
+        F.lit("|"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+    )
+    row_hash = F.conv(F.substring(F.md5(canonical), 1, 8), 16, 10).cast(
+        "decimal(28,0)"
+    )
+    # decimal sum internally (exact past bigint range), folded to a bigint
+    # residue mod 2^61-1 on output: engines hand DataFrame consumers huge
+    # decimals inconsistently (DuckDB->pandas goes through float64), and a
+    # fixed-width fingerprint compares exactly everywhere
+    fp = (F.sum(row_hash) % F.lit(2305843009213693951)).cast("bigint")
+    return ev.agg(
+        F.count("*").alias("n_rows"),
+        fp.alias("fingerprint"),
+    )
+
+
+@register(
     "events_table_profile",
     oracle="""
         WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events)
