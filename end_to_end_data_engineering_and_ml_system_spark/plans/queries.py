@@ -1401,6 +1401,162 @@ def pca_reconstruction(spark, sf_dir):
 
 
 @register(
+    "embedding_random_projection_mse",
+    oracle="""
+        -- Johnson-Lindenstrauss sibling of the MLlib PCA scorer: project
+        -- 64-dim embeddings through a DETERMINISTIC +-1 matrix (md5 parity)
+        -- to 16 dims, reconstruct via the transpose (R^T R ~ k*I for
+        -- Rademacher matrices), report per-vector reconstruction MSE stats.
+        -- Decimal-exact sums at every contraction so any engine derives
+        -- identical numbers; MLlib PCA stays rows-only because its SVD is
+        -- engine-specific, while this sibling oracle-checks the same
+        -- project->reconstruct->score mechanism.
+        WITH ex AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS j
+            FROM embeddings
+        ),
+        r AS (
+            SELECT i.i, j.j,
+                   CASE WHEN CAST(concat('0x', substr(md5(
+                            CAST(i.i AS VARCHAR) || ',' ||
+                            CAST(j.j AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+                        THEN 1.0 ELSE -1.0 END AS rij
+            FROM (SELECT unnest(range(16)) AS i) i,
+                 (SELECT unnest(range(64)) AS j) j
+        ),
+        y AS (
+            SELECT ex.vec_id, r.i,
+                   CAST(SUM(CAST(r.rij * ex.x AS DECIMAL(28,10))) AS DOUBLE)
+                       AS yi
+            FROM ex JOIN r ON r.j = ex.j
+            GROUP BY 1, 2
+        ),
+        xhat AS (
+            SELECT y.vec_id, r.j,
+                   CAST(SUM(CAST(r.rij * y.yi AS DECIMAL(28,10))) AS DOUBLE)
+                       / 16.0 AS xh
+            FROM y JOIN r ON r.i = y.i
+            GROUP BY 1, 2
+        ),
+        mse AS (
+            SELECT ex.vec_id,
+                   CAST(SUM(CAST((ex.x - xhat.xh) * (ex.x - xhat.xh)
+                        AS DECIMAL(28,10))) AS DOUBLE) / 64.0 AS m
+            FROM ex JOIN xhat ON xhat.vec_id = ex.vec_id AND xhat.j = ex.j
+            GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               -- floor(x*1e10 + 0.5) integer quantization, not a decimal
+               -- cast: engines disagree on decimal tie rounding
+               CAST(SUM(CAST(floor(m * 10000000000.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 10000000000.0 / COUNT(*) AS mean_mse,
+               MAX(m) AS max_mse
+        FROM mse
+    """,
+    description=(
+        "deterministic random-projection reconstruction error (oracle-"
+        "checked sibling of the MLlib PCA scorer)"
+    ),
+    tags=("ml", "projection", "deterministic"),
+)
+def embedding_random_projection_mse(spark, sf_dir):
+    """The M7 autoencoder-analog surface with hash-level cross-engine
+    evidence: MLlib PCA's SVD is engine-specific (rows-only), but a
+    Rademacher random projection is just a deterministic +-1 matrix — built
+    here from md5 parity, broadcast (16x64 rows), applied and inverted as
+    two long-format contractions with decimal-exact sums. Same
+    project -> reconstruct -> per-row-MSE mechanism, bit-identical on any
+    engine. Scale shape: the projection matrix is constant-size however
+    large the corpus; both contractions are groupBy sums over the exploded
+    (vec, dim) rows with map-side combine."""
+    ex = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("j", "xf"))
+        .select("vec_id", "j", F.col("xf").cast("double").alias("x"))
+    )
+    spark_r = (
+        ex.sparkSession.range(16)
+        .select(F.col("id").alias("i"))
+        .crossJoin(ex.sparkSession.range(64).select(F.col("id").alias("j")))
+        .select(
+            "i",
+            "j",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("i").cast("string"),
+                                F.lit(","),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+                == 0,
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("rij"),
+        )
+    )
+    y = (
+        ex.join(F.broadcast(spark_r), "j")
+        .groupBy("vec_id", "i")
+        .agg(
+            F.sum((F.col("rij") * F.col("x")).cast("decimal(28,10)"))
+            .cast("double")
+            .alias("yi")
+        )
+    )
+    xhat = (
+        y.join(F.broadcast(spark_r), "i")
+        .groupBy("vec_id", "j")
+        .agg(
+            (
+                F.sum((F.col("rij") * F.col("yi")).cast("decimal(28,10)")).cast(
+                    "double"
+                )
+                / F.lit(16.0)
+            ).alias("xh")
+        )
+    )
+    mse = (
+        ex.join(xhat, ["vec_id", "j"])
+        .groupBy("vec_id")
+        .agg(
+            (
+                F.sum(
+                    ((F.col("x") - F.col("xh")) * (F.col("x") - F.col("xh"))).cast(
+                        "decimal(28,10)"
+                    )
+                ).cast("double")
+                / F.lit(64.0)
+            ).alias("m")
+        )
+    )
+    # floor-quantized integer sum for the mean: a decimal cast here would
+    # hit engine-specific tie rounding in the 10th decimal (see
+    # centroids_long) — measured as a last-digit oracle mismatch
+    return mse.agg(
+        F.count("*").alias("n_vectors"),
+        (
+            F.sum(F.floor(F.col("m") * F.lit(1e10) + F.lit(0.5)).cast("bigint"))
+            .cast("double")
+            / F.lit(1e10)
+            / F.count("*")
+        ).alias("mean_mse"),
+        F.max("m").alias("max_mse"),
+    )
+
+
+@register(
     "batched_model_inference",
     oracle=None,
     description="Arrow-batched mapInPandas inference, model init per partition (M2 replacement)",
