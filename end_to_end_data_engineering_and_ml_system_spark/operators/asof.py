@@ -30,14 +30,24 @@ def asof_join(
     left_time: str,
     right_time: str,
     value_cols: list[str],
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, append the ``value_cols`` of the right row with the
     greatest ``right_time`` ≤ ``left_time`` for the same ``key`` (nulls when
-    no such row)."""
+    no such row).
+
+    ``tolerance`` (an interval string, e.g. ``"30 minutes"``) additionally
+    nulls out matches older than ``left_time - tolerance`` — pandas
+    ``merge_asof(tolerance=...)`` semantics, the attribution-window shape.
+    The bound is applied AFTER the carry (the reference row's time rides
+    along in the struct), so it stays one window pass — no extra join."""
     # carry the whole reference row as ONE struct: last(ignorenulls) then
     # skips only missing reference ROWS, never a NULL inside a value column
     # of the latest row (true as-of / DuckDB ASOF semantics)
-    ref_struct = F.struct(*[F.col(c) for c in value_cols])
+    carry_cols = list(value_cols)
+    if tolerance is not None and right_time not in carry_cols:
+        carry_cols.append(right_time)
+    ref_struct = F.struct(*[F.col(c) for c in carry_cols])
     lt = left.select(
         F.col(key).alias("__k"),
         F.col(left_time).alias("__t"),
@@ -62,6 +72,13 @@ def asof_join(
     )
     carried: Column = F.last(F.col("__ref"), ignorenulls=True).over(w).alias("__m")
     matched = unioned.select("*", carried).filter(F.col("__is_probe") == 1)
+    if tolerance is not None:
+        in_window = F.col("__m").getField(right_time) >= F.col("__t") - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        matched = matched.withColumn(
+            "__m", F.when(in_window, F.col("__m"))
+        )
     return matched.select(
         F.col("__left.*"),
         *[F.col("__m").getField(c).alias(c) for c in value_cols],

@@ -1940,6 +1940,67 @@ def events_asof_latest_order(spark, sf_dir):
     )
 
 
+@register(
+    "purchase_attribution_last_touch",
+    oracle="""
+        -- Last-touch attribution: each purchase credits the latest click by
+        -- the same user within a 1-day lookback (NULL when none) — the
+        -- as-of-with-tolerance shape (pandas merge_asof tolerance=...).
+        WITH p AS (
+            SELECT user_id, ts AS pts, event_id AS pid FROM events
+            WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT user_id, ts AS cts, event_id AS cid FROM events
+            WHERE event_type = 'click'
+        ),
+        j AS (
+            SELECT p.pid, p.user_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.pid
+                       ORDER BY c.cts DESC, c.cid DESC) AS rn
+            FROM p LEFT JOIN c
+              ON c.user_id = p.user_id
+             AND c.cts <= p.pts
+             AND c.cts >= p.pts - INTERVAL 1 DAY
+        )
+        SELECT pid, user_id, cid AS attributed_cid
+        FROM j WHERE rn = 1
+    """,
+    description=(
+        "last-touch attribution via as-of join with a tolerance window "
+        "(~1/3 of purchases attributed on the fixtures, rest NULL)"
+    ),
+    tags=("join", "asof", "attribution"),
+)
+def purchase_attribution_last_touch(spark, sf_dir):
+    """Attribution is the as-of join plus a max-age bound: the oracle's
+    LEFT range join explodes at scale, while the union-sort carry stays one
+    shuffle + one window, and the tolerance check rides the carried struct
+    (operators/asof.py::asof_join(tolerance=...)). The 1-day window is
+    chosen against the fixtures' per-user event density so both attributed
+    and unattributed purchases exist at every SF."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    res = asof_join(
+        p,
+        c,
+        key="user_id",
+        left_time="pts",
+        right_time="cts",
+        value_cols=["cid"],
+        tolerance="1 day",
+    )
+    return res.select("pid", "user_id", F.col("cid").alias("attributed_cid"))
+
+
 # ---------------------------------------------------------------------------
 # Reference-shaped flows ETL (§3.2 end to end): dirty headers -> sanitize ->
 # dedup -> Infinity-null -> label-map -> drop -> seeded split -> union ->
