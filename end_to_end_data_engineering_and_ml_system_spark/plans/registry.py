@@ -68,8 +68,11 @@ def register(
 # that still lack driver evidence (the round-2 flagship surface: dedup
 # clustering, corpus pipeline, contamination scan, OLAP pack, CDC/SCD,
 # funnel/retention, sketches, streaming semantics) plus the two queries whose
-# semantics changed this round. Everything else keeps definition order after
-# the priority block; the local gate still checks all registered queries.
+# semantics changed this round and the round-3 flagship additions (cluster-
+# aware split, left-outer stream-stream join, portable IVF, edit-distance
+# dedup, random-projection scorer). Everything else keeps definition order
+# after the priority block; the local gate still checks all registered
+# queries, and still-unproven names rotate into the window next round.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_dedup_clusters",
     "corpus_pipeline_summary",
@@ -105,16 +108,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_quality_filter",
     "doc_bpe_token_counts",
     "doc_pii_redaction",
-    "doc_chunking",
-    "doc_token_packing",
+    "cluster_aware_split_counts",
+    "stream_stream_left_outer_counts",
     "doc_simhash_portable",
     "doc_repetition_signals",
-    "doc_rare_token_stats",
-    "vocab_coverage_top100",
+    "doc_edit_distance_near_dups",
+    "embedding_random_projection_mse",
     "embedding_label_centroids",
     "embedding_quantize_int8",
     "embedding_near_dups",
-    "embedding_lsh_signatures_portable",
+    "embedding_ivf_topk_portable",
     "feature_correlations",
     "stream_stateful_user_counts",
     "stream_dead_letter_counts",
