@@ -499,3 +499,95 @@ def test_contamination_matches_python_reference(spark, corpus, benchmark):
         assert row["n_ngrams"] == len(sh)
         assert row["shared_ngrams"] == shared
         assert abs(row["contamination"] - shared / len(sh)) < 1e-12
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=30
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(-99, 99)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(0, 50),
+)
+@SLOW
+def test_asof_tolerance_matches_naive_reference(
+    spark, left_rows, right_rows, tol
+):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return base + datetime.timedelta(seconds=s)
+
+    rmap = {}
+    for k, t, v in right_rows:
+        rmap[(k, t)] = v
+    right_rows = [(k, t, v) for (k, t), v in rmap.items()]
+
+    left = spark.createDataFrame(
+        [(k, ts(t)) for k, t in left_rows], "k int, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [(k, ts(t), v) for k, t, v in right_rows], "k int, rt timestamp, v int"
+    )
+    out = asof_join(
+        left, right, key="k", left_time="t", right_time="rt",
+        value_cols=["v"], tolerance=f"{tol} seconds",
+    )
+    got = {(r["k"], r["t"], r["v"]) for r in out.collect()}
+
+    want = set()
+    for k, t in left_rows:
+        best = None
+        for rk, rt, v in right_rows:
+            if rk == k and rt <= t and (best is None or rt > best[0]):
+                best = (rt, v)
+        match = best[1] if best is not None and best[0] >= t - tol else None
+        want.add((k, ts(t), match))
+    assert got == want
+
+
+_word_st = st.text(alphabet="ab ", min_size=0, max_size=30)
+
+
+@given(st.lists(st.tuples(_word_st, st.sampled_from(["en", "fr"])),
+                min_size=2, max_size=12))
+@SLOW
+def test_edit_distance_pairs_match_naive_reference(spark, docs_raw):
+    from end_to_end_data_engineering_and_ml_system_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    docs = [(i, text, lang) for i, (text, lang) in enumerate(docs_raw)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = {
+        (r.doc_a, r.doc_b): r.prefix_edit_distance
+        for r in edit_distance_pairs(
+            df, "doc_id", "text", prefix_len=10, block_len=2,
+            length_band=5, max_dist=4, extra_block_cols=("lang",),
+        ).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {}
+    for i, (ida, ta, la) in enumerate(docs):
+        for idb, tb, lb in docs[i + 1:]:
+            if la != lb or ta[:2] != tb[:2] or abs(len(ta) - len(tb)) > 5:
+                continue
+            d = lev(ta[:10], tb[:10])
+            if d <= 4:
+                want[(min(ida, idb), max(ida, idb))] = d
+    assert got == want
