@@ -4028,6 +4028,215 @@ def events_table_fingerprint(spark, sf_dir):
 
 
 @register(
+    "user_rfm_features",
+    oracle="""
+        -- Recency / frequency / monetary — the behavioral feature triple:
+        -- one grouped pass + a broadcast 1-row corpus max for recency.
+        WITH g AS (SELECT MAX(ts) AS mx FROM events)
+        SELECT user_id,
+               CAST(floor(epoch(g.mx)) AS BIGINT)
+                   - CAST(floor(epoch(MAX(ts))) AS BIGINT) AS recency_s,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS monetary
+        FROM events, g
+        GROUP BY user_id, g.mx
+    """,
+    description=(
+        "per-user RFM feature vector (recency vs corpus max, event count, "
+        "decimal-exact value sum)"
+    ),
+    tags=("ml", "feature", "aggregation"),
+)
+def user_rfm_features(spark, sf_dir):
+    """The churn-model feature builder: one shuffle on user_id for all
+    three statistics, recency against a broadcast 1-row corpus max (never
+    collected). Recency is a DIFFERENCE of epoch seconds, so session-tz
+    offsets cancel between engines."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts").alias("mx"))
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("user_mx"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("monetary"),
+    )
+    return per_user.join(F.broadcast(g)).select(
+        "user_id",
+        (F.unix_timestamp("mx") - F.unix_timestamp("user_mx")).alias("recency_s"),
+        "frequency",
+        "monetary",
+    )
+
+
+@register(
+    "threshold_sweep_anomaly_rates",
+    oracle=f"""
+        -- M8 calibration as data: anomaly rate at each candidate threshold,
+        -- from ONE pass over the scored rows (conditional counts, no
+        -- row-blowup cross join).
+        WITH stats AS ({{stats}}),
+        scored AS (
+            SELECT ({{score}}) / 4.0 AS anomaly_score
+            FROM lineitem l CROSS JOIN stats s
+        )
+        SELECT t.threshold,
+               CAST(SUM(CASE WHEN anomaly_score > t.threshold
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+               CAST(SUM(CASE WHEN anomaly_score > t.threshold
+                             THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                   AS anomaly_rate
+        FROM scored CROSS JOIN (
+            SELECT unnest([0.5,1.0,1.5,2.0,2.5,3.0,3.5,4.0]) AS threshold
+        ) t
+        GROUP BY 1
+    """.format(
+        stats=_SQL_STATS,
+        score=" + ".join(
+            f"((CAST(l.{c} AS DOUBLE) - s.mean_{c}) / s.std_{c})"
+            f" * ((CAST(l.{c} AS DOUBLE) - s.mean_{c}) / s.std_{c})"
+            for c in _FEATURES
+        ),
+    ),
+    description=(
+        "threshold calibration sweep: anomaly rate per candidate threshold "
+        "in one scored pass (M8 as a curve, not a point)"
+    ),
+    tags=("ml", "scoring", "calibration"),
+)
+def threshold_sweep_anomaly_rates(spark, sf_dir):
+    """Threshold calibration wants the whole rate curve, not one operating
+    point. The scored pass runs ONCE; all 8 thresholds fold into a single
+    aggregate as conditional counts, then unpivot to long form — the
+    oracle's cross join is the same math, but at 100 TB the conditional-
+    count shape never multiplies the fact rows."""
+    from ..ml.pipeline import fit_standardizer, score_and_route_literal
+
+    li = load_table(spark, sf_dir, "lineitem")
+    stats_row = fit_standardizer(li, _FEATURES).first()
+    scored = score_and_route_literal(li, stats_row, _FEATURES, threshold=2.0)
+    thresholds = [0.5, 1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0]
+    aggs = [
+        F.sum(
+            F.when(F.col("anomaly_score") > F.lit(t), 1).otherwise(0)
+        ).alias(f"c{i}")
+        for i, t in enumerate(thresholds)
+    ] + [F.count("*").alias("n")]
+    one = scored.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("threshold"),
+                F.col(f"c{i}").alias("n_anomalies"),
+            )
+            for i, t in enumerate(thresholds)
+        ]
+    )
+    return (
+        one.select(F.col("n"), F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.threshold").alias("threshold"),
+            F.col("p.n_anomalies").alias("n_anomalies"),
+            (F.col("p.n_anomalies").cast("double") / F.col("n")).alias(
+                "anomaly_rate"
+            ),
+        )
+    )
+
+
+@register(
+    "near_dup_similarity_histogram",
+    oracle=f"""
+        -- Threshold calibration for the dedup pipeline: the exact-Jaccard
+        -- distribution over LSH candidate pairs, bucketed to 0.1 — pick the
+        -- verify threshold from data instead of folklore.
+        WITH t AS ({_SQL_SHINGLES}),
+        s AS (SELECT doc_id, unnest(sh) AS shingle FROM t),
+        sig AS (
+            SELECT s.doc_id, r.seed,
+                   MIN(md5(r.seed::VARCHAR || ':' || s.shingle)) AS minhash
+            FROM s CROSS JOIN (SELECT unnest(range(8)) AS seed) r
+            GROUP BY 1, 2
+        ),
+        buckets AS (
+            SELECT doc_id, seed // 2 AS band,
+                   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+            FROM sig
+            GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM buckets a
+            JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                           AND a.doc_id < b.doc_id
+        ),
+        sz AS (SELECT doc_id, len(sh) AS n_sh FROM t),
+        shared AS (
+            SELECT c.id1, c.id2, COUNT(*) AS shared
+            FROM cand c
+            JOIN s s1 ON s1.doc_id = c.id1
+            JOIN s s2 ON s2.doc_id = c.id2 AND s2.shingle = s1.shingle
+            GROUP BY 1, 2
+        )
+        SELECT CAST(floor(CAST(sh.shared AS DOUBLE)
+                    / (z1.n_sh + z2.n_sh - sh.shared) * 10) AS BIGINT)
+                   AS sim_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM shared sh
+        JOIN sz z1 ON sh.id1 = z1.doc_id
+        JOIN sz z2 ON sh.id2 = z2.doc_id
+        GROUP BY 1
+    """,
+    description=(
+        "exact-Jaccard histogram over LSH candidate pairs (dedup threshold "
+        "calibration from data)"
+    ),
+    tags=("dedup", "minhash", "calibration"),
+)
+def near_dup_similarity_histogram(spark, sf_dir):
+    """Where should the verify threshold sit? The similarity distribution
+    over candidates answers it. Same banding + per-pair array_intersect
+    machinery as the verified-pairs path, minus the threshold filter, plus
+    a 0.1 bucketing (floor of double*10 — identical IEEE ops per engine)."""
+    from ..operators.dedup import (
+        exploded_shingles,
+        lsh_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(docs, "doc_id", "text", 8, 2, 3)
+    sh = exploded_shingles(docs, "doc_id", "text", 3)
+    s1 = sh.select(
+        F.col("doc_id").alias("id1"),
+        F.col("n_sh").alias("n1"),
+        "shingle",
+    )
+    s2 = sh.select(
+        F.col("doc_id").alias("id2"),
+        F.col("n_sh").alias("n2"),
+        "shingle",
+    )
+    shared = (
+        cand.join(s1, "id1")
+        .join(s2, ["id2", "shingle"])
+        .groupBy("id1", "id2")
+        .agg(
+            F.count("*").alias("shared"),
+            F.min("n1").alias("n1"),
+            F.min("n2").alias("n2"),
+        )
+    )
+    jacc = F.col("shared").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("shared")
+    )
+    return (
+        shared.select(
+            F.floor(jacc * F.lit(10)).cast("bigint").alias("sim_bucket")
+        )
+        .groupBy("sim_bucket")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@register(
     "events_table_profile",
     oracle="""
         WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events)
