@@ -107,3 +107,56 @@ def frame_sample(
     return df.select(
         id_col, F.posexplode(frames).alias("frame_no", "frame_bytes")
     )
+
+
+def pcm_rms_energy(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    frame_samples: int = 256,
+) -> DataFrame:
+    """REAL audio-shaped decode (no external codec needed): interpret the
+    binary payload as little-endian int16 PCM and emit per-frame RMS energy
+    — the standard VAD / silence-trim / loudness-normalization primitive.
+
+    Unlike the image path (which needs PIL and stays a declared stub), raw
+    PCM is just bytes: the decode is ``np.frombuffer`` inside the same
+    Arrow-batched ``mapInPandas`` shape, so this operator exercises the
+    full multimodal contract — binary column in, fixed-width numeric
+    features out, payloads never leaving executor memory — with genuine
+    signal math. A trailing odd byte is dropped (int16 alignment); the
+    tail frame shorter than ``frame_samples`` is kept and normalized by
+    its true length.
+    """
+    import numpy as np
+
+    schema = f"{id_col} bigint, frame_no int, n_samples int, rms double"
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, frame_nos, ns, rmss = [], [], [], []
+            for rid, blob in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(blob)
+                samples = np.frombuffer(
+                    raw[: len(raw) - (len(raw) % 2)], dtype="<i2"
+                ).astype(np.float64)
+                if samples.size == 0:
+                    continue
+                for fno in range(0, samples.size, frame_samples):
+                    frame = samples[fno : fno + frame_samples]
+                    ids.append(rid)
+                    frame_nos.append(fno // frame_samples)
+                    ns.append(int(frame.size))
+                    rmss.append(float(np.sqrt(np.mean(frame * frame))))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(frame_nos, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)

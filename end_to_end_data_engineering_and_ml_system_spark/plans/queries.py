@@ -3061,6 +3061,35 @@ def multimodal_frame_sample(spark, sf_dir):
 
 
 @register(
+    "audio_frame_energy",
+    oracle=None,
+    description=(
+        "per-frame PCM RMS energy via Arrow-batched mapInPandas (real "
+        "int16 decode, rows-only: byte-level signal math is not "
+        "SQL-expressible; invariant-tested vs a numpy reference)"
+    ),
+    tags=("multimodal", "audio"),
+)
+def audio_frame_energy(spark, sf_dir):
+    """The audio half of the multimodal contract with REAL signal math:
+    document text bytes stand in for int16 PCM payloads (the fixtures ship
+    no media blobs), decoded and framed inside the executor
+    (operators/multimodal.py::pcm_rms_energy), then reduced to per-doc
+    energy stats so only fixed-width features leave the operator."""
+    from ..operators.multimodal import payload_from_text, pcm_rms_energy
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", payload_from_text("text").alias("payload")
+    )
+    frames = pcm_rms_energy(docs, "doc_id", "payload", frame_samples=64)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum("n_samples").alias("n_samples"),
+        F.max("rms").alias("max_rms"),
+    )
+
+
+@register(
     "doc_pii_redaction",
     oracle=r"""
         WITH synth AS (

@@ -182,3 +182,43 @@ def test_orc_roundtrip_events(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "event_id" in plan
+
+
+def test_pcm_rms_energy_matches_numpy_reference(spark):
+    import numpy as np
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.multimodal import (
+        pcm_rms_energy,
+    )
+
+    rng = np.random.default_rng(7)
+    blobs = {
+        1: rng.integers(-32768, 32767, size=300, dtype=np.int16).tobytes(),
+        2: rng.integers(-32768, 32767, size=64, dtype=np.int16).tobytes(),
+        3: rng.integers(-32768, 32767, size=10, dtype=np.int16).tobytes() + b"\x01",
+        4: b"",  # empty payload emits no frames
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in blobs.items()], "doc_id long, payload binary"
+    )
+    got = {
+        (r.doc_id, r.frame_no): (r.n_samples, r.rms)
+        for r in pcm_rms_energy(df, "doc_id", "payload", frame_samples=64).collect()
+    }
+
+    want = {}
+    for k, raw in blobs.items():
+        samples = np.frombuffer(raw[: len(raw) - (len(raw) % 2)], "<i2").astype(
+            float
+        )
+        for fno in range(0, samples.size, 64):
+            fr = samples[fno : fno + 64]
+            want[(k, fno // 64)] = (fr.size, float(np.sqrt(np.mean(fr * fr))))
+
+    assert set(got) == set(want)
+    assert 4 not in {k for k, _ in got}
+    for key, (n, rms) in want.items():
+        gn, grms = got[key]
+        assert gn == n and abs(grms - rms) < 1e-9, key
+    # odd trailing byte dropped: doc 3 has exactly 10 samples in one frame
+    assert got[(3, 0)][0] == 10
