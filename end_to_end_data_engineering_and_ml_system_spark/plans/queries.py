@@ -4266,6 +4266,65 @@ def near_dup_similarity_histogram(spark, sf_dir):
 
 
 @register(
+    "join_key_skew_profile",
+    oracle="""
+        -- The decide-whether-to-salt diagnostic: per-key cardinality
+        -- distribution of a join key. One grouped count, then 1-row stats
+        -- over the (small) per-key table: max/median key share, exact
+        -- interpolated p50/p99 of key counts.
+        WITH per_key AS (
+            SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM orders GROUP BY 1
+        ),
+        q AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                   CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+                   quantile_cont(cnt, 0.5) AS p50,
+                   quantile_cont(cnt, 0.99) AS p99
+            FROM per_key
+        )
+        SELECT n_keys, n_rows, max_key_rows,
+               CAST(max_key_rows AS DOUBLE) / n_rows AS top_key_share,
+               p50 AS p50_key_rows, p99 AS p99_key_rows,
+               p99 / p50 AS skew_ratio
+        FROM q
+    """,
+    description=(
+        "join-key skew diagnostic (per-key count distribution, top-key "
+        "share, p99/p50 ratio) — the salting decision input"
+    ),
+    tags=("join", "skew", "quality"),
+)
+def join_key_skew_profile(spark, sf_dir):
+    """Salting (relational.py::salted_join) costs a key-space blowup, so it
+    should be a measured decision: this profile is one grouped count over
+    the fact table plus a 1-row reduction over the per-key table. Exact
+    interpolated quantiles via percentile() match DuckDB's quantile_cont
+    definition (both linear interpolation)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    q = per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_key_rows"),
+        F.expr("percentile(cnt, 0.5)").alias("p50"),
+        F.expr("percentile(cnt, 0.99)").alias("p99"),
+    )
+    return q.select(
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        (F.col("max_key_rows").cast("double") / F.col("n_rows")).alias(
+            "top_key_share"
+        ),
+        F.col("p50").alias("p50_key_rows"),
+        F.col("p99").alias("p99_key_rows"),
+        (F.col("p99") / F.col("p50")).alias("skew_ratio"),
+    )
+
+
+@register(
     "events_table_profile",
     oracle="""
         WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events)
