@@ -4325,6 +4325,97 @@ def join_key_skew_profile(spark, sf_dir):
 
 
 @register(
+    "events_zorder_keys",
+    oracle="""
+        -- Morton (Z-order) interleave of (user_id, second-of-day), the
+        -- multi-dimension clustering key behind Z-ordered data layouts:
+        -- sorting/range-partitioning by zkey co-locates rows close in BOTH
+        -- dimensions, so parquet min/max zone maps prune on either
+        -- predicate. Classic bit-spread with magic masks, 16 bits each.
+        WITH dims AS (
+            SELECT event_id,
+                   user_id % 65536 AS a,
+                   (date_part('hour', ts) * 3600
+                    + date_part('minute', ts) * 60
+                    + date_part('second', ts)) % 65536 AS b
+            FROM events
+        ),
+        sa AS (
+            SELECT event_id, b,
+                   ((a | (a << 8)) & 16711935) AS a1
+            FROM dims
+        ),
+        sa2 AS (
+            SELECT event_id, b,
+                   ((a1 | (a1 << 4)) & 252645135) AS a2
+            FROM sa
+        ),
+        sa3 AS (
+            SELECT event_id, b,
+                   ((a2 | (a2 << 2)) & 858993459) AS a3
+            FROM sa2
+        ),
+        sa4 AS (
+            SELECT event_id, b,
+                   ((a3 | (a3 << 1)) & 1431655765) AS sa
+            FROM sa3
+        ),
+        sb AS (
+            SELECT event_id, sa,
+                   ((b | (b << 8)) & 16711935) AS b1
+            FROM sa4
+        ),
+        sb2 AS (
+            SELECT event_id, sa,
+                   ((b1 | (b1 << 4)) & 252645135) AS b2
+            FROM sb
+        ),
+        sb3 AS (
+            SELECT event_id, sa,
+                   ((b2 | (b2 << 2)) & 858993459) AS b3
+            FROM sb2
+        ),
+        sb4 AS (
+            SELECT event_id, sa,
+                   ((b3 | (b3 << 1)) & 1431655765) AS sb
+            FROM sb3
+        )
+        SELECT event_id, CAST(sa | (sb << 1) AS BIGINT) AS zkey
+        FROM sb4
+    """,
+    description=(
+        "Morton/Z-order clustering keys (bit-interleave of user x "
+        "second-of-day) — the multi-dim data-layout primitive"
+    ),
+    tags=("storage", "layout", "deterministic"),
+)
+def events_zorder_keys(spark, sf_dir):
+    """Z-ordered layouts are how a 100 TB table serves range predicates on
+    TWO dimensions from one physical sort: write with
+    ``repartitionByRange(zkey).sortWithinPartitions(zkey)`` and parquet
+    zone maps prune on either user or time. The interleave is pure
+    shift/mask projection (whole-stage codegen); the time dimension uses
+    wall-clock second-of-day fields rather than epoch arithmetic so no
+    session timezone enters the key."""
+    def spread16(c):
+        c = (c.bitwiseOR(F.shiftleft(c, 8))).bitwiseAND(F.lit(16711935))
+        c = (c.bitwiseOR(F.shiftleft(c, 4))).bitwiseAND(F.lit(252645135))
+        c = (c.bitwiseOR(F.shiftleft(c, 2))).bitwiseAND(F.lit(858993459))
+        return (c.bitwiseOR(F.shiftleft(c, 1))).bitwiseAND(F.lit(1431655765))
+
+    ev = load_table(spark, sf_dir, "events")
+    a = (F.col("user_id") % 65536).cast("bigint")
+    b = (
+        (
+            F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
+        )
+        % 65536
+    ).cast("bigint")
+    zkey = spread16(a).bitwiseOR(F.shiftleft(spread16(b), 1)).cast("bigint")
+    return ev.select("event_id", zkey.alias("zkey"))
+
+
+@register(
     "events_table_profile",
     oracle="""
         WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events)
