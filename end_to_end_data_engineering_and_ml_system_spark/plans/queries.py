@@ -4416,6 +4416,84 @@ def events_zorder_keys(spark, sf_dir):
 
 
 @register(
+    "event_bigram_lift",
+    oracle="""
+        -- Sequential co-occurrence mining: how much more often does event
+        -- type B directly follow A in a user's lane than chance predicts?
+        -- lift = P(A->B) / (P(*->B)) over consecutive pairs. Ratios of
+        -- counts only — no log/PMI, so the numbers hash identically on
+        -- every engine.
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ),
+        pairs AS (
+            SELECT prev_type AS a, event_type AS b,
+                   CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        totals AS (
+            SELECT CAST(SUM(n_ab) AS BIGINT) AS n_pairs FROM pairs
+        ),
+        b_tot AS (
+            SELECT b, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM pairs GROUP BY 1
+        ),
+        a_tot AS (
+            SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM pairs GROUP BY 1
+        )
+        SELECT p.a, p.b, p.n_ab,
+               (CAST(p.n_ab AS DOUBLE) / a_tot.n_a)
+                   / (CAST(b_tot.n_b AS DOUBLE) / totals.n_pairs) AS lift
+        FROM pairs p, totals
+        JOIN a_tot ON a_tot.a = p.a
+        JOIN b_tot ON b_tot.b = p.b
+    """,
+    description=(
+        "consecutive event-type transition lift (P(B|A) / P(B)) — "
+        "sequence-mining signal from one lag window + tiny joins"
+    ),
+    tags=("window", "aggregation", "sequence"),
+)
+def event_bigram_lift(spark, sf_dir):
+    """Transition mining at scale: the only big-data pass is the lag window
+    per user lane (one shuffle); everything after operates on the
+    |event_types|^2 pair table, which is broadcast-sized however large the
+    stream. Lift stays a ratio of counts — log-based PMI would put a
+    not-correctly-rounded libm call between engines and break hash
+    equality."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("prev_type").alias("a"), F.col("event_type").alias("b")
+    ).agg(F.count("*").alias("n_ab"))
+    totals = pairs.agg(F.sum("n_ab").alias("n_pairs"))
+    a_tot = pairs.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    b_tot = pairs.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(a_tot), "a")
+        .join(F.broadcast(b_tot), "b")
+        .join(F.broadcast(totals))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            (
+                (F.col("n_ab").cast("double") / F.col("n_a"))
+                / (F.col("n_b").cast("double") / F.col("n_pairs"))
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
     "events_table_profile",
     oracle="""
         WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events)
