@@ -4494,6 +4494,53 @@ def event_bigram_lift(spark, sf_dir):
 
 
 @register(
+    "event_type_cooccurrence",
+    oracle="""
+        -- Market-basket co-occurrence: which event types appear together
+        -- in the same user-day basket? Baskets are distinct (user, day,
+        -- type) triples; the pair join is per-basket, so work is quadratic
+        -- only in the (tiny) per-basket distinct-type count, never across
+        -- baskets.
+        WITH baskets AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type
+            FROM events
+        )
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_baskets
+        FROM baskets a
+        JOIN baskets b ON a.user_id = b.user_id AND a.day = b.day
+                       AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    """,
+    description=(
+        "event-type co-occurrence in user-day baskets (market-basket "
+        "pair counts; per-basket quadratic only)"
+    ),
+    tags=("aggregation", "join", "sequence"),
+)
+def event_type_cooccurrence(spark, sf_dir):
+    """The itemset-mining primitive: distinct-ify to baskets first (one
+    shuffle), then self-join WITHIN the basket key — the join's equi-keys
+    are (user, day), so Spark plans a co-partitioned join whose fan-out is
+    bounded by distinct types per basket (<= |event_types|), not by basket
+    count."""
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+    ).distinct()
+    a = baskets.select("user_id", "day", F.col("event_type").alias("type_a"))
+    b = baskets.select("user_id", "day", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_baskets"))
+    )
+
+
+@register(
     "events_table_profile",
     oracle="""
         WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events)
