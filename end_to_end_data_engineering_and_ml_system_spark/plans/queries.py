@@ -4541,6 +4541,233 @@ def event_type_cooccurrence(spark, sf_dir):
 
 
 @register(
+    "revenue_pareto_deciles",
+    oracle="""
+        -- Revenue concentration: how much of total spend does each
+        -- customer decile carry? ntile over the (small) per-customer
+        -- aggregate, never over the fact table; share against a broadcast
+        -- total.
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE)
+                       AS spend
+            FROM orders GROUP BY 1
+        ),
+        tiled AS (
+            SELECT o_custkey, spend,
+                   NTILE(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+            FROM spend
+        ),
+        tot AS (
+            SELECT CAST(SUM(CAST(spend AS DECIMAL(28,10))) AS DOUBLE) AS t
+            FROM spend
+        )
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(spend AS DECIMAL(28,10))) AS DOUBLE) AS decile_spend,
+               CAST(SUM(CAST(spend AS DECIMAL(28,10))) AS DOUBLE) / tot.t
+                   AS revenue_share
+        FROM tiled, tot
+        GROUP BY decile, tot.t
+    """,
+    description=(
+        "revenue concentration by customer decile (Pareto curve; window "
+        "over the aggregate, not the facts)"
+    ),
+    tags=("aggregation", "window", "olap"),
+)
+def revenue_pareto_deciles(spark, sf_dir):
+    """The who-carries-the-revenue curve: the global-order NTILE runs over
+    the per-customer aggregate (|customers| rows), never the order facts —
+    the single-partition window cost is bounded by the dimension size at
+    any fact volume. Decimal-exact sums; ties broken by custkey so the
+    tiling is deterministic."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    tiled = spend.withColumn("decile", F.ntile(10).over(w))
+    tot = spend.agg(
+        F.sum(F.col("spend").cast("decimal(28,10)")).cast("double").alias("t")
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("spend").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("decile_spend"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            "decile_spend",
+            (F.col("decile_spend") / F.col("t")).alias("revenue_share"),
+        )
+    )
+
+
+@register(
+    "fulfillment_latency_by_priority",
+    oracle="""
+        -- Order -> first-ship latency distribution per priority: the
+        -- supply-chain SLA query. Latency in whole days (timestamp_ntz
+        -- difference), exact interpolated quantiles.
+        WITH lat AS (
+            SELECT o.o_orderpriority,
+                   CAST(date_diff('day', o.o_orderdate, MIN(l.l_shipdate))
+                        AS BIGINT) AS days_to_first_ship
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               quantile_cont(days_to_first_ship, 0.5) AS p50_days,
+               quantile_cont(days_to_first_ship, 0.95) AS p95_days,
+               CAST(MAX(days_to_first_ship) AS BIGINT) AS max_days
+        FROM lat
+        GROUP BY 1
+    """,
+    description=(
+        "order-to-first-ship latency quantiles per priority (SLA "
+        "distribution; one join + two grouped passes)"
+    ),
+    tags=("join", "aggregation", "olap"),
+)
+def fulfillment_latency_by_priority(spark, sf_dir):
+    """SLA analytics: per-order first-ship date (one co-keyed join +
+    groupBy), then per-priority exact quantiles over the order-grain
+    table. datediff on timestamp_ntz is calendar-day arithmetic in both
+    engines — no timezone in the metric."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("first_ship"), F.col("o_orderdate"))
+            .cast("bigint")
+            .alias("days_to_first_ship"),
+        )
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.expr("percentile(days_to_first_ship, 0.5)").alias("p50_days"),
+        F.expr("percentile(days_to_first_ship, 0.95)").alias("p95_days"),
+        F.max("days_to_first_ship").alias("max_days"),
+    )
+
+
+@register(
+    "referential_integrity_report",
+    oracle="""
+        -- Cross-table FK audit in long format: orphan counts per declared
+        -- relationship. Each check is an anti-join count; the union is the
+        -- report a pipeline gate reads.
+        SELECT 'lineitem->orders' AS relation,
+               CAST((SELECT COUNT(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey))
+                    AS BIGINT) AS n_orphans
+        UNION ALL
+        SELECT 'orders->customer',
+               CAST((SELECT COUNT(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey))
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'customer->nation',
+               CAST((SELECT COUNT(*) FROM customer c
+                     WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                       WHERE n.n_nationkey = c.c_nationkey))
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'events->customer',
+               CAST((SELECT COUNT(*) FROM events e
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = e.user_id))
+                    AS BIGINT)
+    """,
+    description=(
+        "foreign-key orphan audit across the star schema (anti-join "
+        "counts, long format) — the pipeline integrity gate"
+    ),
+    tags=("quality", "audit", "join"),
+)
+def referential_integrity_report(spark, sf_dir):
+    """The write-gate audit a real pipeline runs before publishing a
+    snapshot: every declared FK relationship becomes a left-anti join
+    count (broadcast where the parent side is small). The fixture's
+    events.user_id deliberately references only the first ~150 customers,
+    so the report carries a real non-zero row at larger SFs
+    (orphans = 0 everywhere would prove nothing — here orphan counts are 0
+    for the TPC-H edges and 0 or more for events depending on SF, while
+    the row COUNT stays 4 and values are hash-checked)."""
+    from functools import reduce
+
+    spark_tables = {
+        t: load_table(spark, sf_dir, t)
+        for t in ("lineitem", "orders", "customer", "nation", "events")
+    }
+
+    def orphans(name, child, child_key, parent, parent_key):
+        # one lazy anti-join count per relation — the final frame is a
+        # UNION of 1-row aggregates, no driver-side loop materializes
+        # anything
+        return (
+            child.join(
+                parent.select(F.col(parent_key).alias(child_key)).distinct(),
+                child_key,
+                "left_anti",
+            )
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(name).alias("relation"), "n_orphans")
+        )
+
+    parts = [
+        orphans(
+            "lineitem->orders",
+            spark_tables["lineitem"].select("l_orderkey"),
+            "l_orderkey",
+            spark_tables["orders"],
+            "o_orderkey",
+        ),
+        orphans(
+            "orders->customer",
+            spark_tables["orders"].select("o_custkey"),
+            "o_custkey",
+            spark_tables["customer"],
+            "c_custkey",
+        ),
+        orphans(
+            "customer->nation",
+            spark_tables["customer"].select("c_nationkey"),
+            "c_nationkey",
+            spark_tables["nation"],
+            "n_nationkey",
+        ),
+        orphans(
+            "events->customer",
+            spark_tables["events"].select(F.col("user_id")),
+            "user_id",
+            spark_tables["customer"],
+            "c_custkey",
+        ),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@register(
     "events_table_profile",
     oracle="""
         WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events)
