@@ -4768,6 +4768,110 @@ def referential_integrity_report(spark, sf_dir):
 
 
 @register(
+    "snapshot_diff_counts",
+    oracle="""
+        -- Table diff between two snapshots keyed on event_id: added /
+        -- removed / changed / unchanged row counts via one full-outer join
+        -- comparing canonical row hashes (the fingerprint primitive at row
+        -- grain). Snapshot B is derived deterministically from A: rows
+        -- where event_id % 97 = 0 deleted, values bumped where
+        -- event_id % 101 = 0, and a shifted-id copy added where
+        -- event_id % 103 = 0.
+        WITH a AS (
+            SELECT event_id,
+                   md5(CAST(user_id AS VARCHAR) || '|' ||
+                       COALESCE(event_type, '') || '|' ||
+                       CAST(value AS VARCHAR)) AS h
+            FROM events
+        ),
+        b_base AS (
+            SELECT event_id, user_id, event_type,
+                   CASE WHEN event_id % 101 = 0 THEN value + 1.0
+                        ELSE value END AS value
+            FROM events WHERE event_id % 97 <> 0
+        ),
+        b_added AS (
+            SELECT event_id + 1000000000 AS event_id, user_id, event_type,
+                   value
+            FROM events WHERE event_id % 103 = 0
+        ),
+        b AS (
+            SELECT event_id,
+                   md5(CAST(user_id AS VARCHAR) || '|' ||
+                       COALESCE(event_type, '') || '|' ||
+                       CAST(value AS VARCHAR)) AS h
+            FROM (SELECT * FROM b_base UNION ALL SELECT * FROM b_added)
+        )
+        SELECT
+            CAST(SUM(CASE WHEN a.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_added,
+            CAST(SUM(CASE WHEN b.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_removed,
+            CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                          AND a.h <> b.h THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_changed,
+            CAST(SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_unchanged
+        FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+    """,
+    description=(
+        "keyed snapshot diff (added/removed/changed/unchanged) via "
+        "full-outer join on row hashes — the data-versioning audit"
+    ),
+    tags=("quality", "audit", "join"),
+)
+def snapshot_diff_counts(spark, sf_dir):
+    """What changed between two table versions? One full-outer join on the
+    key comparing canonical row hashes — at 100 TB both sides shuffle once
+    on the same key and nothing else moves. Pairs with
+    events_table_fingerprint: the fingerprint says WHETHER snapshots
+    differ in O(1) transfer, this says HOW at row grain. Snapshot B is a
+    deterministic perturbation of A (the fixtures ship one version), so
+    every diff class is exercised with non-zero counts. Value renders via
+    CAST(double AS VARCHAR) which both engines print with the same
+    shortest-round-trip rules for these fixture values."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def hashed(df):
+        h = F.md5(
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit("|"),
+                F.coalesce(F.col("event_type"), F.lit("")),
+                F.lit("|"),
+                F.col("value").cast("string"),
+            )
+        )
+        return df.select("event_id", h.alias("h"))
+
+    a = hashed(ev)
+    b_base = ev.filter(F.col("event_id") % 97 != 0).withColumn(
+        "value",
+        F.when(F.col("event_id") % 101 == 0, F.col("value") + 1.0).otherwise(
+            F.col("value")
+        ),
+    )
+    b_added = ev.filter(F.col("event_id") % 103 == 0).withColumn(
+        "event_id", F.col("event_id") + F.lit(1000000000)
+    )
+    b = hashed(b_base.unionByName(b_added))
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.event_id") == F.col("b.event_id"), "full_outer"
+    )
+    ah, bh = F.col("a.h"), F.col("b.h")
+    return j.agg(
+        F.sum(F.when(ah.isNull(), 1).otherwise(0)).alias("n_added"),
+        F.sum(F.when(bh.isNull(), 1).otherwise(0)).alias("n_removed"),
+        F.sum(
+            F.when(ah.isNotNull() & bh.isNotNull() & (ah != bh), 1).otherwise(0)
+        ).alias("n_changed"),
+        F.sum(F.when(ah == bh, 1).otherwise(0)).alias("n_unchanged"),
+    )
+
+
+@register(
     "events_table_profile",
     oracle="""
         WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events)
