@@ -4872,6 +4872,57 @@ def snapshot_diff_counts(spark, sf_dir):
 
 
 @register(
+    "sliding_7d_distinct_users",
+    oracle="""
+        -- Exact trailing-7-day distinct users per day. Distinct counts
+        -- don't sum across days, so the correct exact shape joins the
+        -- (small) day x user table to its own trailing window and
+        -- re-distincts — never touches raw events twice. The HLL rollup
+        -- (distinct_users_hll_rollup) is the approximate sibling that
+        -- avoids the window join at extreme cardinalities.
+        WITH du AS (
+            SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+            FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM du)
+        SELECT d.day,
+               CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS distinct_users_7d
+        FROM days d
+        JOIN du u ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+        GROUP BY 1
+    """,
+    description=(
+        "exact trailing-7-day distinct users (day-grain window re-distinct "
+        "— the can't-sum-distincts shape; HLL rollup is the approx sibling)"
+    ),
+    tags=("window", "aggregation", "distinct"),
+)
+def sliding_7d_distinct_users(spark, sf_dir):
+    """Sliding distinct counts are the classic trap: per-day distincts
+    don't add. The exact distributed answer reduces raw events to the
+    (day, user) grain FIRST — one pass over the facts — then the trailing
+    window is a range join on that dimension-sized table followed by a
+    re-distinct. At 100 TB the day-user table is |days| x |active users|,
+    orders of magnitude under the fact volume; if even that is too wide,
+    the mergeable-HLL rollup swaps exactness for union-able sketches."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct().alias("d")
+    u = du.alias("u")
+    return (
+        days.join(
+            u,
+            (F.col("u.day") <= F.col("d.day"))
+            & (F.col("u.day") >= F.col("d.day") - F.expr("INTERVAL 6 DAYS")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("distinct_users_7d"))
+    )
+
+
+@register(
     "events_table_profile",
     oracle="""
         WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events)
