@@ -5968,6 +5968,97 @@ def corpus_pipeline_summary(spark, sf_dir):
 
 
 @register(
+    "corpus_yield_by_source",
+    oracle=f"""
+        -- Where does the corpus lose documents? Per-source yield through
+        -- the pipeline stages: raw -> quality-pass -> dedup-kept. The
+        -- stage definitions are EXACTLY corpus_pipeline_summary's, so this
+        -- is the same pipeline viewed as a per-source funnel.
+        WITH t AS (
+            SELECT doc_id, source, text, {_SQL_TOKENS} AS toks,
+                   length(text) AS n
+            FROM documents
+        ), scored AS (
+            SELECT
+                doc_id, source, text, len(toks) AS n_tokens,
+                (
+                  (CASE WHEN n BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN CAST({_SQL_STOPFILTER} AS DOUBLE) / len(toks)
+                       BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                       AS DOUBLE) / n <= 0.3 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                       AS DOUBLE) / n <= 0.1 THEN 1.0 ELSE 0.0 END)
+                ) / 4.0 AS quality
+            FROM t
+        ), q AS (
+            SELECT doc_id, source, text FROM scored
+            WHERE quality >= 0.75 AND n_tokens BETWEEN 5 AND 5000
+        ), d AS (
+            SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM q GROUP BY 1
+        ), k AS (
+            SELECT q.source FROM q
+            JOIN d ON md5(q.text) = d.h AND q.doc_id = d.keep_id
+        )
+        SELECT r.source, r.n_raw,
+               COALESCE(qq.n_quality, 0) AS n_quality,
+               COALESCE(kk.n_kept, 0) AS n_kept,
+               CAST(COALESCE(kk.n_kept, 0) AS DOUBLE) / r.n_raw AS yield_rate
+        FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw
+              FROM documents GROUP BY 1) r
+        LEFT JOIN (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_quality
+                   FROM q GROUP BY 1) qq ON qq.source = r.source
+        LEFT JOIN (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+                   FROM k GROUP BY 1) kk ON kk.source = r.source
+    """,
+    description=(
+        "per-source pipeline yield funnel (raw -> quality-pass -> "
+        "dedup-kept) — where the corpus loses documents"
+    ),
+    tags=("llm-data", "etl", "quality"),
+)
+def corpus_yield_by_source(spark, sf_dir):
+    """The data-sourcing dashboard: which feeds survive the quality gate
+    and dedup, and at what rate. Same lazy stage definitions as
+    corpus_pipeline_summary, rolled up per source; the three stage counts
+    are grouped aggregates over progressively smaller frames joined on the
+    (tiny) source dimension."""
+    from pyspark.sql import Window
+
+    from ..operators.text import quality_score, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        quality_score("text").alias("quality"),
+        token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    q = scored.filter(
+        (F.col("quality") >= 0.75) & F.col("n_tokens").between(5, 5000)
+    ).select("doc_id", "source", F.md5("text").alias("h"))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    k = q.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    raw_c = docs.groupBy("source").agg(F.count("*").alias("n_raw"))
+    q_c = q.groupBy("source").agg(F.count("*").alias("n_quality"))
+    k_c = k.groupBy("source").agg(F.count("*").alias("n_kept"))
+    return (
+        raw_c.join(q_c, "source", "left")
+        .join(k_c, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (
+                F.coalesce("n_kept", F.lit(0)).cast("double") / F.col("n_raw")
+            ).alias("yield_rate"),
+        )
+    )
+
+
+@register(
     "embedding_quantize_int8",
     oracle="""
         -- Per-dim int8 quantization stats. Codes are floor(x+0.5) over IEEE
