@@ -491,6 +491,59 @@ def top_orders_per_customer(spark, sf_dir):
 
 
 @register(
+    "top_spend_days_with_ties",
+    oracle="""
+        -- RANK-based top-k: every day tied at the boundary value survives
+        -- (row_number would arbitrarily cut ties; dense_rank would let one
+        -- heavy day swallow the whole budget). The semantics a revenue
+        -- leaderboard actually wants.
+        SELECT user_id, day, day_value, rnk
+        FROM (
+            SELECT user_id, day, day_value,
+                   RANK() OVER (PARTITION BY user_id
+                                ORDER BY day_value DESC) AS rnk
+            FROM (
+                SELECT user_id, date_trunc('day', ts) AS day,
+                       CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                           AS day_value
+                FROM events
+                GROUP BY 1, 2
+            )
+        )
+        WHERE rnk <= 3
+    """,
+    description=(
+        "tie-preserving top-3 spend days per user (RANK, not row_number — "
+        "boundary ties all survive)"
+    ),
+    tags=("window", "topk"),
+)
+def top_spend_days_with_ties(spark, sf_dir):
+    """T1-T3's tie-aware sibling: `top_orders_per_customer` uses
+    row_number (exactly k rows, deterministic tie-break), this uses RANK so
+    equal boundary values all survive — the semantics an alerting or
+    leaderboard consumer usually wants, and a different window function
+    exercised against the oracle. Decimal-exact day sums make tie groups
+    identical across engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("day_value")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("day_value").desc())
+    return (
+        daily.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "day", "day_value", "rnk")
+    )
+
+
+@register(
     "customer_order_gaps",
     oracle="""
         SELECT
