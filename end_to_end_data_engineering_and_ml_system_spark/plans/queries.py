@@ -544,6 +544,40 @@ def top_spend_days_with_ties(spark, sf_dir):
 
 
 @register(
+    "part_supplier_diversity",
+    oracle="""
+        -- Supply-chain concentration risk: how many distinct suppliers
+        -- ship each part, summarized as a distribution. Two grouped
+        -- passes, the second over the part-grain table.
+        WITH ps AS (
+            SELECT l_partkey,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+            FROM lineitem GROUP BY 1
+        )
+        SELECT n_suppliers,
+               CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM ps
+        GROUP BY 1
+    """,
+    description=(
+        "supplier-diversity distribution per part (single-source-risk "
+        "histogram; distinct-count then re-group)"
+    ),
+    tags=("aggregation", "olap", "distinct"),
+)
+def part_supplier_diversity(spark, sf_dir):
+    """Single-source risk in one picture: parts served by exactly one
+    supplier are the fragile tail. First pass reduces the facts to part
+    grain (count distinct suppliers — one Expand + shuffle), second pass
+    histograms that dimension-sized table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers")
+    )
+    return ps.groupBy("n_suppliers").agg(F.count("*").alias("n_parts"))
+
+
+@register(
     "customer_order_gaps",
     oracle="""
         SELECT
