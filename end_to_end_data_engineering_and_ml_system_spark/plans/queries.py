@@ -6055,6 +6055,85 @@ def corpus_pipeline_summary(spark, sf_dir):
 
 
 @register(
+    "token_budget_selection",
+    oracle=f"""
+        -- Budgeted corpus selection: per language, take documents in
+        -- quality-descending order until the running token total passes
+        -- 10k. The greedy-under-budget primitive behind data-mixture
+        -- recipes; the window partitions by language so selection
+        -- distributes.
+        WITH t AS (
+            SELECT doc_id, lang, {_SQL_TOKENS} AS toks, length(text) AS n,
+                   text
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, lang, len(toks) AS n_tokens,
+                (
+                  (CASE WHEN n BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN CAST({_SQL_STOPFILTER} AS DOUBLE) / len(toks)
+                       BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                       AS DOUBLE) / n <= 0.3 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                       AS DOUBLE) / n <= 0.1 THEN 1.0 ELSE 0.0 END)
+                ) / 4.0 AS quality
+            FROM t
+        ), runn AS (
+            SELECT lang, doc_id, n_tokens, quality,
+                   SUM(n_tokens) OVER (PARTITION BY lang
+                                       ORDER BY quality DESC, doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND CURRENT ROW) AS cum_tokens
+            FROM scored
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_selected,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_selected
+        FROM runn
+        WHERE cum_tokens <= 10000
+        GROUP BY 1
+    """,
+    description=(
+        "greedy quality-ordered selection under a per-language token "
+        "budget (the data-mixture recipe primitive)"
+    ),
+    tags=("llm-data", "sampling", "window"),
+)
+def token_budget_selection(spark, sf_dir):
+    """Data-mixture recipes cap each slice by token budget, filled best-
+    first: one running-sum window per language partition over the doc-grain
+    table (quality desc, doc_id tie-break — fully deterministic), then keep
+    rows whose cumulative total fits. Selection distributes across
+    languages; within a language the window is the price of the exact
+    greedy order."""
+    from pyspark.sql import Window
+
+    from ..operators.text import quality_score, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        token_count("text").cast("bigint").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("quality").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runn = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        runn.filter(F.col("cum_tokens") <= 10000)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_selected"),
+            F.sum("n_tokens").alias("tokens_selected"),
+        )
+    )
+
+
+@register(
     "corpus_yield_by_source",
     oracle=f"""
         -- Where does the corpus lose documents? Per-source yield through
