@@ -529,3 +529,69 @@ def edit_distance_pairs(
         F.col(f"b.{id_col}").alias("doc_b"),
         dist.alias("prefix_edit_distance"),
     ).filter(F.col("prefix_edit_distance") <= max_dist)
+
+
+def simhash_near_dup_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    sig_col: str = "simhash",
+    bits: int = 60,
+    chunks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """EXACT hamming-radius pairs over SimHash signatures via pigeonhole
+    banding: split each ``bits``-wide signature into ``chunks`` equal
+    chunks; two signatures within ``max_hamming <= chunks - 1`` bit flips
+    MUST share at least one identical chunk (pigeonhole), so the
+    chunk-equality self-join generates a candidate superset and the
+    ``bit_count(xor)`` verify keeps exactly the true pairs — no recall
+    loss, unlike probabilistic LSH banding.
+
+    Scale shape: signatures explode to ``chunks`` rows each, the join is
+    an equi-join on (chunk_no, chunk_value), and the verify is two integer
+    instructions per candidate. Hot chunk values (e.g. the all-zeros chunk
+    from short docs) can be capped with :func:`cap_bucket_size`."""
+    if bits % chunks != 0:
+        raise ValueError("bits must divide evenly into chunks")
+    if max_hamming > chunks - 1:
+        raise ValueError(
+            "pigeonhole exactness needs max_hamming <= chunks - 1"
+        )
+    width = bits // chunks
+    mask = (1 << width) - 1
+    chunk_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_no"),
+                F.shiftright(F.col(sig_col), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk_val"),
+            )
+            for i in range(chunks)
+        ]
+    )
+    banded = sig_df.select(
+        F.col(id_col), F.col(sig_col), F.explode(chunk_rows).alias("c")
+    ).select(id_col, sig_col, "c.chunk_no", "c.chunk_val")
+    a = banded.select(
+        F.col(id_col).alias("id1"),
+        F.col(sig_col).alias("sig1"),
+        "chunk_no",
+        "chunk_val",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id2"),
+        F.col(sig_col).alias("sig2"),
+        "chunk_no",
+        "chunk_val",
+    )
+    cand = (
+        a.join(b, ["chunk_no", "chunk_val"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "sig1", "sig2")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2")))
+    return cand.select(
+        "id1", "id2", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

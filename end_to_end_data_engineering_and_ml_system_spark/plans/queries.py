@@ -3851,6 +3851,75 @@ def doc_simhash_portable(spark, sf_dir):
 
 
 @register(
+    "doc_simhash_near_dups",
+    oracle="""
+        -- EXACT hamming-radius (<=3) SimHash pairs by pigeonhole banding:
+        -- 60-bit signatures split into 4 x 15-bit chunks; <=3 flips forces
+        -- >=1 identical chunk, so chunk-join candidates + bit_count(xor)
+        -- verify lose nothing (unlike probabilistic LSH banding).
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                      tk -> tk <> '')) AS tok
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+            FROM tok
+        ),
+        v AS (
+            SELECT doc_id, b.j,
+                   SUM(CASE WHEN (h >> b.j) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+            FROM h CROSS JOIN (SELECT unnest(range(60)) AS j) b
+            GROUP BY 1, 2
+        ),
+        sig AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << j)
+                            ELSE 0 END) AS BIGINT) AS simhash
+            FROM v GROUP BY 1
+        ),
+        banded AS (
+            SELECT doc_id, simhash, c.chunk_no,
+                   (simhash >> (c.chunk_no * 15)) & 32767 AS chunk_val
+            FROM sig CROSS JOIN (SELECT unnest(range(4)) AS chunk_no) c
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                            a.simhash AS sig1, b.simhash AS sig2
+            FROM banded a
+            JOIN banded b ON a.chunk_no = b.chunk_no
+                         AND a.chunk_val = b.chunk_val
+                         AND a.doc_id < b.doc_id
+        )
+        SELECT id1, id2,
+               CAST(bit_count(xor(sig1, sig2)) AS INTEGER) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sig1, sig2)) <= 3
+    """,
+    description=(
+        "exact hamming<=3 SimHash near-dup pairs (pigeonhole chunk "
+        "banding, bit_count verify — zero recall loss)"
+    ),
+    tags=("dedup", "simhash", "deterministic"),
+)
+def doc_simhash_near_dups(spark, sf_dir):
+    """Completes the SimHash dedup path: signatures -> pairs
+    (operators/dedup.py::simhash_near_dup_pairs). The pigeonhole guarantee
+    makes this the rare EXACT near-dup method whose candidate stage is
+    still an equi-join — at a 100 TB corpus the chunk join shuffles 4 rows
+    per doc and the verify is two integer instructions per candidate."""
+    from ..operators.dedup import simhash_near_dup_pairs, simhash_table_portable
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash_table_portable(docs, "doc_id", "text")
+    return simhash_near_dup_pairs(
+        sigs, "doc_id", bits=60, chunks=4, max_hamming=3
+    )
+
+
+@register(
     "doc_edit_distance_near_dups",
     oracle="""
         -- Blocked Levenshtein near-dup pairs. Text normalized to printable

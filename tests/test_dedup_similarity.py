@@ -379,3 +379,39 @@ def test_cluster_aware_split_never_splits_a_pair(spark, sf_dir):
         .filter(F.col("s1") != F.col("s2"))
     )
     assert straddlers.count() == 0
+
+
+def test_simhash_pairs_exact_vs_bruteforce(spark):
+    import itertools
+    import random
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    rng = random.Random(11)
+    base = rng.getrandbits(60)
+    sigs = {0: base}
+    # planted neighbors at hamming 1..5 plus random strangers
+    for i, k in enumerate([1, 2, 3, 4, 5], start=1):
+        s = base
+        for b in rng.sample(range(60), k):
+            s ^= 1 << b
+        sigs[i] = s
+    for i in range(6, 16):
+        sigs[i] = rng.getrandbits(60)
+
+    df = spark.createDataFrame(list(sigs.items()), "doc_id long, simhash long")
+    got = {
+        (r.id1, r.id2): r.hamming
+        for r in simhash_near_dup_pairs(
+            df, "doc_id", bits=60, chunks=4, max_hamming=3
+        ).collect()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        d = bin(sigs[a] ^ sigs[b]).count("1")
+        if d <= 3:
+            want[(a, b)] = d
+    assert got == want  # pigeonhole banding loses nothing within radius 3
+    assert (0, 1) in got and (0, 3) in got and (0, 4) not in got
