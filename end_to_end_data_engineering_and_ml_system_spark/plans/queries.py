@@ -5079,6 +5079,54 @@ def sliding_7d_distinct_users(spark, sf_dir):
 
 
 @register(
+    "events_hourly_seasonality",
+    oracle="""
+        -- Traffic seasonality grid: events per (day-of-week, hour-of-day)
+        -- cell plus each cell's share of its weekday — the load-shape
+        -- profile capacity planning and anomaly baselines read. Wall-clock
+        -- calendar fields only, no epoch arithmetic.
+        WITH g AS (
+            SELECT dayofweek(ts) AS dow, date_part('hour', ts) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT dow, hour, n_events,
+               CAST(n_events AS DOUBLE)
+                   / SUM(n_events) OVER (PARTITION BY dow) AS share_of_dow
+        FROM g
+    """,
+    description=(
+        "hour-of-day x day-of-week seasonality grid with per-weekday "
+        "shares (the load-shape baseline)"
+    ),
+    tags=("aggregation", "window", "olap"),
+)
+def events_hourly_seasonality(spark, sf_dir):
+    """The baseline an anomaly detector compares against: one grouped count
+    to the 7x24 grid (a constant-size aggregate at any volume), then the
+    per-weekday share as a window over that tiny grid. DuckDB dayofweek()
+    returns 0-6 Sunday-first; Spark's dayofweek() is 1-7 Sunday-first, so
+    the Spark side subtracts 1 to align the calendars."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        (F.dayofweek("ts") - F.lit(1)).alias("dow"),
+        F.hour("ts").alias("hour"),
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("dow")
+    return g.select(
+        "dow",
+        "hour",
+        "n_events",
+        (F.col("n_events").cast("double") / F.sum("n_events").over(w)).alias(
+            "share_of_dow"
+        ),
+    )
+
+
+@register(
     "events_table_profile",
     oracle="""
         WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events)
