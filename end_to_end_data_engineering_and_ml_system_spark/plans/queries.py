@@ -5127,6 +5127,83 @@ def events_hourly_seasonality(spark, sf_dir):
 
 
 @register(
+    "customer_tier_migration",
+    oracle="""
+        -- Cohort movement: spend-tercile transition matrix between the
+        -- early era (pre-1998) and late era of the order history. Tiles
+        -- run over the per-customer aggregates (dimension-sized);
+        -- customers absent from an era land in tier 0.
+        WITH early AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE)
+                       AS spend
+            FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        ),
+        late AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE)
+                       AS spend
+            FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        ),
+        te AS (
+            SELECT o_custkey,
+                   NTILE(3) OVER (ORDER BY spend DESC, o_custkey) AS tier
+            FROM early
+        ),
+        tl AS (
+            SELECT o_custkey,
+                   NTILE(3) OVER (ORDER BY spend DESC, o_custkey) AS tier
+            FROM late
+        )
+        SELECT COALESCE(te.tier, 0) AS tier_early,
+               COALESCE(tl.tier, 0) AS tier_late,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM te FULL OUTER JOIN tl ON te.o_custkey = tl.o_custkey
+        GROUP BY 1, 2
+    """,
+    description=(
+        "spend-tercile migration matrix between order-history eras "
+        "(cohort movement; tiles over dimension-sized aggregates)"
+    ),
+    tags=("window", "join", "olap"),
+)
+def customer_tier_migration(spark, sf_dir):
+    """Who moved up, who churned: tier each customer within each era by
+    total spend (NTILE over the per-customer aggregate — dimension-sized,
+    deterministic custkey tie-break), then full-outer join the two tier
+    tables; era-absent customers surface as tier 0. At any fact volume the
+    expensive work is the two grouped sums; everything after is
+    dimension-scale."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp_ntz")
+
+    def tiers(df):
+        spend = df.groupBy("o_custkey").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("spend")
+        )
+        w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+        return spend.select("o_custkey", F.ntile(3).over(w).alias("tier"))
+
+    te = tiers(orders.where(F.col("o_orderdate") < cutoff)).withColumnsRenamed(
+        {"o_custkey": "ck_e", "tier": "tier_e"}
+    )
+    tl = tiers(orders.where(F.col("o_orderdate") >= cutoff)).withColumnsRenamed(
+        {"o_custkey": "ck_l", "tier": "tier_l"}
+    )
+    j = te.join(tl, te.ck_e == tl.ck_l, "full_outer")
+    return j.groupBy(
+        F.coalesce("tier_e", F.lit(0)).alias("tier_early"),
+        F.coalesce("tier_l", F.lit(0)).alias("tier_late"),
+    ).agg(F.count("*").alias("n_customers"))
+
+
+@register(
     "events_table_profile",
     oracle="""
         WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events)
