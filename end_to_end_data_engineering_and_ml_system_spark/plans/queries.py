@@ -6328,6 +6328,58 @@ def token_budget_selection(spark, sf_dir):
 
 
 @register(
+    "doc_ngram_novelty",
+    oracle=f"""
+        -- Novelty curve for curation: what fraction of each document's
+        -- distinct 3-gram shingles appear for the FIRST time in that
+        -- document (first = lowest doc_id)? Repetitive feeds trend to 0;
+        -- fresh content stays high. One explode + one min-per-shingle
+        -- aggregate — the same inverted-index backbone as the dedup path.
+        WITH t AS ({_SQL_SHINGLES}),
+        s AS (SELECT doc_id, unnest(sh) AS shingle FROM t),
+        first AS (
+            SELECT shingle, MIN(doc_id) AS first_doc FROM s GROUP BY 1
+        )
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS novel_shingles,
+               CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS novelty
+        FROM s JOIN first f ON f.shingle = s.shingle
+        GROUP BY 1
+    """,
+    description=(
+        "per-doc n-gram novelty (share of shingles first seen in this doc) "
+        "— the freshness signal for feed curation"
+    ),
+    tags=("llm-data", "text", "quality"),
+)
+def doc_ngram_novelty(spark, sf_dir):
+    """Repetition across documents, not within them (doc_repetition_signals
+    covers within): the share of a doc's shingles whose corpus-wide first
+    appearance IS this doc. The first-appearance table is one
+    min-aggregate over the exploded shingles — the inverted index the
+    dedup path already builds — and the join back is on the shingle key
+    both sides already shuffle on."""
+    from ..operators.dedup import exploded_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = exploded_shingles(docs, "doc_id", "text", 3)
+    first = s.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        s.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(novel).alias("novel_shingles"),
+            (F.sum(novel).cast("double") / F.count("*")).alias("novelty"),
+        )
+    )
+
+
+@register(
     "corpus_yield_by_source",
     oracle=f"""
         -- Where does the corpus lose documents? Per-source yield through
