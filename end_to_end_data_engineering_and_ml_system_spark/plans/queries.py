@@ -5204,6 +5204,76 @@ def customer_tier_migration(spark, sf_dir):
 
 
 @register(
+    "order_backlog_over_time",
+    oracle="""
+        -- Open-order backlog per month: interval stabbing done as boundary
+        -- events (+1 at placement, -1 after the last ship) and a prefix
+        -- sum — never explodes an interval into its covered days. The
+        -- running sum operates on the (tiny) distinct-boundary table.
+        WITH spans AS (
+            SELECT o.o_orderkey,
+                   date_trunc('month', o.o_orderdate) AS start_m,
+                   date_trunc('month', MAX(l.l_shipdate)) AS end_m
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
+        ),
+        deltas AS (
+            SELECT start_m AS m, 1 AS d FROM spans
+            UNION ALL
+            SELECT end_m + INTERVAL 1 MONTH, -1 FROM spans
+        ),
+        agg AS (
+            SELECT m, CAST(SUM(d) AS BIGINT) AS delta FROM deltas GROUP BY 1
+        )
+        SELECT m AS month,
+               CAST(SUM(delta) OVER (ORDER BY m
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS open_orders
+        FROM agg
+    """,
+    description=(
+        "open-order backlog per month via boundary deltas + prefix sum "
+        "(interval stabbing without interval explosion)"
+    ),
+    tags=("window", "aggregation", "olap"),
+)
+def order_backlog_over_time(spark, sf_dir):
+    """How many orders are in flight at each point in time? The naive plan
+    explodes every order into its covered months; the scalable one emits
+    two boundary deltas per order, aggregates them to the distinct-month
+    grain (one shuffle over the facts), and prefix-sums the resulting
+    ~tens-of-rows table — the global-order window costs nothing because it
+    runs AFTER the reduction to time grain."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    spans = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.date_trunc("month", F.col("o_orderdate")).alias("start_m"),
+            F.date_trunc("month", F.col("last_ship")).alias("end_m"),
+        )
+    )
+    deltas = spans.select(F.col("start_m").alias("m"), F.lit(1).alias("d")).unionAll(
+        spans.select(
+            F.add_months(F.col("end_m"), 1).cast("timestamp_ntz").alias("m"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    agg = deltas.groupBy("m").agg(F.sum("d").alias("delta"))
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return agg.select(
+        F.col("m").alias("month"),
+        F.sum("delta").over(w).cast("bigint").alias("open_orders"),
+    )
+
+
+@register(
     "events_table_profile",
     oracle="""
         WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events)
