@@ -138,6 +138,22 @@ def lsh_bucket_candidates(
     of k vectors emits k² candidate rows) — same guard as
     ``dedup.cap_bucket_size``."""
     sig = lsh_signatures_table(corpus, id_col, vec_col, num_planes)
+    return band_signature_candidates(
+        sig, id_col, num_tables, planes_per_table, max_bucket_size
+    )
+
+
+def band_signature_candidates(
+    sig: DataFrame,
+    id_col: str = "vec_id",
+    num_tables: int = 4,
+    planes_per_table: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Band an ``(id, sig)`` bit-signature table into ``num_tables`` hash
+    tables and emit distinct same-bucket candidate pairs (id1 < id2).
+    Shared by the fast (xxhash64) and engine-portable (md5) sketch paths —
+    banding is a pure projection, the only shuffle is the bucket equi-join."""
     mask = (1 << planes_per_table) - 1
     tables = []
     for t in range(num_tables):
@@ -349,6 +365,66 @@ def lsh_signatures_portable(
         ).otherwise(F.lit(0).cast("bigint"))
         sig = bit if sig is None else sig + bit
     return projs.select(id_col, sig.alias("sig"))
+
+
+def embedding_near_dups_portable(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    num_planes: int = 16,
+    num_tables: int = 4,
+    planes_per_table: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Engine-portable embedding near-dup pairs: md5-plane sign-sketch LSH
+    proposes candidates, an order-independent decimal-summed exact cosine
+    verifies them. Bit-for-bit reproducible in any engine (DuckDB oracle in
+    plans/queries.py) — the cross-engine-checkable sibling of
+    :func:`embedding_near_dups`, same banded ~linear candidate shape.
+
+    Scale shape: one posexplode of the corpus feeds both the signature sums
+    and the pair dot products; candidates are an equi-join on (table,
+    bucket); the verify joins candidates back to the exploded table on
+    (id, pos) — no all-pairs stage anywhere."""
+    sig = lsh_signatures_portable(corpus, id_col, vec_col, num_planes)
+    cands = band_signature_candidates(
+        sig, id_col, num_tables, planes_per_table, max_bucket_size
+    )
+    ex = corpus.select(
+        F.col(id_col), F.posexplode(vec_col).alias("pos", "xf")
+    ).select(id_col, "pos", F.col("xf").cast("double").alias("x"))
+    norms = ex.groupBy(id_col).agg(
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("nrm")
+    )
+    dots = (
+        cands.join(
+            ex.select(F.col(id_col).alias("id1"), "pos", F.col("x").alias("x1")),
+            "id1",
+        )
+        .join(
+            ex.select(F.col(id_col).alias("id2"), "pos", F.col("x").alias("x2")),
+            ["id2", "pos"],
+        )
+        .groupBy("id1", "id2")
+        .agg(
+            F.sum((F.col("x1") * F.col("x2")).cast("decimal(28,10)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    return (
+        dots.join(norms.select(F.col(id_col).alias("id1"), F.col("nrm").alias("n1")), "id1")
+        .join(norms.select(F.col(id_col).alias("id2"), F.col("nrm").alias("n2")), "id2")
+        .select(
+            "id1",
+            "id2",
+            (F.col("dot") / (F.sqrt("n1") * F.sqrt("n2"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def quantize_int8_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:

@@ -2693,6 +2693,82 @@ def embedding_near_dups(spark, sf_dir):
 
 
 @register(
+    "embedding_near_dups_portable",
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS x
+            FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
+        ),
+        terms AS (
+            SELECT vec_id, p.j,
+                   CAST(floor(x * (CASE WHEN CAST(concat('0x',
+                            substr(md5(p.j || ':' || pos), 1, 1)) AS INT)
+                            % 2 = 1 THEN 1.0 ELSE -1.0 END)
+                        * 1000000.0 + 0.5) AS BIGINT) AS term
+            FROM ex CROSS JOIN (SELECT unnest(range(16)) AS j) p
+        ),
+        projs AS (SELECT vec_id, j, SUM(term) AS p FROM terms GROUP BY 1, 2),
+        sigs AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN p > 0
+                            THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                            ELSE 0 END) AS BIGINT) AS sig
+            FROM projs GROUP BY 1
+        ),
+        buckets AS (
+            SELECT vec_id, t.table_id,
+                   (sig >> (t.table_id * 4)) & 15 AS bucket
+            FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS table_id) t
+        ),
+        cands AS (
+            SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+            FROM buckets a
+            JOIN buckets b ON a.table_id = b.table_id
+                          AND a.bucket = b.bucket
+                          AND a.vec_id < b.vec_id
+        ),
+        norms AS (
+            SELECT vec_id,
+                   CAST(SUM(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS nrm
+            FROM ex GROUP BY 1
+        ),
+        dots AS (
+            SELECT c.id1, c.id2,
+                   CAST(SUM(CAST(e1.x * e2.x AS DECIMAL(28,10))) AS DOUBLE)
+                       AS dot
+            FROM cands c
+            JOIN ex e1 ON e1.vec_id = c.id1
+            JOIN ex e2 ON e2.vec_id = c.id2 AND e2.pos = e1.pos
+            GROUP BY 1, 2
+        )
+        SELECT d.id1, d.id2,
+               d.dot / (sqrt(n1.nrm) * sqrt(n2.nrm)) AS cosine
+        FROM dots d
+        JOIN norms n1 ON n1.vec_id = d.id1
+        JOIN norms n2 ON n2.vec_id = d.id2
+        WHERE d.dot / (sqrt(n1.nrm) * sqrt(n2.nrm)) >= 0.3
+    """,
+    description=(
+        "embedding near-dup pairs, engine-portable: md5-plane LSH candidates"
+        " + decimal-exact cosine verify (oracle-checked end to end)"
+    ),
+    tags=("dedup", "similarity", "ann", "deterministic"),
+)
+def embedding_near_dups_portable(spark, sf_dir):
+    """Oracle-checked composition of the two already-proven pieces
+    (lsh_signatures_portable + decimal-summed exact cosine): the sketch is
+    md5-derived so any engine reproduces every bucket, and the verify's dot
+    products are order-independent decimal sums, so the pair list and the
+    cosine values are bit-identical cross-engine. Threshold 0.3 as in
+    embedding_near_dups (the synthetic corpus has no true near-identical
+    vectors; 0.3 ≈ its 99th percentile of candidate cosine)."""
+    from ..operators.similarity import embedding_near_dups_portable as op
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return op(emb, "vec_id", "embedding", threshold=0.3)
+
+
+@register(
     "stream_stream_join_counts",
     oracle="""
         WITH p AS (

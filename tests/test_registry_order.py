@@ -37,3 +37,30 @@ def test_reorder_preserves_registry():
     _ensure_loaded()
     assert set(all_queries()) == set(_REGISTRY)
     assert len(all_queries()) == len(_REGISTRY)
+
+
+def test_registry_never_shrinks():
+    """A rename or deleted @register can't silently shrink driver coverage:
+    the registry held 155 queries at the round-3 snapshot and only grows."""
+    _ensure_loaded()
+    assert len(_REGISTRY) >= 156
+
+
+def test_round4_window_is_never_driver_tested():
+    """The round-4 window exists to close the driver-evidence gap: every
+    name in it must be absent from all committed CORRECTNESS_r0*.json files
+    (i.e. genuinely never driver-tested before this round)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0[123].json")))
+    if not files:  # fresh clone without round artifacts
+        return
+    tested: set[str] = set()
+    for f in files:
+        with open(f) as fh:
+            tested |= set(json.load(fh))
+    overlap = [n for n in _DRIVER_PRIORITY if n in tested]
+    assert not overlap, f"window wastes slots on already-proven queries: {overlap}"
