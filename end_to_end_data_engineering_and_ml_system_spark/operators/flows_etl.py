@@ -107,11 +107,14 @@ class FlowsEtlResult:
 
 
 def _materialize(df: DataFrame) -> DataFrame:
-    """Parquet round-trip through a temp dir: materializes the frame and
-    truncates the logical plan (see the call-site comment)."""
-    import tempfile
+    """Parquet round-trip: materializes the frame and truncates the logical
+    plan (see the call-site comment). The destination resolves through
+    ``scratch.scratch_unique`` — set the ``spark.e2e.scratchDir`` session
+    conf to a shared filesystem on a real cluster (executors must read the
+    files the write produced); the tempfile fallback is local-mode-only."""
+    from ..scratch import scratch_unique
 
-    dest = tempfile.mkdtemp(prefix="e2e_flows_clean_")
+    dest = scratch_unique(df.sparkSession, "e2e_flows_clean")
     df.write.mode("overwrite").parquet(dest)
     return df.sparkSession.read.parquet(dest)
 

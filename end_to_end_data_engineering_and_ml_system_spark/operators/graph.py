@@ -48,13 +48,26 @@ def _cut(df: DataFrame, reliable: bool) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _resolve_reliable(df: DataFrame, reliable: bool | None) -> bool:
+    """``reliable_checkpoints=None`` (the default everywhere) auto-detects:
+    if the session has a checkpoint dir configured
+    (``spark.sparkContext.setCheckpointDir``), lineage cuts go through the
+    reliable checkpoint store — so the production entry points
+    (``dedup_cluster_labels``, the dedup-cluster queries) become
+    executor-loss-safe by setting one session-level conf, with no parameter
+    threading at the call sites. Explicit True/False still overrides."""
+    if reliable is not None:
+        return reliable
+    return df.sparkSession.sparkContext.getCheckpointDir() is not None
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 25,
     assume_distinct: bool = False,
-    reliable_checkpoints: bool = False,
+    reliable_checkpoints: bool | None = None,
 ) -> DataFrame:
     """Return ``(id, comp)`` where ``comp`` is the minimum node id reachable
     from ``id`` — a deterministic, engine-independent component label.
@@ -70,12 +83,13 @@ def connected_components(
     dedup graph, and wants the O(log n)-round formulation instead
     (:func:`connected_components_stars`) rather than a bigger ``max_iters``.
     """
+    reliable = _resolve_reliable(edges, reliable_checkpoints)
     # materialize the pair list ONCE before symmetrizing: a union of two
     # selects over `edges` would recompute the (expensive) upstream pair
     # pipeline per branch — measured ~2x the LSH-verify cost on the dedup path
     base = _cut(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
-        reliable_checkpoints,
+        reliable,
     )
     sym = base.union(
         base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -93,7 +107,7 @@ def connected_components(
         e.groupBy("src")
         .agg(F.min("dst").alias("mn"))
         .select(F.col("src").alias("id"), F.least("src", "mn").alias("comp")),
-        reliable_checkpoints,
+        reliable,
     )
 
     def _total(lbl: DataFrame):
@@ -111,7 +125,7 @@ def connected_components(
             labels.union(neighbor_labels)
             .groupBy("id")
             .agg(F.min("comp").alias("comp")),
-            reliable_checkpoints,
+            reliable,
         )
         cur = _total(labels)
         if cur == prev:
@@ -133,13 +147,25 @@ def dedup_cluster_labels(
     id_col: str,
     pair_left: str = "id1",
     pair_right: str = "id2",
+    reliable_checkpoints: bool | None = None,
 ) -> DataFrame:
     """Label every row of ``df`` with its near-dup cluster id (singletons get
     their own id) and whether it is the cluster's canonical representative
-    (the minimum id — the same keep-lowest rule as ``doc_fingerprints``)."""
+    (the minimum id — the same keep-lowest rule as ``doc_fingerprints``).
+
+    ``reliable_checkpoints=None`` auto-detects a configured session
+    checkpoint dir (see ``_resolve_reliable``) — set
+    ``spark.sparkContext.setCheckpointDir(...)`` once and every lineage cut
+    in the dedup-cluster family survives executor loss."""
     # verify-step pairs are unique with id1 < id2: symmetrization cannot
     # collide, so the dedup shuffle is skipped
-    comp = connected_components(pairs, pair_left, pair_right, assume_distinct=True)
+    comp = connected_components(
+        pairs,
+        pair_left,
+        pair_right,
+        assume_distinct=True,
+        reliable_checkpoints=reliable_checkpoints,
+    )
     return (
         df.join(comp.withColumnRenamed("id", id_col), id_col, "left")
         .withColumn("cluster_id", F.coalesce("comp", F.col(id_col)))
@@ -153,7 +179,7 @@ def connected_components_stars(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 50,
-    reliable_checkpoints: bool = False,
+    reliable_checkpoints: bool | None = None,
 ) -> DataFrame:
     """Connected components in O(log n) rounds via alternating large-star /
     small-star (Kiveris et al., "Connected Components in MapReduce and
@@ -168,13 +194,14 @@ def connected_components_stars(
     in a lineage cut. Returns ``(id, comp)`` with comp = component minimum,
     identical to :func:`connected_components`.
     """
+    reliable = _resolve_reliable(edges, reliable_checkpoints)
     # canonical directed pairs (big, small): a > b, no self-loops, deduped
     e = _cut(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
         .distinct(),
-        reliable_checkpoints,
+        reliable,
     )
 
     def _sig(ed: DataFrame):
@@ -201,7 +228,7 @@ def connected_components_stars(
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
             .distinct(),
-            reliable_checkpoints,
+            reliable,
         )
         # ---- small-star: every node links its smaller neighbors (and
         # itself) to the smallest of them; edges are (big, small) already
@@ -212,7 +239,7 @@ def connected_components_stars(
             .union(joined.select("a", F.col("m").alias("b")))
             .filter(F.col("a") != F.col("b"))
             .distinct(),
-            reliable_checkpoints,
+            reliable,
         )
         new_sig = _sig(e)
         if new_sig == sig:

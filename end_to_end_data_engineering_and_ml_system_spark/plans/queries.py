@@ -2459,13 +2459,13 @@ def partition_pruned_counts(spark, sf_dir):
     never opened (sources/partitioned.py; asserted in
     tests/test_partitioned.py)."""
     import os
-    import tempfile
 
+    from ..scratch import scratch_root
     from ..sources.partitioned import read_pruned, write_partitioned
 
     key = sf_dir.strip("/").replace("/", "_")
     dest = os.path.join(
-        tempfile.gettempdir(), "e2e_spark_part", f"{key}_events_by_date"
+        scratch_root(spark, "part"), f"{key}_events_by_date"
     )
     if not os.path.exists(os.path.join(dest, "_SUCCESS")):
         ev = load_table(spark, sf_dir, "events").withColumn(

@@ -32,6 +32,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from ..scratch import scratch_root, scratch_unique
+
 #: schema of the *staged* stream source (staging already rebuilt ts as a
 #: proper timestamp from the fixtures' nanos longs)
 EVENTS_SCHEMA = StructType(
@@ -45,6 +47,10 @@ EVENTS_SCHEMA = StructType(
     ]
 )
 
+# default (conf-less) staging root; ``stage_events_dir`` prefers the
+# ``spark.e2e.scratchDir`` session conf when set — see scratch.py. The
+# replay harness pins file mtimes with os.utime, so whatever root is used
+# must be POSIX-visible from the driver (a shared mount on a cluster).
 _STAGE_ROOT = os.path.join(tempfile.gettempdir(), "e2e_spark_stream_stage")
 
 
@@ -67,7 +73,8 @@ def stage_events_dir(
     negative event_ids so query code can filter them from results."""
     key = sf_dir.strip("/").replace("/", "_")
     suffix = "_sentinel" if sentinels else ""
-    out = os.path.join(_STAGE_ROOT, f"{key}_{n_files}{suffix}")
+    root = scratch_root(spark, "stream_stage", local_default=_STAGE_ROOT)
+    out = os.path.join(root, f"{key}_{n_files}{suffix}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         from ..sources.catalog import load_table
@@ -217,7 +224,7 @@ def run_to_memory_sink(
     return the memory-sink contents as a batch DataFrame."""
     spark = agg_df.sparkSession
     name = "sink_" + uuid.uuid4().hex[:12]
-    ck = tempfile.mkdtemp(prefix="e2e_ck_")
+    ck = scratch_unique(spark, "e2e_ck")
     with _replay_shuffle_partitions(spark):
         q = (
             agg_df.writeStream.format("memory")
@@ -254,7 +261,7 @@ def run_routed_foreach_batch(
         finally:
             scored.unpersist()
 
-    ck = tempfile.mkdtemp(prefix="e2e_ck_")
+    ck = scratch_unique(stream_df.sparkSession, "e2e_ck")
     with _replay_shuffle_partitions(stream_df.sparkSession):
         q = (
             stream_df.writeStream.foreachBatch(process)
@@ -320,7 +327,7 @@ def run_replay_until(
 
     spark = replay_df.sparkSession
     name = "replay_" + uuid.uuid4().hex[:12]
-    ck = tempfile.mkdtemp(prefix="e2e_ck_")
+    ck = scratch_unique(spark, "e2e_ck")
     with _replay_shuffle_partitions(spark):
         q = (
             replay_df.writeStream.format("memory")
@@ -441,7 +448,7 @@ def run_dead_letter_foreach_batch(
         finally:
             cached.unpersist()
 
-    ck = tempfile.mkdtemp(prefix="e2e_ck_")
+    ck = scratch_unique(value_stream.sparkSession, "e2e_ck")
     with _replay_shuffle_partitions(value_stream.sparkSession):
         q = (
             value_stream.writeStream.foreachBatch(process)
