@@ -58,6 +58,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
+        # methodology marker: rounds 1-2 timed a single cold-ish pass;
+        # round 3 onward reports min-of-two after a warm pass (systematically
+        # lower floor). Cross-round comparisons are valid from r3 forward;
+        # r1/r2 numbers are NOT directly comparable to this series.
+        "methodology": "warm+min-of-2 (since r3)",
     }
     print(json.dumps(out))
     spark.stop()

@@ -487,6 +487,7 @@ def edit_distance_pairs(
     length_band: int = 32,
     max_dist: int = 8,
     extra_block_cols: tuple[str, ...] = (),
+    min_norm_len: int = 1,
 ) -> DataFrame:
     """Blocked edit-distance near-dup pairs — the entity-resolution-style
     sibling of the shingle family: pairs whose normalized text PREFIXES are
@@ -504,7 +505,15 @@ def edit_distance_pairs(
     Text is normalized to printable ASCII first: Spark's levenshtein counts
     characters while engines like DuckDB count bytes, and on ASCII the two
     agree — making the operator's results portable across engines (this is
-    also why the oracle for the registered query is exact)."""
+    also why the oracle for the registered query is exact).
+
+    Rows whose normalization is shorter than ``min_norm_len`` are excluded:
+    a document with no printable-ASCII content (all-CJK/Cyrillic text)
+    would otherwise normalize to '' and land in one shared block where
+    every pair scores prefix_edit_distance 0 — reporting completely
+    different documents as exact near-dups AND growing that block
+    quadratically. Callers comparing non-Latin corpora should block on a
+    transliteration or use the shingle family instead."""
     norm = F.regexp_replace(F.col(text_col), "[^ -~]", "")
     t = df.select(
         F.col(id_col),
@@ -512,7 +521,7 @@ def edit_distance_pairs(
         F.substring(norm, 1, prefix_len).alias("__pfx"),
         F.substring(norm, 1, block_len).alias("__blk"),
         F.length(norm).alias("__n"),
-    )
+    ).filter(F.col("__n") >= F.lit(min_norm_len))
     a = t.alias("a")
     b = t.alias("b")
     block_eq = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in extra_block_cols]

@@ -2066,15 +2066,26 @@ def purchase_attribution_last_touch(spark, sf_dir):
     shuffle + one window, and the tolerance check rides the carried struct
     (operators/asof.py::asof_join(tolerance=...)). The 1-day window is
     chosen against the fixtures' per-user event density so both attributed
-    and unattributed purchases exist at every SF."""
+    and unattributed purchases exist at every SF.
+
+    The click side is pre-aggregated to one row per (user_id, cts) keeping
+    the max cid: asof_join's last() carry is partition-order-dependent when
+    two clicks share a timestamp, while the oracle breaks that tie with
+    ORDER BY cts DESC, cid DESC — the pre-agg makes Spark match the
+    oracle's tie rule by construction instead of by fixture luck."""
     from ..operators.asof import asof_join
 
     ev = load_table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
     )
-    c = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+        )
+        .groupBy("user_id", "cts")
+        .agg(F.max("cid").alias("cid"))
     )
     res = asof_join(
         p,
@@ -4001,7 +4012,8 @@ def doc_simhash_near_dups(spark, sf_dir):
         -- Blocked Levenshtein near-dup pairs. Text normalized to printable
         -- ASCII so byte-based (DuckDB) and char-based (Spark) edit distance
         -- agree; blocking = same lang + same first 8 normalized chars +
-        -- length within 32.
+        -- length within 32. Empty normalizations (all non-ASCII docs) are
+        -- excluded — they would all share block '' at distance 0.
         WITH t AS (
             SELECT doc_id, lang,
                    substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 64)
@@ -4010,6 +4022,7 @@ def doc_simhash_near_dups(spark, sf_dir):
                        AS blk,
                    length(regexp_replace(text, '[^ -~]', '', 'g')) AS n
             FROM documents
+            WHERE length(regexp_replace(text, '[^ -~]', '', 'g')) >= 1
         )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(levenshtein(a.pfx, b.pfx) AS INTEGER)

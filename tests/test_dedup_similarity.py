@@ -271,11 +271,10 @@ def test_contamination_benchmark_set_broadcasts(spark, sf_dir):
     side is the 100 TB side and must not shuffle for the join."""
     from end_to_end_data_engineering_and_ml_system_spark.plans.registry import all_queries
 
+    from tests.planutil import physical_plan
+
     df = all_queries()["benchmark_contamination"].build(spark, sf_dir)
-    plan = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
-    assert "BroadcastExchange" in plan
+    assert "BroadcastExchange" in physical_plan(df)
 
 
 def test_int8_quantization_error_bounded(spark, sf_dir):
@@ -345,6 +344,34 @@ def test_edit_distance_pairs_vs_naive(spark):
     assert got == want
     assert (1, 2) in got  # the planted near-dup survives blocking
     assert (1, 5) not in got  # lang block separates identical text
+
+
+def test_edit_distance_pairs_skips_all_non_ascii_docs(spark):
+    """Documents whose text normalizes to '' (all-CJK/Cyrillic) must NOT be
+    compared at all: they would otherwise share block '' with distance 0 —
+    unrelated docs reported as exact dups and a quadratic empty block."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    docs = [
+        (1, "这是一个完全中文的文档", "zh"),
+        (2, "另一个完全不同的中文文档内容", "zh"),
+        (3, "Это русский документ", "zh"),
+        (4, "ascii doc one two three", "zh"),
+        (5, "ascii doc one two three!", "zh"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "lang"])
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in edit_distance_pairs(
+            df, "doc_id", "text", extra_block_cols=("lang",)
+        ).collect()
+    }
+    # docs 1-2 normalize to '' and are excluded outright (before the fix
+    # they formed block '' at distance 0); doc 3 keeps only its two spaces
+    # and matches nobody's block. Only the genuine ascii near-dup remains.
+    assert got == {(4, 5)}
 
 
 def test_cluster_aware_split_never_splits_a_pair(spark, sf_dir):

@@ -175,12 +175,9 @@ def test_orc_roundtrip_events(spark, sf_dir, tmp_path):
     b = {tuple(r) for r in back.collect()}
     assert a == b
     # predicate pushdown reaches the ORC scan like it does for parquet
-    plan = (
-        back.filter(F.col("event_id") == 7)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    from tests.planutil import physical_plan
+
+    plan = physical_plan(back.filter(F.col("event_id") == 7))
     assert "PushedFilters" in plan and "event_id" in plan
 
 

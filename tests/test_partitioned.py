@@ -10,6 +10,8 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
+from tests.planutil import physical_plan
+
 from end_to_end_data_engineering_and_ml_system_spark.operators.relational import salted_join
 from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import load_table
 from end_to_end_data_engineering_and_ml_system_spark.sources.partitioned import (
@@ -53,7 +55,7 @@ def test_bucketed_join_needs_no_exchange(spark, sf_dir):
         j = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
         # co-located bucketed join: the shuffle was paid at write time
         assert count_exchanges(j) == 0, "bucketed join still shuffles"
-        plan = j._jdf.queryExecution().executedPlan().toString()
+        plan = physical_plan(j)
         assert "Bucketed: true" in plan, "scan did not use bucket layout"
         plain = orders.join(
             cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
@@ -114,7 +116,7 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
         j = left.join(right, "k")
         rows = j.collect()
         assert len(rows) == 201000
-        plan = j._jdf.queryExecution().executedPlan().toString()
+        plan = physical_plan(j)
         assert "isFinalPlan=true" in plan
         assert "skew=true" in plan, plan[:2000]
     finally:

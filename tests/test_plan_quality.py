@@ -12,8 +12,7 @@ from end_to_end_data_engineering_and_ml_system_spark.plans.registry import all_q
 from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import load_table
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from tests.planutil import physical_plan as _plan
 
 
 def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
@@ -52,10 +51,14 @@ def test_dimensional_join_broadcasts_not_shuffles(spark, sf_dir):
 
 
 def test_whole_stage_codegen_covers_agg_pipeline(spark, sf_dir):
+    import contextlib
+    import io
+
     q = all_queries()["pricing_summary"].build(spark, sf_dir)
-    plan = q._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
-    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain(mode="codegen")
+    plan = buf.getvalue()
     assert "Found 2 WholeStageCodegen subtrees" in plan or "WholeStageCodegen" in plan
 
 

@@ -113,7 +113,9 @@ def test_banded_range_join_plans_equi_join(spark, sf_dir):
         ev, orders, "ts", "o_ts", lower="7 days", upper="0 seconds",
         equi_keys=("user_id",),
     )
-    plan = j._jdf.queryExecution().executedPlan().toString()
+    from tests.planutil import physical_plan
+
+    plan = physical_plan(j)
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
         "ShuffledHashJoin" in plan
