@@ -7,6 +7,20 @@ pathological case for dedup operators: every shingle's doc-frequency
 multiplies by N).
 
 Usage: python tools/scale_probe.py [N] [sf_dir]
+       python tools/scale_probe.py --pathological [N] [sf_dir]
+
+``--pathological`` replicates every document N times with IDENTICAL text
+(N-replica groups — the banding worst case: every bucket holding a doc holds
+its whole replica group, so candidate pairs grow as N² per group, and the
+true near-dup pair set itself is N² — no algorithm emits it in sub-quadratic
+output). It measures three strategies and the bucket-cap hit rate:
+
+1. raw LSH-verify (quadratic by construction — the thing NOT to run),
+2. bucket-capped LSH (linear wall, but the cap drops exactly the buckets
+   holding the true dups — bounded cost bought with recall loss),
+3. exact-dedup-first → LSH on canonical survivors (the production shape:
+   replica floods are exact dups, hash-groupBy collapses them linearly,
+   banding then sees a replica-free corpus).
 """
 
 from __future__ import annotations
@@ -28,7 +42,89 @@ def replicate(df, id_col: str, n: int, stride: int = 10_000_000):
     return out
 
 
+def pathological(n: int, sf_dir: str) -> None:
+    from end_to_end_data_engineering_and_ml_system_spark.operators.cleaning import (
+        exact_dedup,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.operators.dedup import (
+        lsh_buckets_wide,
+        lsh_verified_near_dups,
+        minhash_wide,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.session import get_spark
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    cap = 50
+    spark = get_spark(app_name="scale-probe-pathological", cpus=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    big = replicate(docs, "doc_id", n).persist()
+    n_docs = big.count()
+    print(f"pathological corpus: {n_docs} docs in {n}-replica groups")
+
+    # bucket-size distribution + cap hit rate (membership rows in buckets
+    # over the cap are what the guard drops)
+    wide = minhash_wide(big, "doc_id", "text", 8, 3)
+    buckets = lsh_buckets_wide(wide, "doc_id", 8, 2)
+    stats = (
+        buckets.groupBy("band", "bucket")
+        .count()
+        .agg(
+            F.max("count").alias("largest"),
+            F.sum("count").alias("rows"),
+            F.sum(F.when(F.col("count") > cap, F.col("count"))).alias("dropped"),
+            F.sum(F.when(F.col("count") > cap, F.lit(1)).otherwise(F.lit(0))).alias(
+                "hot"
+            ),
+            F.count("*").alias("buckets"),
+        )
+        .first()
+    )
+    print(
+        f"buckets: {stats['buckets']} total, {stats['hot']} over cap={cap}, "
+        f"largest={stats['largest']}, cap hit rate="
+        f"{(stats['dropped'] or 0) / stats['rows']:.1%} of membership rows"
+    )
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        c = fn().count()
+        t = time.perf_counter() - t0
+        print(f"{name}: {t:.2f}s ({c} rows)")
+        return t
+
+    timed(
+        f"2. capped LSH-verify (cap={cap})",
+        lambda: lsh_verified_near_dups(
+            big, "doc_id", "text", 8, 2, 3, 0.6, max_bucket_size=cap
+        ),
+    )
+    timed(
+        "3. exact-dedup-first -> LSH on canonical survivors",
+        lambda: lsh_verified_near_dups(
+            exact_dedup(big, ["text"]), "doc_id", "text", 8, 2, 3, 0.6
+        ),
+    )
+    if n <= 20 or n_docs <= 10_000:
+        timed("1. raw LSH-verify (quadratic true-pair set)",
+              lambda: lsh_verified_near_dups(big, "doc_id", "text", 8, 2, 3, 0.6))
+    else:
+        print(
+            "1. raw LSH-verify: skipped at this size — the true pair set is "
+            f"~{n_docs // n} groups x {n}^2/2 pairs; run with a smaller corpus "
+            "to measure the blowup directly"
+        )
+    big.unpersist()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--pathological":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+        sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+        pathological(n, sf_dir)
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 
