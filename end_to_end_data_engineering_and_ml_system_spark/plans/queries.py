@@ -1875,8 +1875,25 @@ def etl_end_to_end(spark, sf_dir):
     canonical label mapping (F5, when/contains) -> distributed scaler fit +
     apply (M9) -> grouped summary (A1). One pipeline, zero driver collects,
     zero redundant count jobs."""
-    from ..ml.pipeline import apply_standardizer, fit_standardizer
+    df, _obs = _etl_end_to_end_plan(spark, sf_dir, instrument=False)
+    return df
 
+
+def etl_end_to_end_observed(spark, sf_dir):
+    """The same ETL plan with per-stage row counts riding ``observe()`` —
+    the reference's ``safe_count`` parity (preprocess_cicids2017.py logs a
+    count() per stage, re-scanning the data each time; here the input and
+    post-clean counts fill during the ONE action that computes the summary).
+    Returns ``(summary_df, observations)`` where observations maps stage
+    name -> pyspark Observation; read ``obs.get`` after an action."""
+    return _etl_end_to_end_plan(spark, sf_dir, instrument=True)
+
+
+def _etl_end_to_end_plan(spark, sf_dir, instrument: bool):
+    from ..ml.pipeline import apply_standardizer, fit_standardizer
+    from ..operators.aggregations import with_stage_observation
+
+    observations = {}
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
@@ -1888,7 +1905,22 @@ def etl_end_to_end(spark, sf_dir):
         .otherwise(F.col("value"))
         .alias("value"),
     )
+    if instrument:
+        ev, observations["masked"] = with_stage_observation(
+            ev,
+            "masked",
+            F.sum(F.when(F.col("event_type").isNull(), 1).otherwise(0)).alias(
+                "n_masked_type"
+            ),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias(
+                "n_masked_value"
+            ),
+        )
     cleaned = ev.na.drop(subset=["event_type", "value"])
+    if instrument:
+        cleaned, observations["cleaned"] = with_stage_observation(
+            cleaned, "cleaned"
+        )
     labeled = cleaned.withColumn(
         "label",
         canonical_label(
@@ -1901,13 +1933,14 @@ def etl_end_to_end(spark, sf_dir):
     )
     stats = fit_standardizer(labeled, ["value"])
     z = apply_standardizer(labeled, stats, ["value"])
-    return z.groupBy("label").agg(
+    summary = z.groupBy("label").agg(
         F.count("*").alias("n_rows"),
         (
             F.sum(F.col("z_value").cast("decimal(28,10)")).cast("double")
             / F.count("*")
         ).alias("avg_z"),
     )
+    return summary, observations
 
 
 # ---------------------------------------------------------------------------

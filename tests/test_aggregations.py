@@ -106,3 +106,37 @@ def test_kll_rollup_close_to_exact_quantiles(spark, sf_dir):
         tol = (exact["mx"] - exact["mn"]) * 0.02
         for q, ex in zip((25, 50, 90), exact["p"]):
             assert abs(got[g][f"p{q}"] - ex) <= tol, (g, q, got[g][f"p{q}"], ex)
+
+
+def test_etl_end_to_end_observed_stage_counts(spark, sf_dir):
+    """safe_count parity via observe(): the instrumented ETL's stage row
+    counts fill during the summary's own action (zero extra count jobs) and
+    must equal what standalone count() jobs report."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_and_ml_system_spark.plans.queries import (
+        etl_end_to_end_observed,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    summary, obs = etl_end_to_end_observed(spark, sf_dir)
+    rows = summary.collect()
+    assert len(rows) >= 1 and {"masked", "cleaned"} == set(obs)
+
+    ev = load_table(spark, sf_dir, "events")
+    n_total = ev.count()
+    n_clean = ev.filter(
+        (F.col("event_type") != "error") & ~F.col("value").between(100, 110)
+    ).count()
+
+    got_masked = obs["masked"].get
+    got_cleaned = obs["cleaned"].get
+    assert got_masked["n_rows"] == n_total
+    assert got_cleaned["n_rows"] == n_clean
+    # masked-null tallies explain the clean drop exactly on this fixture
+    assert got_masked["n_masked_type"] + got_masked["n_masked_value"] >= (
+        n_total - n_clean
+    )
+    assert sum(r.n_rows for r in rows) == n_clean
