@@ -7096,7 +7096,14 @@ def distinct_users_hll_rollup(spark, sf_dir):
 def doc_pack_bins_ffd(spark, sf_dir):
     """Summary view of the FFD packer: per packing-group bin counts and
     fill factor (the per-doc assignment is the operator's real output;
-    aggregating here keeps the driver row canonicalizable)."""
+    aggregating here keeps the driver row canonicalizable).
+
+    rows-only by nature (first-fit-decreasing is an iterative greedy, not
+    SQL-expressible), but deterministic — bit-identical across runs
+    (test_ffd_packing_deterministic) — and the running-total packing
+    approximation `doc_token_packing` is the oracle-checked sibling: same
+    semantics class, FFD provably uses ≤ its bin count
+    (test_ffd_packing_invariants)."""
     from ..operators.text import pack_bins_ffd, token_count
 
     docs = load_table(spark, sf_dir, "documents").select(

@@ -1,0 +1,111 @@
+"""File-backed tracking + model-registry lifecycle (M10/M11 analog):
+train -> log -> register -> stage-transition -> load -> score, end to end
+on Spark, mirroring scripts/manage_model_registry.py:25-93 and
+train_autoencoder.py:117-269 semantics without an MLflow server."""
+
+from __future__ import annotations
+
+from end_to_end_data_engineering_and_ml_system_spark.ml.registry import (
+    ModelRegistry,
+    Tracker,
+)
+
+
+def test_tracking_run_lifecycle(tmp_path):
+    t = Tracker(str(tmp_path))
+    run = t.start_run("exp")
+    run.log_params({"k": 2, "lr": 0.01})
+    run.log_metrics({"loss": 1.5}, step=0)
+    run.log_metrics({"loss": 0.7}, step=1)
+    run.log_artifact("model.pkl", b"weights")
+    run.end()
+
+    meta = t.runs("exp")[-1]
+    assert meta["status"] == "FINISHED"
+    assert meta["params"] == {"k": "2", "lr": "0.01"}
+    assert [m["value"] for m in meta["metrics"]["loss"]] == [1.5, 0.7]
+    assert meta["artifacts"] == ["model.pkl"]
+    assert run.artifact_bytes("model.pkl") == b"weights"
+
+
+def test_find_latest_run_orders_by_start_time(tmp_path):
+    t = Tracker(str(tmp_path))
+    a = t.start_run("exp")
+    b = t.start_run("exp")
+    assert t.find_latest_run_id("exp") == b.run_id
+    assert t.find_latest_run_id("missing") is None
+    assert t.get_run("exp", a.run_id).run_id == a.run_id
+
+
+def test_register_transition_archives_previous(tmp_path):
+    t = Tracker(str(tmp_path))
+    reg = ModelRegistry(str(tmp_path))
+    r1 = t.start_run("exp")
+    r1.log_artifact("m", b"v1-bytes")
+    r2 = t.start_run("exp")
+    r2.log_artifact("m", b"v2-bytes")
+
+    v1 = reg.register("detector", r1, "m")
+    v2 = reg.register("detector", r2, "m")
+    assert (v1, v2) == (1, 2)
+    assert reg.latest("detector")["version"] == 2
+    assert reg.latest("detector", "Production") is None
+
+    reg.transition("detector", v1, "Production")
+    assert reg.load_artifact("detector") == b"v1-bytes"
+
+    # promoting v2 archives v1 — the reference's archive_existing_versions
+    reg.transition("detector", v2, "Production")
+    metas = {m["version"]: m["stage"] for m in reg._versions("detector")}
+    assert metas == {1: "Archived", 2: "Production"}
+    assert reg.load_artifact("detector") == b"v2-bytes"
+
+    # provenance survives: version points back to its run
+    assert reg.latest("detector")["source_run_id"] == r2.run_id
+
+
+def test_registry_feeds_spark_inference(spark, sf_dir, tmp_path):
+    """The full loop the reference runs across three services, on one
+    engine: distributed fit -> artifact in the registry -> Production
+    lookup -> broadcast scoring; registry scores must equal scoring with
+    the raw bytes."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_and_ml_system_spark.ml.pipeline import (
+        serialized_model_inference,
+        train_serialized_autoencoder,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.monotonically_increasing_id().alias("row_id"),
+            *[F.col(c).cast("double").alias(c) for c in cols],
+        )
+        .limit(500)
+    )
+    blob = train_serialized_autoencoder(li, cols, k=2)
+
+    t = Tracker(str(tmp_path))
+    run = t.start_run("anomaly")
+    run.log_params({"k": 2, "features": ",".join(cols)})
+    run.log_artifact("autoencoder.pkl", blob)
+    run.end()
+    reg = ModelRegistry(str(tmp_path))
+    v = reg.register("NetworkAnomalyDetector", run, "autoencoder.pkl")
+    reg.transition("NetworkAnomalyDetector", v, "Production")
+
+    served = reg.load_artifact("NetworkAnomalyDetector", "Production")
+    got = {
+        r["row_id"]: r["model_score"]
+        for r in serialized_model_inference(li, served, "row_id").collect()
+    }
+    want = {
+        r["row_id"]: r["model_score"]
+        for r in serialized_model_inference(li, blob, "row_id").collect()
+    }
+    assert got == want and len(got) == 500
