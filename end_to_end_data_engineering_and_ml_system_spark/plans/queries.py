@@ -7186,3 +7186,296 @@ def stream_events_by_segment(spark, sf_dir):
         F.count("*").alias("n_events")
     )
     return run_to_memory_sink(agg)
+
+
+# ---------------------------------------------------------------------------
+# OLAP pack II: the remaining TPC-H query shapes expressible on these tables
+# (no partsupp/receiptdate in the fixtures, so Q9/Q21 use the documented
+# deterministic adaptations). Each exercises a distinct distributed plan
+# shape the pack didn't yet cover: nation-pair fact joins (Q7), conditional
+# share-of-total (Q8), synthetic-cost profit rollup (Q9), distribution of
+# group sizes including empty groups (Q13), sole-blame attribution over
+# per-order supplier sets (Q21).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_trade_volume",
+    oracle="""
+        SELECT
+            ns.n_name AS supp_nation,
+            nc.n_name AS cust_nation,
+            CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+            CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        WHERE ns.n_nationkey <> nc.n_nationkey
+        GROUP BY 1, 2, 3
+    """,
+    description="TPC-H Q7 analog: cross-nation trade revenue by (supplier nation, customer nation, year)",
+    tags=("olap", "join"),
+)
+def nation_trade_volume(spark, sf_dir):
+    """Q7's plan shape: the fact table reaches two different nation lookups
+    through independent foreign-key chains (supplier side, customer side).
+    Both nation copies and supplier broadcast (tiny dims); lineitem-orders
+    and -customer stay shuffle joins on their keys — at 100 TB those are the
+    only exchanges, and the nation-pair filter is evaluated post-broadcast,
+    map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(F.col("ns_key") != F.col("nc_key"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "intra_region_supply_share",
+    oracle="""
+        WITH enriched AS (
+            SELECT
+                rc.r_name AS cust_region,
+                CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+                CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(28,10)) AS rev,
+                (rs.r_regionkey = rc.r_regionkey) AS intra
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+            JOIN region rc ON nc.n_regionkey = rc.r_regionkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            JOIN region rs ON ns.n_regionkey = rs.r_regionkey
+        )
+        SELECT cust_region, o_year,
+               CAST(SUM(CASE WHEN intra THEN rev END) AS DOUBLE)
+                   / CAST(SUM(rev) AS DOUBLE) AS intra_share,
+               CAST(SUM(rev) AS DOUBLE) AS total_revenue
+        FROM enriched
+        GROUP BY 1, 2
+    """,
+    description="TPC-H Q8 analog: per (customer region, year), revenue share supplied from within the same region",
+    tags=("olap", "join"),
+)
+def intra_region_supply_share(spark, sf_dir):
+    """Q8's market-share shape without Q8's magic constants: share =
+    conditional decimal sum / total decimal sum inside ONE grouped pass
+    (no second scan, no join of two aggregates). All four dim hops ride
+    broadcasts; the share division happens on exact decimal sums cast to
+    double, so both engines compute bit-identical ratios."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_rkey")
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_regionkey").alias("ns_rkey")
+    )
+    rc = region.select(
+        F.col("r_regionkey").alias("rc_key"), F.col("r_name").alias("cust_region")
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    enriched = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(rc), F.col("nc_rkey") == F.col("rc_key"))
+        .withColumn("intra", F.col("ns_rkey") == F.col("nc_rkey"))
+        .withColumn("rev", rev)
+    )
+    return enriched.groupBy(
+        "cust_region", F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        (
+            F.sum(F.when(F.col("intra"), F.col("rev"))).cast("double")
+            / F.sum("rev").cast("double")
+        ).alias("intra_share"),
+        F.sum("rev").cast("double").alias("total_revenue"),
+    )
+
+
+@register(
+    "profit_by_nation_year",
+    oracle="""
+        SELECT
+            n.n_name AS nation,
+            CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+            CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          - 0.6 * p.p_retailprice * l.l_quantity
+                          AS DECIMAL(28,10))) AS DOUBLE) AS profit
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    """,
+    description="TPC-H Q9 analog: profit by supplier nation and year (synthetic cost 0.6*retailprice, no partsupp table)",
+    tags=("olap", "join"),
+)
+def profit_by_nation_year(spark, sf_dir):
+    """Q9's rollup with the fixture-available cost model: the fixtures carry
+    no partsupp, so unit cost is DEFINED as 0.6 * p_retailprice — a
+    deterministic stand-in preserving the query's shape (fact joined to
+    part + supplier + nation, profit expression inside one decimal-summed
+    grouped pass). part is broadcast here; at 100 TB part is the one dim
+    that may outgrow broadcast — then it becomes a shuffle join on
+    l_partkey and everything else is unchanged."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(28,10)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "customer_order_count_distribution",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+            FROM customer c
+            LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        )
+        SELECT n_orders, COUNT(*) AS n_customers
+        FROM per_cust
+        GROUP BY 1
+    """,
+    description="TPC-H Q13 analog: distribution of customers by order count (zero-order customers included)",
+    tags=("olap", "join", "aggregation"),
+)
+def customer_order_count_distribution(spark, sf_dir):
+    """Q13's two-level shape: LEFT join so silent customers survive with
+    n_orders = 0, first aggregation keyed on the customer, second on the
+    count itself. The second groupBy's key cardinality is tiny (distinct
+    order counts), so the heavy shuffle is only the first — same key the
+    join already partitioned on, which AQE coalesces into one exchange."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@register(
+    "sole_late_supplier_orders",
+    oracle="""
+        WITH lines AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        per_supp AS (
+            SELECT l_orderkey, l_suppkey, BOOL_OR(late) AS supp_late
+            FROM lines
+            GROUP BY 1, 2
+        ),
+        per_order AS (
+            SELECT l_orderkey,
+                   COUNT(*) AS n_supp,
+                   SUM(CASE WHEN supp_late THEN 1 ELSE 0 END) AS n_late_supp
+            FROM per_supp
+            GROUP BY 1
+        )
+        SELECT s.s_name AS supplier, COUNT(*) AS n_blamed_orders
+        FROM per_supp ps
+        JOIN per_order po ON ps.l_orderkey = po.l_orderkey
+        JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+        WHERE ps.supp_late AND po.n_supp >= 2 AND po.n_late_supp = 1
+        GROUP BY 1
+    """,
+    description="TPC-H Q21 analog: suppliers solely to blame for lateness on multi-supplier orders (late = shipped >60d after order)",
+    tags=("olap", "join", "window"),
+)
+def sole_late_supplier_orders(spark, sf_dir):
+    """Q21 without correlated EXISTS/NOT EXISTS: the per-order supplier set
+    collapses to two aggregation levels — (order, supplier) grain with a
+    BOOL_OR of lateness, then order grain counting suppliers and late
+    suppliers — and sole blame is a filter over the re-join of those two
+    grains. No self-join of lineitem against itself: the fixtures carry no
+    l_receiptdate/commitdate, so 'late' is DEFINED as shipped more than 60
+    days after the order date (deterministic on these tables). The
+    (order, supplier) aggregation reuses the orderkey partitioning of the
+    join; only the tiny per-order table shuffles again."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
+    )
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).alias("n_late_supp"),
+    )
+    return (
+        per_supp.join(per_order, "l_orderkey")
+        .filter(
+            F.col("supp_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy(F.col("s_name").alias("supplier"))
+        .agg(F.count("*").alias("n_blamed_orders"))
+    )
