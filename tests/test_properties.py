@@ -585,6 +585,11 @@ def test_edit_distance_pairs_match_naive_reference(spark, docs_raw):
     want = {}
     for i, (ida, ta, la) in enumerate(docs):
         for idb, tb, lb in docs[i + 1:]:
+            # operator contract: rows with empty normalization are excluded
+            # (min_norm_len=1 — the all-non-ASCII guard; docs here are
+            # ASCII-only so normalization is identity)
+            if len(ta) == 0 or len(tb) == 0:
+                continue
             if la != lb or ta[:2] != tb[:2] or abs(len(ta) - len(tb)) > 5:
                 continue
             d = lev(ta[:10], tb[:10])
