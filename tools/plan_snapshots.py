@@ -34,8 +34,13 @@ def normalize(plan: str) -> str:
     # localCheckpoint scans embed a session-global RDD id and a JVM
     # call-site string that flips with method-accessor JIT inflation
     plan = re.sub(r"MapPartitionsRDD\[\d+\]", "MapPartitionsRDD[n]", plan)
+    # ... and whether the lineage cut was local or reliable depends only on
+    # whether the shared session has a checkpoint dir configured (set by
+    # unrelated tests), not on the plan shape — canonicalize both flavors.
     plan = re.sub(
-        r"at localCheckpoint at [^,]*", "at localCheckpoint at <site>", plan
+        r"at (?:localCheckpoint|checkpoint) at [^,]*",
+        "at checkpoint at <site>",
+        plan,
     )
     plan = re.sub(r"Statistics\([^)]*\)", "Statistics(x)", plan)
     plan = re.sub(r"\[id=#x\]", "", plan)
