@@ -260,3 +260,47 @@ def salted_join(
     salts = spark.range(salt_buckets).select(F.col("id").cast("int").alias("__salt"))
     salted_r = right.crossJoin(F.broadcast(salts))
     return salted_l.join(salted_r, [on, "__salt"], how).drop("__salt")
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+    action_col: str = "action",
+) -> DataFrame:
+    """MERGE INTO semantics (lakehouse upsert) as one full-outer join:
+    matched rows take the source version (``'update'``), source-only rows
+    are ``'insert'``, target-only rows carry over unchanged
+    (``'carryover'``). Returns the merged table plus ``action_col``.
+
+    Value columns are the two schemas' common non-key columns, source-wins
+    via ``coalesce`` — declarative, so Catalyst prunes unused ones. The one
+    shuffle is the full-outer exchange on the key; on a real lakehouse table
+    bucketed by the merge key (see ``partitioned.bucketed_join``) the target
+    side's exchange disappears entirely — the canonical CDC-apply shape at
+    100 TB."""
+    common = [
+        c for c in target.columns if c in set(source.columns) and c not in key_cols
+    ]
+    t = target.alias("__t")
+    s = source.alias("__s")
+    cond = [F.col(f"__t.{k}") == F.col(f"__s.{k}") for k in key_cols]
+    joined = t.join(s, cond, "full_outer")
+    t_key = F.col(f"__t.{key_cols[0]}")
+    s_key = F.col(f"__s.{key_cols[0]}")
+    action = (
+        F.when(t_key.isNull(), F.lit("insert"))
+        .when(s_key.isNull(), F.lit("carryover"))
+        .otherwise(F.lit("update"))
+    )
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"__s.{k}"), F.col(f"__t.{k}")).alias(k)
+            for k in key_cols
+        ],
+        *[
+            F.coalesce(F.col(f"__s.{c}"), F.col(f"__t.{c}")).alias(c)
+            for c in common
+        ],
+        action.alias(action_col),
+    )

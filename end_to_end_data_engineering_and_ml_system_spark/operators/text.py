@@ -409,3 +409,39 @@ def pack_bins_ffd(
         .alias("pack_group"),
     )
     return staged.groupBy("pack_group").applyInPandas(pack, out_schema)
+
+
+def duplicate_ngram_windows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Cross-document duplicated token windows per document — the signal
+    behind substring-level training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every length-``n`` word
+    window that also appears in ANOTHER document is counted as duplicated.
+
+    Returns one row per document that has at least one full window:
+    ``(id, n_windows, dup_windows, dup_window_frac)``.
+
+    Scale shape: the explode is linear in corpus tokens; windows travel as
+    8-byte ``xxhash64`` keys, never strings (same collision trade as
+    ``dedup.jaccard_pairs`` — two distinct windows colliding could flag a
+    window as shared; at 64 bits that is negligible next to the shuffle
+    savings). Both the multi-doc-window groupBy and the flag-join hash on the
+    same key, so the exchange is computed once and reused. No all-pairs
+    join anywhere — cost is O(windows), not O(docs^2)."""
+    g = df.select(
+        F.col(id_col), F.explode(ngrams(tokens(text_col), n)).alias("gram")
+    ).select(id_col, F.xxhash64("gram").alias("gh"))
+    shared = (
+        g.groupBy("gh")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh", F.lit(1).alias("__shared"))
+    )
+    flagged = g.hint("merge").join(shared.hint("merge"), "gh", "left")
+    dup = F.sum(F.when(F.col("__shared").isNotNull(), 1).otherwise(0))
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_windows"),
+        dup.alias("dup_windows"),
+        (dup.cast("double") / F.count("*")).alias("dup_window_frac"),
+    )

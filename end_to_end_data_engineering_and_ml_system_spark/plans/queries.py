@@ -7479,3 +7479,216 @@ def sole_late_supplier_orders(spark, sf_dir):
         .groupBy(F.col("s_name").alias("supplier"))
         .agg(F.count("*").alias("n_blamed_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: substring-dedup signal, temperature-sampled corpus
+# mixing, deterministic training shuffle, and a MERGE INTO (CDC apply)
+# analog. All declarative; scale notes on each operator's docstring.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_duplicate_ngram_windows",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               t -> t <> '') AS tk
+            FROM documents
+        ),
+        grams AS (
+            SELECT t.doc_id, array_to_string(t.tk[i.i:i.i+7], ' ') AS gram
+            FROM toks t,
+                 LATERAL (SELECT unnest(range(1, len(t.tk) - 6)) AS i) i
+        ),
+        shared AS (
+            SELECT gram FROM grams
+            GROUP BY gram
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        flagged AS (
+            SELECT g.doc_id,
+                   CASE WHEN s.gram IS NOT NULL THEN 1 ELSE 0 END AS dup
+            FROM grams g LEFT JOIN shared s USING (gram)
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(dup) AS BIGINT) AS dup_windows,
+               CAST(SUM(dup) AS DOUBLE) / COUNT(*) AS dup_window_frac
+        FROM flagged
+        GROUP BY 1
+    """,
+    description=(
+        "substring-dedup signal: per-doc count/fraction of 8-token windows "
+        "that also appear in another document"
+    ),
+    tags=("text", "dedup", "corpus"),
+)
+def doc_duplicate_ngram_windows(spark, sf_dir):
+    """Cross-document duplicated window detection (the signal behind
+    substring-level training-data dedup). The operator keys every window on
+    xxhash64, so the oracle's string grouping and Spark's hash grouping agree
+    up to 64-bit collisions (same documented trade as jaccard_pairs)."""
+    from ..operators.text import duplicate_ngram_windows
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_ngram_windows(docs, "doc_id", "text", n=8)
+
+
+@register(
+    "corpus_temperature_mix",
+    oracle=f"""
+        WITH s AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS n_tokens
+            FROM documents
+            GROUP BY 1
+        )
+        SELECT source, n_docs, n_tokens,
+               POWER(n_docs, 0.3) / SUM(POWER(n_docs, 0.3)) OVER ()
+                   AS weight,
+               1e4 * POWER(n_docs, 0.3) / SUM(POWER(n_docs, 0.3)) OVER ()
+                   AS expected_docs,
+               1e4 * POWER(n_docs, 0.3) / SUM(POWER(n_docs, 0.3)) OVER ()
+                   / n_docs AS oversample_factor
+        FROM s
+    """,
+    description=(
+        "temperature-sampled data mixture (alpha=0.3): per-source sampling "
+        "weight, expected docs for a 10k budget, oversample factor"
+    ),
+    tags=("sampling", "corpus"),
+)
+def corpus_temperature_mix(spark, sf_dir):
+    """Multilingual/multi-source mixture reweighting by count^alpha
+    (temperature sampling, alpha=0.3 as in multilingual-LM training): rare
+    sources are upsampled relative to their share, dominant sources
+    downweighted. One grouped pass over the corpus; the unpartitioned window
+    runs on the ALREADY-AGGREGATED per-source frame (a handful of rows at
+    any corpus size), so the single-partition WindowExec is free."""
+    from pyspark.sql import Window
+
+    from ..operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).alias("n_tokens"),
+    )
+    p = F.pow(F.col("n_docs").cast("double"), F.lit(0.3))
+    tot = F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(0.3))).over(
+        Window.partitionBy()
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (p / tot).alias("weight"),
+        (F.lit(1e4) * p / tot).alias("expected_docs"),
+        (F.lit(1e4) * p / tot / F.col("n_docs")).alias("oversample_factor"),
+    )
+
+
+@register(
+    "training_shuffle_shards",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(CAST(concat('0x', substr(hx, 1, 8)) AS BIGINT) % 8
+                    AS BIGINT) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY
+                       CAST(concat('0x', substr(hx, 1, 8)) AS BIGINT) % 8
+                   ORDER BY hx, doc_id) AS BIGINT) AS position
+        FROM h
+    """,
+    description=(
+        "deterministic global training shuffle: md5-keyed shard assignment "
+        "+ intra-shard position, reproducible across engines and re-runs"
+    ),
+    tags=("sampling", "deterministic", "corpus"),
+)
+def training_shuffle_shards(spark, sf_dir):
+    """Epoch-shuffle for training-data writing WITHOUT a global sort: shard
+    membership is a pure projection (md5 prefix mod n_shards), and ordering
+    is only ever per-shard — one hash-partitioned exchange + local sort,
+    the shape that scales to any corpus because no single machine ever sees
+    a total order. Same hash idiom as ``relational.hash_uniform``, so the
+    shuffle order is stable across engines, partition counts, and re-runs
+    (unlike ``orderBy(rand(seed))``)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    with_h = docs.select("doc_id", hx.alias("hx")).withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring("hx", 1, 8), 16, 10).cast("bigint"), F.lit(8)
+        ).cast("bigint"),
+    )
+    w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    return with_h.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("position"),
+    )
+
+
+@register(
+    "orders_cdc_merge_counts",
+    oracle=f"""
+        WITH t AS (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderdate < TIMESTAMP '2001-01-01'
+        ),
+        s AS (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2000-07-01'
+        ),
+        m AS (
+            SELECT CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+                        WHEN s.o_orderkey IS NULL THEN 'carryover'
+                        ELSE 'update' END AS action,
+                   COALESCE(s.o_totalprice, t.o_totalprice) AS price
+            FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+        )
+        SELECT action,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {sql_dec_sum("price", "total_price")}
+        FROM m
+        GROUP BY 1
+    """,
+    description=(
+        "MERGE INTO (CDC apply) analog: upsert a trailing-window refresh "
+        "batch into an orders snapshot; action counts + exact checksum"
+    ),
+    tags=("table-ops", "cdc", "join"),
+)
+def orders_cdc_merge_counts(spark, sf_dir):
+    """Lakehouse MERGE semantics on the fixture tables: the snapshot is
+    orders before 2001, the refresh batch is the trailing 6 months plus the
+    genuinely new 2001 orders — so all three MERGE branches (update /
+    insert / carryover) are exercised. ``merge_upsert`` is one full-outer
+    join on the key; see its docstring for the bucketed-target variant that
+    removes the snapshot-side shuffle at 100 TB."""
+    from ..operators.relational import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    target = orders.filter(F.col("o_orderdate") < "2001-01-01").drop(
+        "o_orderdate"
+    )
+    source = orders.filter(F.col("o_orderdate") >= "2000-07-01").drop(
+        "o_orderdate"
+    )
+    merged = merge_upsert(target, source, ["o_orderkey"])
+    return merged.groupBy("action").agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice", "total_price"),
+    )

@@ -234,3 +234,35 @@ def test_deterministic_split_single_label_and_validation(spark, sf_dir):
     assert out.filter(F.col("split") != "all").isEmpty()
     with pytest.raises(ValueError, match="sum to 1.0"):
         deterministic_split(ev, "user_id", {"a": 0.5, "b": 0.2})
+
+
+def test_merge_upsert_branch_semantics(spark):
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")], "k int, v double, tag string"
+    )
+    source = spark.createDataFrame(
+        [(2, 99.0, "b2"), (4, 40.0, "d")], "k int, v double, tag string"
+    )
+    out = {r["k"]: r for r in merge_upsert(target, source, ["k"]).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["action"] == "carryover" and out[1]["v"] == 10.0
+    assert out[2]["action"] == "update" and out[2]["v"] == 99.0 and out[2]["tag"] == "b2"
+    assert out[3]["action"] == "carryover"
+    assert out[4]["action"] == "insert" and out[4]["v"] == 40.0
+
+
+def test_merge_upsert_source_nulls_fall_back_to_target(spark):
+    # coalesce semantics: a NULL in a matched source cell keeps the target
+    # value (column-level patch, the common CDC-partial-update shape)
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame([(1, 10.0)], "k int, v double")
+    source = spark.createDataFrame([(1, None)], "k int, v double")
+    row = merge_upsert(target, source, ["k"]).first()
+    assert row["action"] == "update" and row["v"] == 10.0

@@ -146,3 +146,41 @@ def test_ffd_packing_deterministic(spark, sf_dir):
     a = sorted(map(tuple, pack_bins_ffd(docs, "doc_id", "n_tokens", 200, 8).collect()))
     b = sorted(map(tuple, pack_bins_ffd(docs, "doc_id", "n_tokens", 200, 8).collect()))
     assert a == b
+
+
+def test_duplicate_ngram_windows_planted(spark):
+    from end_to_end_data_engineering_and_ml_system_spark.operators.text import (
+        duplicate_ngram_windows,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(8))  # one 8-token window
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail1 tail2"),
+            (2, "lead1 lead2 " + shared),
+            (3, " ".join(f"u{i}" for i in range(12))),  # all-unique doc
+            (4, "too short"),  # < 8 tokens: no windows, no output row
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicate_ngram_windows(docs, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3}
+    # doc1: 10 tokens -> 3 windows, exactly the leading one is shared
+    assert out[1]["n_windows"] == 3 and out[1]["dup_windows"] == 1
+    assert out[2]["n_windows"] == 3 and out[2]["dup_windows"] == 1
+    assert out[3]["dup_windows"] == 0
+    assert abs(out[1]["dup_window_frac"] - 1 / 3) < 1e-12
+
+
+def test_duplicate_ngram_windows_self_repeat_not_cross_doc(spark):
+    # a window repeated WITHIN one doc is not a cross-document duplicate
+    from end_to_end_data_engineering_and_ml_system_spark.operators.text import (
+        duplicate_ngram_windows,
+    )
+
+    block = " ".join(f"r{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, block + " " + block)], "doc_id int, text string"
+    )
+    row = duplicate_ngram_windows(docs, "doc_id", "text").first()
+    assert row["dup_windows"] == 0
