@@ -98,3 +98,51 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         f"stack({len(cols)}, {stacked}) AS (column, n_nulls, n_distinct)",
         "__n AS n_rows",
     ).select("column", "n_rows", "n_nulls", "n_distinct")
+
+
+def population_stability(
+    df: DataFrame,
+    value_col: str,
+    period_a: Column,
+    bin_width: float = 25.0,
+    n_bins: int = 9,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Per-bin Population Stability Index terms between two periods of one
+    column — the standard drift monitor between a reference window and a
+    live window. Rows where ``period_a`` is true form the reference
+    distribution; the rest form the comparison.
+
+    Fixed-width bins (last bin is the overflow) keep binning a pure
+    projection — no quantile pass, so the whole thing is ONE grouped
+    aggregation with map-side combine regardless of data size. Laplace
+    smoothing (+``smoothing`` per bin) keeps ``ln(share_a/share_b)`` finite
+    when a bin is empty on one side. ``sum(psi_term)`` > 0.2 is the
+    conventional "significant drift" alarm."""
+    top = n_bins - 1
+    bin_c = F.least(
+        F.floor(F.col(value_col) / F.lit(bin_width)), F.lit(top)
+    ).cast("bigint")
+    binned = df.select(bin_c.alias("bin"), period_a.alias("__a"))
+    agg = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("__a"), 0).otherwise(1)).alias("n_b"),
+    )
+    tot = agg.agg(
+        F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb")
+    )
+    s = F.lit(float(smoothing))
+    k = F.lit(float(n_bins) * smoothing)
+    share_a = (F.col("n_a") + s) / (F.col("__ta") + k)
+    share_b = (F.col("n_b") + s) / (F.col("__tb") + k)
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            share_a.alias("share_a"),
+            share_b.alias("share_b"),
+            ((share_a - share_b) * F.log(share_a / share_b)).alias("psi_term"),
+        )
+    )

@@ -7692,3 +7692,165 @@ def orders_cdc_merge_counts(spark, sf_dir):
         F.count("*").alias("n_orders"),
         dec_sum("o_totalprice", "total_price"),
     )
+
+
+@register(
+    "drift_psi_events",
+    oracle="""
+        WITH b AS (
+            SELECT CAST(least(floor(value / 25.0), 8) AS BIGINT) AS bin,
+                   (ts < TIMESTAMP '2024-01-16') AS a
+            FROM events
+        ),
+        agg AS (
+            SELECT bin,
+                   CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+            FROM b GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM agg)
+        SELECT bin, n_a, n_b,
+               (n_a + 1.0) / (ta + 9.0) AS share_a,
+               (n_b + 1.0) / (tb + 9.0) AS share_b,
+               ((n_a + 1.0) / (ta + 9.0) - (n_b + 1.0) / (tb + 9.0))
+                 * ln(((n_a + 1.0) / (ta + 9.0))
+                      / ((n_b + 1.0) / (tb + 9.0))) AS psi_term
+        FROM agg CROSS JOIN tot
+    """,
+    description=(
+        "data-drift monitor: per-bin Population Stability Index terms for "
+        "events.value between the first and second half of the month"
+    ),
+    tags=("ml", "monitoring", "aggregate"),
+)
+def drift_psi_events(spark, sf_dir):
+    """Feature-drift detection between a reference and a live window — the
+    monitoring pass a production scorer runs before trusting a model on new
+    data. Binning is a pure projection (fixed-width + overflow bin, no
+    quantile pass), so the whole query is one grouped aggregation with
+    map-side combine; the totals ride a broadcast of the 9-row aggregate."""
+    from ..operators.aggregations import population_stability
+
+    ev = load_table(spark, sf_dir, "events")
+    return population_stability(
+        ev,
+        "value",
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+        bin_width=25.0,
+        n_bins=9,
+    )
+
+
+@register(
+    "doc_unigram_logprob",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                      t -> t <> '')) AS tok
+            FROM documents
+        ),
+        freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq)
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CAST(ln(CAST(total AS DOUBLE))
+                             - ln(CAST(cnt AS DOUBLE))
+                             AS DECIMAL(28,10))) AS DOUBLE)
+                   / COUNT(*) AS avg_neg_logprob
+        FROM toks t
+        JOIN freq USING (tok)
+        CROSS JOIN tot
+        GROUP BY 1
+    """,
+    description=(
+        "perplexity-proxy quality filter: per-doc mean negative log-prob "
+        "under the corpus's own unigram LM"
+    ),
+    tags=("text", "quality", "corpus"),
+)
+def doc_unigram_logprob(spark, sf_dir):
+    """Perplexity-style filtering without an external LM: score every doc by
+    the mean -ln p(token) under the corpus's own unigram distribution (high
+    = unusual vocabulary, low = boilerplate). Two grouped passes over ONE
+    explode: the frequency table and the per-doc join both hash on the token
+    key, so the exchange is shared; the grand total rides a broadcast 1-row
+    aggregate (ln(total)-ln(cnt) avoids a division per row). The per-doc
+    mean goes through the decimal-exact sum so the result is independent of
+    accumulation order — reproducible at any partitioning."""
+    from ..functions.numeric import DEC
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    term = F.log(F.col("total").cast("double")) - F.log(
+        F.col("cnt").cast("double")
+    )
+    return (
+        toks.hint("merge")
+        .join(freq.hint("merge"), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.sum(term.cast(DEC)).cast("double") / F.count("*")).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )
+
+
+@register(
+    "incremental_daily_agg_merge",
+    oracle="""
+        SELECT date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                   AS total_value
+        FROM events
+        GROUP BY 1
+    """,
+    description=(
+        "incremental view maintenance: base daily aggregate + late delta "
+        "batch merged by re-aggregating partial states (oracle = full "
+        "recompute, so parity PROVES merge == recompute)"
+    ),
+    tags=("table-ops", "incremental", "aggregate"),
+)
+def incremental_daily_agg_merge(spark, sf_dir):
+    """The maintain-don't-recompute shape for continuously-arriving data:
+    the standing daily aggregate (events before Jan 24) is merged with the
+    delta batch's partial aggregate by SUMMING PARTIAL STATES — counts add,
+    decimal sums add exactly — instead of rescanning history. The oracle is
+    the full recompute over everything, so the driver's hash compare proves
+    the incremental path is exactly equivalent. At 100 TB the base
+    aggregate is orders of magnitude smaller than its input; only the
+    delta's days shuffle."""
+    from ..functions.numeric import DEC
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "value",
+        (F.col("ts") < F.lit("2024-01-24").cast("timestamp")).alias("base"),
+    )
+
+    def partial(df):
+        return df.groupBy("day").agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("value").cast(DEC)).alias("pv"),
+        )
+
+    base = partial(ev.filter(F.col("base")))
+    delta = partial(ev.filter(~F.col("base")))
+    return (
+        base.unionByName(delta)
+        .groupBy("day")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.sum("pv").cast("double").alias("total_value"),
+        )
+    )

@@ -140,3 +140,37 @@ def test_etl_end_to_end_observed_stage_counts(spark, sf_dir):
         n_total - n_clean
     )
     assert sum(r.n_rows for r in rows) == n_clean
+
+
+def test_population_stability_identical_halves_zero(spark):
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.aggregations import (
+        population_stability,
+    )
+
+    # same value distribution in both periods -> every psi_term is exactly 0
+    rows = [(float(v), p) for v in (5.0, 30.0, 55.0, 230.0) for p in (True, False)]
+    df = spark.createDataFrame(rows, "value double, a boolean")
+    out = population_stability(df, "value", F.col("a")).collect()
+    assert {r["bin"] for r in out} == {0, 1, 2, 8}
+    assert all(r["psi_term"] == 0.0 for r in out)
+    assert all(abs(r["share_a"] - r["share_b"]) < 1e-15 for r in out)
+
+
+def test_population_stability_detects_shift(spark):
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.aggregations import (
+        population_stability,
+    )
+
+    # period A all-low, period B all-high: large PSI, finite despite
+    # one-sided-empty bins (smoothing)
+    rows = [(5.0, True)] * 50 + [(80.0, False)] * 50
+    df = spark.createDataFrame(rows, "value double, a boolean")
+    out = population_stability(df, "value", F.col("a")).collect()
+    total = sum(r["psi_term"] for r in out)
+    import math
+
+    assert total > 0.2 and all(math.isfinite(r["psi_term"]) for r in out)
