@@ -7519,6 +7519,7 @@ def sole_late_supplier_orders(spark, sf_dir):
         FROM flagged
         GROUP BY 1
     """,
+    bench=True,
     description=(
         "substring-dedup signal: per-doc count/fraction of 8-token windows "
         "that also appear in another document"
@@ -7663,6 +7664,7 @@ def training_shuffle_shards(spark, sf_dir):
         FROM m
         GROUP BY 1
     """,
+    bench=True,
     description=(
         "MERGE INTO (CDC apply) analog: upsert a trailing-window refresh "
         "batch into an orders snapshot; action counts + exact checksum"
@@ -7763,6 +7765,7 @@ def drift_psi_events(spark, sf_dir):
         CROSS JOIN tot
         GROUP BY 1
     """,
+    bench=True,
     description=(
         "perplexity-proxy quality filter: per-doc mean negative log-prob "
         "under the corpus's own unigram LM"
