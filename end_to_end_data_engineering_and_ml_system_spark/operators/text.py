@@ -422,26 +422,25 @@ def duplicate_ngram_windows(
     Returns one row per document that has at least one full window:
     ``(id, n_windows, dup_windows, dup_window_frac)``.
 
-    Scale shape: the explode is linear in corpus tokens; windows travel as
-    8-byte ``xxhash64`` keys, never strings (same collision trade as
-    ``dedup.jaccard_pairs`` — two distinct windows colliding could flag a
-    window as shared; at 64 bits that is negligible next to the shuffle
-    savings). Both the multi-doc-window groupBy and the flag-join hash on the
-    same key, so the exchange is computed once and reused. No all-pairs
-    join anywhere — cost is O(windows), not O(docs^2)."""
+    Scale shape: the explode runs ONCE (an inverted-index build + flag-join
+    would evaluate it twice — the two subplans differ, so their exchanges
+    can't be reused); windows travel as 8-byte ``xxhash64`` keys, never
+    strings (same collision trade as ``dedup.jaccard_pairs``). The pipeline
+    is explode → (hash, doc)-grain reduce with map-side combine → a count
+    window over the hash (replacing any join: groups are 1-2 rows — no
+    skew) → per-doc rollup. Three keyed exchanges over the reduced grain,
+    no join, cost O(windows) — never O(docs^2)."""
+    from pyspark.sql import Window
+
     g = df.select(
         F.col(id_col), F.explode(ngrams(tokens(text_col), n)).alias("gram")
     ).select(id_col, F.xxhash64("gram").alias("gh"))
-    shared = (
-        g.groupBy("gh")
-        .agg(F.count_distinct(id_col).alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gh", F.lit(1).alias("__shared"))
-    )
-    flagged = g.hint("merge").join(shared.hint("merge"), "gh", "left")
-    dup = F.sum(F.when(F.col("__shared").isNotNull(), 1).otherwise(0))
+    gd = g.groupBy("gh", id_col).agg(F.count("*").alias("c"))
+    nd = F.count("*").over(Window.partitionBy("gh"))
+    flagged = gd.withColumn("nd", nd)
+    dup = F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0))
     return flagged.groupBy(id_col).agg(
-        F.count("*").alias("n_windows"),
+        F.sum("c").alias("n_windows"),
         dup.alias("dup_windows"),
-        (dup.cast("double") / F.count("*")).alias("dup_window_frac"),
+        (dup.cast("double") / F.sum("c")).alias("dup_window_frac"),
     )
