@@ -7857,3 +7857,135 @@ def incremental_daily_agg_merge(spark, sf_dir):
             F.sum("pv").cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "embedding_drift_by_dim",
+    oracle="""
+        WITH e AS (
+            -- unnest + generate_subscripts in the SELECT list expand in
+            -- lockstep (a FROM-clause UNNEST would cross-multiply them)
+            SELECT (vec_id % 2 = 0) AS a,
+                   CAST(unnest(embedding) AS DOUBLE) AS v,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings
+        )
+        , q AS (
+            -- quantize to 1e-5 units with IEEE-only ops (multiply, add,
+            -- floor): deterministic across engines, unlike a double ->
+            -- DECIMAL cast whose half-way ties round differently (Spark
+            -- HALF_UP vs DuckDB half-even; a float32 dyadic like
+            -- -0.27392578125 terminates at exactly 11 decimal digits and
+            -- IS such a tie)
+            SELECT a, dim, CAST(floor(v * 100000.0 + 0.5) AS BIGINT) AS qv
+            FROM e
+        )
+        SELECT CAST(dim AS BIGINT) AS dim,
+               CAST(SUM(CASE WHEN a THEN qv END) AS DOUBLE)
+                   / SUM(CASE WHEN a THEN 1 ELSE 0 END) / 100000.0
+                   AS mean_a,
+               CAST(SUM(CASE WHEN NOT a THEN qv END) AS DOUBLE)
+                   / SUM(CASE WHEN a THEN 0 ELSE 1 END) / 100000.0
+                   AS mean_b,
+               abs(CAST(SUM(CASE WHEN a THEN qv END) AS DOUBLE)
+                       / SUM(CASE WHEN a THEN 1 ELSE 0 END) / 100000.0
+                   - CAST(SUM(CASE WHEN NOT a THEN qv END) AS DOUBLE)
+                       / SUM(CASE WHEN a THEN 0 ELSE 1 END) / 100000.0)
+                   AS abs_shift
+        FROM q
+        GROUP BY 1
+    """,
+    description=(
+        "embedding-space drift: per-dimension mean shift between two "
+        "cohorts (vec_id parity stands in for time slices)"
+    ),
+    tags=("ml", "monitoring", "array"),
+)
+def embedding_drift_by_dim(spark, sf_dir):
+    """The vector-space companion to drift_psi_events: per-dimension means
+    of two cohorts plus their absolute shift — the cheap first-line check
+    that an embedding model (or its upstream text distribution) moved under
+    a downstream index. One posexplode + one grouped pass keyed on the
+    dimension index (fixed cardinality = n_dims, so the shuffle is tiny no
+    matter how many vectors).
+
+    Determinism: values are quantized to 1e-5 units via IEEE-only ops
+    (multiply, add, floor — bit-identical across engines), then summed as
+    exact integers. The usual decimal-exact-sum idiom is NOT safe here:
+    double->DECIMAL(28,10) casts disagree between engines at half-way ties,
+    and raw float32 embeddings are dyadic rationals whose decimal expansion
+    can terminate at exactly 11 digits (e.g. -0.27392578125) — a genuine
+    tie. Squared metrics (embedding_norms) are structurally immune because
+    squaring doubles the binary fraction length past any 10-digit tie."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        (F.col("vec_id") % 2 == 0).alias("a"),
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).select(
+        "a",
+        (F.col("dim0") + 1).cast("bigint").alias("dim"),
+        F.floor(F.col("x").cast("double") * 100000.0 + 0.5)
+        .cast("bigint")
+        .alias("qv"),
+    )
+    scale = F.lit(100000.0)
+    sum_a = F.sum(F.when(F.col("a"), F.col("qv"))).cast("double")
+    sum_b = F.sum(F.when(~F.col("a"), F.col("qv"))).cast("double")
+    n_a = F.sum(F.when(F.col("a"), 1).otherwise(0))
+    n_b = F.sum(F.when(F.col("a"), 0).otherwise(1))
+    mean_a = sum_a / n_a / scale
+    mean_b = sum_b / n_b / scale
+    return e.groupBy("dim").agg(
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        F.abs(mean_a - mean_b).alias("abs_shift"),
+    )
+
+
+@register(
+    "label_balance_by_split",
+    oracle=f"""
+        WITH s AS (
+            SELECT label,
+                   CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT label, {_SQL_HASH_U.format(key="vec_id")} AS u
+                  FROM embeddings)
+        )
+        SELECT split, label,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) AS DOUBLE)
+                   / SUM(COUNT(*)) OVER (PARTITION BY split) AS share_in_split
+        FROM s
+        GROUP BY 1, 2
+    """,
+    description=(
+        "ML-data QA: class balance per deterministic train/val/test split "
+        "(hash-keyed membership, so the audit is reproducible anywhere)"
+    ),
+    tags=("ml", "sampling", "quality"),
+)
+def label_balance_by_split(spark, sf_dir):
+    """Split-balance audit — the pre-training check that a split didn't
+    concentrate a class. Membership is the engine-portable md5-range split
+    (a pure projection), so the whole audit is one grouped pass plus a
+    window over the tiny (split x label) aggregate."""
+    from pyspark.sql import Window
+
+    from ..operators.relational import deterministic_split
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    s = deterministic_split(
+        emb, "vec_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    agg = s.groupBy("split", "label").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("split")
+    return agg.select(
+        "split",
+        "label",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w)).alias(
+            "share_in_split"
+        ),
+    )
