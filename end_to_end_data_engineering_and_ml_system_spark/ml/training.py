@@ -1,0 +1,153 @@
+"""Distributed epoch-training loop with tracked per-epoch metrics
+(SURVEY.md §2.11 M7 training + A13 epoch-series metrics analog).
+
+The reference trains a Keras autoencoder and extracts the epoch loss
+series from ``history.history`` before logging final metrics to MLflow
+(scripts/train_autoencoder.py:190-216). No TF exists in this container,
+and — more to the point — a ``model.fit`` on one node is not the 100 TB
+shape. This module re-expresses the SEMANTICS as the canonical
+distributed-training loop:
+
+- the dataset never leaves the cluster: each epoch computes the loss and
+  the full-batch gradient as ONE Spark aggregation (``mapInPandas``
+  partial sums per partition — vectorized numpy, Arrow batches — then a
+  driver-side reduce of `#partitions` small rows);
+- only the PARAMETERS (a d×k matrix, kilobytes) live on the driver and
+  ride to executors inside the closure each epoch — the parameter-server
+  shape, same as Spark MLlib's own iterative algorithms;
+- per-epoch losses go to ``ml.registry.Tracker`` step-indexed, exactly
+  like the reference's ``mlflow.log_metric(..., step=epoch)`` pattern,
+  so ``history``-style series extraction (A13) is a metrics query.
+
+The model is a tied-weights linear autoencoder ``x̂ = W Wᵀ x`` trained by
+full-batch gradient descent: honest distributed optimization (loss
+provably decreases under a small enough step), not a toy that pretends
+nonlinear-Keras parity — pca_scorer / serialized AE inference in
+ml/pipeline.py remain the serving-side analogs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+GRAD_SCHEMA = "grad array<double>, loss double, n long"
+
+
+def _partial_grad(w: np.ndarray):
+    """Per-partition partial sums of loss and tied-AE gradient.
+
+    For each row x: z = Wᵀx, r = x - Wz, loss = rᵀr,
+    ∇_W = -2 (r zᵀ + x (Wᵀ r)ᵀ). Everything is batched numpy over the
+    Arrow-delivered pandas frames — no per-row Python.
+    """
+
+    def fn(batches):
+        import pandas as pd
+
+        d, k = w.shape
+        g = np.zeros((d, k))
+        loss = 0.0
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["features"].to_numpy())  # (b, d)
+            z = x @ w  # (b, k)
+            r = x - z @ w.T  # (b, d)
+            loss += float((r * r).sum())
+            g += -2.0 * (r.T @ z + x.T @ (r @ w))
+            n += len(x)
+        yield pd.DataFrame(
+            {"grad": [g.ravel().tolist()], "loss": [loss], "n": [n]}
+        )
+
+    return fn
+
+
+@dataclass
+class FitResult:
+    weights: np.ndarray
+    losses: list[float]  # mean loss per epoch, BEFORE that epoch's step
+
+
+def fit_linear_autoencoder(
+    features: DataFrame,
+    dim: int,
+    k: int = 8,
+    epochs: int = 5,
+    lr: float = 1e-3,
+    seed: int = 42,
+    tracker_run=None,
+) -> FitResult:
+    """Full-batch GD on the tied linear AE over a ``features``
+    array<double> column. One Spark job per epoch; the collect is
+    ``#partitions`` rows of (d·k grads, loss, n) — the documented
+    parameter-server exception to the no-collect rule (kilobytes,
+    independent of row count). Pass a ``Tracker`` run to step-log the
+    loss series (A13)."""
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((dim, k)) * 0.1
+    df = features.select("features")
+    losses: list[float] = []
+    for epoch in range(epochs):
+        parts = df.mapInPandas(_partial_grad(w), GRAD_SCHEMA).collect()
+        n = sum(p["n"] for p in parts)
+        if n == 0:
+            raise ValueError("empty training frame")
+        grad = sum(
+            np.asarray(p["grad"]).reshape(w.shape) for p in parts
+        ) / float(n)
+        loss = sum(p["loss"] for p in parts) / float(n)
+        losses.append(loss)
+        if tracker_run is not None:
+            tracker_run.log_metrics({"train_loss": loss}, step=epoch)
+        w = w - lr * grad
+    return FitResult(weights=w, losses=losses)
+
+
+def reconstruction_mse_stats(features: DataFrame, w: np.ndarray) -> dict:
+    """The reference's post-training mse_min/max/mean over the train set
+    (train_autoencoder.py:209-216) as one distributed aggregation."""
+    parts = features.select("features").mapInPandas(
+        _mse_partials(w), "s double, mn double, mx double, n long"
+    )
+    from pyspark.sql import functions as F
+
+    row = parts.agg(
+        F.sum("s").alias("s"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+        F.sum("n").alias("n"),
+    ).first()
+    return {
+        "mse_mean": row["s"] / row["n"],
+        "mse_min": row["mn"],
+        "mse_max": row["mx"],
+    }
+
+
+def _mse_partials(w: np.ndarray):
+    def fn(batches):
+        import pandas as pd
+
+        s = 0.0
+        mn = float("inf")
+        mx = float("-inf")
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["features"].to_numpy())
+            r = x - (x @ w) @ w.T
+            mse = (r * r).mean(axis=1)
+            s += float(mse.sum())
+            mn = min(mn, float(mse.min()))
+            mx = max(mx, float(mse.max()))
+            n += len(x)
+        if n:
+            yield pd.DataFrame({"s": [s], "mn": [mn], "mx": [mx], "n": [n]})
+
+    return fn

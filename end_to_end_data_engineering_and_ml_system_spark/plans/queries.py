@@ -7989,3 +7989,35 @@ def label_balance_by_split(spark, sf_dir):
             "share_in_split"
         ),
     )
+
+
+@register(
+    "linear_ae_training_curve",
+    oracle=None,  # iterative distributed optimization — not SQL-expressible;
+    # invariants (loss strictly decreases, partitioning-independent fit)
+    # are pinned by tests/test_training.py
+    description=(
+        "A13/M7 analog: per-epoch loss series of a distributed linear-AE "
+        "fit (one Spark aggregation per epoch, parameter-server shape)"
+    ),
+    tags=("ml", "training", "rows-only"),
+)
+def linear_ae_training_curve(spark, sf_dir):
+    """The reference's history.history['loss'] series (A13,
+    train_autoencoder.py:190-206) produced by honest distributed training:
+    each epoch's full-batch gradient + loss is ONE mapInPandas partial-sum
+    aggregation; only the d x k parameter matrix ever leaves the cluster.
+    Deterministic by construction (exact sums, seeded init), so the curve
+    is reproducible across partitionings — pinned by
+    test_training_deterministic_under_repartition."""
+    from ..ml.training import fit_linear_autoencoder
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        F.transform("embedding", lambda v: v.cast("double")).alias("features")
+    )
+    res = fit_linear_autoencoder(feats, dim=64, k=8, epochs=5, lr=5e-3)
+    return spark.createDataFrame(
+        [(i, l) for i, l in enumerate(res.losses)],
+        "epoch bigint, train_loss double",
+    )
