@@ -99,3 +99,88 @@ def kafka_sink_streaming(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def ensure_topics(
+    topics: list[str],
+    bootstrap_servers: str = "localhost:9092",
+    num_partitions: int = 1,
+    replication_factor: int = 1,
+    admin_factory=None,
+) -> dict:
+    """Create-if-missing topic admin (S13, reference
+    stream_anomaly_detector.py:374-388 / main.py:85-96): list existing
+    topics, create only the missing ones, best-effort — an admin failure
+    must never take down the pipeline, so errors are returned, not raised.
+
+    Spark has no topic-admin surface (it is an ops concern, not a query
+    one), so the transport is a pluggable admin client: the default
+    factory uses ``kafka-python``'s KafkaAdminClient when installed; any
+    object with ``list_topics() / create_topics(names, num_partitions,
+    replication_factor) / close()`` works, which is also what makes the
+    create-missing logic testable without a broker. Idempotent by
+    construction — a second call finds nothing to create.
+
+    Returns ``{"created": [...], "existing": [...], "error": str | None}``.
+    """
+    if admin_factory is None:
+
+        def admin_factory():
+            try:
+                from kafka.admin import KafkaAdminClient, NewTopic
+            except ImportError as e:  # pragma: no cover - env-dependent
+                raise RuntimeError(
+                    "kafka-python not installed; pass admin_factory"
+                ) from e
+
+            client = KafkaAdminClient(
+                bootstrap_servers=bootstrap_servers.split(",")
+            )
+
+            class _Admin:  # adapt to the minimal admin protocol
+                def list_topics(self):
+                    return client.list_topics()
+
+                def create_topics(self, names, num_partitions, replication_factor):
+                    client.create_topics(
+                        new_topics=[
+                            NewTopic(
+                                name=n,
+                                num_partitions=num_partitions,
+                                replication_factor=replication_factor,
+                            )
+                            for n in names
+                        ],
+                        validate_only=False,
+                    )
+
+                def close(self):
+                    client.close()
+
+            return _Admin()
+
+    try:
+        admin = admin_factory()
+    except Exception as e:
+        return {"created": [], "existing": [], "error": str(e)}
+    try:
+        existing = set(admin.list_topics())
+        missing = [t for t in topics if t not in existing]
+        if missing:
+            admin.create_topics(
+                missing,
+                num_partitions=num_partitions,
+                replication_factor=replication_factor,
+            )
+        return {
+            "created": missing,
+            "existing": [t for t in topics if t in existing],
+            "error": None,
+        }
+    except Exception as e:
+        return {"created": [], "existing": [], "error": str(e)}
+    finally:
+        try:
+            admin.close()
+        except Exception:
+            pass

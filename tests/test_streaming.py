@@ -390,3 +390,54 @@ def test_streaming_resume_from_checkpoint_exactly_once(spark, tmp_path):
     assert got.count() == 150  # 100 old NOT reprocessed + 50 new
     assert got.select("id").distinct().count() == 150
     assert got.agg(F.max("id")).collect()[0][0] == 149
+
+
+class _FakeAdmin:
+    def __init__(self, existing, fail_create=False):
+        self.topics = set(existing)
+        self.created_with = []
+        self.closed = False
+        self.fail_create = fail_create
+
+    def list_topics(self):
+        return sorted(self.topics)
+
+    def create_topics(self, names, num_partitions, replication_factor):
+        if self.fail_create:
+            raise RuntimeError("broker rejected create")
+        self.created_with.append((list(names), num_partitions, replication_factor))
+        self.topics.update(names)
+
+    def close(self):
+        self.closed = True
+
+
+def test_ensure_topics_creates_only_missing():
+    from end_to_end_data_engineering_and_ml_system_spark.streaming.kafka import (
+        ensure_topics,
+    )
+
+    admin = _FakeAdmin({"flows"})
+    out = ensure_topics(
+        ["flows", "alerts", "dlq"], admin_factory=lambda: admin, num_partitions=3
+    )
+    assert out == {"created": ["alerts", "dlq"], "existing": ["flows"], "error": None}
+    assert admin.created_with == [(["alerts", "dlq"], 3, 1)]
+    assert admin.closed
+    # idempotent: second call creates nothing
+    out2 = ensure_topics(["flows", "alerts", "dlq"], admin_factory=lambda: admin)
+    assert out2["created"] == [] and len(admin.created_with) == 1
+
+
+def test_ensure_topics_best_effort_on_errors():
+    from end_to_end_data_engineering_and_ml_system_spark.streaming.kafka import (
+        ensure_topics,
+    )
+
+    # admin construction fails (no broker): error reported, not raised
+    out = ensure_topics(["t"], admin_factory=lambda: (_ for _ in ()).throw(OSError("conn refused")))
+    assert out["error"] and out["created"] == []
+    # create fails mid-flight: error reported, admin still closed
+    admin = _FakeAdmin(set(), fail_create=True)
+    out = ensure_topics(["t"], admin_factory=lambda: admin)
+    assert out["error"] and admin.closed
