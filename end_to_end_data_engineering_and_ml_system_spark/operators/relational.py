@@ -273,15 +273,18 @@ def merge_upsert(
     are ``'insert'``, target-only rows carry over unchanged
     (``'carryover'``). Returns the merged table plus ``action_col``.
 
-    Value columns are the two schemas' common non-key columns, source-wins
-    via ``coalesce`` — declarative, so Catalyst prunes unused ones. The one
-    shuffle is the full-outer exchange on the key; on a real lakehouse table
-    bucketed by the merge key (see ``partitioned.bucketed_join``) the target
-    side's exchange disappears entirely — the canonical CDC-apply shape at
+    The merged schema is the UNION of both schemas in target-column order
+    (a MERGE must never drop a target column just because the patch batch
+    doesn't carry it): columns present in both sides resolve source-wins
+    via ``coalesce``, target-only columns carry the target value (NULL on
+    inserts), source-only columns the source value (NULL on carryovers).
+    Declarative, so Catalyst prunes unused ones. The one shuffle is the
+    full-outer exchange on the key; on a real lakehouse table bucketed by
+    the merge key (see ``partitioned.bucketed_join``) the target side's
+    exchange disappears entirely — the canonical CDC-apply shape at
     100 TB."""
-    common = [
-        c for c in target.columns if c in set(source.columns) and c not in key_cols
-    ]
+    s_cols = set(source.columns)
+    t_cols = set(target.columns)
     t = target.alias("__t")
     s = source.alias("__s")
     cond = [F.col(f"__t.{k}") == F.col(f"__s.{k}") for k in key_cols]
@@ -293,14 +296,16 @@ def merge_upsert(
         .when(s_key.isNull(), F.lit("carryover"))
         .otherwise(F.lit("update"))
     )
+
+    def merged(c: str):
+        if c in key_cols or (c in s_cols and c in t_cols):
+            return F.coalesce(F.col(f"__s.{c}"), F.col(f"__t.{c}")).alias(c)
+        side = "__s" if c in s_cols else "__t"
+        return F.col(f"{side}.{c}").alias(c)
+
+    out_cols = list(target.columns) + [
+        c for c in source.columns if c not in t_cols
+    ]
     return joined.select(
-        *[
-            F.coalesce(F.col(f"__s.{k}"), F.col(f"__t.{k}")).alias(k)
-            for k in key_cols
-        ],
-        *[
-            F.coalesce(F.col(f"__s.{c}"), F.col(f"__t.{c}")).alias(c)
-            for c in common
-        ],
-        action.alias(action_col),
+        *[merged(c) for c in out_cols], action.alias(action_col)
     )

@@ -596,3 +596,87 @@ def test_edit_distance_pairs_match_naive_reference(spark, docs_raw):
             if d <= 4:
                 want[(min(ida, idb), max(ida, idb))] = d
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(-5, 5), st.integers(0, 3)),
+        min_size=0,
+        max_size=12,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 8), st.one_of(st.none(), st.integers(-5, 5))),
+        min_size=0,
+        max_size=12,
+    ),
+)
+@SLOW
+def test_merge_upsert_matches_naive_reference(spark, t_rows, s_rows):
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        merge_upsert,
+    )
+
+    # unique keys per side (MERGE's precondition, like any upsert target)
+    t_rows = list({k: (k, v, w) for k, v, w in t_rows}.values())
+    s_rows = list({k: (k, v) for k, v in s_rows}.values())
+    target = spark.createDataFrame(
+        t_rows, "k int, v int, w int"
+    ) if t_rows else spark.createDataFrame([], "k int, v int, w int")
+    source = spark.createDataFrame(
+        s_rows, "k int, v int"
+    ) if s_rows else spark.createDataFrame([], "k int, v int")
+    got = {
+        r["k"]: (r["v"], r["w"], r["action"])
+        for r in merge_upsert(target, source, ["k"]).collect()
+    }
+    tm = {k: (v, w) for k, v, w in t_rows}
+    sm = dict(s_rows)
+    want = {}
+    for k in set(tm) | set(sm):
+        if k in tm and k in sm:
+            sv = sm[k] if sm[k] is not None else tm[k][0]  # NULL-patch
+            want[k] = (sv, tm[k][1], "update")
+        elif k in sm:
+            want[k] = (sm[k], None, "insert")
+        else:
+            want[k] = (tm[k][0], tm[k][1], "carryover")
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(2, 4),
+)
+@SLOW
+def test_duplicate_ngram_windows_matches_naive_reference(spark, docs, n):
+    from end_to_end_data_engineering_and_ml_system_spark.operators.text import (
+        duplicate_ngram_windows,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_windows"], r["dup_windows"])
+        for r in duplicate_ngram_windows(df, "doc_id", "text", n=n).collect()
+    }
+    # naive reference: every length-n window; duplicated iff the same
+    # window text appears in any OTHER document
+    wins = {
+        i: [tuple(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+        for i, toks in enumerate(docs)
+    }
+    want = {}
+    for i, ws in wins.items():
+        if not ws:
+            continue
+        dup = sum(
+            1
+            for w in ws
+            if any(w in set(wo) for io, wo in wins.items() if io != i)
+        )
+        want[i] = (len(ws), dup)
+    assert got == want
