@@ -604,3 +604,60 @@ def simhash_near_dup_pairs(
     return cand.select(
         "id1", "id2", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def minhash_estimate_vs_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Calibration of the MinHash estimator against ground truth: for every
+    LSH candidate pair, the signature-agreement estimate (matching seeds /
+    num_hashes) next to the exact shingle-set Jaccard and their absolute
+    error. This is the query that tells you whether ``num_hashes`` is
+    enough BEFORE you trust banding thresholds on a new corpus.
+
+    Scale shape: candidates come from banding (~linear), and every join is
+    keyed on doc ids — the wide signature table and the shingle-set table
+    are each one row per doc. The estimate is a pure projection over the
+    joined wide signatures (no per-seed explode or join)."""
+    cands = lsh_candidate_pairs(
+        df, id_col, text_col, num_hashes, rows_per_band, n, max_bucket_size
+    )
+    wide = minhash_wide(df, id_col, text_col, num_hashes, n)
+    w1 = wide.select(
+        F.col(id_col).alias("id1"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    w2 = wide.select(
+        F.col(id_col).alias("id2"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    sets_ = df.select(F.col(id_col), tokens(text_col).alias("__toks")).select(
+        F.col(id_col),
+        F.array_sort(
+            F.transform(shingles(F.col("__toks"), n), lambda s: F.xxhash64(s))
+        ).alias("sh_set"),
+    )
+    s1 = sets_.select(F.col(id_col).alias("id1"), F.col("sh_set").alias("s1"))
+    s2 = sets_.select(F.col(id_col).alias("id2"), F.col("sh_set").alias("s2"))
+    j = cands.join(w1, "id1").join(w2, "id2").join(s1, "id1").join(s2, "id2")
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    est = matches / F.lit(float(num_hashes))
+    inter = F.size(F.array_intersect(F.col("s1"), F.col("s2")))
+    union = F.size(F.col("s1")) + F.size(F.col("s2")) - inter
+    exact = inter.cast("double") / union
+    return j.select(
+        "id1",
+        "id2",
+        est.alias("est_jaccard"),
+        exact.alias("exact_jaccard"),
+        F.abs(est - exact).alias("abs_err"),
+    )

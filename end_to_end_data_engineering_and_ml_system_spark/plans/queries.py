@@ -7337,9 +7337,19 @@ def intra_region_supply_share(spark, sf_dir):
         SELECT
             n.n_name AS nation,
             CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-            CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                          - 0.6 * p.p_retailprice * l.l_quantity
-                          AS DECIMAL(28,10))) AS DOUBLE) AS profit
+            -- exact integer-cents arithmetic: money columns are 2-decimal
+            -- and quantity integral, so cents recovered via IEEE-only ops
+            -- (multiply/add/floor) make every row an exact integer and the
+            -- sum engine-identical. A double profit cast to DECIMAL(28,10)
+            -- is NOT portable: product doubles can terminate at exactly 11
+            -- decimal digits, and Spark/DuckDB round those ties apart
+            -- (diverged at sf0.1).
+            CAST(SUM(CAST(
+                CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l.l_discount * 100.0 + 0.5) AS BIGINT))
+                - 60 * CAST(floor(p.p_retailprice * 100.0 + 0.5) AS BIGINT)
+                    * CAST(floor(l.l_quantity + 0.5) AS BIGINT)
+                AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS profit
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN part p ON l.l_partkey = p.p_partkey
@@ -7354,19 +7364,34 @@ def profit_by_nation_year(spark, sf_dir):
     """Q9's rollup with the fixture-available cost model: the fixtures carry
     no partsupp, so unit cost is DEFINED as 0.6 * p_retailprice — a
     deterministic stand-in preserving the query's shape (fact joined to
-    part + supplier + nation, profit expression inside one decimal-summed
-    grouped pass). part is broadcast here; at 100 TB part is the one dim
-    that may outgrow broadcast — then it becomes a shuffle join on
-    l_partkey and everything else is unchanged."""
+    part + supplier + nation, profit expression inside one grouped pass).
+    part is broadcast here; at 100 TB part is the one dim that may outgrow
+    broadcast — then it becomes a shuffle join on l_partkey and everything
+    else is unchanged.
+
+    Determinism: profit rides as exact integer 1/10000-units — money
+    columns recovered to cents and quantity to an integer with IEEE-only
+    ops (multiply/add/floor, bit-identical across engines) so every row is
+    an exact integer and the sum is engine-identical. The first cut of
+    this query cast the per-row DOUBLE product to DECIMAL(28,10) and
+    diverged from DuckDB at sf0.1: product doubles can be dyadic rationals
+    terminating at exactly 11 decimal digits — a half-way tie Spark
+    (HALF_UP) and DuckDB (half-even) round apart (same failure class as
+    embedding_drift_by_dim's raw floats)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    profit = (
-        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
-    ).cast("decimal(28,10)")
+
+    def cents(c):
+        return F.floor(F.col(c) * 100.0 + 0.5).cast("bigint")
+
+    profit_units = (
+        cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+        - F.lit(60) * cents("p_retailprice")
+        * F.floor(F.col("l_quantity") + 0.5).cast("bigint")
+    ).cast("decimal(38,0)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -7376,7 +7401,11 @@ def profit_by_nation_year(spark, sf_dir):
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.sum(profit).cast("double").alias("profit"))
+        .agg(
+            (F.sum(profit_units).cast("double") / F.lit(10000.0)).alias(
+                "profit"
+            )
+        )
     )
 
 
@@ -8020,4 +8049,70 @@ def linear_ae_training_curve(spark, sf_dir):
     return spark.createDataFrame(
         [(i, l) for i, l in enumerate(res.losses)],
         "epoch bigint, train_loss double",
+    )
+
+
+@register(
+    "minhash_jaccard_calibration",
+    oracle="""
+        WITH t AS ({shingles}),
+        s AS (SELECT doc_id, unnest(sh) AS shingle FROM t),
+        sig AS (
+            SELECT s.doc_id, r.seed,
+                   MIN(md5(r.seed::VARCHAR || ':' || s.shingle)) AS minhash
+            FROM s CROSS JOIN (SELECT unnest(range(8)) AS seed) r
+            GROUP BY 1, 2
+        ),
+        buckets AS (
+            SELECT doc_id, seed // 2 AS band,
+                   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+            FROM sig
+            GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM buckets a
+            JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                           AND a.doc_id < b.doc_id
+        ),
+        est AS (
+            SELECT c.id1, c.id2,
+                   SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+                       / 8.0 AS est_jaccard
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.id1
+            JOIN sig sb ON sb.doc_id = c.id2 AND sb.seed = sa.seed
+            GROUP BY 1, 2
+        ),
+        ex AS (
+            SELECT c.id1, c.id2,
+                   CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+                     / (len(ta.sh) + len(tb.sh)
+                        - len(list_intersect(ta.sh, tb.sh))) AS exact_jaccard
+            FROM cand c
+            JOIN t ta ON ta.doc_id = c.id1
+            JOIN t tb ON tb.doc_id = c.id2
+        )
+        SELECT e.id1, e.id2, e.est_jaccard, x.exact_jaccard,
+               abs(e.est_jaccard - x.exact_jaccard) AS abs_err
+        FROM est e
+        JOIN ex x ON e.id1 = x.id1 AND e.id2 = x.id2
+    """.format(shingles=_SQL_SHINGLES),
+    description=(
+        "MinHash estimator calibration: signature-agreement estimate vs "
+        "exact Jaccard per LSH candidate pair, with absolute error"
+    ),
+    tags=("dedup", "minhash", "quality"),
+)
+def minhash_jaccard_calibration(spark, sf_dir):
+    """Answers 'is num_hashes=8 enough on THIS corpus?' before trusting
+    banding thresholds: per candidate pair, the MinHash estimate next to
+    ground truth. All joins are keyed on doc ids over ~linear candidates;
+    the estimate is a projection over the wide signature join (no per-seed
+    explode). See operators/dedup.py::minhash_estimate_vs_exact."""
+    from ..operators.dedup import minhash_estimate_vs_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_estimate_vs_exact(
+        docs, "doc_id", "text", num_hashes=8, rows_per_band=2, n=3
     )
