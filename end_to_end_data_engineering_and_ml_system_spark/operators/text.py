@@ -444,3 +444,48 @@ def duplicate_ngram_windows(
         dup.alias("dup_windows"),
         (dup.cast("double") / F.sum("c")).alias("dup_window_frac"),
     )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """The actionable output of substring-level dedup: per document, the
+    MERGED token spans covered by windows that also appear in another
+    document — what a Lee-et-al-style pipeline would actually cut, rather
+    than a per-doc count. Returns
+    ``(id, span_start, span_end, n_windows)`` with 1-based inclusive token
+    indices; overlapping/adjacent duplicated windows coalesce into one
+    span (gaps-and-islands on the flagged positions).
+
+    Scale shape: one explode with positions; the (hash, doc)-grain reduce
+    and the flag-join back to positions hash on the SAME (hash, doc) key,
+    so the exchange is built once and reused; the island numbering is a
+    per-doc window — partitioned by the id, no global sort."""
+    from pyspark.sql import Window
+
+    g = df.select(
+        F.col(id_col),
+        F.posexplode(ngrams(tokens(text_col), n)).alias("pos0", "gram"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.xxhash64("gram").alias("gh"),
+    )
+    gd = g.groupBy("gh", id_col).agg(F.count("*").alias("c"))
+    flags = gd.withColumn(
+        "nd", F.count("*").over(Window.partitionBy("gh"))
+    ).filter(F.col("nd") >= 2).select("gh", id_col)
+    dup = g.join(flags, ["gh", id_col]).select(id_col, "pos")
+    grp = F.col("pos") - F.row_number().over(
+        Window.partitionBy(id_col).orderBy("pos")
+    )
+    isl = dup.withColumn("grp", grp)
+    return (
+        isl.groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (n - 1)).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .drop("grp")
+    )

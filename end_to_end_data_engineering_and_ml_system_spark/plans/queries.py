@@ -8116,3 +8116,56 @@ def minhash_jaccard_calibration(spark, sf_dir):
     return minhash_estimate_vs_exact(
         docs, "doc_id", "text", num_hashes=8, rows_per_band=2, n=3
     )
+
+
+@register(
+    "doc_duplicate_ngram_spans",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               t -> t <> '') AS tk
+            FROM documents
+        ),
+        grams AS (
+            SELECT t.doc_id, i.i AS pos,
+                   array_to_string(t.tk[i.i:i.i+7], ' ') AS gram
+            FROM toks t,
+                 LATERAL (SELECT unnest(range(1, len(t.tk) - 6)) AS i) i
+        ),
+        shared AS (
+            SELECT gram FROM grams
+            GROUP BY gram
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        dup AS (
+            SELECT g.doc_id, g.pos FROM grams g JOIN shared USING (gram)
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM dup
+        )
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+               CAST(COUNT(*) AS BIGINT) AS n_windows
+        FROM isl
+        GROUP BY doc_id, grp
+    """,
+    description=(
+        "substring-dedup span extraction: merged 1-based token spans of "
+        "cross-document duplicated 8-gram windows (what dedup would cut)"
+    ),
+    tags=("text", "dedup", "corpus"),
+)
+def doc_duplicate_ngram_spans(spark, sf_dir):
+    """Companion to doc_duplicate_ngram_windows that emits the REMOVABLE
+    spans instead of counts; see
+    operators/text.py::duplicate_ngram_spans for the exchange-reuse plan
+    shape. Same xxhash64-vs-string collision trade as the counting query."""
+    from ..operators.text import duplicate_ngram_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_ngram_spans(docs, "doc_id", "text", n=8)

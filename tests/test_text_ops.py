@@ -184,3 +184,49 @@ def test_duplicate_ngram_windows_self_repeat_not_cross_doc(spark):
     )
     row = duplicate_ngram_windows(docs, "doc_id", "text").first()
     assert row["dup_windows"] == 0
+
+
+def test_duplicate_ngram_spans_merge_adjacent_windows(spark):
+    from end_to_end_data_engineering_and_ml_system_spark.operators.text import (
+        duplicate_ngram_spans,
+    )
+
+    # 10 shared tokens -> three consecutive duplicated 8-windows in each
+    # doc, which must coalesce into ONE span covering the shared run
+    shared = " ".join(f"s{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " t1 t2"),
+            (2, "l1 l2 " + shared),
+            (3, " ".join(f"u{i}" for i in range(12))),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+        for r in duplicate_ngram_spans(docs, "doc_id", "text").collect()
+    }
+    # doc1: shared run at tokens 1..10 -> windows at pos 1,2,3 -> span 1..10
+    assert out[1] == (1, 10, 3)
+    # doc2: shared run at tokens 3..12 -> windows at pos 3,4,5 -> span 3..12
+    assert out[2] == (3, 12, 3)
+    assert 3 not in out  # all-unique doc has no spans
+
+
+def test_duplicate_ngram_spans_disjoint_runs_stay_separate(spark):
+    from end_to_end_data_engineering_and_ml_system_spark.operators.text import (
+        duplicate_ngram_spans,
+    )
+
+    a = " ".join(f"a{i}" for i in range(8))
+    b = " ".join(f"b{i}" for i in range(8))
+    gap = " ".join(f"g{i}" for i in range(8))  # unique separator
+    docs = spark.createDataFrame(
+        [(1, f"{a} {gap} {b}"), (2, a), (3, b)], "doc_id int, text string"
+    )
+    spans = sorted(
+        (r["span_start"], r["span_end"])
+        for r in duplicate_ngram_spans(docs, "doc_id", "text").collect()
+        if r["doc_id"] == 1
+    )
+    assert spans == [(1, 8), (17, 24)]
