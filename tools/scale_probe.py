@@ -158,6 +158,19 @@ def main() -> None:
             f"(linear would be ~{n})"
         )
 
+    from end_to_end_data_engineering_and_ml_system_spark.operators.text import (
+        duplicate_ngram_spans,
+        duplicate_ngram_windows,
+    )
+
+    probe(
+        "duplicate_ngram_windows",
+        lambda d: duplicate_ngram_windows(d, "doc_id", "text", n=8),
+    )
+    probe(
+        "duplicate_ngram_spans",
+        lambda d: duplicate_ngram_spans(d, "doc_id", "text", n=8),
+    )
     probe(
         "edit_distance_pairs",
         lambda d: edit_distance_pairs(
