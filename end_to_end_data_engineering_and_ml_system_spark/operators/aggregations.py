@@ -128,6 +128,17 @@ def population_stability(
         F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("n_a"),
         F.sum(F.when(F.col("__a"), 0).otherwise(1)).alias("n_b"),
     )
+    return psi_terms_from_counts(agg, n_bins=n_bins, smoothing=smoothing)
+
+
+def psi_terms_from_counts(
+    agg: DataFrame, n_bins: int, smoothing: float = 1.0
+) -> DataFrame:
+    """Share + PSI-term projection over an already-binned
+    ``(bin, n_a, n_b)`` frame. Split out so batch and streaming monitors
+    share ONE set of arithmetic expressions: per-bin counts are
+    associative, so a foreachBatch accumulator can merge micro-batch
+    counts and get bit-identical PSI terms to the batch query."""
     tot = agg.agg(
         F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb")
     )

@@ -8169,3 +8169,72 @@ def doc_duplicate_ngram_spans(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return duplicate_ngram_spans(docs, "doc_id", "text", n=8)
+
+
+@register(
+    "stream_drift_psi",
+    oracle="""
+        WITH b AS (
+            SELECT CAST(least(floor(value / 25.0), 8) AS BIGINT) AS bin,
+                   (ts < TIMESTAMP '2024-01-16') AS a
+            FROM events
+        ),
+        agg AS (
+            SELECT bin,
+                   CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+            FROM b GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM agg)
+        SELECT bin, n_a, n_b,
+               (n_a + 1.0) / (ta + 9.0) AS share_a,
+               (n_b + 1.0) / (tb + 9.0) AS share_b,
+               ((n_a + 1.0) / (ta + 9.0) - (n_b + 1.0) / (tb + 9.0))
+                 * ln(((n_a + 1.0) / (ta + 9.0))
+                      / ((n_b + 1.0) / (tb + 9.0))) AS psi_term
+        FROM agg CROSS JOIN tot
+    """,
+    description=(
+        "PSI drift monitor IN the stream: live-window bin counts "
+        "accumulated per micro-batch against a static reference; same "
+        "oracle as the batch monitor (count merge proves equivalence)"
+    ),
+    tags=("streaming", "ml", "monitoring"),
+)
+def stream_drift_psi(spark, sf_dir):
+    """The production deployment shape of drift_psi_events: the reference
+    window is a static aggregate computed once; the live window's bin
+    counts accumulate per micro-batch in foreachBatch (per-bin counts are
+    associative, so the accumulated totals are exactly the batch groupBy).
+    Final shares/PSI go through the SAME projection the batch operator
+    uses (psi_terms_from_counts) — bit-identical to the batch query and
+    its oracle by construction. Driver state: one integer per bin."""
+    from ..operators.aggregations import psi_terms_from_counts
+    from ..streaming.pipeline import events_stream, run_binned_count_accumulator
+
+    boundary = F.lit("2024-01-16").cast("timestamp")
+    bin_c = F.least(F.floor(F.col("value") / F.lit(25.0)), F.lit(8)).cast(
+        "bigint"
+    )
+    ref = dict(
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") < boundary)
+        .select(bin_c.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    live_stream = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("ts") >= boundary)
+        .select(bin_c.alias("bin"))
+    )
+    live = run_binned_count_accumulator(live_stream, "bin")
+    agg = spark.createDataFrame(
+        [
+            (b, int(ref.get(b, 0)), int(live.get(b, 0)))
+            for b in sorted(set(ref) | set(live))
+        ],
+        "bin bigint, n_a bigint, n_b bigint",
+    )
+    return psi_terms_from_counts(agg, n_bins=9)

@@ -561,3 +561,33 @@ def running_max_with_state(
             timeMode="None",
         )
     )
+
+
+def run_binned_count_accumulator(
+    stream_df: DataFrame,
+    bin_col: str = "bin",
+    timeout_s: int = 300,
+) -> dict[int, int]:
+    """foreachBatch accumulator for associative per-bin counts: each
+    micro-batch contributes its own grouped counts (map-side combined
+    inside the batch), merged into a tiny driver-side dict. Because counts
+    add, the accumulated totals are EXACTLY the batch groupBy over the
+    whole replayed input — the equivalence a streaming monitor needs to
+    share its arithmetic (and its oracle) with the batch query. The
+    driver state is one integer per bin, independent of stream volume."""
+    totals: dict[int, int] = {}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        for r in batch_df.groupBy(bin_col).agg(F.count("*").alias("n")).collect():
+            totals[r[bin_col]] = totals.get(r[bin_col], 0) + r["n"]
+
+    ck = scratch_unique(stream_df.sparkSession, "psi_ck")
+    with _replay_shuffle_partitions(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.foreachBatch(process)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+    return totals
