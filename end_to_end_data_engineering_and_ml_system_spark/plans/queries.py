@@ -8238,3 +8238,98 @@ def stream_drift_psi(spark, sf_dir):
         "bin bigint, n_a bigint, n_b bigint",
     )
     return psi_terms_from_counts(agg, n_bins=9)
+
+
+@register(
+    "token_cms_estimates",
+    oracle=r"""
+        WITH toks AS (
+            SELECT unnest(list_filter(regexp_split_to_array(trim(text),
+                                                            '\s+'),
+                          t -> t <> '')) AS tok
+            FROM documents
+        ),
+        exact AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n
+            FROM toks GROUP BY 1
+        ),
+        cells AS (
+            SELECT r.seed,
+                   CAST(concat('0x', substr(md5(r.seed::VARCHAR || ':' || tok),
+                                            1, 8)) AS BIGINT) % 1024 AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks CROSS JOIN (SELECT unnest(range(4)) AS seed) r
+            GROUP BY 1, 2
+        ),
+        topk AS (
+            SELECT tok, exact_n
+            FROM exact
+            QUALIFY ROW_NUMBER() OVER (ORDER BY exact_n DESC, tok) <= 20
+        )
+        SELECT t.tok AS token, t.exact_n,
+               MIN(c.n) AS cms_estimate,
+               MIN(c.n) - t.exact_n AS overestimate
+        FROM topk t
+        JOIN cells c
+          ON c.bucket = CAST(concat('0x',
+                 substr(md5(c.seed::VARCHAR || ':' || t.tok), 1, 8))
+                 AS BIGINT) % 1024
+        GROUP BY 1, 2
+    """,
+    description=(
+        "count-min sketch heavy hitters: mergeable (seed, bucket) cell "
+        "rollup + min-over-rows estimate vs exact count for the top-20 "
+        "tokens (overestimate >= 0 by construction)"
+    ),
+    tags=("sketch", "text", "corpus"),
+)
+def token_cms_estimates(spark, sf_dir):
+    """Count-min sketch as the mergeable heavy-hitter structure: the
+    (seed, bucket) cell table is a fixed-size rollup (4 x 1024 cells
+    regardless of corpus size) that merges across partitions, days, or
+    corpora by simple addition — the same merge-don't-recount contract as
+    the HLL/KLL rollups. The estimate for any token is min over its 4
+    cells, always >= the true count. Hashes are the md5-prefix idiom
+    (hash_uniform), so the sketch is engine-portable and the oracle checks
+    estimate AND calibration (overestimate) exactly. One explode feeds
+    both the exact counts and the cells; the top-k probe side is 20 rows,
+    broadcast into the cell join."""
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+
+    def bucket(seed_col, tok_col):
+        h = F.md5(F.concat(seed_col.cast("string"), F.lit(":"), tok_col))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 1024
+
+    seeded = toks.select(
+        "tok",
+        F.explode(
+            F.array(*[F.lit(i).cast("bigint") for i in range(4)])
+        ).alias("seed"),
+    )
+    cells = (
+        seeded.select("seed", bucket(F.col("seed"), F.col("tok")).alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_n"))
+    # deterministic top-k via TakeOrdered (distributed partial top-k per
+    # partition), NOT a single-partition row_number window over the vocab;
+    # the (exact_n DESC, tok) total order matches the oracle's tie rule
+    topk = exact.orderBy(F.col("exact_n").desc(), F.col("tok")).limit(20)
+    probe = topk.crossJoin(
+        spark.range(4).select(F.col("id").cast("bigint").alias("seed"))
+    ).select(
+        "tok", "exact_n", "seed", bucket(F.col("seed"), F.col("tok")).alias("bucket")
+    )
+    return (
+        F.broadcast(probe)
+        .join(cells, ["seed", "bucket"])
+        .groupBy(F.col("tok").alias("token"), "exact_n")
+        .agg(
+            F.min("n").alias("cms_estimate"),
+            (F.min("n") - F.col("exact_n")).alias("overestimate"),
+        )
+    )
