@@ -8333,3 +8333,77 @@ def token_cms_estimates(spark, sf_dir):
             (F.min("n") - F.col("exact_n")).alias("overestimate"),
         )
     )
+
+
+@register(
+    "doc_span_dedup_savings",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               t -> t <> '') AS tk
+            FROM documents
+        ),
+        grams AS (
+            SELECT t.doc_id, i.i AS pos,
+                   array_to_string(t.tk[i.i:i.i+7], ' ') AS gram
+            FROM toks t,
+                 LATERAL (SELECT unnest(range(1, len(t.tk) - 6)) AS i) i
+        ),
+        shared AS (
+            SELECT gram FROM grams
+            GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        isl AS (
+            SELECT g.doc_id, g.pos,
+                   g.pos - ROW_NUMBER() OVER (
+                       PARTITION BY g.doc_id ORDER BY g.pos) AS grp
+            FROM grams g JOIN shared USING (gram)
+        ),
+        spans AS (
+            SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+            FROM isl GROUP BY doc_id, grp
+        ),
+        per_doc AS (
+            SELECT doc_id, SUM(e - s + 1) AS rm FROM spans GROUP BY 1
+        )
+        SELECT t.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(t.tk)) AS BIGINT) AS total_tokens,
+               CAST(SUM(COALESCE(p.rm, 0)) AS BIGINT) AS removable_tokens,
+               CAST(SUM(COALESCE(p.rm, 0)) AS DOUBLE) / SUM(len(t.tk))
+                   AS savings_frac
+        FROM toks t
+        LEFT JOIN per_doc p USING (doc_id)
+        GROUP BY 1
+    """,
+    description=(
+        "corpus-level value of substring dedup: per-source removable "
+        "tokens (merged duplicated spans) vs total tokens"
+    ),
+    tags=("text", "dedup", "corpus"),
+)
+def doc_span_dedup_savings(spark, sf_dir):
+    """The report a data-curation team reads before running span dedup:
+    how many tokens each source would lose. Spans are disjoint per doc by
+    construction (islands are merged), so per-doc removable tokens is a
+    plain sum of span lengths; the rollup joins the one-row-per-doc span
+    summary back to the corpus on the doc key and groups by source."""
+    from ..operators.text import duplicate_ngram_spans, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs_t = docs.select(
+        "doc_id", "source", token_count("text").alias("nt")
+    )
+    spans = duplicate_ngram_spans(docs, "doc_id", "text", n=8)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("rm")
+    )
+    joined = docs_t.join(per_doc, "doc_id", "left")
+    rm = F.sum(F.coalesce(F.col("rm"), F.lit(0)))
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+        rm.alias("removable_tokens"),
+        (rm.cast("double") / F.sum("nt")).alias("savings_frac"),
+    )
