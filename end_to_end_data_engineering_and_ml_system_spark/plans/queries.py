@@ -8407,3 +8407,57 @@ def doc_span_dedup_savings(spark, sf_dir):
         rm.alias("removable_tokens"),
         (rm.cast("double") / F.sum("nt")).alias("savings_frac"),
     )
+
+
+@register(
+    "discount_band_revenue",
+    oracle="""
+        SELECT
+            CAST(SUM(CAST(
+                CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                * CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)
+            AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS promo_revenue,
+            CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    description=(
+        "TPC-H Q6 analog: revenue from a date/discount/quantity band "
+        "filter, one scan-local aggregate (exact integer-cents product)"
+    ),
+    tags=("olap", "aggregate"),
+)
+def discount_band_revenue(spark, sf_dir):
+    """Q6 is the canonical predicate-pushdown showcase: every filter
+    reaches the parquet scan (PushedFilters on l_shipdate / l_discount /
+    l_quantity), and the aggregate is scan-local — zero shuffles beyond
+    the final 1-row combine. Revenue rides as the exact integer product
+    of cents (e * d in 1/10000-units) summed in DECIMAL(38,0): the
+    double product cast to DECIMAL is the dyadic-tie trap
+    profit_by_nation_year hit at sf0.1."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def cents(c):
+        return F.floor(F.col(c) * 100.0 + 0.5).cast("bigint")
+
+    units = (cents("l_extendedprice") * cents("l_discount")).cast(
+        "decimal(38,0)"
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(units).cast("double") / F.lit(10000.0)).alias(
+                "promo_revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
