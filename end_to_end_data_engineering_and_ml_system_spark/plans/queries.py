@@ -8461,3 +8461,48 @@ def discount_band_revenue(spark, sf_dir):
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@register(
+    "near_dup_cluster_size_histogram",
+    oracle=f"""
+        WITH RECURSIVE t AS ({_SQL_SHINGLES}),
+        {_SQL_VERIFIED_PAIRS},
+        sizes AS (
+            SELECT cluster_id, COUNT(*) AS sz FROM labels GROUP BY 1
+        )
+        SELECT CAST(sz AS BIGINT) AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(sz) AS BIGINT) AS n_docs,
+               CAST(SUM(sz) - COUNT(*) AS BIGINT) AS docs_removed
+        FROM sizes
+        GROUP BY 1
+    """,
+    description=(
+        "dedup-cluster size distribution: clusters/docs/removals per "
+        "cluster size — the dedup QA histogram"
+    ),
+    tags=("dedup", "graph", "quality"),
+)
+def near_dup_cluster_size_histogram(spark, sf_dir):
+    """The QA view of near-dedup: a healthy corpus shows mostly
+    singletons and a thin tail; a fat tail means the threshold is too
+    loose (or boilerplate needs its own pass). docs_removed per size row
+    = (size - 1) per cluster — the exact cost of keeping one canonical
+    doc per cluster. Adds two tiny rollups over the cluster-label table
+    the pipeline already computes."""
+    from ..operators.dedup import lsh_verified_near_dups
+    from ..operators.graph import dedup_cluster_labels
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_verified_near_dups(
+        docs, "doc_id", "text", num_hashes=8, rows_per_band=2, n=3,
+        threshold=0.6,
+    )
+    labeled = dedup_cluster_labels(docs, pairs, "doc_id")
+    sizes = labeled.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+        (F.sum("sz") - F.count("*")).alias("docs_removed"),
+    )
