@@ -35,6 +35,36 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("bench", help="run the headline benchmark (same as bench.py)")
 
+    # reference-verb commands (main.py:29-107 simulate/detect/setup + the
+    # train_autoencoder.py training run), wired to the Spark-first parts
+    simp = sub.add_parser(
+        "simulate", help="replay the events table as an incremental stream source"
+    )
+    simp.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+
+    det = sub.add_parser(
+        "detect", help="streaming detect loop: decode -> standardize -> threshold -> route"
+    )
+    det.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    det.add_argument("--threshold", type=float, default=2.0)
+
+    trn = sub.add_parser(
+        "train", help="distributed linear-AE training run tracked + registered"
+    )
+    trn.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    trn.add_argument("--epochs", type=int, default=5)
+    trn.add_argument("--registry-root", default=None,
+                     help="tracker/registry dir (default: scratch)")
+
+    setp = sub.add_parser(
+        "setup", help="best-effort Kafka topic create-if-missing (needs kafka-python)"
+    )
+    setp.add_argument("--bootstrap-servers", default="localhost:9092")
+    setp.add_argument("topics", nargs="*", default=None)
+
     args = p.parse_args(argv)
     from .plans.registry import all_queries
 
@@ -54,6 +84,100 @@ def main(argv: list[str] | None = None) -> int:
             print(f"unknown query: {args.query}", file=sys.stderr)
             return 2
         print(q.oracle.strip() if q.oracle else "-- rows-only (no SQL oracle)")
+        return 0
+
+    if args.cmd == "setup":
+        from .streaming.kafka import ensure_topics
+
+        topics = args.topics or ["flows", "alerts", "dead-letter"]
+        out = ensure_topics(topics, bootstrap_servers=args.bootstrap_servers)
+        print(out)
+        return 0 if out["error"] is None else 1
+
+    if args.cmd == "simulate":
+        from .session import get_spark
+        from .streaming.pipeline import events_stream, run_to_memory_sink
+
+        spark = get_spark(app_name="cli-simulate")
+        spark.sparkContext.setLogLevel("ERROR")
+        stream = events_stream(spark, args.sf_dir)
+        n = run_to_memory_sink(stream.groupBy("event_type").count())
+        print(f"replayed events by type: {sorted((r['event_type'], r['count']) for r in n.collect())}")
+        return 0
+
+    if args.cmd == "detect":
+        from pyspark.sql import functions as F
+
+        from .ml.pipeline import apply_standardizer_literal, fit_standardizer
+        from .session import get_spark
+        from .sources.catalog import load_table
+        from .streaming.pipeline import events_stream, run_routed_foreach_batch
+
+        spark = get_spark(app_name="cli-detect")
+        spark.sparkContext.setLogLevel("ERROR")
+        stats_row = fit_standardizer(
+            load_table(spark, args.sf_dir, "events"), ["value"]
+        ).first()
+
+        def score(batch_df):
+            z = apply_standardizer_literal(batch_df, stats_row, ["value"])
+            return z.withColumn(
+                "prediction",
+                F.when(
+                    F.col("z_value") * F.col("z_value") > args.threshold,
+                    "anomaly",
+                ).otherwise("normal"),
+            )
+
+        normal, anomaly = run_routed_foreach_batch(
+            events_stream(spark, args.sf_dir), score, threshold=args.threshold
+        )
+        print(
+            f"batches={len(normal)} normal={sum(normal)} anomaly={sum(anomaly)}"
+        )
+        return 0
+
+    if args.cmd == "train":
+        from pyspark.sql import functions as F
+
+        from .ml.registry import ModelRegistry, Tracker
+        from .ml.training import fit_linear_autoencoder, reconstruction_mse_stats
+        from .scratch import scratch_unique
+        from .session import get_spark
+        from .sources.catalog import load_table
+
+        spark = get_spark(app_name="cli-train")
+        spark.sparkContext.setLogLevel("ERROR")
+        root = args.registry_root or scratch_unique(spark, "mlruns")
+        tracker = Tracker(root)
+        run = tracker.start_run("linear_ae")
+        run.log_params({"epochs": args.epochs, "k": 8, "lr": 5e-3})
+        feats = (
+            load_table(spark, args.sf_dir, "embeddings")
+            .select(
+                F.transform("embedding", lambda v: v.cast("double")).alias(
+                    "features"
+                )
+            )
+            .cache()
+        )
+        res = fit_linear_autoencoder(
+            feats, dim=64, k=8, epochs=args.epochs, lr=5e-3, tracker_run=run
+        )
+        stats = reconstruction_mse_stats(feats, res.weights)
+        run.log_metrics(stats)
+        import pickle
+
+        run.log_artifact("linear_ae.pkl", pickle.dumps(res.weights))
+        run.end()
+        reg = ModelRegistry(root)
+        v = reg.register("linear_ae", run, "linear_ae.pkl")
+        reg.transition("linear_ae", v, "Production")
+        print(
+            f"run={run.run_id} losses={[round(x, 6) for x in res.losses]} "
+            f"mse_mean={stats['mse_mean']:.6f} version={v} -> Production "
+            f"(root={root})"
+        )
         return 0
 
     if args.cmd == "bench":
