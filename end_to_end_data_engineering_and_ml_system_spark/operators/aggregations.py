@@ -138,22 +138,27 @@ def psi_terms_from_counts(
     ``(bin, n_a, n_b)`` frame. Split out so batch and streaming monitors
     share ONE set of arithmetic expressions: per-bin counts are
     associative, so a foreachBatch accumulator can merge micro-batch
-    counts and get bit-identical PSI terms to the batch query."""
-    tot = agg.agg(
-        F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb")
-    )
+    counts and get bit-identical PSI terms to the batch query.
+
+    Totals come from an unpartitioned window over the ALREADY-AGGREGATED
+    frame (at most ``n_bins`` rows at any data size, so the
+    single-partition WindowExec is free). The crossJoin-a-reaggregate
+    alternative re-evaluates the whole upstream subplan — a second scan of
+    the fact table, visible in the physical plan."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    ta = F.sum("n_a").over(w)
+    tb = F.sum("n_b").over(w)
     s = F.lit(float(smoothing))
     k = F.lit(float(n_bins) * smoothing)
-    share_a = (F.col("n_a") + s) / (F.col("__ta") + k)
-    share_b = (F.col("n_b") + s) / (F.col("__tb") + k)
-    return (
-        agg.crossJoin(F.broadcast(tot))
-        .select(
-            "bin",
-            "n_a",
-            "n_b",
-            share_a.alias("share_a"),
-            share_b.alias("share_b"),
-            ((share_a - share_b) * F.log(share_a / share_b)).alias("psi_term"),
-        )
+    share_a = (F.col("n_a") + s) / (ta + k)
+    share_b = (F.col("n_b") + s) / (tb + k)
+    return agg.select(
+        "bin",
+        "n_a",
+        "n_b",
+        share_a.alias("share_a"),
+        share_b.alias("share_b"),
+        ((share_a - share_b) * F.log(share_a / share_b)).alias("psi_term"),
     )

@@ -7804,35 +7804,44 @@ def drift_psi_events(spark, sf_dir):
 def doc_unigram_logprob(spark, sf_dir):
     """Perplexity-style filtering without an external LM: score every doc by
     the mean -ln p(token) under the corpus's own unigram distribution (high
-    = unusual vocabulary, low = boilerplate). Two grouped passes over ONE
-    explode: the frequency table and the per-doc join both hash on the token
-    key, so the exchange is shared; the grand total rides a broadcast 1-row
-    aggregate (ln(total)-ln(cnt) avoids a division per row). The per-doc
-    mean goes through the decimal-exact sum so the result is independent of
+    = unusual vocabulary, low = boilerplate).
+
+    Plan shape: ONE scan. The (doc, token)-grain reduce collapses
+    within-doc repeats map-side, a count window over the token key turns
+    that grain into the frequency table in place (no self-join — a
+    freq-table join formulation scans the corpus 3x, measured in the
+    plan), and the grand total is a 1-row count collected to a literal
+    (the repo's documented scalar-stats pattern; embedding the total as a
+    broadcast subplan re-evaluates the whole explode). The per-doc mean
+    goes through the decimal-exact sum so the result is independent of
     accumulation order — reproducible at any partitioning."""
+    from pyspark.sql import Window
+
     from ..functions.numeric import DEC
-    from ..operators.text import tokens
+    from ..operators.text import token_count, tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(tokens("text")).alias("tok")
+    total = int(
+        docs.select(F.sum(token_count("text")).alias("t")).first()["t"]
     )
-    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    tot = freq.agg(F.sum("cnt").alias("total"))
-    term = F.log(F.col("total").cast("double")) - F.log(
-        F.col("cnt").cast("double")
+    dt = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
     )
-    return (
-        toks.hint("merge")
-        .join(freq.hint("merge"), "tok")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            (F.sum(term.cast(DEC)).cast("double") / F.count("*")).alias(
-                "avg_neg_logprob"
-            ),
-        )
+    cnt = F.sum("c").over(Window.partitionBy("tok"))
+    term = F.log(F.lit(float(total))) - F.log(cnt.cast("double"))
+    # c rides as DECIMAL(9,0): decimal(28,10) x bigint would exceed Spark's
+    # 38-digit cap and silently round the scale down (diverged from the
+    # oracle at the 7th decimal); 28+9+1 = 38 keeps the product exact
+    flagged = dt.select(
+        "doc_id",
+        "c",
+        (F.col("c").cast("decimal(9,0)") * term.cast(DEC)).alias("__t"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        (F.sum("__t").cast("double") / F.sum("c")).alias("avg_neg_logprob"),
     )
 
 

@@ -151,3 +151,55 @@ def test_edit_distance_join_is_equi_not_nested_loop(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
         "ShuffledHashJoin" in plan
     ), plan
+
+
+def test_q6_all_filters_pushed_and_columns_pruned(spark, sf_dir):
+    plan = _plan(all_queries()["discount_band_revenue"].build(spark, sf_dir))
+    m = re.search(r"PushedFilters: \[([^\]]*)", plan)
+    assert m, plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in m.group(1), m.group(1)
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert len(schema.split(",")) == 4, schema  # only the 4 needed columns
+
+
+def test_duplicate_windows_scans_documents_once(spark, sf_dir):
+    # the single-explode guarantee: one FileScan of documents feeds both
+    # the (hash, doc) reduce and the flag side — a join formulation would
+    # show two scans
+    plan = _plan(
+        all_queries()["doc_duplicate_ngram_windows"].build(spark, sf_dir)
+    )
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    assert "Join" not in plan
+
+
+def test_cdc_merge_pushes_both_window_filters(spark, sf_dir):
+    plan = _plan(all_queries()["orders_cdc_merge_counts"].build(spark, sf_dir))
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "FullOuter" in plan, plan
+
+
+def test_psi_monitor_is_single_grouped_pass(spark, sf_dir):
+    # projection binning: ONE fact scan; totals via the unpartitioned
+    # window over the <=9-row aggregate (a crossJoin-a-reaggregate
+    # formulation showed a second full scan in the plan); no joins
+    plan = _plan(all_queries()["drift_psi_events"].build(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    assert "Join" not in plan
+    shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "Broadcast" not in ln
+    ]
+    assert len(shuffles) <= 2, shuffles
+
+
+def test_unigram_logprob_single_scan_no_joins(spark, sf_dir):
+    # the window-over-token formulation turns the (doc, tok) grain into
+    # the frequency table in place: one corpus scan, no self-join (the
+    # freq-join formulation showed 3 scans + 2 joins in the plan)
+    plan = _plan(all_queries()["doc_unigram_logprob"].build(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    assert "Join" not in plan
