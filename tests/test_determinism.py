@@ -1,0 +1,44 @@
+"""Partitioning-determinism: a result that changes when
+spark.sql.shuffle.partitions changes is not reproducible at cluster
+scale. A representative sample of queries (the decimal-exact, hash-keyed,
+and integer-quantized families, including every round-4 determinism fix)
+must produce IDENTICAL content under different partition counts."""
+
+from __future__ import annotations
+
+import pytest
+
+from end_to_end_data_engineering_and_ml_system_spark.plans.registry import all_queries
+
+SAMPLE = [
+    "pricing_summary",            # decimal-exact aggregates
+    "profit_by_nation_year",      # integer-cents products (r4 fix)
+    "discount_band_revenue",      # integer-cents products
+    "embedding_drift_by_dim",     # IEEE-quantized float32 sums (r4 fix)
+    "doc_unigram_logprob",        # decimal-exact mean over window counts
+    "drift_psi_events",           # shares + ln over integer counts
+    "training_shuffle_shards",    # md5 shard + per-shard order
+    "doc_duplicate_ngram_windows",# hash-keyed window counts
+    "orders_cdc_merge_counts",    # full-outer merge + decimal checksum
+    "token_cms_estimates",        # md5-bucket sketch + TakeOrdered ties
+]
+
+
+def _content(df):
+    rows = df.collect()
+    return sorted(tuple(r) for r in rows)
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_result_identical_across_partitionings(spark, sf_dir, name):
+    q = all_queries()[name]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        a = _content(q.build(spark, sf_dir))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = _content(q.build(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b, f"{name}: result depends on partition count"
+    assert a, f"{name}: empty result proves nothing"
