@@ -8515,3 +8515,89 @@ def near_dup_cluster_size_histogram(spark, sf_dir):
         F.sum("sz").alias("n_docs"),
         (F.sum("sz") - F.count("*")).alias("docs_removed"),
     )
+
+
+@register(
+    "corpus_manifest",
+    oracle=f"""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS n_tokens,
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+               CAST(SUM(CAST(concat('0x',
+                   substr(md5(regexp_replace(lower(trim(text)),
+                                             '\\s+', ' ', 'g')), 1, 8))
+                   AS BIGINT)) AS BIGINT) AS content_checksum
+        FROM documents
+        GROUP BY 1
+    """,
+    description=(
+        "dataset-card manifest: per-source doc/token/char counts + an "
+        "order-independent content checksum (sum of fingerprint prefixes)"
+    ),
+    tags=("corpus", "quality", "deterministic"),
+)
+def corpus_manifest(spark, sf_dir):
+    """The manifest a dataset release ships: counts plus a checksum that
+    any engine reproduces and that row order can't perturb (a SUM of
+    per-doc md5-prefix integers is associative — the same
+    merge-of-partials property the sketches use). Two corpora with equal
+    manifests have byte-identical normalized content per source; a single
+    changed document moves the checksum. One grouped pass, all
+    projections."""
+    from ..operators.text import fingerprint, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp_int = F.conv(F.substring(fingerprint("text"), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).alias("n_tokens"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.sum(fp_int).alias("content_checksum"),
+    )
+
+
+@register(
+    "stream_latest_state_merge",
+    oracle="""
+        SELECT user_id,
+               event_id AS last_event_id,
+               ts AS last_ts,
+               event_type AS last_event_type,
+               value AS last_value
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+    description=(
+        "streaming MERGE INTO loop: latest-per-user state table maintained "
+        "per micro-batch; final snapshot equals the batch SCD1 view (same "
+        "oracle as user_latest_state)"
+    ),
+    tags=("streaming", "cdc", "table-ops"),
+)
+def stream_latest_state_merge(spark, sf_dir):
+    """The lakehouse streaming-upsert loop: each micro-batch compacts to
+    its latest-per-key and MERGEs into a rotated parquet snapshot. Because
+    ordering is by (ts, event_id) rather than arrival order, the final
+    state is independent of how the replay split rows into batches — so
+    this STREAMING query shares the batch SCD1 oracle verbatim. See
+    streaming/pipeline.py::run_latest_state_merge."""
+    from ..streaming.pipeline import events_stream, run_latest_state_merge
+
+    state = run_latest_state_merge(
+        events_stream(spark, sf_dir), "user_id", ["ts", "event_id"]
+    )
+    return state.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )

@@ -591,3 +591,62 @@ def run_binned_count_accumulator(
         )
         q.awaitTermination(timeout_s)
     return totals
+
+
+def run_latest_state_merge(
+    stream_df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Streaming CDC-apply: maintain a latest-row-per-key state TABLE by
+    merging each micro-batch into it — the lakehouse `MERGE INTO` loop a
+    Delta/Iceberg pipeline runs per batch, here against rotated parquet
+    snapshot dirs (write-new-then-read, never overwrite-in-place, so a
+    crashed batch can't corrupt the readable snapshot).
+
+    Each batch is first compacted to its own latest-per-key (cheap: the
+    batch is small), then the union with the standing snapshot is
+    re-compacted. Ordering is by ``order_cols`` DESC (not arrival order),
+    so the final state equals the BATCH latest-per-key over the entire
+    replayed input regardless of how rows were split into micro-batches —
+    that equivalence is what lets this streaming loop share the batch
+    query's oracle. State size is one row per key; per-batch cost is
+    O(batch + state), independent of total history."""
+    from pyspark.sql import Window
+
+    spark = stream_df.sparkSession
+    root = scratch_unique(spark, "merge_state")
+    state_dir = [None]  # current snapshot path, rotated per batch
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(key_col).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        compacted = latest(batch_df)
+        if state_dir[0] is not None:
+            prev = batch_df.sparkSession.read.parquet(state_dir[0])
+            compacted = latest(prev.unionByName(compacted))
+        new_dir = os.path.join(root, f"state_{batch_id}")
+        compacted.write.mode("overwrite").parquet(new_dir)
+        state_dir[0] = new_dir
+
+    ck = scratch_unique(spark, "merge_ck")
+    with _replay_shuffle_partitions(spark):
+        q = (
+            stream_df.writeStream.foreachBatch(process)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+    if state_dir[0] is None:
+        return spark.createDataFrame([], stream_df.schema)
+    return spark.read.parquet(state_dir[0])
