@@ -8601,3 +8601,107 @@ def stream_latest_state_merge(spark, sf_dir):
         F.col("event_type").alias("last_event_type"),
         F.col("value").alias("last_value"),
     )
+
+
+@register(
+    "events_k_anonymity_audit",
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   date_trunc('day', ts) AS day,
+                   CAST(floor(value / 50.0) AS BIGINT) AS value_band,
+                   COUNT(*) AS grp_n
+            FROM events
+            GROUP BY 1, 2, 3
+        )
+        SELECT CAST(5 AS BIGINT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS small_groups,
+               CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END)
+                    AS BIGINT) AS rows_at_risk,
+               CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END)
+                    AS DOUBLE) / SUM(grp_n) AS at_risk_frac
+        FROM g
+    """,
+    description=(
+        "k-anonymity audit: quasi-identifier groups (type, day, value "
+        "band) smaller than k=5 and the row fraction they expose"
+    ),
+    tags=("quality", "governance", "aggregate"),
+)
+def events_k_anonymity_audit(spark, sf_dir):
+    """The release gate a governance pipeline runs before publishing an
+    event-level dataset: rows in quasi-identifier groups smaller than k
+    are re-identifiable. One grouped pass to the QI grain (map-side
+    combined), then a constant-size rollup — no row ever leaves with its
+    identity, just group sizes."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.floor(F.col("value") / 50.0).cast("bigint").alias("value_band"),
+    ).agg(F.count("*").alias("grp_n"))
+    small = F.col("grp_n") < 5
+    risk = F.sum(F.when(small, F.col("grp_n")).otherwise(0))
+    return g.agg(
+        F.lit(5).cast("bigint").alias("k"),
+        F.count("*").alias("n_groups"),
+        F.sum(F.when(small, 1).otherwise(0)).alias("small_groups"),
+        risk.alias("rows_at_risk"),
+        (risk.cast("double") / F.sum("grp_n")).alias("at_risk_frac"),
+    )
+
+
+@register(
+    "user_activity_entropy",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, event_type, COUNT(*) AS n
+            FROM events
+            GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT user_id, SUM(n) AS tot, COUNT(*) AS n_types
+            FROM c GROUP BY 1
+        )
+        SELECT c.user_id,
+               CAST(t.n_types AS BIGINT) AS n_types,
+               CAST(SUM(CAST(-(CAST(n AS DOUBLE) / tot)
+                             * ln(CAST(n AS DOUBLE) / tot)
+                             AS DECIMAL(28,10))) AS DOUBLE) AS type_entropy
+        FROM c
+        JOIN t USING (user_id)
+        GROUP BY 1, 2
+    """,
+    description=(
+        "behavioral feature: per-user Shannon entropy over event-type "
+        "distribution (0 = single-type bot-like, high = diverse)"
+    ),
+    tags=("ml", "feature", "aggregate"),
+)
+def user_activity_entropy(spark, sf_dir):
+    """Diversity-of-behavior feature (a standard bot/engagement signal):
+    -sum p ln p over each user's event-type mix. The (user, type) grain
+    reduce collapses map-side; per-user totals come from a count window
+    over that small grain (no fact re-scan, same pattern as
+    doc_unigram_logprob); entropy terms go through the decimal-exact sum
+    so the feature is partition-order independent."""
+    from pyspark.sql import Window
+
+    from ..functions.numeric import DEC
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id")
+    tot = F.sum("n").over(w)
+    n_types = F.count("*").over(w)
+    p = F.col("n").cast("double") / tot
+    flagged = c.select(
+        "user_id",
+        n_types.alias("n_types"),
+        (-p * F.log(p)).cast(DEC).alias("__e"),
+    )
+    return flagged.groupBy("user_id", "n_types").agg(
+        F.sum("__e").cast("double").alias("type_entropy")
+    )
