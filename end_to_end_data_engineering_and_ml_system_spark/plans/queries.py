@@ -8705,3 +8705,42 @@ def user_activity_entropy(spark, sf_dir):
     return flagged.groupBy("user_id", "n_types").agg(
         F.sum("__e").cast("double").alias("type_entropy")
     )
+
+
+@register(
+    "user_hashed_features",
+    oracle="""
+        WITH b AS (
+            SELECT user_id,
+                   CAST(concat('0x', substr(md5(event_type), 1, 8))
+                        AS BIGINT) % 16 AS bucket
+            FROM events
+        )
+        SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM b
+        GROUP BY 1, 2
+    """,
+    description=(
+        "hashing-trick categorical features: per-user md5-bucketed "
+        "event-type counts (16 buckets, long format)"
+    ),
+    tags=("ml", "feature", "deterministic"),
+)
+def user_hashed_features(spark, sf_dir):
+    """The hashing trick for unbounded-vocabulary categoricals: feature
+    index = md5-prefix mod n_buckets, so the feature space is fixed-width
+    no matter how many distinct values appear — no vocabulary fit pass,
+    no dictionary to ship, new categories at inference time land in a
+    bucket instead of erroring. Long format (user, bucket, n) pivots to a
+    vector with the existing pivot machinery; the md5-prefix idiom makes
+    training and serving compute identical indices on any engine. One
+    grouped pass, map-side combined."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5("event_type"), 1, 8), 16, 10).cast("bigint")
+        % 16
+    )
+    return ev.groupBy(
+        "user_id", bucket.cast("bigint").alias("bucket")
+    ).agg(F.count("*").alias("n"))
