@@ -8744,3 +8744,98 @@ def user_hashed_features(spark, sf_dir):
     return ev.groupBy(
         "user_id", bucket.cast("bigint").alias("bucket")
     ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "events_hourly_gapfill",
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('hour', MIN(ts)) AS h0,
+                   date_trunc('hour', MAX(ts)) AS h1
+            FROM events
+        ),
+        spine AS (
+            SELECT t.event_type, s.h
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN bounds
+            CROSS JOIN LATERAL (
+                SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            ) s
+        ),
+        obs AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                       / COUNT(value) AS avg_value
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT sp.event_type, sp.h AS hour,
+               COALESCE(o.n_events, 0) AS n_events,
+               (o.n_events IS NULL) AS is_gap,
+               last_value(o.avg_value IGNORE NULLS) OVER (
+                   PARTITION BY sp.event_type ORDER BY sp.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS avg_value_ffill
+        FROM spine sp
+        LEFT JOIN obs o ON sp.event_type = o.event_type AND sp.h = o.h
+    """,
+    description=(
+        "time-series resample + gap-fill: hourly spine per event type, "
+        "missing hours forward-filled (last observation carried forward)"
+    ),
+    tags=("timeseries", "window"),
+)
+def events_hourly_gapfill(spark, sf_dir):
+    """Resampling with LOCF — the gap-fill every monitoring/feature
+    pipeline needs before treating event data as a regular series. The
+    hour spine is generated (sequence + explode over the per-type dim,
+    never a join against a calendar table); observed hours reduce
+    map-side to the (type, hour) grain; the spine join is against that
+    tiny grain; forward-fill is ``last(ignorenulls)`` over a per-type
+    window. Bounds ride as literals from a 1-row min/max read (the
+    documented scalar-stats pattern). Leading gaps before the first
+    observation stay NULL by definition on both engines."""
+    from pyspark.sql import Window
+
+    from ..functions.numeric import dec_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    ).first()
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.lit(b["h0"]), F.lit(b["h1"]), F.expr("INTERVAL 1 HOUR")
+                )
+            ).alias("h"),
+        )
+    )
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count("*").alias("n_events"), dec_avg("value", "avg_value")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = spine.join(obs, ["event_type", "h"], "left")
+    return joined.select(
+        "event_type",
+        F.col("h").alias("hour"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias(
+            "n_events"
+        ),
+        F.col("n_events").isNull().alias("is_gap"),
+        F.last("avg_value", ignorenulls=True).over(w).alias(
+            "avg_value_ffill"
+        ),
+    )
