@@ -255,6 +255,11 @@ class ModelRegistry:
         )
         _write_json(os.path.join(vdir, "version.json"), meta)
 
+    def versions(self, model_name: str) -> list[dict]:
+        """All version metadata, ascending — the reference's
+        search_model_versions listing."""
+        return self._versions(model_name)
+
     def latest(self, model_name: str, stage: str | None = None) -> dict | None:
         """Newest version overall, or the newest in ``stage`` (the serving
         lookup: latest('m', 'Production') is what a scorer loads)."""

@@ -81,15 +81,24 @@ def fit_linear_autoencoder(
     lr: float = 1e-3,
     seed: int = 42,
     tracker_run=None,
+    init_weights: np.ndarray | None = None,
 ) -> FitResult:
     """Full-batch GD on the tied linear AE over a ``features``
     array<double> column. One Spark job per epoch; the collect is
     ``#partitions`` rows of (d·k grads, loss, n) — the documented
     parameter-server exception to the no-collect rule (kilobytes,
     independent of row count). Pass a ``Tracker`` run to step-log the
-    loss series (A13)."""
-    rng = np.random.default_rng(seed)
-    w = rng.standard_normal((dim, k)) * 0.1
+    loss series (A13). ``init_weights`` warm-starts from a previous
+    model's parameters — the retraining pattern a drift monitor
+    triggers; full-batch GD then improves on the old model's loss over
+    the new data monotonically (for a small enough step)."""
+    if init_weights is not None:
+        w = np.array(init_weights, dtype=float)
+        if w.shape != (dim, k):
+            raise ValueError(f"init_weights shape {w.shape} != ({dim}, {k})")
+    else:
+        rng = np.random.default_rng(seed)
+        w = rng.standard_normal((dim, k)) * 0.1
     df = features.select("features")
     losses: list[float] = []
     for epoch in range(epochs):
