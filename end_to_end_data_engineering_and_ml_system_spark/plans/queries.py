@@ -8839,3 +8839,98 @@ def events_hourly_gapfill(spark, sf_dir):
             "avg_value_ffill"
         ),
     )
+
+
+@register(
+    "user_feature_store_row",
+    oracle="""
+        -- feature-store assembly: every per-user feature family joined on
+        -- the entity key (all sides already reduced to one row per user)
+        WITH g AS (SELECT MAX(ts) AS mx FROM events),
+        base AS (
+            SELECT user_id,
+                   CAST(floor(epoch(g.mx)) AS BIGINT)
+                       - CAST(floor(epoch(MAX(ts))) AS BIGINT) AS recency_s,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                       AS monetary,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS DOUBLE) / COUNT(*) AS error_rate
+            FROM events, g
+            GROUP BY user_id, g.mx
+        ),
+        c AS (
+            SELECT user_id, event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        t AS (SELECT user_id, SUM(n) AS tot, COUNT(*) AS n_types FROM c GROUP BY 1),
+        ent AS (
+            SELECT c.user_id,
+                   CAST(t.n_types AS BIGINT) AS n_types,
+                   CAST(SUM(CAST(-(CAST(n AS DOUBLE) / tot)
+                                 * ln(CAST(n AS DOUBLE) / tot)
+                                 AS DECIMAL(28,10))) AS DOUBLE) AS type_entropy
+            FROM c JOIN t USING (user_id)
+            GROUP BY 1, 2
+        )
+        SELECT b.user_id, b.recency_s, b.frequency, b.monetary,
+               b.error_rate, e.n_types, e.type_entropy
+        FROM base b JOIN ent e USING (user_id)
+    """,
+    description=(
+        "feature-store row assembly: RFM + error rate + type diversity "
+        "joined on the entity key (every side pre-reduced to one row/user)"
+    ),
+    tags=("ml", "feature", "join"),
+)
+def user_feature_store_row(spark, sf_dir):
+    """What a feature store materializes per entity: several feature
+    families, each computed at its natural grain, joined on the entity
+    key AFTER reduction — the join moves one row per user per family, not
+    events. Both paths shuffle on the user key, so the final join is
+    co-partitioned; recency reuses the broadcast corpus-max; entropy
+    reuses the window-over-grain shape (no fact re-scan)."""
+    from pyspark.sql import Window
+
+    from ..functions.numeric import DEC
+
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts").alias("mx"))
+    base = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("user_mx"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("monetary"),
+            (
+                F.sum(
+                    F.when(F.col("event_type") == "error", 1).otherwise(0)
+                ).cast("double")
+                / F.count("*")
+            ).alias("error_rate"),
+        )
+        .join(F.broadcast(g))
+        .select(
+            "user_id",
+            (F.unix_timestamp("mx") - F.unix_timestamp("user_mx")).alias(
+                "recency_s"
+            ),
+            "frequency",
+            "monetary",
+            "error_rate",
+        )
+    )
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id")
+    tot = F.sum("n").over(w)
+    p = F.col("n").cast("double") / tot
+    ent = (
+        c.select(
+            "user_id",
+            F.count("*").over(w).alias("n_types"),
+            (-p * F.log(p)).cast(DEC).alias("__e"),
+        )
+        .groupBy("user_id", "n_types")
+        .agg(F.sum("__e").cast("double").alias("type_entropy"))
+    )
+    return base.join(ent, "user_id")
