@@ -8934,3 +8934,101 @@ def user_feature_store_row(spark, sf_dir):
         .agg(F.sum("__e").cast("double").alias("type_entropy"))
     )
     return base.join(ent, "user_id")
+
+
+@register(
+    "events_outage_intervals",
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('hour', MIN(ts)) AS h0,
+                   date_trunc('hour', MAX(ts)) AS h1
+            FROM events
+        ),
+        spine AS (
+            SELECT t.event_type, s.h
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN bounds
+            CROSS JOIN LATERAL (
+                SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            ) s
+        ),
+        obs AS (
+            SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        gaps AS (
+            SELECT sp.event_type, sp.h,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY sp.event_type ORDER BY sp.h) AS rn
+            FROM spine sp
+            LEFT JOIN obs o ON sp.event_type = o.event_type AND sp.h = o.h
+            WHERE o.n IS NULL
+        )
+        SELECT event_type,
+               MIN(h) AS outage_start,
+               MAX(h) + INTERVAL 1 HOUR AS outage_end,
+               CAST(COUNT(*) AS BIGINT) AS n_silent_hours
+        FROM (
+            SELECT event_type, h,
+                   h - to_hours(rn) AS grp
+            FROM gaps
+        )
+        GROUP BY event_type, grp
+    """,
+    description=(
+        "ops monitor: contiguous silent-hour intervals per event type "
+        "(gap spine -> islands), the data-outage detector"
+    ),
+    tags=("timeseries", "monitoring", "window"),
+)
+def events_outage_intervals(spark, sf_dir):
+    """'The pipeline went quiet' detector: hours with zero events for a
+    type, coalesced into contiguous outage intervals via gaps-and-islands
+    on the generated hour spine (island key = hour minus row_number
+    hours — the timestamp flavor of the span-merge used by
+    duplicate_ngram_spans). Interval end is exclusive. Everything runs on
+    the tiny (type, hour) grain."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    ).first()
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.lit(b["h0"]), F.lit(b["h1"]), F.expr("INTERVAL 1 HOUR")
+                )
+            ).alias("h"),
+        )
+    )
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").alias("n"))
+    gaps = (
+        spine.join(obs, ["event_type", "h"], "left")
+        .filter(F.col("n").isNull())
+        .select(
+            "event_type",
+            "h",
+            F.row_number()
+            .over(Window.partitionBy("event_type").orderBy("h"))
+            .alias("rn"),
+        )
+    )
+    grp = F.col("h") - F.make_interval(hours=F.col("rn"))
+    return (
+        gaps.withColumn("grp", grp)
+        .groupBy("event_type", "grp")
+        .agg(
+            F.min("h").alias("outage_start"),
+            (F.max("h") + F.expr("INTERVAL 1 HOUR")).alias("outage_end"),
+            F.count("*").alias("n_silent_hours"),
+        )
+        .drop("grp")
+    )
