@@ -9032,3 +9032,60 @@ def events_outage_intervals(spark, sf_dir):
         )
         .drop("grp")
     )
+
+
+@register(
+    "corpus_boilerplate_ngrams",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               t -> t <> '') AS tk
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT t.doc_id,
+                   array_to_string(t.tk[i.i:i.i+7], ' ') AS gram
+            FROM toks t,
+                 LATERAL (SELECT unnest(range(1, len(t.tk) - 6)) AS i) i
+        ),
+        df_ AS (
+            SELECT gram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+            FROM grams GROUP BY 1
+        )
+        SELECT gram, doc_freq
+        FROM df_
+        WHERE doc_freq >= 3
+        ORDER BY doc_freq DESC, gram
+        LIMIT 25
+    """,
+    description=(
+        "boilerplate report: the 8-grams appearing in the most documents "
+        "(doc-frequency >= 3), human-readable top offenders"
+    ),
+    tags=("text", "dedup", "quality"),
+)
+def corpus_boilerplate_ngrams(spark, sf_dir):
+    """The readable companion to the hashed substring-dedup path: which
+    window TEXTS recur across documents (headers, footers, disclaimers —
+    the strings a curation team actually greps for). This reporting query
+    deliberately groups on the gram string (the output needs it); the
+    flagging/removal path (duplicate_ngram_windows / spans) stays on
+    8-byte hashes. Per-doc DISTINCT grams collapse in the array domain
+    before the explode, so the doc-frequency groupBy sees each (doc,
+    gram) once; top-k is TakeOrdered with a deterministic tie rule."""
+    from ..operators.text import ngrams, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(ngrams(tokens("text"), 8))
+        ).alias("gram"),
+    )
+    df_ = g.groupBy("gram").agg(F.count("*").alias("doc_freq"))
+    return (
+        df_.filter(F.col("doc_freq") >= 3)
+        .orderBy(F.col("doc_freq").desc(), "gram")
+        .limit(25)
+    )
