@@ -680,3 +680,43 @@ def test_duplicate_ngram_windows_matches_naive_reference(spark, docs, n):
         )
         want[i] = (len(ws), dup)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(0.0, 300.0, allow_nan=False), st.booleans()
+        ),
+        min_size=1,
+        max_size=60,
+    ).filter(lambda rows: any(a for _, a in rows) and any(not a for _, a in rows))
+)
+@SLOW
+def test_population_stability_matches_numpy_reference(spark, rows):
+    import numpy as np
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.aggregations import (
+        population_stability,
+    )
+
+    df = spark.createDataFrame(rows, "value double, a boolean")
+    got = {
+        r["bin"]: (r["n_a"], r["n_b"], r["psi_term"])
+        for r in population_stability(
+            df, "value", F.col("a"), bin_width=25.0, n_bins=9
+        ).collect()
+    }
+    bins = [min(int(v // 25.0), 8) for v, _ in rows]
+    n_a = {b: 0 for b in set(bins)}
+    n_b = dict(n_a)
+    for b, (_, a) in zip(bins, rows):
+        (n_a if a else n_b)[b] += 1
+    ta, tb = sum(n_a.values()), sum(n_b.values())
+    for b in n_a:
+        sa = (n_a[b] + 1.0) / (ta + 9.0)
+        sb = (n_b[b] + 1.0) / (tb + 9.0)
+        want = (sa - sb) * np.log(sa / sb)
+        ga, gb, gt = got[b]
+        assert (ga, gb) == (n_a[b], n_b[b])
+        assert abs(gt - want) < 1e-12
+    assert set(got) == set(n_a)
