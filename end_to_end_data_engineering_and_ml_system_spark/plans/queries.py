@@ -9089,3 +9089,68 @@ def corpus_boilerplate_ngrams(spark, sf_dir):
         .orderBy(F.col("doc_freq").desc(), "gram")
         .limit(25)
     )
+
+
+@register(
+    "value_impute_by_group",
+    oracle="""
+        -- deterministic holes: every 7th event loses its value, then gets
+        -- imputed with the PER-TYPE mean of the surviving values
+        WITH holes AS (
+            SELECT event_id, event_type,
+                   CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+            FROM events
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(v AS DECIMAL(28,10))) AS DOUBLE)
+                       / COUNT(v) AS grp_mean
+            FROM holes
+            GROUP BY 1
+        )
+        SELECT h.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN h.v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_imputed,
+               CAST(SUM(CAST(COALESCE(h.v, s.grp_mean) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS imputed_sum
+        FROM holes h
+        JOIN stats s USING (event_type)
+        GROUP BY 1
+    """,
+    description=(
+        "ML-prep imputation: nulls filled with the per-group mean "
+        "(broadcast stats join), checksummed per group"
+    ),
+    tags=("ml", "cleaning", "aggregate"),
+)
+def value_impute_by_group(spark, sf_dir):
+    """Group-statistic imputation — the fill strategy that preserves
+    per-group distributions where a global constant fill (P8) would smear
+    them. Holes are planted deterministically (every 7th event), the
+    surviving values fit a per-type decimal-exact mean, and the tiny
+    stats table broadcasts into the fill join — the train/serve-safe
+    shape: the SAME stats row fills any future batch. The checksum goes
+    through the decimal sum so the oracle comparison is exact."""
+    from ..functions.numeric import DEC
+
+    ev = load_table(spark, sf_dir, "events")
+    holes = ev.select(
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    stats = holes.groupBy("event_type").agg(
+        (F.sum(F.col("v").cast(DEC)).cast("double") / F.count("v")).alias(
+            "grp_mean"
+        )
+    )
+    filled = holes.join(F.broadcast(stats), "event_type")
+    return filled.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_imputed"),
+        F.sum(F.coalesce(F.col("v"), F.col("grp_mean")).cast(DEC))
+        .cast("double")
+        .alias("imputed_sum"),
+    )
