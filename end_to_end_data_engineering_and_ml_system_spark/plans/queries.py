@@ -9154,3 +9154,140 @@ def value_impute_by_group(spark, sf_dir):
         .cast("double")
         .alias("imputed_sum"),
     )
+
+
+@register(
+    "customer_cohort_ltv_curve",
+    oracle="""
+        WITH firsts AS (
+            SELECT o_custkey,
+                   date_trunc('month', MIN(o_orderdate)) AS cohort
+            FROM orders
+            GROUP BY 1
+        ),
+        spend AS (
+            SELECT f.cohort,
+                   CAST(date_diff('month', f.cohort,
+                        date_trunc('month', o.o_orderdate)) AS BIGINT)
+                       AS age_months,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,10)))
+                        AS DECIMAL(38,10)) AS m_spend
+            FROM orders o
+            JOIN firsts f ON o.o_custkey = f.o_custkey
+            GROUP BY 1, 2
+        )
+        SELECT cohort, age_months,
+               CAST(m_spend AS DOUBLE) AS month_spend,
+               CAST(SUM(m_spend) OVER (
+                   PARTITION BY cohort ORDER BY age_months
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS cum_spend
+        FROM spend
+    """,
+    description=(
+        "cohort LTV curve: cumulative spend by months-since-first-order "
+        "per acquisition cohort"
+    ),
+    tags=("analytics", "window", "aggregate"),
+)
+def customer_cohort_ltv_curve(spark, sf_dir):
+    """The acquisition-quality curve: customers grouped by first-order
+    month, spend accumulated along cohort age. Cohort assignment is one
+    keyed aggregate joined back on the customer key (co-partitioned with
+    the spend reduce); the cumulative window runs over the tiny
+    (cohort, age) grain. The running sum stays DECIMAL until the final
+    projection, so partial-sum order can't perturb it."""
+    from pyspark.sql import Window
+
+    from ..functions.numeric import DEC
+
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    spend = (
+        orders.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort",
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")), F.col("cohort")
+            )
+            .cast("bigint")
+            .alias("age_months"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("m_spend"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spend.select(
+        "cohort",
+        "age_months",
+        F.col("m_spend").cast("double").alias("month_spend"),
+        F.sum("m_spend").over(w).cast("double").alias("cum_spend"),
+    )
+
+
+@register(
+    "supplier_concentration_hhi",
+    oracle="""
+        -- Herfindahl index on EXACT integer-cents revenue: shares are
+        -- rationals r_i/T, so HHI = sum(r_i^2)/T^2 computes in integer
+        -- space until one final double division (no share-product
+        -- dyadic-tie hazard)
+        WITH r AS (
+            SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+                   SUM(CAST(floor(l.l_extendedprice * 100.0 + 0.5)
+                            AS BIGINT)) AS cents
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2
+        )
+        SELECT n.n_name AS nation,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(CAST(cents AS DECIMAL(38,0))
+                        * CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+                   / (CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+                      * CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE))
+                   AS hhi
+        FROM r
+        JOIN nation n ON r.nationkey = n.n_nationkey
+        GROUP BY 1
+    """,
+    description=(
+        "supply-concentration risk: Herfindahl index of supplier revenue "
+        "share per nation (exact integer arithmetic until one division)"
+    ),
+    tags=("olap", "aggregate", "deterministic"),
+)
+def supplier_concentration_hhi(spark, sf_dir):
+    """Single-source-risk metric: HHI near 1/n = balanced supply, near 1 =
+    one supplier owns the nation. Revenue rides as exact integer cents;
+    sum-of-squares and the total both stay DECIMAL(38,0)-exact, so the
+    only floating step is the final ratio — engine-identical by
+    construction (squaring per-supplier DOUBLE shares would reintroduce
+    the product-tie hazard profit_by_nation_year hit)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cents = F.sum(
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("bigint")
+    ).alias("cents")
+    r = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
+        .agg(cents)
+    )
+    cd = F.col("cents").cast("decimal(38,0)")
+    sq = F.sum(cd * cd).cast("double")
+    tot = F.sum(cd).cast("double")
+    return (
+        r.join(F.broadcast(nation), r.nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            (sq / (tot * tot)).alias("hhi"),
+        )
+    )
