@@ -21,6 +21,13 @@ SAMPLE = [
     "doc_duplicate_ngram_windows",# hash-keyed window counts
     "orders_cdc_merge_counts",    # full-outer merge + decimal checksum
     "token_cms_estimates",        # md5-bucket sketch + TakeOrdered ties
+    "corpus_manifest",            # order-independent content checksum
+    "user_activity_entropy",      # decimal-exact entropy terms
+    "user_feature_store_row",     # multi-family entity join
+    "events_hourly_gapfill",      # spine join + LOCF window
+    "value_impute_by_group",      # broadcast-stats fill + decimal checksum
+    "supplier_concentration_hhi", # integer-cents sum-of-squares
+    "customer_cohort_ltv_curve",  # decimal running sum
 ]
 
 
