@@ -1,0 +1,53 @@
+"""Schema-contract gate: publish-side compatibility between table
+versions (pure metadata, no scan)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import load_table
+from end_to_end_data_engineering_and_ml_system_spark.sources.contracts import (
+    SchemaCompatibilityError,
+    assert_compatible,
+    diff_report,
+    schema_diff,
+)
+
+
+def test_diff_classifies_all_change_kinds(spark, sf_dir):
+    cur = load_table(spark, sf_dir, "events")
+    new = (
+        cur.drop("props")                                   # removed
+        .withColumn("value", F.col("value").cast("float"))  # type_changed
+        .withColumn("ingest_day", F.to_date("ts"))          # added
+    )
+    diff = {d["column"]: d for d in schema_diff(cur, new)}
+    assert diff["props"]["kind"] == "removed"
+    assert diff["value"]["kind"] == "type_changed"
+    assert (diff["value"]["old_type"], diff["value"]["new_type"]) == (
+        "double",
+        "float",
+    )
+    assert diff["ingest_day"]["kind"] == "added"
+    assert len(diff) == 3  # untouched columns are not reported
+
+
+def test_gate_blocks_breaking_allows_additive(spark, sf_dir):
+    cur = load_table(spark, sf_dir, "events")
+    additive = cur.withColumn("ingest_day", F.to_date("ts"))
+    assert [d["kind"] for d in assert_compatible(cur, additive)] == ["added"]
+    with pytest.raises(SchemaCompatibilityError, match="props: removed"):
+        assert_compatible(cur, cur.drop("props"))
+    with pytest.raises(SchemaCompatibilityError, match="double -> float"):
+        assert_compatible(
+            cur, cur.withColumn("value", F.col("value").cast("float"))
+        )
+    with pytest.raises(SchemaCompatibilityError, match="added"):
+        assert_compatible(cur, additive, allow_added=False)
+
+
+def test_identical_schemas_are_clean(spark, sf_dir):
+    cur = load_table(spark, sf_dir, "events")
+    assert schema_diff(cur, cur.select(*reversed(cur.columns))) == []
+    assert diff_report(spark, cur, cur).count() == 0
