@@ -441,3 +441,31 @@ def test_ensure_topics_best_effort_on_errors():
     admin = _FakeAdmin(set(), fail_create=True)
     out = ensure_topics(["t"], admin_factory=lambda: admin)
     assert out["error"] and admin.closed
+
+
+def test_progress_listener_captures_batch_metrics(spark, sf_dir):
+    import time
+
+    from end_to_end_data_engineering_and_ml_system_spark.streaming.observability import (
+        capture_progress,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.streaming.pipeline import (
+        events_stream,
+        run_to_memory_sink,
+    )
+
+    with capture_progress(spark) as cap:
+        counts = run_to_memory_sink(
+            events_stream(spark, sf_dir).groupBy("event_type").count()
+        )
+        assert counts.count() > 0
+        # progress events arrive asynchronously after the query finishes
+        deadline = time.time() + 30
+        while time.time() < deadline and not cap.metrics:
+            time.sleep(0.5)
+    assert cap.metrics, "listener saw no progress events"
+    total_rows = sum(m.num_input_rows for m in cap.metrics)
+    assert total_rows > 0
+    assert all(m.batch_id >= 0 for m in cap.metrics)
+    # the aggregation is stateful: at least one progress reports state rows
+    assert any(m.state_rows for m in cap.metrics)
