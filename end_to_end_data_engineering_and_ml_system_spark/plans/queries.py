@@ -9291,3 +9291,139 @@ def supplier_concentration_hhi(spark, sf_dir):
             (sq / (tot * tot)).alias("hhi"),
         )
     )
+
+
+@register(
+    "price_quantity_ols",
+    oracle="""
+        -- closed-form simple OLS from sufficient statistics, all of them
+        -- EXACT integers (quantity integral, price in cents): slope =
+        -- (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), every product computed in
+        -- DECIMAL(38,0) before the final double divisions
+        WITH s AS (
+            SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                   CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                        AS DECIMAL(38,0)) AS sx,
+                   CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                                 AS BIGINT)) AS DECIMAL(38,0)) AS sy,
+                   CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)
+                            * CAST(floor(l_quantity + 0.5) AS BIGINT))
+                        AS DECIMAL(38,0)) AS sxx,
+                   CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)
+                            * CAST(floor(l_extendedprice * 100.0 + 0.5)
+                                   AS BIGINT)) AS DECIMAL(38,0)) AS sxy
+            FROM lineitem
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 AS slope,
+               (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0
+                   AS intercept
+        FROM s
+    """,
+    description=(
+        "distributed closed-form OLS (price ~ quantity) from exact "
+        "integer sufficient statistics; one aggregation pass"
+    ),
+    tags=("ml", "aggregate", "deterministic"),
+)
+def price_quantity_ols(spark, sf_dir):
+    """Regression as ONE aggregation: the five sufficient statistics
+    (n, Sx, Sy, Sxx, Sxy) fully determine the OLS line, they're all
+    associative sums, and with quantity integral and price in cents they
+    are EXACT integers — so the fit is bit-identical on any engine and
+    any partitioning, with doubles appearing only in the two final
+    divisions. The 100 TB story is the same as any sum: map-side
+    combine, one 1-row result; no solver, no iterations, no collect of
+    data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.floor(F.col("l_quantity") + 0.5).cast("bigint")
+    c = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("bigint")
+    d38 = "decimal(38,0)"
+    s = li.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(q).cast(d38).alias("sx"),
+        F.sum(c).cast(d38).alias("sy"),
+        F.sum((q * q).cast(d38)).alias("sxx"),
+        F.sum((q * c).cast(d38)).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope_cents = (n * sxy - sx * sy).cast("double") / (
+        n * sxx - sx * sx
+    ).cast("double")
+    return s.select(
+        n.cast("bigint").alias("n"),
+        (slope_cents / 100.0).alias("slope"),
+        (
+            (
+                sy.cast("double") / n.cast("double")
+                - slope_cents * (sx.cast("double") / n.cast("double"))
+            )
+            / 100.0
+        ).alias("intercept"),
+    )
+
+
+@register(
+    "monthly_revenue_naive_forecast",
+    oracle="""
+        WITH m AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders
+            GROUP BY 1
+        )
+        SELECT month,
+               CAST(cents AS DOUBLE) / 100.0 AS actual,
+               CAST(lag_c AS DOUBLE) / 100.0 AS forecast,
+               abs(CAST(cents AS BIGINT) - lag_c)
+                   / CAST(cents AS DOUBLE) AS abs_pct_err
+        FROM (
+            SELECT month, cents,
+                   LAG(cents, 12) OVER (ORDER BY month) AS lag_c
+            FROM m
+        )
+        WHERE lag_c IS NOT NULL
+    """,
+    description=(
+        "forecast baseline: seasonal-naive (lag-12-month) monthly revenue "
+        "prediction with per-month absolute percentage error"
+    ),
+    tags=("timeseries", "ml", "window"),
+)
+def monthly_revenue_naive_forecast(spark, sf_dir):
+    """The baseline every forecasting model must beat — last year's same
+    month — plus the error series a model-eval report needs. Revenue
+    reduces to exact integer cents at the month grain first (a few dozen
+    rows), so the lag window and error arithmetic run over a trivially
+    small frame; the unpartitioned ORDER BY is over that month grain,
+    never the fact table."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+        ).alias("cents")
+    )
+    lag_c = F.lag("cents", 12).over(Window.orderBy("month"))
+    return (
+        m.select("month", "cents", lag_c.alias("lag_c"))
+        .filter(F.col("lag_c").isNotNull())
+        .select(
+            "month",
+            (F.col("cents").cast("double") / 100.0).alias("actual"),
+            (F.col("lag_c").cast("double") / 100.0).alias("forecast"),
+            (
+                F.abs(F.col("cents") - F.col("lag_c"))
+                / F.col("cents").cast("double")
+            ).alias("abs_pct_err"),
+        )
+    )
