@@ -9427,3 +9427,102 @@ def monthly_revenue_naive_forecast(spark, sf_dir):
             ).alias("abs_pct_err"),
         )
     )
+
+
+@register(
+    "doc_label_noise_audit",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, lang, text,
+                   list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               tk -> tk <> '') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id, lang, length(text) AS n_chars,
+                   len(list_filter(toks, tk -> list_contains(
+                       ['the','and','of','to','in','is','a'], tk))) AS s_en,
+                   len(list_filter(toks, tk -> list_contains(
+                       ['le','la','et','les','des','un','une'], tk))) AS s_fr,
+                   len(list_filter(toks, tk -> list_contains(
+                       ['el','la','y','los','de','un','una'], tk))) AS s_es,
+                   len(list_filter(toks, tk -> list_contains(
+                       ['der','die','das','und','ein','eine','ist'], tk)))
+                       AS s_de,
+                   len(list_filter(toks, tk -> list_contains(
+                       ['的','是','了','在','我','有','和'], tk))) AS s_zh
+            FROM t
+        ), p AS (
+            SELECT doc_id, lang, n_chars,
+                   CASE
+                       WHEN s_en = greatest(s_en, s_fr, s_es, s_de, s_zh)
+                            AND greatest(s_en, s_fr, s_es, s_de, s_zh) > 0
+                           THEN 'en'
+                       WHEN s_fr = greatest(s_en, s_fr, s_es, s_de, s_zh)
+                            AND greatest(s_en, s_fr, s_es, s_de, s_zh) > 0
+                           THEN 'fr'
+                       WHEN s_es = greatest(s_en, s_fr, s_es, s_de, s_zh)
+                            AND greatest(s_en, s_fr, s_es, s_de, s_zh) > 0
+                           THEN 'es'
+                       WHEN s_de = greatest(s_en, s_fr, s_es, s_de, s_zh)
+                            AND greatest(s_en, s_fr, s_es, s_de, s_zh) > 0
+                           THEN 'de'
+                       WHEN s_zh = greatest(s_en, s_fr, s_es, s_de, s_zh)
+                            AND greatest(s_en, s_fr, s_es, s_de, s_zh) > 0
+                           THEN 'zh'
+                       ELSE 'und'
+                   END AS pred_lang
+            FROM s
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN pred_lang <> lang AND pred_lang <> 'und'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_contradicted,
+               CAST(SUM(CASE WHEN pred_lang = 'und' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unverifiable,
+               CAST(SUM(CASE WHEN pred_lang <> lang AND pred_lang <> 'und'
+                             THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                   AS contradicted_frac,
+               CAST(SUM(CASE WHEN pred_lang <> lang AND pred_lang <> 'und'
+                             THEN n_chars ELSE 0 END) AS BIGINT)
+                   AS chars_at_risk
+        FROM p
+        GROUP BY 1
+    """,
+    description=(
+        "label-noise audit: per labeled lang, docs whose content "
+        "contradicts the label (marker-based lang-ID disagrees), with "
+        "unverifiable docs reported separately"
+    ),
+    tags=("text", "quality", "langid"),
+)
+def doc_label_noise_audit(spark, sf_dir):
+    """The training-label QA rollup: a label the content contradicts is
+    worse than no label — these are the docs that poison a
+    lang-conditioned sampler or classifier head. Contradicted = the
+    marker-based detector fires AND disagrees; detector-silent docs
+    ('und') are counted as unverifiable, not noise. One projection pass
+    (the lang scores are array filters in the scan stage) plus one
+    grouped rollup."""
+    from ..operators.text import predicted_lang
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        predicted_lang("text").alias("pred_lang"),
+    )
+    contradicted = (F.col("pred_lang") != F.col("lang")) & (
+        F.col("pred_lang") != "und"
+    )
+    n_contra = F.sum(F.when(contradicted, 1).otherwise(0))
+    return p.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        n_contra.alias("n_contradicted"),
+        F.sum(F.when(F.col("pred_lang") == "und", 1).otherwise(0)).alias(
+            "n_unverifiable"
+        ),
+        (n_contra.cast("double") / F.count("*")).alias("contradicted_frac"),
+        F.sum(F.when(contradicted, F.col("n_chars")).otherwise(0)).alias(
+            "chars_at_risk"
+        ),
+    )
