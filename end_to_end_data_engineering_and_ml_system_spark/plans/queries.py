@@ -9526,3 +9526,75 @@ def doc_label_noise_audit(spark, sf_dir):
             "chars_at_risk"
         ),
     )
+
+
+@register(
+    "events_ab_test_readout",
+    oracle=f"""
+        -- deterministic hash assignment + exact integer-cents sufficient
+        -- statistics; doubles only in the final mean/variance/z arithmetic
+        WITH a AS (
+            SELECT CASE WHEN {_SQL_HASH_U.format(key="user_id")} < 0.5
+                        THEN 'A' ELSE 'B' END AS variant,
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+            FROM events
+        ),
+        s AS (
+            SELECT variant,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c) AS DECIMAL(38,0)) AS sc,
+                   CAST(SUM(CAST(c AS DECIMAL(38,0))
+                            * CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                       AS scc
+            FROM a
+            GROUP BY 1
+        )
+        SELECT variant, n,
+               CAST(sc AS DOUBLE) / n / 100.0 AS mean_value,
+               (CAST(scc AS DOUBLE) / n
+                - (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n))
+                   / 10000.0 AS var_value
+        FROM s
+    """,
+    description=(
+        "A/B readout: hash-assigned variants with exact-integer "
+        "sufficient statistics (mean + population variance per arm)"
+    ),
+    tags=("analytics", "ml", "deterministic"),
+)
+def events_ab_test_readout(spark, sf_dir):
+    """Experiment analysis built on the same two disciplines every other
+    deterministic query here uses: (1) assignment by md5-range hash, so
+    any engine reproduces the exact same arms (and assignment is a
+    projection — users never need a lookup table), and (2) per-arm
+    sufficient statistics as exact integers (cents), so mean and
+    population variance are engine-identical with doubles only in the
+    final arithmetic. The z/t statistic is one more scalar expression on
+    top of these rows — left to the caller's significance convention."""
+    from ..operators.relational import hash_uniform
+
+    ev = load_table(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    a = ev.select(
+        F.when(hash_uniform("user_id") < 0.5, "A").otherwise("B").alias(
+            "variant"
+        ),
+        c.alias("c"),
+    )
+    d38 = "decimal(38,0)"
+    cd = F.col("c").cast(d38)
+    s = a.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        F.sum("c").cast(d38).alias("sc"),
+        F.sum(cd * cd).alias("scc"),
+    )
+    mean_c = F.col("sc").cast("double") / F.col("n")
+    return s.select(
+        "variant",
+        "n",
+        (mean_c / 100.0).alias("mean_value"),
+        (
+            (F.col("scc").cast("double") / F.col("n") - mean_c * mean_c)
+            / 10000.0
+        ).alias("var_value"),
+    )
