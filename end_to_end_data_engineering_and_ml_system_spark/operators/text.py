@@ -262,6 +262,7 @@ def chunk_documents(
     text_col: str,
     chunk_chars: int = 512,
     overlap: int = 64,
+    keep_cols: tuple[str, ...] = (),
 ):
     """Split long documents into fixed-size overlapping chunks — the
     context-window preparation step of every training/RAG pipeline.
@@ -281,10 +282,15 @@ def chunk_documents(
         F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)), F.lit(1)
     ).cast("bigint")
     starts = F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)
+    extra = [F.col(c) for c in keep_cols]
     return df.select(
-        F.col(id_col), F.col(text_col), F.posexplode(starts).alias("chunk_no", "__i")
+        F.col(id_col),
+        *extra,
+        F.col(text_col),
+        F.posexplode(starts).alias("chunk_no", "__i"),
     ).select(
         F.col(id_col),
+        *extra,
         F.col("chunk_no").cast("bigint").alias("chunk_no"),
         F.substring(
             F.col(text_col), F.col("__i").cast("int") * stride + 1, chunk_chars

@@ -9598,3 +9598,78 @@ def events_ab_test_readout(spark, sf_dir):
             / 10000.0
         ).alias("var_value"),
     )
+
+
+@register(
+    "chunk_level_dedup_stats",
+    oracle="""
+        -- passage-level dedup (the RAG-index granularity): chunk the
+        -- corpus, fingerprint each chunk, count chunks whose normalized
+        -- content also appears elsewhere (in ANY doc, itself included --
+        -- a chunk repeated within one doc is still a redundant passage)
+        WITH f AS (
+            SELECT doc_id, source, text,
+                   greatest(CAST(ceil((length(text) - 64) / 448.0) AS BIGINT),
+                            1) AS n_chunks
+            FROM documents
+        ), x AS (
+            SELECT doc_id, source,
+                   md5(regexp_replace(lower(trim(
+                       substr(text, CAST(chunk_no * 448 + 1 AS INT), 512)
+                   )), '\\s+', ' ', 'g')) AS fp
+            FROM (SELECT doc_id, source, text,
+                         unnest(range(0, n_chunks)) AS chunk_no
+                  FROM f)
+        ),
+        dup AS (
+            SELECT fp, COUNT(*) AS k FROM x GROUP BY 1
+        )
+        SELECT x.source,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(COUNT(DISTINCT x.fp) AS BIGINT) AS n_distinct_chunks,
+               CAST(SUM(CASE WHEN d.k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_chunks,
+               CAST(SUM(CASE WHEN d.k > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS dup_chunk_frac
+        FROM x JOIN dup d USING (fp)
+        GROUP BY 1
+    """,
+    description=(
+        "passage-level dedup stats: chunk the corpus, fingerprint chunks, "
+        "per-source duplicated-chunk fraction (RAG-index granularity)"
+    ),
+    tags=("text", "dedup", "chunking"),
+)
+def chunk_level_dedup_stats(spark, sf_dir):
+    """Dedup at the granularity a retrieval index actually stores:
+    512-char chunks (the existing chunker), normalized-content md5
+    fingerprints (the existing exact-dedup key), rolled up per source.
+    A duplicated chunk anywhere — another doc or the same one — is a
+    redundant passage that wastes index space and skews retrieval. Chunk
+    multiplicities come from a count window over the fingerprint key on
+    the chunk grain (no self-join), then one grouped rollup."""
+    from pyspark.sql import Window
+
+    from ..operators.text import chunk_documents, fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        docs.select("doc_id", "source", "text"),
+        "doc_id",
+        "text",
+        chunk_chars=512,
+        overlap=64,
+        keep_cols=("source",),
+    )
+    x = chunks.select("source", fingerprint("chunk_text").alias("fp"))
+    k = F.count("*").over(Window.partitionBy("fp"))
+    flagged = x.select("source", "fp", (k > 1).alias("dup"))
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_chunks"),
+        F.count_distinct("fp").alias("n_distinct_chunks"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_dup_chunks"),
+        (
+            F.sum(F.when(F.col("dup"), 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("dup_chunk_frac"),
+    )
