@@ -9673,3 +9673,136 @@ def chunk_level_dedup_stats(spark, sf_dir):
             / F.count("*")
         ).alias("dup_chunk_frac"),
     )
+
+
+@register(
+    "embedding_retrieval_label_consistency",
+    oracle="""
+        -- retrieval-quality eval: does each query's nearest neighbor
+        -- carry the same class label? (label-consistency@1, the zero-
+        -- annotation sanity metric for an embedding index)
+        WITH ex AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ),
+        norms AS (
+            SELECT vec_id,
+                   CAST(SUM(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS nrm
+            FROM ex GROUP BY 1
+        ),
+        dots AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   CAST(SUM(CAST(q.x * c.x AS DECIMAL(28,10))) AS DOUBLE)
+                       AS dot
+            FROM ex q
+            JOIN ex c ON q.pos = c.pos
+                      AND q.vec_id < 50 AND c.vec_id <> q.vec_id
+            GROUP BY 1, 2
+        ),
+        top1 AS (
+            SELECT query_id, cand_id
+            FROM (
+                SELECT d.query_id, d.cand_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY d.query_id
+                           ORDER BY d.dot / (sqrt(nq.nrm) * sqrt(nc.nrm))
+                                        DESC,
+                                    d.cand_id) AS rn
+                FROM dots d
+                JOIN norms nq ON d.query_id = nq.vec_id
+                JOIN norms nc ON d.cand_id = nc.vec_id
+            )
+            WHERE rn = 1
+        )
+        SELECT eq.label,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(CASE WHEN ec.label = eq.label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_matched,
+               CAST(SUM(CASE WHEN ec.label = eq.label THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS consistency_at_1
+        FROM top1 t
+        JOIN embeddings eq ON t.query_id = eq.vec_id
+        JOIN embeddings ec ON t.cand_id = ec.vec_id
+        GROUP BY 1
+    """,
+    description=(
+        "retrieval eval: label-consistency@1 of exact nearest neighbors "
+        "over a 50-query sample, rolled up per class"
+    ),
+    tags=("similarity", "ml", "quality"),
+)
+def embedding_retrieval_label_consistency(spark, sf_dir):
+    """The zero-annotation retrieval sanity check: if nearest neighbors
+    don't even share the class label, the index isn't ready for RAG.
+    Same decimal-exact cosine skeleton as embedding_cosine_topk (the
+    query side is a bounded sample, its exploded form rides a broadcast);
+    rank-1 ties break on cand_id so the metric is engine-deterministic;
+    the label joins move one row per query."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    norms = ex.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("nrm")
+    )
+    q = ex.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "pos", F.col("x").alias("qx")
+    )
+    dots = (
+        ex.join(F.broadcast(q), "pos")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(
+            F.sum((F.col("qx") * F.col("x")).cast("decimal(28,10)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    nq = norms.select(
+        F.col("vec_id").alias("query_id"), F.col("nrm").alias("nrm_q")
+    )
+    nc = norms.select(
+        F.col("vec_id").alias("cand_id"), F.col("nrm").alias("nrm_c")
+    )
+    cos = (
+        dots.join(F.broadcast(nq), "query_id")
+        .join(nc, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            (F.col("dot") / (F.sqrt("nrm_q") * F.sqrt("nrm_c"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    top1 = (
+        cos.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "cand_id")
+    )
+    labels = emb.select("vec_id", "label")
+    lq = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    lc = labels.select(
+        F.col("vec_id").alias("cand_id"), F.col("label").alias("c_label")
+    )
+    joined = top1.join(F.broadcast(lq), "query_id").join(
+        F.broadcast(lc), "cand_id"
+    )
+    match = F.sum(
+        F.when(F.col("c_label") == F.col("q_label"), 1).otherwise(0)
+    )
+    return joined.groupBy(F.col("q_label").alias("label")).agg(
+        F.count("*").alias("n_queries"),
+        match.alias("n_matched"),
+        (match.cast("double") / F.count("*")).alias("consistency_at_1"),
+    )
