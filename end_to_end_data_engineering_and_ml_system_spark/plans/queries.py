@@ -9806,3 +9806,92 @@ def embedding_retrieval_label_consistency(spark, sf_dir):
         match.alias("n_matched"),
         (match.cast("double") / F.count("*")).alias("consistency_at_1"),
     )
+
+
+@register(
+    "near_dup_threshold_sensitivity",
+    oracle=f"""
+        -- ONE candidate+verify computation, three thresholds read off the
+        -- same jaccard values — the tuning table for picking a dedup
+        -- threshold without re-running the pipeline per candidate value
+        WITH t AS ({{shingles}}),
+        s AS (SELECT doc_id, unnest(sh) AS shingle FROM t),
+        sig AS (
+            SELECT s.doc_id, r.seed,
+                   MIN(md5(r.seed::VARCHAR || ':' || s.shingle)) AS minhash
+            FROM s CROSS JOIN (SELECT unnest(range(8)) AS seed) r
+            GROUP BY 1, 2
+        ),
+        buckets AS (
+            SELECT doc_id, seed // 2 AS band,
+                   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+            FROM sig GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM buckets a
+            JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                           AND a.doc_id < b.doc_id
+        ),
+        sz AS (SELECT doc_id, len(sh) AS n_sh FROM t),
+        j AS (
+            SELECT sh.id1, sh.id2,
+                   CAST(sh.shared AS DOUBLE)
+                       / (z1.n_sh + z2.n_sh - sh.shared) AS jac
+            FROM (
+                SELECT c.id1, c.id2, COUNT(*) AS shared
+                FROM cand c
+                JOIN s s1 ON s1.doc_id = c.id1
+                JOIN s s2 ON s2.doc_id = c.id2 AND s2.shingle = s1.shingle
+                GROUP BY 1, 2
+            ) sh
+            JOIN sz z1 ON sh.id1 = z1.doc_id
+            JOIN sz z2 ON sh.id2 = z2.doc_id
+        )
+        SELECT th.threshold,
+               CAST(SUM(CASE WHEN j.jac >= th.threshold THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT CASE WHEN j.jac >= th.threshold
+                                        THEN j.id1 END)
+                    + COUNT(DISTINCT CASE WHEN j.jac >= th.threshold
+                                          THEN j.id2 END) AS BIGINT)
+                   AS n_docs_touched_ub
+        FROM j
+        CROSS JOIN (SELECT unnest([0.5, 0.6, 0.7]) AS threshold) th
+        GROUP BY 1
+    """.format(shingles=_SQL_SHINGLES),
+    description=(
+        "dedup threshold tuning: pairs surviving 0.5/0.6/0.7 from ONE "
+        "candidate+verify pass (upper-bound docs touched per threshold)"
+    ),
+    tags=("dedup", "quality"),
+)
+def near_dup_threshold_sensitivity(spark, sf_dir):
+    """Pick the dedup threshold from data, not folklore: candidates are
+    generated and exact-verified ONCE (at the loosest threshold banding
+    supports), then every candidate threshold is a conditional aggregate
+    over the same jaccard column — no pipeline re-runs. n_docs_touched_ub
+    sums the two distinct-endpoint counts (an upper bound on affected
+    docs; the exact union-size needs the clustering pass the chosen
+    threshold then feeds)."""
+    from ..operators.dedup import lsh_verified_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_verified_near_dups(
+        docs, "doc_id", "text", num_hashes=8, rows_per_band=2, n=3,
+        threshold=0.0,
+    )
+    ths = F.explode(F.array(*[F.lit(x) for x in (0.5, 0.6, 0.7)])).alias(
+        "threshold"
+    )
+    expanded = pairs.select("id1", "id2", F.col("jaccard").alias("jac")).select(
+        "id1", "id2", "jac", ths
+    )
+    hit = F.col("jac") >= F.col("threshold")
+    return expanded.groupBy("threshold").agg(
+        F.sum(F.when(hit, 1).otherwise(0)).alias("n_pairs"),
+        (
+            F.count_distinct(F.when(hit, F.col("id1")))
+            + F.count_distinct(F.when(hit, F.col("id2")))
+        ).alias("n_docs_touched_ub"),
+    )
