@@ -9895,3 +9895,96 @@ def near_dup_threshold_sensitivity(spark, sf_dir):
             + F.count_distinct(F.when(hit, F.col("id2")))
         ).alias("n_docs_touched_ub"),
     )
+
+
+@register(
+    "token_zipf_fit",
+    oracle=r"""
+        -- Zipf exponent of the corpus: OLS of ln(freq) on ln(rank) over
+        -- the top-200 tokens. All sums ride DECIMAL(28,10) casts of
+        -- ln-domain doubles — transcendental values never land on the
+        -- decimal half-way ties that dyadic products do, so the decimal
+        -- rounding is engine-identical here
+        WITH freq AS (
+            SELECT tok, COUNT(*) AS n
+            FROM (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(trim(text), '\s+'),
+                    t -> t <> '')) AS tok
+                FROM documents
+            )
+            GROUP BY 1
+        ),
+        ranked AS (
+            SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok)
+                           AS DOUBLE)) AS lx,
+                   ln(CAST(n AS DOUBLE)) AS ly
+            FROM freq
+            ORDER BY n DESC, tok
+            LIMIT 200
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(lx AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(ly AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(lx * lx AS DECIMAL(28,10))) AS DOUBLE)
+                       AS sxx,
+                   CAST(SUM(CAST(lx * ly AS DECIMAL(28,10))) AS DOUBLE)
+                       AS sxy
+            FROM ranked
+        )
+        SELECT CAST(n AS BIGINT) AS n_tokens_fit,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_exponent,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                   AS log_intercept
+        FROM s
+    """,
+    description=(
+        "corpus statistics: Zipf-law exponent via closed-form OLS on the "
+        "log-log rank/frequency curve (top-200 tokens)"
+    ),
+    tags=("text", "corpus", "ml"),
+)
+def token_zipf_fit(spark, sf_dir):
+    """Natural text follows Zipf (exponent near -1); heavily templated or
+    synthetic corpora drift away — a one-row drift check on the corpus's
+    statistical texture. The frequency table reduces map-side; rank is a
+    TakeOrdered top-200 with a deterministic tie rule; the fit is the
+    same closed-form-OLS-from-sums shape as price_quantity_ols, in the
+    ln domain where decimal casts are tie-safe (transcendental values
+    never terminate at the rounding scale)."""
+    from pyspark.sql import Window
+
+    from ..functions.numeric import DEC
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    top = freq.orderBy(F.col("n").desc(), "tok").limit(200)
+    ranked = top.select(
+        F.log(
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), "tok"))
+            .cast("double")
+        ).alias("lx"),
+        F.log(F.col("n").cast("double")).alias("ly"),
+    )
+    s = ranked.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("lx").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("ly").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("lx") * F.col("lx")).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((F.col("lx") * F.col("ly")).cast(DEC)).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("bigint").alias("n_tokens_fit"),
+        slope.alias("zipf_exponent"),
+        ((sy - slope * sx) / n).alias("log_intercept"),
+    )
