@@ -9988,3 +9988,132 @@ def token_zipf_fit(spark, sf_dir):
         slope.alias("zipf_exponent"),
         ((sy - slope * sx) / n).alias("log_intercept"),
     )
+
+
+@register(
+    "vocab_growth_heaps",
+    oracle=r"""
+        -- Heaps'-law curve: vocabulary size after the first N documents
+        -- (by doc_id order). Each token contributes at its FIRST doc, so
+        -- the curve is a cumulative count over first-appearance buckets —
+        -- one pass, no per-checkpoint rescans
+        WITH firsts AS (
+            SELECT MIN(doc_id) AS first_doc
+            FROM (
+                SELECT doc_id, unnest(list_filter(
+                    regexp_split_to_array(trim(text), '\s+'),
+                    t -> t <> '')) AS tok
+                FROM documents
+            )
+            GROUP BY tok
+        ),
+        buckets AS (
+            SELECT CAST(floor(first_doc / 50) AS BIGINT) AS bucket,
+                   COUNT(*) AS new_tokens
+            FROM firsts
+            GROUP BY 1
+        )
+        SELECT (bucket + 1) * 50 AS docs_seen,
+               CAST(new_tokens AS BIGINT) AS new_tokens,
+               CAST(SUM(new_tokens) OVER (
+                   ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS vocab_size
+        FROM buckets
+    """,
+    description=(
+        "Heaps'-law vocabulary growth: distinct tokens after each 50-doc "
+        "prefix, from per-token first appearances (one pass)"
+    ),
+    tags=("text", "corpus"),
+)
+def vocab_growth_heaps(spark, sf_dir):
+    """How fast the vocabulary grows as the corpus grows — sublinear for
+    natural text (Heaps' law), near-linear for noise/ids, flat for
+    templated text; with token_zipf_fit these are the two texture
+    diagnostics of a healthy corpus. The naive shape recomputes distinct
+    counts per prefix (N passes); here every token is reduced to its
+    FIRST document once, and the curve is a running sum over the tiny
+    bucket table."""
+    from pyspark.sql import Window
+
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    firsts = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    buckets = firsts.groupBy(
+        F.floor(F.col("first_doc") / 50).cast("bigint").alias("bucket")
+    ).agg(F.count("*").alias("new_tokens"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return buckets.select(
+        ((F.col("bucket") + 1) * 50).alias("docs_seen"),
+        "new_tokens",
+        F.sum("new_tokens").over(w).cast("bigint").alias("vocab_size"),
+    )
+
+
+@register(
+    "value_benford_audit",
+    oracle="""
+        -- Benford first-digit audit: organic magnitudes follow
+        -- log10(1+1/d); fabricated or truncated data drifts. Digit
+        -- extraction is IEEE-only (log10/floor/power), identical across
+        -- engines
+        WITH d AS (
+            SELECT CAST(floor(value / power(10.0, floor(log10(value))))
+                        AS BIGINT) AS digit
+            FROM events
+            WHERE value > 0
+        ),
+        c AS (
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+            FROM d GROUP BY 1
+        )
+        SELECT digit, n,
+               CAST(n AS DOUBLE) / SUM(n) OVER () AS observed_frac,
+               log10(1.0 + 1.0 / digit) AS benford_frac,
+               abs(CAST(n AS DOUBLE) / SUM(n) OVER ()
+                   - log10(1.0 + 1.0 / digit)) AS abs_dev
+        FROM c
+    """,
+    description=(
+        "Benford first-digit audit of the value column: observed vs "
+        "expected leading-digit distribution with absolute deviation"
+    ),
+    tags=("quality", "aggregate"),
+)
+def value_benford_audit(spark, sf_dir):
+    """The classic fabricated-data smell test: leading digits of organic
+    multi-scale magnitudes follow Benford's distribution; truncation,
+    capping, or synthesis shows up as deviation. Digit extraction is pure
+    IEEE arithmetic (log10/floor/power — bit-identical across engines),
+    the rollup is one grouped pass, and the shares ride a window over the
+    at-most-9-row digit table."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    digit = F.floor(
+        F.col("value") / F.pow(F.lit(10.0), F.floor(F.log10("value")))
+    ).cast("bigint")
+    c = (
+        ev.filter(F.col("value") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = F.sum("n").over(Window.partitionBy())
+    obs = F.col("n").cast("double") / tot
+    ben = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return c.select(
+        "digit",
+        "n",
+        obs.alias("observed_frac"),
+        ben.alias("benford_frac"),
+        F.abs(obs - ben).alias("abs_dev"),
+    )
