@@ -10117,3 +10117,80 @@ def value_benford_audit(spark, sf_dir):
         ben.alias("benford_frac"),
         F.abs(obs - ben).alias("abs_dev"),
     )
+
+
+@register(
+    "doc_readability_scores",
+    oracle=r"""
+        -- Flesch-style reading ease from three regex counts (sentences,
+        -- words, vowel-group syllable proxy). All counts are integers and
+        -- the formula is fixed IEEE arithmetic, so scores are
+        -- engine-identical; guards keep degenerate docs finite
+        WITH c AS (
+            SELECT doc_id, lang,
+                   greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                       AS sentences,
+                   greatest(len(list_filter(
+                       regexp_split_to_array(trim(text), '\s+'),
+                       t -> t <> '')), 1) AS words,
+                   greatest(len(regexp_extract_all(lower(text),
+                                                   '[aeiouy]+')), 1)
+                       AS syllables
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CAST(sentences AS BIGINT) AS sentences,
+               CAST(words AS BIGINT) AS words,
+               CAST(syllables AS BIGINT) AS syllables,
+               206.835
+                 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                 - 84.6 * (CAST(syllables AS DOUBLE) / words)
+                   AS reading_ease
+        FROM c
+    """,
+    description=(
+        "Flesch-style readability per document (regex sentence/word/"
+        "syllable-proxy counts; quality-filter feature)"
+    ),
+    tags=("text", "quality"),
+)
+def doc_readability_scores(spark, sf_dir):
+    """The classic fluency feature quality filters add next to the
+    length/stopword ratios: Flesch reading ease from three regex counts
+    (syllables approximated by vowel groups — the standard cheap proxy).
+    Pure scan-stage projections; both engines run RE2-compatible
+    character classes so the counts are identical, and the formula is
+    fixed IEEE arithmetic over integers. English-calibrated constants —
+    for other langs the score is a relative signal, not a grade level."""
+    docs = load_table(spark, sf_dir, "documents")
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    words = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.trim("text"), r"\s+"), lambda t: t != F.lit("")
+            )
+        ),
+        F.lit(1),
+    )
+    syllables = F.greatest(
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0)
+            )
+        ),
+        F.lit(1),
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        sentences.cast("bigint").alias("sentences"),
+        words.cast("bigint").alias("words"),
+        syllables.cast("bigint").alias("syllables"),
+        (
+            F.lit(206.835)
+            - F.lit(1.015) * (words.cast("double") / sentences)
+            - F.lit(84.6) * (syllables.cast("double") / words)
+        ).alias("reading_ease"),
+    )
