@@ -10194,3 +10194,111 @@ def doc_readability_scores(spark, sf_dir):
             - F.lit(84.6) * (syllables.cast("double") / words)
         ).alias("reading_ease"),
     )
+
+
+@register(
+    "source_unigram_jsd",
+    oracle=r"""
+        -- pairwise Jensen-Shannon divergence between source unigram
+        -- distributions. Only tokens shared by both sources join; the
+        -- disjoint-support mass contributes 0.5*ln(2)*(P_only + Q_only)
+        -- in closed form, so no full-outer explosion. ln-domain decimal
+        -- sums are tie-safe (transcendental values)
+        WITH st AS (
+            SELECT source, tok, COUNT(*) AS n
+            FROM (
+                SELECT source, unnest(list_filter(
+                    regexp_split_to_array(trim(text), '\s+'),
+                    t -> t <> '')) AS tok
+                FROM documents
+            )
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT source, SUM(n) AS t FROM st GROUP BY 1),
+        p AS (
+            SELECT st.source, st.tok,
+                   CAST(st.n AS DOUBLE) / tot.t AS p
+            FROM st JOIN tot USING (source)
+        ),
+        shared AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(SUM(CAST(
+                       0.5 * a.p * ln(2.0 * a.p / (a.p + b.p))
+                       + 0.5 * b.p * ln(2.0 * b.p / (a.p + b.p))
+                       AS DECIMAL(28,10))) AS DOUBLE) AS shared_term,
+                   CAST(SUM(CAST(a.p AS DECIMAL(28,10))) AS DOUBLE)
+                       AS p_shared,
+                   CAST(SUM(CAST(b.p AS DECIMAL(28,10))) AS DOUBLE)
+                       AS q_shared
+            FROM p a
+            JOIN p b ON a.tok = b.tok AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT source_a, source_b,
+               shared_term
+                 + 0.5 * ln(2.0) * ((1.0 - p_shared) + (1.0 - q_shared))
+                   AS jsd
+        FROM shared
+    """,
+    description=(
+        "corpus-similarity matrix: pairwise Jensen-Shannon divergence "
+        "between source unigram distributions (mixture-design input)"
+    ),
+    tags=("text", "corpus", "ml"),
+)
+def source_unigram_jsd(spark, sf_dir):
+    """Which sources say the same things? JSD between unigram
+    distributions is the standard mixture-design distance (bounded,
+    symmetric, defined on disjoint support). The join only touches
+    tokens PRESENT IN BOTH sources — disjoint-support mass folds into a
+    closed-form 0.5*ln2*(P_only + Q_only) using the shared-probability
+    sums, so there is no full-outer blowup; per-pair work is the shared
+    vocabulary, and the (source, tok) grain reduces map-side first.
+    ln-domain decimal sums are tie-safe."""
+    from ..functions.numeric import DEC
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = st.groupBy("source").agg(F.sum("n").alias("t"))
+    p = st.join(tot, "source").select(
+        "source", "tok", (F.col("n").cast("double") / F.col("t")).alias("p")
+    )
+    a = p.select(
+        F.col("source").alias("source_a"), "tok", F.col("p").alias("pa")
+    )
+    b = p.select(
+        F.col("source").alias("source_b"), "tok", F.col("p").alias("pb")
+    )
+    pa, pb = F.col("pa"), F.col("pb")
+    term = (
+        F.lit(0.5) * pa * F.log(F.lit(2.0) * pa / (pa + pb))
+        + F.lit(0.5) * pb * F.log(F.lit(2.0) * pb / (pa + pb))
+    ).cast(DEC)
+    shared = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(term).cast("double").alias("shared_term"),
+            F.sum(pa.cast(DEC)).cast("double").alias("p_shared"),
+            F.sum(pb.cast(DEC)).cast("double").alias("q_shared"),
+        )
+    )
+    return shared.select(
+        "source_a",
+        "source_b",
+        (
+            F.col("shared_term")
+            + F.lit(0.5)
+            * F.log(F.lit(2.0))
+            * (
+                (F.lit(1.0) - F.col("p_shared"))
+                + (F.lit(1.0) - F.col("q_shared"))
+            )
+        ).alias("jsd"),
+    )
