@@ -10302,3 +10302,85 @@ def source_unigram_jsd(spark, sf_dir):
             )
         ).alias("jsd"),
     )
+
+
+@register(
+    "error_burst_detection",
+    oracle="""
+        -- error-rate bursts: hourly error share vs its trailing-24h
+        -- baseline (mean + stddev over an ORDERED rows frame, which both
+        -- engines accumulate left-to-right -> bit-identical doubles)
+        WITH h AS (
+            SELECT date_trunc('hour', ts) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_err
+            FROM events
+            GROUP BY 1
+        ),
+        r AS (
+            SELECT hour, n, n_err,
+                   CAST(n_err AS DOUBLE) / n AS err_share
+            FROM h
+        ),
+        w AS (
+            SELECT hour, n, n_err, err_share,
+                   AVG(err_share) OVER (
+                       ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING
+                   ) AS baseline_mean,
+                   STDDEV_SAMP(err_share) OVER (
+                       ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING
+                   ) AS baseline_std
+            FROM r
+        )
+        SELECT hour, n, n_err, err_share, baseline_mean, baseline_std,
+               (baseline_std IS NOT NULL AND baseline_std > 0
+                AND err_share > baseline_mean + 3.0 * baseline_std)
+                   AS is_burst
+        FROM w
+        WHERE baseline_mean IS NOT NULL
+    """,
+    description=(
+        "ops monitor: hourly error-rate bursts vs a trailing-24h "
+        "mean+3sigma baseline (self-calibrating, no fixed threshold)"
+    ),
+    tags=("timeseries", "monitoring", "window"),
+)
+def error_burst_detection(spark, sf_dir):
+    """The error-storm complement to the silence detector
+    (events_outage_intervals): hourly error share compared to its own
+    trailing-24h mean + 3 sigma, so the alarm threshold tracks the
+    service's normal error floor instead of a hardcoded constant. The
+    fact table reduces to the hour grain first; the trailing windows run
+    over that tiny ordered frame, where both engines accumulate doubles
+    left-to-right — deterministic without decimal scaffolding."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_err"
+        ),
+    )
+    r = h.withColumn(
+        "err_share", F.col("n_err").cast("double") / F.col("n")
+    )
+    w = Window.orderBy("hour").rowsBetween(-24, -1)
+    out = r.select(
+        "hour",
+        "n",
+        "n_err",
+        "err_share",
+        F.avg("err_share").over(w).alias("baseline_mean"),
+        F.stddev_samp("err_share").over(w).alias("baseline_std"),
+    ).filter(F.col("baseline_mean").isNotNull())
+    return out.withColumn(
+        "is_burst",
+        F.col("baseline_std").isNotNull()
+        & (F.col("baseline_std") > 0)
+        & (
+            F.col("err_share")
+            > F.col("baseline_mean") + F.lit(3.0) * F.col("baseline_std")
+        ),
+    )
