@@ -10307,9 +10307,12 @@ def source_unigram_jsd(spark, sf_dir):
 @register(
     "error_burst_detection",
     oracle="""
-        -- error-rate bursts: hourly error share vs its trailing-24h
-        -- baseline (mean + stddev over an ORDERED rows frame, which both
-        -- engines accumulate left-to-right -> bit-identical doubles)
+        -- error-rate bursts: hourly error share vs the trailing-24h POOLED
+        -- rate. Trailing sums are INTEGER window aggregates (exact on any
+        -- engine regardless of how the moving frame is accumulated -- a
+        -- float mean/stddev over a moving frame is NOT portable: sliding
+        -- updates vs segment trees round differently); the only doubles
+        -- are two final divisions
         WITH h AS (
             SELECT date_trunc('hour', ts) AS hour,
                    CAST(COUNT(*) AS BIGINT) AS n,
@@ -10318,42 +10321,42 @@ def source_unigram_jsd(spark, sf_dir):
             FROM events
             GROUP BY 1
         ),
-        r AS (
-            SELECT hour, n, n_err,
-                   CAST(n_err AS DOUBLE) / n AS err_share
-            FROM h
-        ),
         w AS (
-            SELECT hour, n, n_err, err_share,
-                   AVG(err_share) OVER (
+            SELECT hour, n, n_err,
+                   SUM(n) OVER (
                        ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING
-                   ) AS baseline_mean,
-                   STDDEV_SAMP(err_share) OVER (
+                   ) AS base_n,
+                   SUM(n_err) OVER (
                        ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING
-                   ) AS baseline_std
-            FROM r
+                   ) AS base_err
+            FROM h
         )
-        SELECT hour, n, n_err, err_share, baseline_mean, baseline_std,
-               (baseline_std IS NOT NULL AND baseline_std > 0
-                AND err_share > baseline_mean + 3.0 * baseline_std)
-                   AS is_burst
+        SELECT hour, n, n_err,
+               CAST(n_err AS DOUBLE) / n AS err_share,
+               CAST(base_err AS DOUBLE) / base_n AS baseline_rate,
+               (CAST(n_err AS DOUBLE) / n
+                > 3.0 * (CAST(base_err AS DOUBLE) / base_n)
+                AND n_err >= 3) AS is_burst
         FROM w
-        WHERE baseline_mean IS NOT NULL
+        WHERE base_n IS NOT NULL AND base_n > 0
     """,
     description=(
-        "ops monitor: hourly error-rate bursts vs a trailing-24h "
-        "mean+3sigma baseline (self-calibrating, no fixed threshold)"
+        "ops monitor: hourly error-rate bursts vs the trailing-24h "
+        "pooled rate (self-calibrating, exact integer baseline)"
     ),
     tags=("timeseries", "monitoring", "window"),
 )
 def error_burst_detection(spark, sf_dir):
     """The error-storm complement to the silence detector
-    (events_outage_intervals): hourly error share compared to its own
-    trailing-24h mean + 3 sigma, so the alarm threshold tracks the
-    service's normal error floor instead of a hardcoded constant. The
-    fact table reduces to the hour grain first; the trailing windows run
-    over that tiny ordered frame, where both engines accumulate doubles
-    left-to-right — deterministic without decimal scaffolding."""
+    (events_outage_intervals): hourly error share against the trailing
+    24 hours' POOLED error rate, so the alarm tracks the service's normal
+    error floor instead of a hardcoded constant (the >= 3 errors guard
+    keeps single-event blips from alarming quiet hours). Determinism
+    lesson learned here the hard way: a float mean/stddev over a MOVING
+    window frame is not engine-portable — sliding-update and segment-tree
+    implementations round differently — so the trailing baseline is built
+    from INTEGER window sums (exact under any accumulation strategy) with
+    doubles only in the final divisions."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -10363,24 +10366,23 @@ def error_burst_detection(spark, sf_dir):
             "n_err"
         ),
     )
-    r = h.withColumn(
-        "err_share", F.col("n_err").cast("double") / F.col("n")
-    )
     w = Window.orderBy("hour").rowsBetween(-24, -1)
-    out = r.select(
+    out = h.select(
         "hour",
         "n",
         "n_err",
-        "err_share",
-        F.avg("err_share").over(w).alias("baseline_mean"),
-        F.stddev_samp("err_share").over(w).alias("baseline_std"),
-    ).filter(F.col("baseline_mean").isNotNull())
-    return out.withColumn(
-        "is_burst",
-        F.col("baseline_std").isNotNull()
-        & (F.col("baseline_std") > 0)
-        & (
-            F.col("err_share")
-            > F.col("baseline_mean") + F.lit(3.0) * F.col("baseline_std")
-        ),
+        F.sum("n").over(w).alias("base_n"),
+        F.sum("n_err").over(w).alias("base_err"),
+    ).filter(F.col("base_n").isNotNull() & (F.col("base_n") > 0))
+    err_share = F.col("n_err").cast("double") / F.col("n")
+    baseline = F.col("base_err").cast("double") / F.col("base_n")
+    return out.select(
+        "hour",
+        "n",
+        "n_err",
+        err_share.alias("err_share"),
+        baseline.alias("baseline_rate"),
+        (
+            (err_share > F.lit(3.0) * baseline) & (F.col("n_err") >= 3)
+        ).alias("is_burst"),
     )
