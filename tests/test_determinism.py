@@ -28,6 +28,10 @@ SAMPLE = [
     "value_impute_by_group",      # broadcast-stats fill + decimal checksum
     "supplier_concentration_hhi", # integer-cents sum-of-squares
     "customer_cohort_ltv_curve",  # decimal running sum
+    "error_burst_detection",      # integer moving-window sums (r4 fix)
+    "price_quantity_ols",         # exact-integer sufficient statistics
+    "source_unigram_jsd",         # ln-domain decimal sums
+    "doc_readability_scores",     # regex counts + fixed IEEE formula
 ]
 
 
