@@ -10386,3 +10386,52 @@ def error_burst_detection(spark, sf_dir):
             (err_share > F.lit(3.0) * baseline) & (F.col("n_err") >= 3)
         ).alias("is_burst"),
     )
+
+
+@register(
+    "join_fanout_profile",
+    oracle="""
+        -- join fan-out profile of the fact table: how many lineitems an
+        -- order key fans out to. The histogram a planner (or a human
+        -- sizing a shuffle) reads before joining on the key: mean fan-out
+        -- sizes the join output, the max exposes skew
+        WITH f AS (
+            SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS fanout
+            FROM lineitem
+            GROUP BY 1
+        )
+        SELECT fanout,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(COUNT(*) * fanout AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS DOUBLE)
+                   / SUM(COUNT(*)) OVER () AS key_share
+        FROM f
+        GROUP BY 1
+    """,
+    description=(
+        "join fan-out histogram for lineitem.l_orderkey: rows per key "
+        "distribution (join-output sizing + skew exposure)"
+    ),
+    tags=("olap", "quality", "aggregate"),
+)
+def join_fanout_profile(spark, sf_dir):
+    """The number that sizes a join before running it: per-key fan-out
+    distribution of the fact table. Output rows = join-input keys x mean
+    fan-out; a fat tail here is the signal to reach for the salted join
+    or AQE skew handling (see join_key_skew_profile for the per-key
+    variant). Two grouped passes, the second over the tiny histogram
+    grain, shares via a window over that same grain."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.groupBy("l_orderkey").agg(F.count("*").alias("fanout"))
+    h = f.groupBy("fanout").agg(F.count("*").alias("n_keys"))
+    return h.select(
+        "fanout",
+        "n_keys",
+        (F.col("n_keys") * F.col("fanout")).cast("bigint").alias("n_rows"),
+        (
+            F.col("n_keys").cast("double")
+            / F.sum("n_keys").over(Window.partitionBy())
+        ).alias("key_share"),
+    )
