@@ -10435,3 +10435,109 @@ def join_fanout_profile(spark, sf_dir):
             / F.sum("n_keys").over(Window.partitionBy())
         ).alias("key_share"),
     )
+
+
+@register(
+    "events_duplicate_delivery_audit",
+    oracle="""
+        -- at-least-once delivery audit: events sharing a natural key
+        -- (user, ts, type) but different event ids are redeliveries a
+        -- non-idempotent consumer double-counts
+        WITH g AS (
+            SELECT user_id, ts, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM events
+            GROUP BY 1, 2, 3
+        )
+        SELECT CAST(SUM(k) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_unique,
+               CAST(SUM(k) - COUNT(*) AS BIGINT) AS n_redeliveries,
+               CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_keys,
+               CAST(SUM(k) - COUNT(*) AS DOUBLE) / SUM(k)
+                   AS redelivery_rate
+        FROM g
+    """,
+    description=(
+        "at-least-once delivery audit: redelivery count/rate by natural "
+        "key (user, ts, type) — the idempotency health check"
+    ),
+    tags=("streaming", "quality", "aggregate"),
+)
+def events_duplicate_delivery_audit(spark, sf_dir):
+    """The batch-side health check behind stream_dedup_within_watermark:
+    how much at-least-once redelivery actually reaches storage. One
+    natural-key reduce (map-side combined) and a constant-size rollup; a
+    nonzero rate is the evidence that downstream consumers need the
+    dedup-within-watermark stage (or idempotent MERGE writes)."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("user_id", "ts", "event_type").agg(
+        F.count("*").alias("k")
+    )
+    redeliv = F.sum("k") - F.count("*")
+    return g.agg(
+        F.sum("k").alias("n_events"),
+        F.count("*").alias("n_unique"),
+        redeliv.alias("n_redeliveries"),
+        F.sum(F.when(F.col("k") > 1, 1).otherwise(0)).alias("n_dup_keys"),
+        (redeliv.cast("double") / F.sum("k")).alias("redelivery_rate"),
+    )
+
+
+@register(
+    "daily_gmv_trailing_ma",
+    oracle="""
+        -- the canonical dashboard metric done portably: daily GMV with a
+        -- trailing-7-day moving average where the moving window sums
+        -- INTEGER cents (rule 3 from NOTES: float aggregates over moving
+        -- frames are engine-divergent; integer sums are exact under any
+        -- accumulation strategy)
+        WITH d AS (
+            SELECT date_trunc('day', o_orderdate) AS day,
+                   CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders
+            GROUP BY 1
+        )
+        SELECT day,
+               CAST(cents AS DOUBLE) / 100.0 AS gmv,
+               CAST(SUM(cents) OVER (
+                   ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE)
+                 / COUNT(cents) OVER (
+                   ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               ) / 100.0 AS gmv_7d_ma
+        FROM d
+    """,
+    description=(
+        "daily GMV + trailing-7-day moving average on integer cents "
+        "(the engine-portable moving-average exemplar)"
+    ),
+    tags=("timeseries", "window", "deterministic"),
+)
+def daily_gmv_trailing_ma(spark, sf_dir):
+    """Every dashboard's first chart, built to survive an engine
+    migration: revenue reduces to integer cents at the day grain, and the
+    trailing-7-row window SUMS INTEGERS (exact however the engine
+    accumulates moving frames — determinism rule 3) before two final
+    double divisions. Windows run over the tiny day grain only."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+        ).alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return d.select(
+        "day",
+        (F.col("cents").cast("double") / 100.0).alias("gmv"),
+        (
+            F.sum("cents").over(w).cast("double")
+            / F.count("cents").over(w)
+            / 100.0
+        ).alias("gmv_7d_ma"),
+    )
