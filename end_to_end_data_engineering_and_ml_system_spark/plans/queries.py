@@ -10541,3 +10541,49 @@ def daily_gmv_trailing_ma(spark, sf_dir):
             / 100.0
         ).alias("gmv_7d_ma"),
     )
+
+
+@register(
+    "float_downcast_precision_audit",
+    oracle="""
+        -- pre-downcast audit: which double values survive a float32
+        -- round-trip bit-exactly? (storage/bandwidth halving is free only
+        -- where this is 100%). The round-trip is IEEE-defined on both
+        -- engines, so the audit itself is engine-identical
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN CAST(CAST(value AS FLOAT) AS DOUBLE)
+                                  = value
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+               CAST(SUM(CASE WHEN CAST(CAST(value AS FLOAT) AS DOUBLE)
+                                  = value
+                             THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                   AS exact_frac,
+               CAST(MAX(abs(value - CAST(CAST(value AS FLOAT) AS DOUBLE)))
+                    AS DOUBLE) AS max_abs_loss
+        FROM events
+        GROUP BY 1
+    """,
+    description=(
+        "numeric-contract audit: fraction of double values that survive "
+        "a float32 round-trip, and the worst-case loss, per type"
+    ),
+    tags=("quality", "aggregate", "deterministic"),
+)
+def float_downcast_precision_audit(spark, sf_dir):
+    """The check to run BEFORE halving storage with a float32 downcast
+    (the embeddings table already made that call): per class, how many
+    values round-trip bit-exactly and the worst absolute loss where they
+    don't. The float32 round-trip is IEEE-defined, so the audit itself
+    is deterministic across engines; one grouped pass."""
+    ev = load_table(spark, sf_dir, "events")
+    rt = F.col("value").cast("float").cast("double")
+    exact = F.sum(F.when(rt == F.col("value"), 1).otherwise(0))
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        exact.alias("n_exact"),
+        (exact.cast("double") / F.count("*")).alias("exact_frac"),
+        F.max(F.abs(F.col("value") - rt)).cast("double").alias(
+            "max_abs_loss"
+        ),
+    )
