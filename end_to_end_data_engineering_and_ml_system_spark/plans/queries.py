@@ -10587,3 +10587,54 @@ def float_downcast_precision_audit(spark, sf_dir):
             "max_abs_loss"
         ),
     )
+
+
+@register(
+    "top_order_revenue_concentration",
+    oracle="""
+        -- tail-concentration check: what share of revenue the orders at
+        -- or above the exact p99 carry. Threshold from the interpolated
+        -- percentile (proven-parity idiom); shares from exact
+        -- integer-cents sums
+        WITH p AS (
+            SELECT quantile_cont(o_totalprice, 0.99) AS p99 FROM orders
+        )
+        SELECT CAST(p.p99 AS DOUBLE) AS p99_price,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN o.o_totalprice >= p.p99 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_top,
+               CAST(SUM(CASE WHEN o.o_totalprice >= p.p99
+                             THEN CAST(floor(o.o_totalprice * 100.0 + 0.5)
+                                       AS BIGINT) ELSE 0 END) AS DOUBLE)
+                 / SUM(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                   AS top_revenue_share
+        FROM orders o CROSS JOIN p
+        GROUP BY p.p99
+    """,
+    description=(
+        "tail concentration: revenue share carried by orders at/above "
+        "the exact p99 (whale dependence metric)"
+    ),
+    tags=("olap", "aggregate", "quality"),
+)
+def top_order_revenue_concentration(spark, sf_dir):
+    """How whale-dependent is revenue? The p99 threshold uses the exact
+    interpolated percentile (the same parity-proven idiom as the
+    box-plot stats, fetched as a 1-row literal — the documented scalar
+    pattern); membership is then a projection, and the shares divide
+    exact integer-cents sums. One stats pass + one grouped pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    p99 = orders.agg(
+        F.percentile("o_totalprice", F.lit(0.99)).alias("p")
+    ).first()["p"]
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+    top = F.col("o_totalprice") >= F.lit(p99)
+    return orders.agg(
+        F.lit(float(p99)).alias("p99_price"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(top, 1).otherwise(0)).alias("n_top"),
+        (
+            F.sum(F.when(top, cents).otherwise(0)).cast("double")
+            / F.sum(cents)
+        ).alias("top_revenue_share"),
+    )
