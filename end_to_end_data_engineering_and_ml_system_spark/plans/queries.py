@@ -10638,3 +10638,70 @@ def top_order_revenue_concentration(spark, sf_dir):
             / F.sum(cents)
         ).alias("top_revenue_share"),
     )
+
+
+@register(
+    "event_mix_drift_daily",
+    oracle="""
+        -- categorical drift: each day's event-type mix vs the previous
+        -- day. Shares divide integer counts (per-(day,type) reduce plus a
+        -- per-day window total); the lag runs per type over the tiny day
+        -- grain
+        WITH g AS (
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT day, event_type, n,
+                   CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY day)
+                       AS share
+            FROM g
+        )
+        SELECT day, event_type, n, share,
+               share - LAG(share) OVER (
+                   PARTITION BY event_type ORDER BY day
+               ) AS share_delta
+        FROM s
+        QUALIFY LAG(share) OVER (
+            PARTITION BY event_type ORDER BY day
+        ) IS NOT NULL
+    """,
+    description=(
+        "categorical composition drift: daily event-type shares and "
+        "day-over-day share deltas (the mix companion to the PSI monitor)"
+    ),
+    tags=("timeseries", "monitoring", "window"),
+)
+def event_mix_drift_daily(spark, sf_dir):
+    """When the PSI monitor says the VALUE distribution moved, this says
+    whether the CLASS mix moved with it (a traffic-composition change vs
+    a within-class shift need different responses). Integer counts reduce
+    to the (day, type) grain map-side; shares and lags are windows over
+    that tiny grain; first-day rows (no predecessor) are excluded rather
+    than zero-filled."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    share = F.col("n").cast("double") / F.sum("n").over(
+        Window.partitionBy("day")
+    )
+    s = g.select("day", "event_type", "n", share.alias("share"))
+    lag = F.lag("share").over(Window.partitionBy("event_type").orderBy("day"))
+    return (
+        s.select(
+            "day", "event_type", "n", "share", lag.alias("__prev")
+        )
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            "day",
+            "event_type",
+            "n",
+            "share",
+            (F.col("share") - F.col("__prev")).alias("share_delta"),
+        )
+    )
