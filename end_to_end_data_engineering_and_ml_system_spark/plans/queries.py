@@ -10705,3 +10705,46 @@ def event_mix_drift_daily(spark, sf_dir):
             (F.col("share") - F.col("__prev")).alias("share_delta"),
         )
     )
+
+
+@register(
+    "customer_repeat_purchase_rate",
+    oracle="""
+        WITH c AS (
+            SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_buyers,
+               CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_repeat,
+               CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS repeat_rate,
+               CAST(SUM(n_orders) AS DOUBLE) / COUNT(*)
+                   AS orders_per_buyer,
+               CAST(MAX(n_orders) AS BIGINT) AS max_orders
+        FROM c
+    """,
+    description=(
+        "retention KPI: repeat-purchase rate, orders per buyer, and the "
+        "heaviest buyer (one keyed reduce + constant rollup)"
+    ),
+    tags=("analytics", "aggregate"),
+)
+def customer_repeat_purchase_rate(spark, sf_dir):
+    """The first retention number any commerce review asks for: what
+    fraction of buyers came back. One keyed reduce to the customer grain
+    (map-side combined) and a constant-size rollup — integer counts
+    throughout, doubles only in the two final ratios."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    repeat = F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+    return c.agg(
+        F.count("*").alias("n_buyers"),
+        repeat.alias("n_repeat"),
+        (repeat.cast("double") / F.count("*")).alias("repeat_rate"),
+        (F.sum("n_orders").cast("double") / F.count("*")).alias(
+            "orders_per_buyer"
+        ),
+        F.max("n_orders").alias("max_orders"),
+    )
