@@ -10748,3 +10748,56 @@ def customer_repeat_purchase_rate(spark, sf_dir):
         ),
         F.max("n_orders").alias("max_orders"),
     )
+
+
+@register(
+    "daily_growth_accounting",
+    oracle="""
+        -- growth accounting: daily actives split into new (first-ever
+        -- day) vs returning. First-seen is one keyed reduce; the daily
+        -- split joins the (day, user) grain against it on the user key
+        WITH du AS (
+            SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+            FROM events
+        ),
+        firsts AS (
+            SELECT user_id, MIN(day) AS first_day FROM du GROUP BY 1
+        )
+        SELECT du.day,
+               CAST(COUNT(*) AS BIGINT) AS dau,
+               CAST(SUM(CASE WHEN du.day = f.first_day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS new_users,
+               CAST(SUM(CASE WHEN du.day <> f.first_day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS returning_users,
+               CAST(SUM(CASE WHEN du.day = f.first_day THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS new_frac
+        FROM du
+        JOIN firsts f USING (user_id)
+        GROUP BY 1
+    """,
+    description=(
+        "growth accounting: daily actives split into new vs returning "
+        "(first-seen reduce + user-key join on the day-user grain)"
+    ),
+    tags=("analytics", "aggregate", "join"),
+)
+def daily_growth_accounting(spark, sf_dir):
+    """The DAU decomposition every growth review starts from: actives per
+    day split by whether it's the user's first-ever day. The day-user
+    grain distincts map-side; first-seen is one more reduce over it; the
+    split join moves one row per (day, user) on the user key both sides
+    already shuffled on."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    firsts = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = du.join(firsts, "user_id")
+    is_new = F.col("day") == F.col("first_day")
+    new_c = F.sum(F.when(is_new, 1).otherwise(0))
+    return j.groupBy("day").agg(
+        F.count("*").alias("dau"),
+        new_c.alias("new_users"),
+        F.sum(F.when(~is_new, 1).otherwise(0)).alias("returning_users"),
+        (new_c.cast("double") / F.count("*")).alias("new_frac"),
+    )
