@@ -62,79 +62,84 @@ def register(
 
 
 # The correctness driver samples the FIRST 50 names in the dict returned by
-# ``__spark_entry__.queries()``. Rounds 1-3 windows covered 99 of the
-# registered names; this round-4 window is the 49 highest-value queries that
-# have NEVER produced a driver-side correctness row (GATE_LOCAL keys minus
-# CORRECTNESS_r01-r03 keys) plus the new oracle-checked
-# embedding_near_dups_portable. Deliberately left out: the four rows-only
-# entries (audio_frame_energy, doc_pack_bins_ffd, flows_preprocess_summary,
-# stratified_sample_counts — the driver would record only a weak rows check,
-# and each has an invariant test or oracle-checked sibling) and three whose
-# exact plan shape already has green driver evidence via a sibling
-# (deterministic_split_counts ≈ cluster_aware_split_counts' md5-range split;
-# large_quantity_orders' join+agg+HAVING+topk ≈ top_orders_per_customer +
-# pricing_summary; orders_priority_summary_sql compiles to the same Catalyst
-# plan as the proven DataFrame queries). Everything else keeps definition
-# order after the priority block; the local gate still checks all registered
-# queries every round.
+# ``__spark_entry__.queries()``. Rounds 1-4 windows covered 149 of the 211
+# registered names; this round-5 window is the 50 oracle-checked queries that
+# have NEVER produced a driver-side correctness row (registry names minus the
+# union of CORRECTNESS_r01-r04 keys). Deliberately left out of the window
+# (12 names, bringing the 62 never-tested down to the 50-slot budget): the
+# five rows-only entries (audio_frame_energy, doc_pack_bins_ffd,
+# flows_preprocess_summary, stratified_sample_counts, linear_ae_training_curve
+# — the driver would record only a weak rows check, and each has an invariant
+# test or an oracle-checked sibling) and seven whose exact plan shape already
+# has green driver evidence via a sibling: deterministic_split_counts
+# (≈ cluster_aware_split_counts' md5-range split), large_quantity_orders
+# (join+agg+HAVING+topk ≈ top_orders_per_customer + pricing_summary),
+# orders_priority_summary_sql (same Catalyst plan as the proven DataFrame
+# form), discount_band_revenue (banded CASE agg ≈ pricing_summary /
+# brand_bucket_revenue), nation_trade_volume (multi-join+agg ≈
+# revenue_by_nation), customer_repeat_purchase_rate (grouped count + ratio ≈
+# customer_order_count_distribution), monthly_revenue_naive_forecast (lag
+# window over monthly agg ≈ customer_order_gaps / daily_gmv_trailing_ma).
+# Everything else keeps definition order after the priority block; the local
+# gate still checks all registered queries every round.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # new this round — verdict item 3
-    "embedding_near_dups_portable",
-    # LLM-data pipeline: dedup / packing / text analysis
-    "doc_simhash_near_dups",
-    "doc_chunking",
-    "doc_token_packing",
-    "doc_ngram_novelty",
-    "doc_rare_token_stats",
-    "near_dup_similarity_histogram",
-    "vocab_coverage_top100",
-    "token_budget_selection",
-    "contrastive_negatives",
-    "corpus_weighted_mix_counts",
-    "corpus_yield_by_source",
-    "embedding_lsh_signatures_portable",
-    "balanced_class_sample",
-    # multimodal plumbing
-    "multimodal_feature_histogram",
-    "multimodal_frame_sample",
-    # data-quality / table-ops surface
-    "referential_integrity_report",
-    "snapshot_diff_counts",
-    "events_table_profile",
-    "events_table_fingerprint",
-    "events_zorder_keys",
-    "join_key_skew_profile",
-    "partition_pruned_counts",
-    "event_time_disorder_stats",
-    # OLAP pack analogs
-    "top_revenue_suppliers",
-    "promo_revenue_by_year",
-    "small_quantity_part_revenue",
-    "part_supplier_diversity",
-    "unshipped_orders_topk",
-    "returned_items_customers",
-    "idle_rich_customers",
-    "fulfillment_latency_by_priority",
-    "order_backlog_over_time",
-    "brand_bucket_revenue",
-    "revenue_share_by_segment",
-    "revenue_pareto_deciles",
-    "top_spend_days_with_ties",
-    "customers_orders_full_outer",
-    # feature engineering / ML-adjacent
-    "user_rfm_features",
-    "returnflag_target_encoding",
-    "threshold_sweep_anomaly_rates",
-    "value_outliers_iqr",
-    "customer_tier_migration",
-    # events analytics
-    "event_type_cooccurrence",
-    "event_bigram_lift",
-    "events_hourly_seasonality",
-    "user_event_type_sets",
-    "sliding_7d_distinct_users",
-    "purchase_attribution_last_touch",
-    "stream_events_by_segment",
+    # TPC-H-adjacent OLAP analogs
+    "profit_by_nation_year",
+    "intra_region_supply_share",
+    "customer_order_count_distribution",
+    "sole_late_supplier_orders",
+    "supplier_concentration_hhi",
+    "top_order_revenue_concentration",
+    "customer_cohort_ltv_curve",
+    "daily_gmv_trailing_ma",
+    # table ops / CDC / incremental
+    "orders_cdc_merge_counts",
+    "incremental_daily_agg_merge",
+    "stream_latest_state_merge",
+    "corpus_manifest",
+    # LLM-data: dedup internals + calibration
+    "doc_duplicate_ngram_windows",
+    "doc_duplicate_ngram_spans",
+    "doc_span_dedup_savings",
+    "chunk_level_dedup_stats",
+    "near_dup_cluster_size_histogram",
+    "near_dup_threshold_sensitivity",
+    "minhash_jaccard_calibration",
+    "corpus_boilerplate_ngrams",
+    # LLM-data: corpus mixing / training prep
+    "corpus_temperature_mix",
+    "training_shuffle_shards",
+    "label_balance_by_split",
+    "doc_unigram_logprob",
+    "token_cms_estimates",
+    "token_zipf_fit",
+    "vocab_growth_heaps",
+    "doc_readability_scores",
+    "doc_label_noise_audit",
+    "source_unigram_jsd",
+    # drift / monitoring / quality audits
+    "drift_psi_events",
+    "stream_drift_psi",
+    "event_mix_drift_daily",
+    "embedding_drift_by_dim",
+    "embedding_retrieval_label_consistency",
+    "error_burst_detection",
+    "events_duplicate_delivery_audit",
+    "events_k_anonymity_audit",
+    "value_benford_audit",
+    "float_downcast_precision_audit",
+    "join_fanout_profile",
+    # feature engineering / stats
+    "user_hashed_features",
+    "user_feature_store_row",
+    "user_activity_entropy",
+    "value_impute_by_group",
+    "price_quantity_ols",
+    "events_ab_test_readout",
+    "daily_growth_accounting",
+    # events time-series surface
+    "events_hourly_gapfill",
+    "events_outage_intervals",
 )
 
 
