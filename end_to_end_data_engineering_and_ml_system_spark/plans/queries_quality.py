@@ -1,0 +1,433 @@
+"""Learned-quality-filter, preference-data, and robust-monitoring queries.
+
+Round-5 surface growth on top of the SURVEY.md §2 parity set:
+
+- the fastText-style LEARNED quality classifier (train + score + audit) that
+  LLM data pipelines run after the rule-based heuristics — reference analog:
+  the trained-model scoring path of scripts/stream_anomaly_detector.py:230-260
+  re-expressed as corpus filtering instead of flow scoring;
+- RLHF preference-pair construction (chosen/rejected with a margin) — the
+  data-prep step between corpus curation and reward-model training;
+- l-diversity (the privacy audit k-anonymity alone misses);
+- median/MAD robust outlier detection over event-time buckets (the monitor
+  that survives the heavy-tailed traffic a mean/stddev z-score drowns in).
+
+Determinism contract (NOTES.md rules): every cross-engine-compared number is
+either an exact integer, a ratio of exact integers computed in one double
+division, or a fixed-fold-order double expression whose sub-ulp variation is
+absorbed by the driver's 9-decimal rounding; aggregates over doubles are
+limited to order-independent min/max.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..ml.quality import (
+    FROZEN_QUALITY_WEIGHTS,
+    fluency_bp,
+    quality_feature_counts,
+    quality_logit,
+    quality_probability,
+    weak_label,
+)
+from ..sources.catalog import load_table
+from .registry import register
+
+# DuckDB mirror of ml.quality.quality_feature_counts: the exact integer
+# counts every feature and label derives from.
+_SQL_QCOUNTS = r"""
+    SELECT
+        doc_id,
+        lang,
+        CAST(length(text) AS BIGINT) AS chars,
+        CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             tk -> tk <> '')) AS BIGINT) AS toks,
+        CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             tk -> list_contains(
+                                 ['the','a','an','and','or','of','to',
+                                  'in','is','it'], tk)))
+             AS BIGINT) AS nstop,
+        CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+             AS BIGINT) AS npunct,
+        CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+             AS BIGINT) AS nupper,
+        CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+             AS BIGINT) AS ndigit
+    FROM documents
+"""
+
+# DuckDB mirror of ml.quality.weak_label: fluency (stopword ratio >= 5%)
+# AND substance (>= 200 chars), exact integer comparisons.
+_SQL_WL = """(CASE WHEN toks > 0 AND nstop * 100 >= toks * 5
+                   AND chars >= 200 THEN 1 ELSE 0 END)"""
+
+# DuckDB mirror of ml.quality.fluency_bp: stopword fluency in basis points.
+_SQL_FBP = """(CASE WHEN toks > 0
+               THEN CAST(floor(CAST(nstop * 10000 AS DOUBLE)
+                               / CAST(toks AS DOUBLE)) AS BIGINT)
+               ELSE 0 END)"""
+
+# DuckDB mirror of ml.quality.quality_logit(FROZEN_QUALITY_WEIGHTS): the
+# SAME left-to-right fold and term order, literals generated from the one
+# frozen constant so the two engines can never drift apart.
+_W = [repr(float(w)) for w in FROZEN_QUALITY_WEIGHTS]
+_SQL_Z = (
+    f"({_W[0]}) * 1.0"
+    f" + ({_W[1]}) * (ln(1.0 + CAST(chars AS DOUBLE)) / 10.0)"
+    f" + ({_W[2]}) * (CASE WHEN toks > 0 THEN CAST(nstop AS DOUBLE)"
+    f" / CAST(toks AS DOUBLE) ELSE 0.0 END)"
+    f" + ({_W[3]}) * (CASE WHEN chars > 0 THEN CAST(npunct AS DOUBLE)"
+    f" / CAST(chars AS DOUBLE) ELSE 0.0 END)"
+    f" + ({_W[4]}) * (CASE WHEN chars > 0 THEN CAST(nupper AS DOUBLE)"
+    f" / CAST(chars AS DOUBLE) ELSE 0.0 END)"
+    f" + ({_W[5]}) * (CASE WHEN chars > 0 THEN CAST(ndigit AS DOUBLE)"
+    f" / CAST(chars AS DOUBLE) ELSE 0.0 END)"
+)
+
+
+@register(
+    "quality_classifier_training_curve",
+    oracle=None,  # iterative float optimization: loss depends on float
+    # summation order across partitions — invariant-tested instead
+    # (monotone decreasing convex loss, accuracy beats majority class)
+    description=(
+        "distributed logistic-regression quality-filter training: per-epoch "
+        "log-loss/accuracy series (fastText-style corpus filter trainer)"
+    ),
+    tags=("ml", "training", "text"),
+)
+def quality_classifier_training_curve(spark, sf_dir):
+    """M7/A13-shape training loop on the LEARNED quality filter: weak labels
+    from the rule heuristic, one mapInPandas gradient aggregation per epoch
+    (data never leaves the cluster; only the 6-dim weight vector and
+    #partitions partial rows move). The returned frame IS the reference's
+    ``history.history`` analog (train_autoencoder.py:200-206)."""
+    from ..ml.quality import fit_quality_classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    fit = fit_quality_classifier(docs, epochs=12, lr=4.0)
+    rows = [
+        (e, float(ls), float(ac))
+        for e, (ls, ac) in enumerate(zip(fit.losses, fit.accuracies))
+    ]
+    return spark.createDataFrame(
+        rows, "epoch int, train_logloss double, train_accuracy double"
+    )
+
+
+@register(
+    "quality_classifier_score_deciles",
+    oracle=f"""
+        WITH c AS ({_SQL_QCOUNTS}),
+        z AS (
+            SELECT
+                {_SQL_WL} AS wl,
+                {_SQL_Z} AS z
+            FROM c
+        )
+        SELECT
+            CAST(floor((1.0 / (1.0 + exp(-z))) * 10.0) AS BIGINT) AS decile,
+            COUNT(*) AS n_docs,
+            CAST(SUM(wl) AS BIGINT) AS n_weak_pos,
+            MIN(1.0 / (1.0 + exp(-z))) AS min_prob,
+            MAX(1.0 / (1.0 + exp(-z))) AS max_prob
+        FROM z
+        GROUP BY 1
+    """,
+    description=(
+        "frozen-weights quality-model score deciles vs weak labels — the "
+        "calibration table for the learned corpus filter"
+    ),
+    tags=("ml", "text", "aggregate", "deterministic"),
+)
+def quality_classifier_score_deciles(spark, sf_dir):
+    """Scoring is a pure projection (scan → codegen'd sigmoid of a 6-term
+    dot product) + one grouped count on a 10-value key — the 100 TB filter
+    pass. Doubles appear only per-row with a fixed fold order; the grouped
+    outputs are counts and order-independent min/max."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = quality_feature_counts(docs)
+    p = quality_probability()
+    scored = counted.select(
+        F.floor(p * 10.0).cast("bigint").alias("decile"),
+        weak_label().alias("wl"),
+        p.alias("p"),
+    )
+    return scored.groupBy("decile").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("wl").cast("bigint").alias("n_weak_pos"),
+        F.min("p").alias("min_prob"),
+        F.max("p").alias("max_prob"),
+    )
+
+
+@register(
+    "quality_classifier_confusion",
+    oracle=f"""
+        WITH c AS ({_SQL_QCOUNTS}),
+        z AS (
+            SELECT {_SQL_WL} AS wl, {_SQL_Z} AS z
+            FROM c
+        )
+        SELECT
+            CAST(wl AS INT) AS weak_label,
+            CAST(CASE WHEN z >= 0.0 THEN 1 ELSE 0 END AS INT) AS predicted,
+            COUNT(*) AS n_docs
+        FROM z
+        GROUP BY 1, 2
+    """,
+    description=(
+        "confusion matrix of the frozen learned quality filter vs the "
+        "rule-based weak labels"
+    ),
+    tags=("ml", "text", "aggregate", "deterministic"),
+)
+def quality_classifier_confusion(spark, sf_dir):
+    """The model-vs-heuristic audit a data curator reads before swapping the
+    learned filter in: 4-cell confusion, one projection + one tiny groupBy.
+    The decision threshold is z ≥ 0 (p ≥ 0.5) — compared on the logit so no
+    sigmoid is needed on the decision path."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = quality_feature_counts(docs)
+    return (
+        counted.select(
+            weak_label().alias("weak_label"),
+            (quality_logit() >= 0.0).cast("int").alias("predicted"),
+        )
+        .groupBy("weak_label", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "preference_pairs",
+    oracle=f"""
+        WITH c AS ({_SQL_QCOUNTS}),
+        q AS (
+            SELECT doc_id, lang, {_SQL_FBP} AS fbp FROM c
+        ),
+        r AS (
+            SELECT
+                doc_id, lang, fbp,
+                ROW_NUMBER() OVER (
+                    PARTITION BY lang ORDER BY fbp DESC, doc_id
+                ) AS rk,
+                COUNT(*) OVER (PARTITION BY lang) AS n
+            FROM q
+        )
+        SELECT
+            a.lang AS lang,
+            a.doc_id AS chosen_doc_id,
+            b.doc_id AS rejected_doc_id,
+            CAST(a.fbp - b.fbp AS BIGINT) AS margin_bp
+        FROM r a
+        JOIN r b
+          ON a.lang = b.lang AND b.rk = a.n - a.rk + 1 AND a.rk < b.rk
+        WHERE a.fbp - b.fbp >= 300
+    """,
+    description=(
+        "RLHF preference-pair construction: best-vs-worst quality pairing "
+        "per language with a minimum margin"
+    ),
+    tags=("ml", "text", "window", "join", "deterministic"),
+)
+def preference_pairs(spark, sf_dir):
+    """Chosen/rejected pair mining for reward-model training: rank docs per
+    language by integer fluency basis points, mirror-pair rank i with rank
+    n+1−i, keep pairs with margin ≥ 300 bp — a clear quality gap between
+    the two sides of every pair. One window (shuffle by lang) + a self-join
+    on (lang, rank): the join key is the partitioning the window already
+    produced, and at 100 TB the per-lang rank would ride a range-partitioned
+    sort rather than a single-reducer window (lang cardinality bounds
+    parallelism here, same as the oracle semantics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_feature_counts(docs).select(
+        "doc_id", "lang", fluency_bp().alias("fbp")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("fbp"), F.asc("doc_id")
+    )
+    r = q.select(
+        "doc_id",
+        "lang",
+        "fbp",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+    a = r.alias("a")
+    b = r.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("b.rk") == F.col("a.n") - F.col("a.rk") + 1)
+            & (F.col("a.rk") < F.col("b.rk")),
+        )
+        .where(F.col("a.fbp") - F.col("b.fbp") >= 300)
+        .select(
+            F.col("a.lang").alias("lang"),
+            F.col("a.doc_id").alias("chosen_doc_id"),
+            F.col("b.doc_id").alias("rejected_doc_id"),
+            (F.col("a.fbp") - F.col("b.fbp")).cast("bigint").alias(
+                "margin_bp"
+            ),
+        )
+    )
+
+
+@register(
+    "reward_margin_stats",
+    oracle=f"""
+        WITH c AS ({_SQL_QCOUNTS}),
+        q AS (
+            SELECT doc_id, lang, {_SQL_FBP} AS fbp FROM c
+        ),
+        r AS (
+            SELECT
+                doc_id, lang, fbp,
+                ROW_NUMBER() OVER (
+                    PARTITION BY lang ORDER BY fbp DESC, doc_id
+                ) AS rk,
+                COUNT(*) OVER (PARTITION BY lang) AS n
+            FROM q
+        ),
+        p AS (
+            SELECT a.lang AS lang, a.fbp - b.fbp AS margin_bp
+            FROM r a
+            JOIN r b
+              ON a.lang = b.lang AND b.rk = a.n - a.rk + 1 AND a.rk < b.rk
+            WHERE a.fbp - b.fbp >= 300
+        )
+        SELECT
+            lang,
+            COUNT(*) AS n_pairs,
+            CAST(SUM(margin_bp) AS BIGINT) AS sum_margin_bp,
+            CAST(SUM(margin_bp) AS DOUBLE) / COUNT(*) AS avg_margin_bp,
+            CAST(MIN(margin_bp) AS BIGINT) AS min_margin_bp,
+            CAST(MAX(margin_bp) AS BIGINT) AS max_margin_bp
+        FROM p
+        GROUP BY 1
+    """,
+    description=(
+        "per-language preference-pair margin distribution (reward-model "
+        "training-data audit)"
+    ),
+    tags=("ml", "text", "aggregate", "deterministic"),
+)
+def reward_margin_stats(spark, sf_dir):
+    """How much signal the preference pairs carry per language: pair count
+    and exact-integer margin stats; the only double is one final division."""
+    pairs = preference_pairs(spark, sf_dir)
+    return pairs.groupBy("lang").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("margin_bp").cast("bigint").alias("sum_margin_bp"),
+        (F.sum("margin_bp").cast("double") / F.count("*")).alias(
+            "avg_margin_bp"
+        ),
+        F.min("margin_bp").cast("bigint").alias("min_margin_bp"),
+        F.max("margin_bp").cast("bigint").alias("max_margin_bp"),
+    )
+
+
+@register(
+    "events_l_diversity_audit",
+    oracle="""
+        SELECT
+            event_type,
+            CAST(hour(ts) AS BIGINT) AS hour_of_day,
+            COUNT(*) AS class_size,
+            COUNT(DISTINCT user_id) AS distinct_users,
+            CAST(CASE WHEN COUNT(DISTINCT user_id) >= 3 THEN 1 ELSE 0 END
+                 AS INT) AS meets_l3
+        FROM events
+        GROUP BY 1, 2
+    """,
+    description=(
+        "l-diversity privacy audit: distinct sensitive values per "
+        "quasi-identifier class (companion to k-anonymity)"
+    ),
+    tags=("privacy", "aggregate", "deterministic"),
+)
+def events_l_diversity_audit(spark, sf_dir):
+    """k-anonymity says each (event_type, hour) class is big enough;
+    l-diversity asks whether the SENSITIVE attribute (user identity) is
+    actually varied inside it — a class of 50 rows all from one user is
+    still a disclosure. count + count_distinct in one grouped pass;
+    count_distinct partial-aggregates map-side on the (class, user) grain."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hour_of_day")
+    ).agg(
+        F.count("*").alias("class_size"),
+        F.countDistinct("user_id").alias("distinct_users"),
+        (F.countDistinct("user_id") >= 3).cast("int").alias("meets_l3"),
+    )
+
+
+@register(
+    "events_mad_outlier_hours",
+    oracle="""
+        WITH h AS (
+            SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events
+            FROM events
+            GROUP BY 1
+        ),
+        s1 AS (
+            SELECT CAST(2.0 * median(n_events) AS BIGINT) AS med2 FROM h
+        ),
+        d AS (
+            SELECT hour, n_events, med2,
+                   abs(2 * n_events - med2) AS d2
+            FROM h, s1
+        ),
+        s2 AS (
+            SELECT CAST(2.0 * median(d2) AS BIGINT) AS m4 FROM d
+        )
+        SELECT
+            hour,
+            n_events,
+            CAST(med2 AS DOUBLE) / 2.0 AS median_events,
+            CAST(m4 AS DOUBLE) / 4.0 AS mad,
+            CAST(CASE WHEN 10000 * d2 > 22239 * m4 THEN 1 ELSE 0 END AS INT)
+                AS is_outlier
+        FROM d, s2
+    """,
+    description=(
+        "median/MAD robust outlier detection on hourly event counts "
+        "(|x−med| > 3·1.4826·MAD), exact-integer comparison"
+    ),
+    tags=("analytics", "timeseries", "aggregate", "deterministic"),
+)
+def events_mad_outlier_hours(spark, sf_dir):
+    """The robust version of the z-score burst monitor: median and MAD
+    instead of mean/stddev, so one viral hour can't drag the baseline. The
+    medians of integer counts are exact dyadics (med·2 and MAD·4 are
+    integers), so the 3·1.4826·MAD threshold becomes the exact integer
+    comparison 10000·(2|c−med|) > 22239·(4·MAD) — bit-stable on any engine
+    and any partitioning. Two 1-row exact-percentile reads (the documented
+    stats-to-literal pattern), then a pure projection over the hourly
+    frame."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n_events"))
+    med = hourly.agg(
+        F.expr("percentile(n_events, 0.5)").alias("m")
+    ).first()["m"]
+    med2 = int(round(2.0 * med))
+    d = hourly.withColumn(
+        "d2", F.abs(2 * F.col("n_events") - F.lit(med2))
+    )
+    mad_half = d.agg(F.expr("percentile(d2, 0.5)").alias("m")).first()["m"]
+    m4 = int(round(2.0 * mad_half))
+    return d.select(
+        "hour",
+        "n_events",
+        F.lit(float(med2) / 2.0).alias("median_events"),
+        F.lit(float(m4) / 4.0).alias("mad"),
+        (10000 * F.col("d2") > F.lit(22239 * m4)).cast("int").alias(
+            "is_outlier"
+        ),
+    )

@@ -168,3 +168,4 @@ def _ensure_loaded() -> None:
         return
     _loaded = True
     from . import queries  # noqa: F401  (registers on import)
+    from . import queries_quality  # noqa: F401

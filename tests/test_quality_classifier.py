@@ -1,0 +1,134 @@
+"""Learned quality filter (distributed logistic regression) + the round-5
+preference-pair / robust-monitoring queries.
+
+The iterative fit has no SQL oracle (float summation order across
+partitions), so correctness rides invariants: the partial-gradient
+aggregation matches a numpy reference bit-for-bit on one partition, the
+convex full-batch loss series is monotone non-increasing at the shipped
+step size, and the trained filter beats the majority class.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from end_to_end_data_engineering_and_ml_system_spark.ml.quality import (
+    FROZEN_QUALITY_WEIGHTS,
+    QUALITY_FEATURE_DIM,
+    fit_quality_classifier,
+    quality_training_frame,
+    score_documents,
+)
+from end_to_end_data_engineering_and_ml_system_spark.ml.training import (
+    fit_logistic_classifier,
+)
+from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+    load_table,
+)
+
+from .conftest import SF_CORRECT
+
+
+def _numpy_fit(X, y, epochs, lr):
+    w = np.zeros(X.shape[1])
+    losses, accs = [], []
+    for _ in range(epochs):
+        z = X @ w
+        p = 1.0 / (1.0 + np.exp(-z))
+        pc = np.clip(p, 1e-12, 1.0 - 1e-12)
+        losses.append(
+            float(-(y * np.log(pc) + (1.0 - y) * np.log(1.0 - pc)).mean())
+        )
+        accs.append(float((((p >= 0.5).astype(float)) == y).mean()))
+        w = w - lr * (X.T @ (p - y)) / len(y)
+    return w, losses, accs
+
+
+def test_logistic_fit_matches_numpy_reference(spark):
+    rng = np.random.default_rng(7)
+    X = np.hstack([np.ones((40, 1)), rng.normal(size=(40, 2))])
+    y = (X[:, 1] + 0.5 * X[:, 2] > 0).astype(float)
+    rows = [(x.tolist(), int(lbl)) for x, lbl in zip(X, y)]
+    df = spark.createDataFrame(
+        rows, "features array<double>, label int"
+    ).repartition(1)  # one partition -> one float summation order
+    fit = fit_logistic_classifier(df, dim=3, epochs=5, lr=0.8)
+    w_ref, losses_ref, accs_ref = _numpy_fit(X, y, epochs=5, lr=0.8)
+    assert np.allclose(fit.weights, w_ref, rtol=0, atol=1e-12)
+    assert np.allclose(fit.losses, losses_ref, rtol=0, atol=1e-12)
+    assert fit.accuracies == accs_ref
+
+
+def test_quality_fit_monotone_and_beats_majority(spark):
+    docs = load_table(spark, SF_CORRECT, "documents")
+    fit = fit_quality_classifier(docs, epochs=12, lr=4.0)
+    # convex full-batch GD below 2/L: loss never increases
+    for a, b in zip(fit.losses, fit.losses[1:]):
+        assert b <= a + 1e-9
+    labels = quality_training_frame(docs).groupBy("label").count().collect()
+    counts = {r["label"]: r["count"] for r in labels}
+    n = sum(counts.values())
+    majority = max(counts.values()) / n
+    assert 0.2 < counts.get(1, 0) / n < 0.8, "weak label must split corpus"
+    # warm-started from the shipped model, accuracy beats majority from
+    # the first epoch and fine-tuning keeps the loss monotone
+    warm = fit_quality_classifier(
+        docs, epochs=3, lr=4.0, init_weights=FROZEN_QUALITY_WEIGHTS
+    )
+    assert warm.accuracies[0] > majority
+    for a, b in zip(warm.losses, warm.losses[1:]):
+        assert b <= a + 1e-9
+
+
+def test_frozen_weights_score_documents(spark):
+    docs = load_table(spark, SF_CORRECT, "documents")
+    scored = score_documents(docs).collect()
+    assert len(scored) == docs.count()
+    probs = [r["quality_prob"] for r in scored]
+    assert all(0.0 < p < 1.0 for p in probs)
+    # the frozen model must agree with its own training labels far above
+    # chance (converged train accuracy was 0.81)
+    agree = sum(
+        1
+        for r in scored
+        if (r["quality_prob"] >= 0.5) == bool(r["weak_label"])
+    ) / len(scored)
+    assert agree > 0.75
+    assert len(FROZEN_QUALITY_WEIGHTS) == QUALITY_FEATURE_DIM
+
+
+def test_preference_pairs_invariants(spark):
+    from end_to_end_data_engineering_and_ml_system_spark.plans.queries_quality import (  # noqa: E501
+        preference_pairs,
+    )
+
+    pairs = preference_pairs(spark, SF_CORRECT).collect()
+    assert pairs, "pair mining must be non-vacuous on the fixture corpus"
+    chosen = [r["chosen_doc_id"] for r in pairs]
+    rejected = [r["rejected_doc_id"] for r in pairs]
+    assert len(set(chosen)) == len(chosen), "a doc may be chosen once"
+    assert len(set(rejected)) == len(rejected), "a doc may be rejected once"
+    assert not set(chosen) & set(rejected), "sides are disjoint"
+    assert all(r["margin_bp"] >= 300 for r in pairs)
+
+
+def test_mad_outlier_matches_numpy(spark):
+    from end_to_end_data_engineering_and_ml_system_spark.plans.queries_quality import (  # noqa: E501
+        events_mad_outlier_hours,
+    )
+
+    out = events_mad_outlier_hours(spark, SF_CORRECT).collect()
+    counts = np.array([r["n_events"] for r in out], dtype=float)
+    med = np.median(counts)
+    mad = np.median(np.abs(counts - med))
+    flagged = {r["hour"] for r in out if r["is_outlier"] == 1}
+    expect = {
+        r["hour"]
+        for r, c in zip(out, counts)
+        if abs(c - med) > 3 * 1.4826 * mad
+    }
+    assert flagged == expect
+    row = out[0]
+    assert row["median_events"] == pytest.approx(med)
+    assert row["mad"] == pytest.approx(mad)
