@@ -10,6 +10,10 @@
   scale path is partitioned parquet, so this helper refuses above a row cap.
 - **JSON metadata sidecar** (S12): the pickle replaced with an engine-
   portable JSON file written via Spark (no driver pickling).
+- **ORC scan/sink**: columnar interchange with Hive/Trino lakes — same
+  pushdown/pruning contract as parquet.
+- **Raw-text corpus scan**: line-per-row or file-per-row (crawl-shard)
+  ingestion, the upstream-most source of a training-data pipeline.
 """
 
 from __future__ import annotations
@@ -103,3 +107,45 @@ def write_jsonl(df: DataFrame, dest_dir: str, partitions: int | None = None) -> 
     out = df.coalesce(partitions) if partitions else df
     out.write.mode("overwrite").json(dest_dir)
     return dest_dir
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """ORC scan — the other columnar interchange format warehouses hand
+    over (Hive/Trino lakes are ORC at least as often as parquet). Columnar
+    + predicate pushdown + column pruning work exactly as with parquet, so
+    the 100 TB read contract is unchanged. Schema optional: ORC footers
+    carry exact types (unlike CSV/JSON, reading them is metadata-only)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
+def write_orc(df: DataFrame, dest_dir: str, partitions: int | None = None) -> str:
+    """Partitioned ORC sink with zlib compression (the ecosystem default a
+    Hive/Trino consumer expects). Coalesces down only — never up."""
+    out = df.coalesce(partitions) if partitions else df
+    out.write.mode("overwrite").option("compression", "zlib").orc(dest_dir)
+    return dest_dir
+
+
+def read_text_corpus(
+    spark: SparkSession, path: str, whole_files: bool = False
+) -> DataFrame:
+    """Raw-text corpus ingestion — the upstream-most source of a training
+    pipeline (crawl dumps, one document per file or per line).
+
+    - ``whole_files=False``: one row per LINE (``value`` string), splittable
+      scan — the 100 TB shape for line-delimited corpora.
+    - ``whole_files=True``: one row per FILE plus its path (via the
+      ``_metadata.file_path`` hidden column) — for per-file documents;
+      files are the parallelism unit, so only sane for many small-ish
+      files, which is exactly the crawl-shard layout."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.text(path, wholetext=whole_files)
+    if whole_files:
+        df = df.select(
+            F.col("_metadata.file_path").alias("file_path"), "value"
+        )
+    return df

@@ -219,3 +219,53 @@ def test_pcm_rms_energy_matches_numpy_reference(spark):
         assert gn == n and abs(grms - rms) < 1e-9, key
     # odd trailing byte dropped: doc 3 has exactly 10 samples in one frame
     assert got[(3, 0)][0] == 10
+
+
+def test_orc_helper_roundtrip_documents(spark, sf_dir, tmp_path):
+    from end_to_end_data_engineering_and_ml_system_spark.sources.files import (
+        read_orc,
+        write_orc,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dest = write_orc(docs, str(tmp_path / "docs_orc"), partitions=2)
+    back = read_orc(spark, dest)
+    assert back.schema == docs.schema
+    assert {tuple(r) for r in back.collect()} == {
+        tuple(r) for r in docs.collect()
+    }
+    # pinning a schema prunes columns at scan time
+    two_col = read_orc(
+        spark,
+        dest,
+        StructType(
+            [
+                StructField("doc_id", LongType(), True),
+                StructField("lang", StringType(), True),
+            ]
+        ),
+    )
+    assert two_col.columns == ["doc_id", "lang"]
+    assert two_col.count() == docs.count()
+
+
+def test_read_text_corpus_lines_and_whole_files(spark, tmp_path):
+    from end_to_end_data_engineering_and_ml_system_spark.sources.files import (
+        read_text_corpus,
+    )
+
+    shard_dir = tmp_path / "crawl"
+    shard_dir.mkdir()
+    (shard_dir / "shard0.txt").write_text("alpha\nbeta\n")
+    (shard_dir / "shard1.txt").write_text("gamma\n")
+
+    lines = read_text_corpus(spark, str(shard_dir))
+    assert sorted(r.value for r in lines.collect()) == [
+        "alpha",
+        "beta",
+        "gamma",
+    ]
+
+    files = read_text_corpus(spark, str(shard_dir), whole_files=True)
+    rows = {os.path.basename(r.file_path): r.value for r in files.collect()}
+    assert rows == {"shard0.txt": "alpha\nbeta\n", "shard1.txt": "gamma\n"}
