@@ -1,0 +1,239 @@
+"""Distributed BPE tokenizer training — the tokenizer-learning step of an
+LLM data pipeline, Spark-first.
+
+The classic trap is iterating over the CORPUS: every merge would rewrite
+100 TB. The standard fix (Sennrich et al. 2016's own formulation) is that
+BPE statistics only depend on the WORD FREQUENCY TABLE — so the corpus is
+reduced once (tokenize → explode → groupBy word → count: one shuffle whose
+output is vocab-bounded, millions of rows at worst), and all ``n_merges``
+iterations run on that small table.  Per iteration:
+
+- adjacent-pair counts: a ``zip_with`` projection + explode + one grouped
+  sum, weighted by word count — map-side combined, vocab-sized shuffle;
+- argmax with a DETERMINISTIC tie-break (count desc, then pair lexicographic)
+  so the learned merge sequence is bit-reproducible on any engine/partitioning
+  (exact integer counts, string ordering — no floats anywhere);
+- merge application to the symbol arrays via an Arrow-batched pandas UDF —
+  the documented slow-path exception: within-word greedy left-to-right
+  merging is inherently sequential per word, and the table it runs over is
+  vocab-bounded, NOT corpus-bounded, so Python cost is O(vocab · word_len)
+  per iteration regardless of corpus size.
+
+Only the 1-row argmax crosses to the driver per iteration (the same
+parameter-server exception as ml/training.py).  Lineage is cut every
+``checkpoint_every`` iterations (reliable checkpoint when the session has a
+checkpoint dir, localCheckpoint otherwise — same policy as
+operators/graph.py), so the plan doesn't grow O(iterations²).
+
+Corpus-side tokenization with the learned merges (``bpe_token_lengths``)
+again never rewrites the corpus per merge: the distinct-word table is
+tokenized once (all merges applied in learned order), then joined back —
+broadcast when the vocab is small, shuffle-join otherwise.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+END_OF_WORD = "▁"  # ▁ — marks end-of-word, never appears in fixtures
+
+_SYM_SCHEMA = "word string, wcount long, symbols array<string>"
+
+
+def word_frequency_table(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """tokenize → explode → count: the ONE corpus-scale pass of BPE
+    training.  Map-side combine collapses within-partition duplicates, so
+    the shuffle moves distinct words per partition, not corpus tokens."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wcount"))
+    )
+
+
+def _initial_symbols(words: DataFrame) -> DataFrame:
+    return words.select(
+        "word",
+        "wcount",
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(END_OF_WORD))
+        ).alias("symbols"),
+    )
+
+
+def _pair_counts(symbols: DataFrame) -> DataFrame:
+    """Adjacent-pair counts weighted by word frequency.  zip_with over a
+    shifted slice gives the pairs as a projection; the only shuffle is the
+    vocab-sized grouped sum."""
+    pairs = symbols.select(
+        "wcount",
+        F.explode(
+            F.zip_with(
+                F.slice(
+                    F.col("symbols"),
+                    1,
+                    F.greatest(F.size("symbols") - 1, F.lit(0)),
+                ),
+                F.slice(
+                    F.col("symbols"),
+                    2,
+                    F.greatest(F.size("symbols") - 1, F.lit(0)),
+                ),
+                lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+            )
+        ).alias("pair"),
+    )
+    return pairs.groupBy("pair.left", "pair.right").agg(
+        F.sum("wcount").alias("pair_count")
+    )
+
+
+def _merge_apply_fn(left: str, right: str):
+    """Greedy left-to-right single-merge application — sequential within a
+    word by definition, so Python per row; the frame is vocab-bounded."""
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf):
+                pdf = pdf.copy()
+                pdf["symbols"] = [
+                    _merge_word(list(s), left, right)
+                    for s in pdf["symbols"]
+                ]
+            yield pdf
+
+    return fn
+
+
+def _merge_word(syms: list, left: str, right: str) -> list:
+    out = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i < n - 1 and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _cut_lineage(df: DataFrame) -> DataFrame:
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint()
+    return df.localCheckpoint()
+
+
+@dataclass
+class BpeResult:
+    #: (left, right, pair_count) in learned order
+    merges: list[tuple[str, str, int]]
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 32,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    checkpoint_every: int = 8,
+) -> BpeResult:
+    """Learn ``n_merges`` BPE merges from a corpus.  Deterministic: integer
+    counts with (count desc, left, right) tie-break.  Stops early when the
+    best pair drops below ``min_pair_count`` (merging singletons is
+    overfitting by definition)."""
+    spark = docs.sparkSession
+    symbols = _initial_symbols(word_frequency_table(docs, text_col))
+    symbols = symbols.persist()
+    symbols.count()
+    merges: list[tuple[str, str, int]] = []
+    prev = symbols
+    for it in range(n_merges):
+        best = (
+            _pair_counts(prev)
+            .orderBy(
+                F.desc("pair_count"), F.asc("left"), F.asc("right")
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["pair_count"] < min_pair_count:
+            break
+        left, right, cnt = (
+            best[0]["left"],
+            best[0]["right"],
+            int(best[0]["pair_count"]),
+        )
+        merges.append((left, right, cnt))
+        nxt = prev.mapInPandas(_merge_apply_fn(left, right), _SYM_SCHEMA)
+        if (it + 1) % checkpoint_every == 0:
+            nxt = _cut_lineage(nxt)
+        nxt = nxt.persist()
+        nxt.count()
+        prev.unpersist()
+        prev = nxt
+    prev.unpersist()
+    return BpeResult(merges=merges)
+
+
+def _tokenize_word_fn(merges: list[tuple[str, str, int]]):
+    """Apply the full learned merge sequence, in order, to each distinct
+    word (Sennrich-style sequential application)."""
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf):
+                pdf = pdf.copy()
+                out = []
+                for s in pdf["symbols"]:
+                    syms = list(s)
+                    for left, right, _ in merges:
+                        syms = _merge_word(syms, left, right)
+                    out.append(syms)
+                pdf["symbols"] = out
+            yield pdf
+
+    return fn
+
+
+def bpe_token_lengths(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document token count under the learned BPE: tokenize the
+    DISTINCT-WORD table once (all merges applied), then join token lengths
+    back onto the corpus — broadcast when the vocab fits (the common case:
+    vocab ≪ corpus), shuffle-join otherwise.  The corpus is scanned exactly
+    twice (word table + final join) no matter how many merges were
+    learned."""
+    words = word_frequency_table(docs, text_col)
+    tokenized = _initial_symbols(words).mapInPandas(
+        _tokenize_word_fn(merges), _SYM_SCHEMA
+    )
+    lengths = tokenized.select(
+        "word", F.size("symbols").alias("word_bpe_len")
+    )
+    if broadcast_vocab:
+        lengths = F.broadcast(lengths)
+    per_tok = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("word")
+    )
+    return (
+        per_tok.join(lengths, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("word_bpe_len").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )

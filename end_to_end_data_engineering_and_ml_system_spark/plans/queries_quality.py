@@ -431,3 +431,55 @@ def events_mad_outlier_hours(spark, sf_dir):
             "is_outlier"
         ),
     )
+
+
+@register(
+    "bpe_learned_merges",
+    oracle=None,  # iterative argmax loop — not SQL-expressible; the exact
+    # merge sequence is verified against a pure-Python reference BPE in
+    # tests/test_bpe.py (deterministic: integer counts, lexicographic
+    # tie-break, no floats anywhere)
+    description=(
+        "distributed BPE tokenizer training: learned merge table with "
+        "pair counts (vocab-table iteration, corpus scanned once)"
+    ),
+    tags=("ml", "text", "tokenizer", "no-oracle"),
+)
+def bpe_learned_merges(spark, sf_dir):
+    """Tokenizer training as a first-class pipeline op: the corpus
+    collapses to the word-frequency table in ONE shuffle, and every merge
+    iteration runs on that vocab-bounded table (operators/bpe.py). Only
+    the 1-row argmax reaches the driver per iteration."""
+    from ..operators.bpe import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    result = learn_bpe_merges(docs, n_merges=24)
+    rows = [
+        (i, left, right, cnt)
+        for i, (left, right, cnt) in enumerate(result.merges)
+    ]
+    return spark.createDataFrame(
+        rows, "merge_rank int, left string, right string, pair_count long"
+    )
+
+
+@register(
+    "doc_bpe_learned_token_counts",
+    oracle=None,  # depends on the learned merge sequence (see above);
+    # application is greedy sequential within-word — verified against the
+    # same pure-Python reference end to end
+    description=(
+        "per-document token counts under the learned BPE (distinct-word "
+        "tokenization joined back to the corpus)"
+    ),
+    tags=("ml", "text", "tokenizer", "no-oracle"),
+)
+def doc_bpe_learned_token_counts(spark, sf_dir):
+    """The corpus-side application shape: distinct words tokenized once
+    with all learned merges, lengths broadcast-joined back — the corpus is
+    never rewritten per merge, scanned exactly twice total."""
+    from ..operators.bpe import bpe_token_lengths, learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=24).merges
+    return bpe_token_lengths(docs, merges)
