@@ -483,3 +483,166 @@ def doc_bpe_learned_token_counts(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     merges = learn_bpe_merges(docs, n_merges=24).merges
     return bpe_token_lengths(docs, merges)
+
+
+@register(
+    "user_rate_limit_violations",
+    oracle="""
+        WITH w AS (
+            SELECT
+                user_id, ts,
+                COUNT(*) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL '59.999999' SECOND PRECEDING
+                          AND CURRENT ROW
+                ) AS n_in_window
+            FROM events
+        )
+        SELECT user_id, ts, CAST(n_in_window AS BIGINT) AS n_in_window
+        FROM w
+        WHERE n_in_window > 1
+    """,
+    description=(
+        "sliding-window rate-limit audit: events where the same user sent "
+        ">1 event in any trailing 60s window (exact RANGE frame)"
+    ),
+    tags=("analytics", "window", "abuse", "deterministic"),
+)
+def user_rate_limit_violations(spark, sf_dir):
+    """Ingestion QoS / abuse detection without pre-bucketing artifacts: an
+    exact per-event trailing count via a RANGE frame over integer epoch
+    timestamps (tumbling buckets would miss straddling bursts;
+    second-truncated epochs disagree with fractional event times). One
+    shuffle on
+    user_id; the frame scans each user's own ordered slice — integer
+    counts, bit-stable anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    # interval RANGE frame directly over the (tz-naive) timestamp: exact
+    # microsecond window semantics, identical in Spark and the oracle, and
+    # free of session-timezone epoch conversions (the DataFrame API's
+    # rangeBetween only takes numerics, hence the SQL window expression)
+    trailing = (
+        "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL '59.999999' SECOND PRECEDING "
+        "AND CURRENT ROW)"
+    )
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            F.expr(trailing).cast("bigint").alias("n_in_window"),
+        )
+        .where(F.col("n_in_window") > 1)
+    )
+
+
+@register(
+    "events_data_contract_report",
+    oracle="""
+        SELECT * FROM (
+            SELECT
+                'event_id_unique' AS "check",
+                CAST(CASE WHEN COUNT(*) = COUNT(DISTINCT event_id)
+                     THEN 1 ELSE 0 END AS INT) AS passed,
+                CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+                    AS violations
+            FROM events
+            UNION ALL
+            SELECT
+                'value_non_negative',
+                CAST(CASE WHEN SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) = 0
+                     THEN 1 ELSE 0 END AS INT),
+                CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT
+                'user_id_not_null',
+                CAST(CASE WHEN SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0
+                     END) = 0 THEN 1 ELSE 0 END AS INT),
+                CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT
+                'event_type_in_domain',
+                CAST(CASE WHEN SUM(CASE WHEN event_type NOT IN
+                     ('view','click','signup','purchase','error') THEN 1
+                     ELSE 0 END) = 0 THEN 1 ELSE 0 END AS INT),
+                CAST(SUM(CASE WHEN event_type NOT IN
+                     ('view','click','signup','purchase','error') THEN 1
+                     ELSE 0 END) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT
+                'ts_not_null',
+                CAST(CASE WHEN SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0
+                     END) = 0 THEN 1 ELSE 0 END AS INT),
+                CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            FROM events
+        ) ORDER BY "check"
+    """,
+    description=(
+        "Great-Expectations-style data contract: five checks (uniqueness, "
+        "range, null, domain) evaluated in one aggregation pass"
+    ),
+    tags=("quality", "aggregate", "deterministic"),
+)
+def events_data_contract_report(spark, sf_dir):
+    """The contract gate a pipeline runs before promoting a batch. All five
+    checks fold into ONE full scan: conditional sums + one count_distinct
+    (the only expansion; it partial-aggregates on the event_id grain), then
+    the wide 1-row result unpivots to a (check, passed, violations) report.
+    At 100 TB this is strictly cheaper than five separate validation
+    queries — the scan dominates, so do it once."""
+    ev = load_table(spark, sf_dir, "events")
+    domain = ("view", "click", "signup", "purchase", "error")
+    agg = ev.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("neg_val"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias(
+            "null_user"
+        ),
+        F.sum(
+            F.when(~F.col("event_type").isin(*domain), 1).otherwise(0)
+        ).alias("bad_type"),
+        F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)).alias(
+            "null_ts"
+        ),
+    )
+    checks = agg.select(
+        F.array(
+            F.struct(
+                F.lit("event_id_unique").alias("check"),
+                (F.col("n") == F.col("n_ids")).cast("int").alias("passed"),
+                (F.col("n") - F.col("n_ids")).cast("bigint").alias(
+                    "violations"
+                ),
+            ),
+            F.struct(
+                F.lit("value_non_negative").alias("check"),
+                (F.col("neg_val") == 0).cast("int").alias("passed"),
+                F.col("neg_val").cast("bigint").alias("violations"),
+            ),
+            F.struct(
+                F.lit("user_id_not_null").alias("check"),
+                (F.col("null_user") == 0).cast("int").alias("passed"),
+                F.col("null_user").cast("bigint").alias("violations"),
+            ),
+            F.struct(
+                F.lit("event_type_in_domain").alias("check"),
+                (F.col("bad_type") == 0).cast("int").alias("passed"),
+                F.col("bad_type").cast("bigint").alias("violations"),
+            ),
+            F.struct(
+                F.lit("ts_not_null").alias("check"),
+                (F.col("null_ts") == 0).cast("int").alias("passed"),
+                F.col("null_ts").cast("bigint").alias("violations"),
+            ),
+        ).alias("checks")
+    )
+    return (
+        checks.select(F.explode("checks").alias("c"))
+        .select("c.check", "c.passed", "c.violations")
+        .orderBy("check")
+    )
