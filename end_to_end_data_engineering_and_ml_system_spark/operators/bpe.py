@@ -139,19 +139,75 @@ class BpeResult:
     merges: list[tuple[str, str, int]]
 
 
+#: below this many distinct words the iteration runs on the driver — the
+#: broadcast-join-threshold analog: the corpus-scale reduction (one shuffle)
+#: already happened, and scheduling n_merges distributed jobs over a table
+#: that fits in kilobytes is pure overhead.  Natural-language vocabularies
+#: follow Heaps' law, so even large corpora often land under this.
+LOCAL_VOCAB_THRESHOLD = 100_000
+
+
+def _learn_local(
+    word_counts: list[tuple[str, int]], n_merges: int, min_pair_count: int
+) -> list[tuple[str, str, int]]:
+    """Driver-side iteration over a collected word table — EXACTLY the
+    same counts and tie-break as the distributed path (asserted equal in
+    tests/test_bpe.py)."""
+    words = {w: (list(w) + [END_OF_WORD], c) for w, c in word_counts}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for syms, c in words.values():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        if not pc:
+            break
+        (left, right), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_pair_count:
+            break
+        merges.append((left, right, cnt))
+        words = {
+            w: (_merge_word(syms, left, right), c)
+            for w, (syms, c) in words.items()
+        }
+    return merges
+
+
 def learn_bpe_merges(
     docs: DataFrame,
     n_merges: int = 32,
     text_col: str = "text",
     min_pair_count: int = 2,
     checkpoint_every: int = 8,
+    local_vocab_threshold: int = LOCAL_VOCAB_THRESHOLD,
 ) -> BpeResult:
     """Learn ``n_merges`` BPE merges from a corpus.  Deterministic: integer
     counts with (count desc, left, right) tie-break.  Stops early when the
     best pair drops below ``min_pair_count`` (merging singletons is
-    overfitting by definition)."""
+    overfitting by definition).
+
+    Adaptive execution: the corpus always reduces to the word-frequency
+    table distributed (one shuffle); if the resulting vocab is under
+    ``local_vocab_threshold`` the merge iterations run on the driver over
+    the collected table (identical counts/tie-break — same result,
+    without ``n_merges`` rounds of job-scheduling overhead), else they
+    stay distributed.  Pass ``local_vocab_threshold=0`` to force the
+    distributed path."""
     spark = docs.sparkSession
-    symbols = _initial_symbols(word_frequency_table(docs, text_col))
+    words = word_frequency_table(docs, text_col)
+    if local_vocab_threshold > 0:
+        head = words.limit(local_vocab_threshold + 1).collect()
+        if len(head) <= local_vocab_threshold:
+            return BpeResult(
+                merges=_learn_local(
+                    [(r["word"], r["wcount"]) for r in head],
+                    n_merges,
+                    min_pair_count,
+                )
+            )
+    symbols = _initial_symbols(words)
     symbols = symbols.persist()
     symbols.count()
     merges: list[tuple[str, str, int]] = []

@@ -119,6 +119,15 @@ def test_bpe_token_lengths_match_reference(spark):
     assert got == want
 
 
+def test_local_and_distributed_paths_agree(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    local = learn_bpe_merges(docs, n_merges=10).merges  # auto -> local
+    dist = learn_bpe_merges(
+        docs, n_merges=10, local_vocab_threshold=0
+    ).merges
+    assert local == dist
+
+
 def test_merges_deterministic_across_partitioning(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     a = learn_bpe_merges(docs.repartition(1), n_merges=8).merges
