@@ -646,3 +646,52 @@ def events_data_contract_report(spark, sf_dir):
         .select("c.check", "c.passed", "c.violations")
         .orderBy("check")
     )
+
+
+@register(
+    "stream_doc_quality_deciles",
+    oracle=f"""
+        WITH c AS ({_SQL_QCOUNTS}),
+        z AS (
+            SELECT {_SQL_WL} AS wl, {_SQL_Z} AS z
+            FROM c
+        )
+        SELECT
+            CAST(floor((1.0 / (1.0 + exp(-z))) * 10.0) AS BIGINT) AS decile,
+            COUNT(*) AS n_docs,
+            CAST(SUM(wl) AS BIGINT) AS n_weak_pos
+        FROM z
+        GROUP BY 1
+    """,
+    description=(
+        "learned quality filter applied IN the stream: per-decile counts "
+        "over micro-batch corpus ingestion (batch-equivalent full oracle)"
+    ),
+    tags=("streaming", "ml", "text", "deterministic"),
+)
+def stream_doc_quality_deciles(spark, sf_dir):
+    """The reference's flagship shape — a trained model scoring a stream
+    (stream_anomaly_detector.py:230-260) — applied to corpus curation: as
+    crawl shards land, each micro-batch rides the same codegen'd sigmoid
+    projection as the batch filter, and the running decile histogram is an
+    associative count aggregation, so the streamed result is bit-equal to
+    the batch query over the full corpus (the oracle is exactly that batch
+    SQL — a full oracle, not a rows-only check). No watermark needed:
+    counts are monotone accumulators with no event-time eviction."""
+    from ..streaming.pipeline import documents_stream, run_to_memory_sink
+
+    s = documents_stream(spark, sf_dir)
+    counted = quality_feature_counts(s)
+    p = quality_probability()
+    agg = (
+        counted.select(
+            F.floor(p * 10.0).cast("bigint").alias("decile"),
+            weak_label().alias("wl"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("wl").cast("bigint").alias("n_weak_pos"),
+        )
+    )
+    return run_to_memory_sink(agg)
