@@ -695,3 +695,65 @@ def stream_doc_quality_deciles(spark, sf_dir):
         )
     )
     return run_to_memory_sink(agg)
+
+
+#: fixed decision thresholds for the PR sweep — committed constants, so the
+#: oracle literals and the Spark plan can never drift apart
+_PR_THRESHOLDS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+@register(
+    "quality_classifier_pr_curve",
+    oracle=f"""
+        WITH c AS ({_SQL_QCOUNTS}),
+        z AS (
+            SELECT {_SQL_WL} AS wl,
+                   1.0 / (1.0 + exp(-({_SQL_Z}))) AS p
+            FROM c
+        ),
+        t(thr) AS (VALUES {", ".join(f"({t})" for t in (0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))})
+        SELECT
+            thr AS threshold,
+            CAST(SUM(CASE WHEN p >= thr AND wl = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tp,
+            CAST(SUM(CASE WHEN p >= thr AND wl = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fp,
+            CAST(SUM(CASE WHEN p < thr AND wl = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fn
+        FROM z, t
+        GROUP BY 1
+    """,
+    description=(
+        "precision-recall sweep of the frozen quality filter over 9 fixed "
+        "thresholds — exact TP/FP/FN counts in one pass"
+    ),
+    tags=("ml", "text", "aggregate", "deterministic"),
+)
+def quality_classifier_pr_curve(spark, sf_dir):
+    """Operating-point selection for the learned filter: the corpus is
+    scanned ONCE; the 9-threshold sweep is a tiny constant-table cross join
+    (9x row multiplier on the already-projected (label, score) pair, far
+    cheaper than 9 scans), then exact integer TP/FP/FN per threshold.
+    Precision/recall/F1 derive from these counts downstream — keeping the
+    compared surface pure integers sidesteps ratio-rounding divergence."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = quality_feature_counts(docs)
+    scored = counted.select(
+        weak_label().alias("wl"), quality_probability().alias("p")
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in _PR_THRESHOLDS], "threshold double"
+    )
+    j = scored.crossJoin(F.broadcast(thr))
+    pred = F.col("p") >= F.col("threshold")
+    return j.groupBy("threshold").agg(
+        F.sum(F.when(pred & (F.col("wl") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(pred & (F.col("wl") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(~pred & (F.col("wl") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+    )
