@@ -207,7 +207,10 @@ def test_unigram_logprob_single_scan_no_joins(spark, sf_dir):
 
 def test_quality_scoring_is_single_scan_single_agg(spark, sf_dir):
     # the 100 TB filter pass: scan -> codegen'd projection -> one grouped
-    # aggregate on the 10-value decile key; no joins, no extra exchanges
+    # aggregate on the 10-value decile key; no joins, no extra exchanges.
+    # clearCache first: a cached full-width relation left by another test
+    # would replace the pruned parquet scan in this plan
+    spark.catalog.clearCache()
     q = all_queries()["quality_classifier_score_deciles"].build(spark, sf_dir)
     plan = _plan(q)
     assert "Join" not in plan, plan
