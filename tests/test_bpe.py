@@ -133,3 +133,23 @@ def test_merges_deterministic_across_partitioning(spark):
     a = learn_bpe_merges(docs.repartition(1), n_merges=8).merges
     b = learn_bpe_merges(docs.repartition(7), n_merges=8).merges
     assert a == b
+
+
+def test_learn_matches_reference_on_random_corpora(spark):
+    # property check over adversarial tiny corpora: repeated words, unicode,
+    # single-char words, high-dup shapes — distributed learn (forced) must
+    # equal the pure-Python reference exactly on every one
+    corpora = [
+        ["aa ab aa ab aa", "ab aa ab"],
+        ["x", "x", "x y", "y x", ""],
+        ["的的 的 是的 的是", "是 的 是是"],
+        ["abcabc abcabc abc", "bcab cabc abca"],
+        ["w1 w2 w1w2 w2w1 w1 w2 w1"],
+    ]
+    for texts in corpora:
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = learn_bpe_merges(
+            df, n_merges=6, local_vocab_threshold=0
+        ).merges
+        want = _ref_learn(texts, n_merges=6)
+        assert got == want, (texts, got, want)
