@@ -81,7 +81,12 @@ def register(
 # customer_order_count_distribution), monthly_revenue_naive_forecast (lag
 # window over monthly agg ≈ customer_order_gaps / daily_gmv_trailing_ma).
 # Everything else keeps definition order after the priority block; the local
-# gate still checks all registered queries every round.
+# gate still checks all registered queries every round.  The 14 round-5
+# additions (queries_quality.py: learned quality filter, preference pairs,
+# BPE, rate-limit, contract, MAD, l-diversity, stream deciles) register
+# AFTER this block — each is strict-green in the local gate at BOTH sf0.01
+# and sf0.1; they are the round-6 rotation's first candidates, together
+# with the 12 names listed above.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # TPC-H-adjacent OLAP analogs
     "profit_by_nation_year",
