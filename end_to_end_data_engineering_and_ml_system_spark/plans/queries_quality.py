@@ -757,3 +757,129 @@ def quality_classifier_pr_curve(spark, sf_dir):
         .cast("bigint")
         .alias("fn"),
     )
+
+
+@register(
+    "event_series_correlation_matrix",
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('hour', MIN(ts)) AS h0,
+                   date_trunc('hour', MAX(ts)) AS h1
+            FROM events
+        ),
+        spine AS (
+            SELECT t.event_type, s.hour
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN bounds
+            CROSS JOIN LATERAL (
+                SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                    AS hour
+            ) s
+        ),
+        c AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT spine.event_type, spine.hour,
+                   COALESCE(c.n, 0) AS n
+            FROM spine LEFT JOIN c
+              ON spine.event_type = c.event_type AND spine.hour = c.hour
+        ),
+        p AS (
+            SELECT
+                a.event_type AS type_a,
+                bb.event_type AS type_b,
+                CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                CAST(SUM(a.n) AS DECIMAL(38,0)) AS sx,
+                CAST(SUM(bb.n) AS DECIMAL(38,0)) AS sy,
+                CAST(SUM(a.n * a.n) AS DECIMAL(38,0)) AS sxx,
+                CAST(SUM(bb.n * bb.n) AS DECIMAL(38,0)) AS syy,
+                CAST(SUM(a.n * bb.n) AS DECIMAL(38,0)) AS sxy
+            FROM s a JOIN s bb
+              ON a.hour = bb.hour AND a.event_type < bb.event_type
+            GROUP BY 1, 2
+        )
+        SELECT
+            type_a, type_b,
+            CAST(n AS BIGINT) AS n_hours,
+            CAST(n * sxy - sx * sy AS DOUBLE)
+                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+        FROM p
+    """,
+    description=(
+        "time-series similarity: pairwise Pearson correlation of hourly "
+        "count series between event types, from exact integer sufficient "
+        "statistics on a zero-filled hour spine"
+    ),
+    tags=("analytics", "timeseries", "aggregate", "deterministic"),
+)
+def event_series_correlation_matrix(spark, sf_dir):
+    """Which traffic series move together (and which anti-correlate —
+    e.g. errors vs purchases) — the similarity-search primitive for
+    monitoring dashboards. Missing hours count as 0 via a generated spine
+    (correlation over only-shared hours is a different, biased statistic).
+    All six sufficient statistics per pair are EXACT integers
+    (DECIMAL(38,0)); doubles appear only in the final
+    subtract/divide/sqrt, each a single correctly-rounded IEEE op — so the
+    matrix is bit-identical on any engine and partitioning. Scale shape:
+    the (type,hour) grain reduces map-side; the pair join runs on the tiny
+    spine table, never on raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    ).first()
+    spine_hours = spark.sql(
+        "SELECT explode(sequence(TIMESTAMP_NTZ'{lo}', TIMESTAMP_NTZ'{hi}', "
+        "INTERVAL 1 HOUR)) AS hour".format(lo=bounds["lo"], hi=bounds["hi"])
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(spine_hours)
+    c = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n"))
+    s = (
+        spine.join(c, ["event_type", "hour"], "left")
+        .select(
+            "event_type", "hour", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+        )
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    d38 = "decimal(38,0)"
+    p = (
+        a.join(
+            b,
+            (F.col("a.hour") == F.col("b.hour"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.count("*").cast(d38).alias("n"),
+            F.sum("a.n").cast(d38).alias("sx"),
+            F.sum("b.n").cast(d38).alias("sy"),
+            F.sum(F.col("a.n") * F.col("a.n")).cast(d38).alias("sxx"),
+            F.sum(F.col("b.n") * F.col("b.n")).cast(d38).alias("syy"),
+            F.sum(F.col("a.n") * F.col("b.n")).cast(d38).alias("sxy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return p.select(
+        "type_a",
+        "type_b",
+        n.cast("bigint").alias("n_hours"),
+        (
+            (n * sxy - sx * sy).cast("double")
+            / (
+                F.sqrt((n * sxx - sx * sx).cast("double"))
+                * F.sqrt((n * syy - sy * sy).cast("double"))
+            )
+        ).alias("corr"),
+    )
