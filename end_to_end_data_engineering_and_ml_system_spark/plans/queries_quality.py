@@ -883,3 +883,36 @@ def event_series_correlation_matrix(spark, sf_dir):
             )
         ).alias("corr"),
     )
+
+
+@register(
+    "bpe_fertility_by_lang",
+    oracle=None,  # depends on the learned merge sequence (iterative) —
+    # covered by the pure-Python reference parity tests in tests/test_bpe.py
+    description=(
+        "tokenizer fertility per language (BPE tokens per word) under the "
+        "corpus-learned merges — the standard tokenizer-quality metric"
+    ),
+    tags=("ml", "text", "tokenizer", "no-oracle"),
+)
+def bpe_fertility_by_lang(spark, sf_dir):
+    """Fertility (tokens/word) is how tokenizer quality is judged per
+    language: high fertility means the vocab under-serves that language.
+    Exact integer token/word sums per lang; one double division at the
+    end. Reuses the twice-scanned-corpus tokenization shape of
+    doc_bpe_learned_token_counts, plus one broadcast-joinable lang
+    lookup."""
+    from ..operators.bpe import bpe_token_lengths, learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=24).merges
+    per_doc = bpe_token_lengths(docs, merges)
+    with_lang = per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+    return with_lang.groupBy("lang").agg(
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
+        (
+            F.sum("n_bpe_tokens").cast("double")
+            / F.sum("n_words").cast("double")
+        ).alias("fertility"),
+    )
