@@ -916,3 +916,66 @@ def bpe_fertility_by_lang(spark, sf_dir):
             / F.sum("n_words").cast("double")
         ).alias("fertility"),
     )
+
+
+@register(
+    "stream_embedding_topk",
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ),
+        norms AS (
+            SELECT vec_id,
+                   CAST(SUM(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS nrm
+            FROM ex GROUP BY 1
+        ),
+        dots AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   CAST(SUM(CAST(q.x * c.x AS DECIMAL(28,10))) AS DOUBLE)
+                       AS dot
+            FROM ex q
+            JOIN ex c ON q.pos = c.pos
+                      AND q.vec_id < 8 AND c.vec_id <> q.vec_id
+            GROUP BY 1, 2
+        ),
+        cos AS (
+            SELECT d.query_id, d.cand_id,
+                   d.dot / (sqrt(nq.nrm) * sqrt(nc.nrm)) AS cosine
+            FROM dots d
+            JOIN norms nq ON d.query_id = nq.vec_id
+            JOIN norms nc ON d.cand_id = nc.vec_id
+        )
+        SELECT query_id, cand_id, cosine
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
+            FROM cos
+        )
+        WHERE rn <= 3
+    """,
+    description=(
+        "incremental top-k similarity search: running top-3 nearest per "
+        "query maintained across micro-batches of arriving vectors "
+        "(batch-equivalent full oracle)"
+    ),
+    tags=("streaming", "similarity", "ann", "deterministic"),
+)
+def stream_embedding_topk(spark, sf_dir):
+    """The live-retrieval-index refresh loop: candidate vectors arrive in
+    micro-batches; each batch is scored against the broadcast query set
+    with decimal-exact dot products and merged into the running top-3
+    state (rotated parquet snapshots). Running top-k under a total order
+    is an associative merge, so the final state is bit-equal to the batch
+    top-k over all vectors — the oracle IS the batch SQL. Per-batch cost
+    O(batch·queries + k·queries), independent of history."""
+    from ..streaming.pipeline import (
+        embeddings_stream,
+        run_topk_similarity_merge,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    s = embeddings_stream(spark, sf_dir)
+    return run_topk_similarity_merge(s, queries, k=3)
