@@ -32,6 +32,17 @@ SAMPLE = [
     "price_quantity_ols",         # exact-integer sufficient statistics
     "source_unigram_jsd",         # ln-domain decimal sums
     "doc_readability_scores",     # regex counts + fixed IEEE formula
+    # round-5 additions
+    "quality_classifier_score_deciles",  # fixed-fold sigmoid + min/max
+    "quality_classifier_confusion",      # logit-threshold integer cells
+    "quality_classifier_pr_curve",       # threshold sweep, integer TP/FP/FN
+    "preference_pairs",           # integer-bp rank + mirror self-join
+    "reward_margin_stats",        # integer margins, one final division
+    "events_mad_outlier_hours",   # dyadic medians -> integer comparison
+    "events_l_diversity_audit",   # count + count_distinct grain
+    "events_data_contract_report",# one-pass conditional sums
+    "user_rate_limit_violations", # interval RANGE frame (rule 4)
+    "event_series_correlation_matrix",  # DECIMAL(38,0) stats + sqrt
 ]
 
 
