@@ -979,3 +979,74 @@ def stream_embedding_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 8)
     s = embeddings_stream(spark, sf_dir)
     return run_topk_similarity_merge(s, queries, k=3)
+
+
+@register(
+    "corpus_pipeline_v2_learned",
+    oracle=f"""
+        -- corpus pipeline with the LEARNED gate: model filter (z >= 0)
+        -- -> exact dedup (keep lowest doc_id per normalized-content md5)
+        -- -> per-language kept-doc/token accounting
+        WITH c AS ({_SQL_QCOUNTS}),
+        scored AS (
+            SELECT doc_id, lang, toks, {_SQL_Z} AS z
+            FROM c
+        ),
+        kept AS (
+            SELECT s.doc_id, s.lang, s.toks
+            FROM scored s
+            WHERE s.z >= 0.0
+        ),
+        fp AS (
+            SELECT k.doc_id, k.lang, k.toks,
+                   md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'))
+                       AS fp
+            FROM kept k JOIN documents d USING (doc_id)
+        ),
+        dedup AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM fp
+            ) WHERE rn = 1
+        )
+        SELECT
+            lang,
+            COUNT(*) AS kept_docs,
+            CAST(SUM(toks) AS BIGINT) AS kept_tokens
+        FROM dedup
+        GROUP BY 1
+    """,
+    description=(
+        "corpus pipeline v2: learned-model quality gate -> exact dedup -> "
+        "per-language kept accounting, one declarative plan"
+    ),
+    tags=("llm-data", "ml", "text", "dedup", "deterministic"),
+)
+def corpus_pipeline_v2_learned(spark, sf_dir):
+    """The round-5 capstone composition: the trained filter replaces the
+    rule heuristic as the corpus gate (decision on the logit, z ≥ 0 — no
+    sigmoid needed), then exact dedup on the normalized-content
+    fingerprint, then per-language yield accounting. Still ONE declarative
+    plan: scan → projection gate → fingerprint window dedup → grouped
+    rollup; the only shuffles are the dedup key and the final tiny
+    group-by — identical shape to the v1 rule-based pipeline, so swapping
+    the model in costs nothing at 100 TB."""
+    from ..operators.text import fingerprint
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = quality_feature_counts(docs)
+    kept = counted.where(quality_logit() >= 0.0).select(
+        "doc_id", "lang", F.col("n_toks_q").alias("toks"),
+        fingerprint("text").alias("fp"),
+    )
+    w = W.partitionBy("fp").orderBy("doc_id")
+    dedup = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return dedup.groupBy("lang").agg(
+        F.count("*").alias("kept_docs"),
+        F.sum("toks").cast("bigint").alias("kept_tokens"),
+    )
