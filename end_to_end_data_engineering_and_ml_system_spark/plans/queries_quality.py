@@ -1050,3 +1050,82 @@ def corpus_pipeline_v2_learned(spark, sf_dir):
         F.count("*").alias("kept_docs"),
         F.sum("toks").cast("bigint").alias("kept_tokens"),
     )
+
+
+@register(
+    "bpe_initial_pair_counts",
+    oracle="""
+        -- the BPE trainer's core statistic, SQL-expressible for the
+        -- FIRST iteration (before any merge rewrites the symbols):
+        -- adjacent character-pair counts over the word-frequency table,
+        -- including the end-of-word marker pair
+        WITH w AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount
+            FROM (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(trim(text), '\\s+'),
+                    tk -> tk <> '')) AS word
+                FROM documents
+            )
+            GROUP BY 1
+        ),
+        pairs AS (
+            SELECT substring(w.word, s.i, 1) AS left_sym,
+                   CASE WHEN s.i = length(w.word)
+                        THEN '▁'
+                        ELSE substring(w.word, s.i + 1, 1) END AS right_sym,
+                   w.wcount
+            FROM w
+            CROSS JOIN LATERAL (
+                SELECT unnest(generate_series(1, length(w.word))) AS i
+            ) s
+        ),
+        counted AS (
+            SELECT left_sym, right_sym,
+                   CAST(SUM(wcount) AS BIGINT) AS pair_count
+            FROM pairs
+            GROUP BY 1, 2
+        )
+        SELECT left_sym, right_sym, pair_count
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY pair_count DESC, left_sym, right_sym) AS rn
+            FROM counted
+        )
+        WHERE rn <= 10
+    """,
+    description=(
+        "BPE trainer core, oracle-checked: top-10 adjacent symbol-pair "
+        "counts over the word-frequency table (iteration-0 statistic)"
+    ),
+    tags=("ml", "text", "tokenizer", "deterministic"),
+)
+def bpe_initial_pair_counts(spark, sf_dir):
+    """Cross-engine proof of the distributed BPE core: the iteration-0
+    pair-count table (explode-free zip_with pairs, weighted grouped sum,
+    deterministic tie-broken top-10) checked against a from-scratch SQL
+    recomputation. Later iterations aren't SQL-expressible (the merge
+    rewrites symbols), so the full loop rides the pure-Python reference
+    parity in tests/test_bpe.py — this query pins the one piece an oracle
+    CAN see."""
+    from ..operators.bpe import (
+        _initial_symbols,
+        _pair_counts,
+        word_frequency_table,
+    )
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = _pair_counts(_initial_symbols(word_frequency_table(docs)))
+    w = W.orderBy(
+        F.desc("pair_count"), F.asc("left"), F.asc("right")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select(
+            F.col("left").alias("left_sym"),
+            F.col("right").alias("right_sym"),
+            F.col("pair_count").cast("bigint").alias("pair_count"),
+        )
+    )
