@@ -195,7 +195,6 @@ def learn_bpe_merges(
     without ``n_merges`` rounds of job-scheduling overhead), else they
     stay distributed.  Pass ``local_vocab_threshold=0`` to force the
     distributed path."""
-    spark = docs.sparkSession
     words = word_frequency_table(docs, text_col)
     if local_vocab_threshold > 0:
         head = words.limit(local_vocab_threshold + 1).collect()
@@ -207,7 +206,77 @@ def learn_bpe_merges(
                     min_pair_count,
                 )
             )
-    symbols = _initial_symbols(words)
+    return BpeResult(
+        merges=_learn_distributed(
+            _initial_symbols(words),
+            n_merges,
+            min_pair_count,
+            checkpoint_every=checkpoint_every,
+        )
+    )
+
+
+def learn_bpe_merges_by_group(
+    docs: DataFrame,
+    group_col: str,
+    n_merges: int = 16,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    local_vocab_threshold: int = LOCAL_VOCAB_THRESHOLD,
+) -> dict[str, list[tuple[str, str, int]]]:
+    """Per-group (typically per-language) BPE training — the multilingual
+    tokenizer path.  The corpus is scanned ONCE into a (group, word,
+    count) table; each group's merge iterations then run independently.
+    Groups whose vocab fits under ``local_vocab_threshold`` solve on the
+    driver from the collected slice (the common case: per-language vocabs
+    are Heaps-law small); larger groups fall back to the distributed
+    iteration over their filtered slice.  Returns {group: merges}."""
+    spark = docs.sparkSession
+    grouped = (
+        docs.select(
+            F.col(group_col).alias("__grp"),
+            F.explode(tokens(text_col)).alias("word"),
+        )
+        .groupBy("__grp", "word")
+        .agg(F.count("*").alias("wcount"))
+        .persist()
+    )
+    try:
+        sizes = {
+            r["__grp"]: r["n"]
+            for r in grouped.groupBy("__grp")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        out: dict[str, list[tuple[str, str, int]]] = {}
+        for grp in sorted(sizes):
+            slice_df = grouped.filter(F.col("__grp") == grp)
+            if 0 < local_vocab_threshold and sizes[grp] <= local_vocab_threshold:
+                rows = slice_df.select("word", "wcount").collect()
+                out[grp] = _learn_local(
+                    [(r["word"], r["wcount"]) for r in rows],
+                    n_merges,
+                    min_pair_count,
+                )
+            else:
+                symbols = _initial_symbols(
+                    slice_df.select("word", "wcount")
+                )
+                out[grp] = _learn_distributed(
+                    symbols, n_merges, min_pair_count
+                )
+        return out
+    finally:
+        grouped.unpersist()
+
+
+def _learn_distributed(
+    symbols: DataFrame,
+    n_merges: int,
+    min_pair_count: int,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str, int]]:
+    """The distributed merge loop over an already-built symbols table."""
     symbols = symbols.persist()
     symbols.count()
     merges: list[tuple[str, str, int]] = []
@@ -215,9 +284,7 @@ def learn_bpe_merges(
     for it in range(n_merges):
         best = (
             _pair_counts(prev)
-            .orderBy(
-                F.desc("pair_count"), F.asc("left"), F.asc("right")
-            )
+            .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
             .limit(1)
             .collect()
         )
@@ -237,7 +304,7 @@ def learn_bpe_merges(
         prev.unpersist()
         prev = nxt
     prev.unpersist()
-    return BpeResult(merges=merges)
+    return merges
 
 
 def _tokenize_word_fn(merges: list[tuple[str, str, int]]):

@@ -1129,3 +1129,35 @@ def bpe_initial_pair_counts(spark, sf_dir):
             F.col("pair_count").cast("bigint").alias("pair_count"),
         )
     )
+
+
+@register(
+    "bpe_merges_by_lang",
+    oracle=None,  # iterative per-group training — per-group equality with
+    # the single-corpus trainer and the pure-Python reference is asserted
+    # in tests/test_bpe.py
+    description=(
+        "multilingual tokenizer training: per-language BPE merge tables "
+        "from one corpus scan"
+    ),
+    tags=("ml", "text", "tokenizer", "no-oracle"),
+)
+def bpe_merges_by_lang(spark, sf_dir):
+    """Per-language merge sequences — the multilingual tokenizer path.
+    One corpus scan builds the (lang, word, count) table; each language's
+    iterations then run on its own vocab-bounded slice (driver-local under
+    the adaptive threshold, distributed above it)."""
+    from ..operators.bpe import learn_bpe_merges_by_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    by_lang = learn_bpe_merges_by_group(docs, "lang", n_merges=12)
+    rows = [
+        (lang, i, left, right, cnt)
+        for lang, merges in sorted(by_lang.items())
+        for i, (left, right, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "lang string, merge_rank int, left string, right string, "
+        "pair_count long",
+    )

@@ -153,3 +153,21 @@ def test_learn_matches_reference_on_random_corpora(spark):
         ).merges
         want = _ref_learn(texts, n_merges=6)
         assert got == want, (texts, got, want)
+
+
+def test_per_group_learn_matches_filtered_single_corpus(spark):
+    from end_to_end_data_engineering_and_ml_system_spark.operators.bpe import (
+        learn_bpe_merges_by_group,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    by_lang = learn_bpe_merges_by_group(docs, "lang", n_merges=8)
+    langs = sorted(
+        r["lang"] for r in docs.select("lang").distinct().collect()
+    )
+    assert sorted(by_lang) == langs
+    for lang in ("en", "zh"):
+        direct = learn_bpe_merges(
+            docs.filter(docs.lang == lang), n_merges=8
+        ).merges
+        assert by_lang[lang] == direct, lang
