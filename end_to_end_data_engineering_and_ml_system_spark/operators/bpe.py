@@ -231,7 +231,6 @@ def learn_bpe_merges_by_group(
     driver from the collected slice (the common case: per-language vocabs
     are Heaps-law small); larger groups fall back to the distributed
     iteration over their filtered slice.  Returns {group: merges}."""
-    spark = docs.sparkSession
     grouped = (
         docs.select(
             F.col(group_col).alias("__grp"),
