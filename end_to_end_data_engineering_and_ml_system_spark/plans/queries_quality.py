@@ -1161,3 +1161,75 @@ def bpe_merges_by_lang(spark, sf_dir):
         "lang string, merge_rank int, left string, right string, "
         "pair_count long",
     )
+
+
+@register(
+    "quality_classifier_auc",
+    oracle=f"""
+        WITH c AS ({_SQL_QCOUNTS}),
+        z AS (
+            SELECT doc_id, {_SQL_WL} AS wl, {_SQL_Z} AS zz
+            FROM c
+        ),
+        ranked AS (
+            SELECT wl,
+                   ROW_NUMBER() OVER (ORDER BY zz, doc_id) AS rk
+            FROM z
+        ),
+        s AS (
+            SELECT
+                CAST(SUM(CASE WHEN wl = 1 THEN rk ELSE 0 END) AS BIGINT)
+                    AS pos_rank_sum,
+                CAST(SUM(wl) AS BIGINT) AS n_pos,
+                CAST(SUM(1 - wl) AS BIGINT) AS n_neg
+            FROM ranked
+        )
+        SELECT
+            n_pos, n_neg,
+            CAST(pos_rank_sum - n_pos * (n_pos + 1) / 2 AS DOUBLE)
+                / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+        FROM s
+    """,
+    description=(
+        "exact ROC-AUC of the frozen quality filter via the Mann-Whitney "
+        "rank-sum (integer rank sums, one final division)"
+    ),
+    tags=("ml", "text", "aggregate", "deterministic"),
+)
+def quality_classifier_auc(spark, sf_dir):
+    """Threshold-free model quality in one number: AUC as the normalized
+    Mann-Whitney U from a single global rank over (logit, doc_id).  Ranks
+    and their sums are exact integers; the only double is the final
+    division — so the statistic is bit-identical on any engine.  The
+    global rank is the one all-to-one-reducer step (same caveat as any
+    exact global order); at 100 TB use the grouped PR-curve sweep instead,
+    or rank within salted blocks and merge U statistics (U is associative
+    over disjoint score ranges)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = quality_feature_counts(docs)
+    from pyspark.sql.window import Window as W
+
+    ranked = counted.select(
+        "doc_id", weak_label().alias("wl"), quality_logit().alias("zz")
+    ).select(
+        "wl",
+        F.row_number().over(W.orderBy("zz", "doc_id")).alias("rk"),
+    )
+    s = ranked.agg(
+        F.sum(F.when(F.col("wl") == 1, F.col("rk")).otherwise(0))
+        .cast("bigint")
+        .alias("pos_rank_sum"),
+        F.sum("wl").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("wl")).cast("bigint").alias("n_neg"),
+    )
+    return s.select(
+        "n_pos",
+        "n_neg",
+        (
+            (
+                F.col("pos_rank_sum")
+                - F.col("n_pos") * (F.col("n_pos") + 1) / 2
+            ).cast("double")
+            / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+        ).alias("auc"),
+    )
