@@ -43,6 +43,9 @@ SAMPLE = [
     "events_data_contract_report",# one-pass conditional sums
     "user_rate_limit_violations", # interval RANGE frame (rule 4)
     "event_series_correlation_matrix",  # DECIMAL(38,0) stats + sqrt
+    "quality_classifier_auc",     # integer rank sums -> one division
+    "corpus_pipeline_v2_learned", # logit gate + fingerprint dedup
+    "bpe_initial_pair_counts",    # weighted pair counts, tie-broken topk
 ]
 
 
