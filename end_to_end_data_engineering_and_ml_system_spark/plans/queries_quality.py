@@ -1233,3 +1233,116 @@ def quality_classifier_auc(spark, sf_dir):
             / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
         ).alias("auc"),
     )
+
+
+@register(
+    "events_t_closeness_audit",
+    oracle="""
+        -- t-closeness: total-variation distance between each QI class's
+        -- sensitive-attribute distribution (md5-bucketed user identity)
+        -- and the global one.  TV = sum_i |n_i*N - m_i*N_c| / (2*N_c*N):
+        -- the numerator is an EXACT integer (missing buckets included via
+        -- the class x bucket grid), doubles only in the final division.
+        WITH b AS (
+            SELECT event_type,
+                   CAST(hour(ts) AS BIGINT) AS hour_of_day,
+                   CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                        1, 8)) AS BIGINT) % 10 AS bucket
+            FROM events
+        ),
+        g AS (
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS m FROM b GROUP BY 1
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM b),
+        cls AS (
+            SELECT event_type, hour_of_day,
+                   CAST(COUNT(*) AS BIGINT) AS n_class
+            FROM b GROUP BY 1, 2
+        ),
+        cb AS (
+            SELECT event_type, hour_of_day, bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM b GROUP BY 1, 2, 3
+        ),
+        grid AS (
+            SELECT c.event_type, c.hour_of_day, c.n_class, g.bucket, g.m,
+                   COALESCE(cb.n, 0) AS n
+            FROM cls c
+            CROSS JOIN g
+            LEFT JOIN cb ON cb.event_type = c.event_type
+                        AND cb.hour_of_day = c.hour_of_day
+                        AND cb.bucket = g.bucket
+        )
+        SELECT
+            grid.event_type, grid.hour_of_day,
+            CAST(MAX(grid.n_class) AS BIGINT) AS class_size,
+            CAST(SUM(abs(grid.n * tot.n_total - grid.m * grid.n_class))
+                 AS BIGINT) AS tv_numer,
+            CAST(SUM(abs(grid.n * tot.n_total - grid.m * grid.n_class))
+                 AS DOUBLE)
+                / (2.0 * CAST(MAX(grid.n_class) AS DOUBLE)
+                   * CAST(MAX(tot.n_total) AS DOUBLE)) AS tv_distance
+        FROM grid, tot
+        GROUP BY 1, 2
+    """,
+    description=(
+        "t-closeness privacy audit: exact total-variation distance of "
+        "each QI class's sensitive distribution from the global one"
+    ),
+    tags=("privacy", "aggregate", "deterministic"),
+)
+def events_t_closeness_audit(spark, sf_dir):
+    """Completes the privacy triple (k-anonymity: classes big enough;
+    l-diversity: sensitive values varied; t-closeness: sensitive MIX not
+    skewed — a class can pass both k and l while still leaking that it is
+    dominated by one user cohort). The sensitive attribute is the
+    md5-bucketed user identity (portable hashing-trick idiom). Scale
+    shape: three grouped passes over the (class, bucket) grains plus a
+    tiny grid join — the bucket table is 10 rows, classes are
+    |event_type|x24."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 10
+    )
+    b = ev.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("hour_of_day"),
+        bucket.alias("bucket"),
+    )
+    g = b.groupBy("bucket").agg(F.count("*").cast("bigint").alias("m"))
+    n_total = int(b.count())
+    cls = b.groupBy("event_type", "hour_of_day").agg(
+        F.count("*").cast("bigint").alias("n_class")
+    )
+    cb = b.groupBy("event_type", "hour_of_day", "bucket").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(g))
+        .join(cb, ["event_type", "hour_of_day", "bucket"], "left")
+        .select(
+            "event_type",
+            "hour_of_day",
+            "n_class",
+            "m",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+    numer = F.sum(
+        F.abs(F.col("n") * F.lit(n_total) - F.col("m") * F.col("n_class"))
+    ).cast("bigint")
+    return grid.groupBy("event_type", "hour_of_day").agg(
+        F.max("n_class").cast("bigint").alias("class_size"),
+        numer.alias("tv_numer"),
+        (
+            numer.cast("double")
+            / (
+                2.0
+                * F.max("n_class").cast("double")
+                * F.lit(float(n_total))
+            )
+        ).alias("tv_distance"),
+    )
