@@ -33,6 +33,7 @@ from ..ml.quality import (
     weak_label,
 )
 from ..sources.catalog import load_table
+from .queries import _SQL_SHINGLES, _SQL_VERIFIED_PAIRS
 from .registry import register
 
 # DuckDB mirror of ml.quality.quality_feature_counts: the exact integer
@@ -1345,4 +1346,54 @@ def events_t_closeness_audit(spark, sf_dir):
                 * F.lit(float(n_total))
             )
         ).alias("tv_distance"),
+    )
+
+
+@register(
+    "cross_source_duplicate_matrix",
+    oracle=f"""
+        WITH RECURSIVE t AS ({_SQL_SHINGLES}),
+        {_SQL_VERIFIED_PAIRS}
+        SELECT
+            least(d1.source, d2.source) AS source_a,
+            greatest(d1.source, d2.source) AS source_b,
+            CAST(COUNT(*) AS BIGINT) AS near_dup_pairs
+        FROM vp
+        JOIN documents d1 ON vp.id1 = d1.doc_id
+        JOIN documents d2 ON vp.id2 = d2.doc_id
+        GROUP BY 1, 2
+    """,
+    description=(
+        "cross-source duplication matrix: verified near-dup pairs per "
+        "source pair (mirror/scrape detection; diagonal = within-source "
+        "duplication load)"
+    ),
+    tags=("llm-data", "dedup", "aggregate", "deterministic"),
+)
+def cross_source_duplicate_matrix(spark, sf_dir):
+    """Mirror detection: many near-dup pairs between two sources means one
+    scrapes the other — drop the copy, not random halves of both; the
+    diagonal rows expose each source's internal duplication load. Rides
+    the standard LSH-verified pair pipeline (banding projection,
+    candidates ~linear, array_intersect verify), then joins only the pair
+    ids against the doc→source lookup and rolls up to the |sources|² grain
+    — no text moves after the verify."""
+    from ..operators.dedup import lsh_verified_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_verified_near_dups(docs, "doc_id", "text", threshold=0.6)
+    s1 = docs.select(
+        F.col("doc_id").alias("id1"), F.col("source").alias("src1")
+    )
+    s2 = docs.select(
+        F.col("doc_id").alias("id2"), F.col("source").alias("src2")
+    )
+    return (
+        pairs.join(F.broadcast(s1), "id1")
+        .join(F.broadcast(s2), "id2")
+        .groupBy(
+            F.least("src1", "src2").alias("source_a"),
+            F.greatest("src1", "src2").alias("source_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("near_dup_pairs"))
     )
