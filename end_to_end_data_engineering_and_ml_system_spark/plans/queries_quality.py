@@ -1397,3 +1397,74 @@ def cross_source_duplicate_matrix(spark, sf_dir):
         )
         .agg(F.count("*").cast("bigint").alias("near_dup_pairs"))
     )
+
+
+@register(
+    "preference_pairs_split_counts",
+    oracle=f"""
+        WITH c AS ({_SQL_QCOUNTS}),
+        q AS (
+            SELECT doc_id, lang, {_SQL_FBP} AS fbp FROM c
+        ),
+        r AS (
+            SELECT
+                doc_id, lang, fbp,
+                ROW_NUMBER() OVER (
+                    PARTITION BY lang ORDER BY fbp DESC, doc_id
+                ) AS rk,
+                COUNT(*) OVER (PARTITION BY lang) AS n
+            FROM q
+        ),
+        p AS (
+            SELECT a.lang AS lang, a.doc_id AS chosen_doc_id,
+                   a.fbp - b.fbp AS margin_bp
+            FROM r a
+            JOIN r b
+              ON a.lang = b.lang AND b.rk = a.n - a.rk + 1 AND a.rk < b.rk
+            WHERE a.fbp - b.fbp >= 300
+        ),
+        s AS (
+            SELECT lang, margin_bp,
+                   CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT p.*,
+                       CAST(concat('0x', substr(md5(
+                            CAST(chosen_doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) / 4294967296.0 AS u
+                FROM p
+            )
+        )
+        SELECT split,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(margin_bp) AS BIGINT) AS sum_margin_bp,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM s
+        GROUP BY 1
+    """,
+    description=(
+        "leakage-safe RLHF pair splits: whole pairs assigned to "
+        "train/val/test by hash of the pair key — no pair straddles splits"
+    ),
+    tags=("ml", "sampling", "split", "deterministic"),
+)
+def preference_pairs_split_counts(spark, sf_dir):
+    """The split step a reward-model pipeline must get right: the UNIT of
+    assignment is the pair, keyed on chosen_doc_id (each doc appears in at
+    most one pair per side, so the key is unique per pair) — a random
+    row-level split would put a pair's two documents' gradient signal on
+    both sides of the eval boundary. Membership is the engine-portable
+    md5-range projection; no extra shuffle beyond the pair pipeline's
+    own."""
+    from ..operators.relational import deterministic_split
+
+    pairs = preference_pairs(spark, sf_dir)
+    split = deterministic_split(
+        pairs, "chosen_doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("margin_bp").cast("bigint").alias("sum_margin_bp"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
