@@ -46,6 +46,9 @@ SAMPLE = [
     "quality_classifier_auc",     # integer rank sums -> one division
     "corpus_pipeline_v2_learned", # logit gate + fingerprint dedup
     "bpe_initial_pair_counts",    # weighted pair counts, tie-broken topk
+    "events_t_closeness_audit",   # exact-integer TV numerator
+    "cross_source_duplicate_matrix",  # verified pairs -> source grain
+    "preference_pairs_split_counts",  # md5-range pair membership
 ]
 
 
