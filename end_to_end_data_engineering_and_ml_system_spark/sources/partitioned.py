@@ -35,6 +35,26 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(dest_dir)
 
 
+def overwrite_partitions_dynamic(
+    df: DataFrame, dest_dir: str, partition_cols: list[str]
+) -> None:
+    """Idempotent backfill: overwrite ONLY the Hive partitions present in
+    ``df``, leaving every other partition untouched — the correct-and-rerun
+    primitive for daily pipelines (static overwrite mode would wipe the
+    whole dataset; append mode would duplicate the corrected rows).
+    Scoped via the conf so the session default is restored afterwards."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    try:
+        spark.conf.set(key, "dynamic")
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(
+            dest_dir
+        )
+    finally:
+        spark.conf.set(key, prev)
+
+
 def read_pruned(
     spark: SparkSession, src_dir: str, predicate: str
 ) -> DataFrame:

@@ -203,3 +203,47 @@ def test_compaction_refuses_in_place(spark, tmp_path):
     d = str(tmp_path / "x")
     with pytest.raises(ValueError, match="in place"):
         compact_partitioned_dataset(spark, d, d, ["day"])
+
+
+def test_dynamic_partition_overwrite_backfills_only_touched(spark, sf_dir, tmp_path):
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.sources.partitioned import (
+        overwrite_partitions_dynamic,
+        write_partitioned,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    dest = str(tmp_path / "days")
+    write_partitioned(ev, dest, ["day"])
+    days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+    assert len(days) >= 3
+    target = days[1]
+
+    # the backfill: rewrite ONE day with corrected values
+    fixed = ev.filter(F.col("day") == target).withColumn(
+        "value", F.lit(-1.0)
+    )
+    overwrite_partitions_dynamic(fixed, dest, ["day"])
+
+    back = spark.read.parquet(dest)
+    # untouched partitions keep their original rows...
+    assert (
+        back.filter(F.col("day") != target).count()
+        == ev.filter(F.col("day") != target).count()
+    )
+    assert back.filter((F.col("day") != target) & (F.col("value") == -1.0)).count() == 0
+    # ...and the touched one holds exactly the corrected rows
+    got = back.filter(F.col("day") == target)
+    assert got.count() == fixed.count()
+    assert got.filter(F.col("value") != -1.0).count() == 0
+    # session conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        == "static"
+    )
