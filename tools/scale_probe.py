@@ -183,6 +183,68 @@ def main() -> None:
             d, "doc_id", "text", num_hashes=8, rows_per_band=2, n=3, threshold=0.6
         ),
     )
+
+    # round-5 operators
+    from end_to_end_data_engineering_and_ml_system_spark.ml.quality import (
+        quality_feature_counts,
+        quality_probability,
+        weak_label,
+    )
+
+    def score_deciles(d):
+        p = quality_probability()
+        return (
+            quality_feature_counts(d)
+            .select(F.floor(p * 10).alias("dc"), weak_label().alias("wl"))
+            .groupBy("dc")
+            .count()
+        )
+
+    probe("quality_score_deciles", score_deciles)
+
+    from pyspark.sql.window import Window as W
+
+    from end_to_end_data_engineering_and_ml_system_spark.ml.quality import (
+        fluency_bp,
+    )
+
+    def pref_pairs(d):
+        q = quality_feature_counts(d).select(
+            "doc_id", "lang", fluency_bp().alias("fbp")
+        )
+        w = W.partitionBy("lang").orderBy(F.desc("fbp"), F.asc("doc_id"))
+        r = q.select(
+            "doc_id",
+            "lang",
+            "fbp",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(W.partitionBy("lang")).alias("n"),
+        )
+        a, b = r.alias("a"), r.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.lang") == F.col("b.lang"))
+                & (F.col("b.rk") == F.col("a.n") - F.col("a.rk") + 1)
+                & (F.col("a.rk") < F.col("b.rk")),
+            )
+            .where(F.col("a.fbp") - F.col("b.fbp") >= 300)
+        )
+
+    probe("preference_pairs", pref_pairs)
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.bpe import (
+        learn_bpe_merges,
+    )
+
+    for mult in (1, n):
+        d = docs if mult == 1 else replicate(docs, "doc_id", mult)
+        t0 = time.perf_counter()
+        merges = learn_bpe_merges(d, n_merges=16, local_vocab_threshold=0)
+        print(
+            f"bpe_learn_distributed {mult}x: "
+            f"{time.perf_counter() - t0:.2f}s ({len(merges.merges)} merges)"
+        )
     probe(
         "cluster_labels",
         lambda d: dedup_cluster_labels(
