@@ -32,7 +32,14 @@ STOPWORDS_EN: tuple[str, ...] = (
 
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization with empty-token removal (BPE-ish regex split
-    is a drop-in replacement for subword counting)."""
+    is a drop-in replacement for subword counting).
+
+    Whitespace means ASCII ``\\s`` BY CONTRACT: Java regex (Spark) and RE2
+    (the DuckDB oracle) both scope ``\\s`` to ASCII, so unicode spaces
+    (U+00A0 and friends) are token characters here.  Python references must
+    use ``re.ASCII`` to agree — a unicode-aware ``\\s`` diverges on inputs
+    like ``'0\\xa00'`` (found by hypothesis, pinned in
+    test_properties.py)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != F.lit(""))
 
