@@ -59,3 +59,34 @@ def parse_ts_with_fallback(col: Column | str) -> Column:
     (ref: F7, streamlit_dashboard.py:73-77)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.coalesce(F.to_timestamp(c), F.current_timestamp())
+
+
+def trimmed_mean_cents_udaf():
+    """Grouped-aggregate pandas UDF (the declared UDAF surface, SURVEY
+    §2.11): 10–90% trimmed mean over integer cents.  Arrow ships each
+    group's column to one vectorized numpy computation — the shape for
+    custom aggregates the built-ins can't express.  Determinism: the
+    trim bounds interpolate between integers (numpy linear interpolation,
+    same formula as the oracle's quantile_cont), membership of integer
+    values against a strictly-between-integers bound is float-robust, and
+    the kept values sum as exact int64 with one final double division."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType (not type hints): this module uses
+    # ``from __future__ import annotations``, which stringifies hints and
+    # defeats pandas_udf's signature inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean_cents(cents):
+        import numpy as np
+
+        v = cents.to_numpy(dtype="int64")
+        if v.size == 0:
+            return float("nan")
+        lo = np.percentile(v, 10)
+        hi = np.percentile(v, 90)
+        kept = v[(v >= lo) & (v <= hi)]
+        if kept.size == 0:
+            return float("nan")
+        return float(int(kept.sum()) / kept.size)
+
+    return trimmed_mean_cents

@@ -1468,3 +1468,52 @@ def preference_pairs_split_counts(spark, sf_dir):
         F.sum("margin_bp").cast("bigint").alias("sum_margin_bp"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+@register(
+    "value_trimmed_mean_by_type",
+    oracle="""
+        WITH c AS (
+            SELECT event_type,
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM events
+        ),
+        b AS (
+            SELECT event_type,
+                   quantile_cont(cents, 0.1) AS lo,
+                   quantile_cont(cents, 0.9) AS hi
+            FROM c GROUP BY 1
+        )
+        SELECT
+            c.event_type,
+            CAST(SUM(c.cents) AS DOUBLE) / COUNT(*) / 100.0
+                AS trimmed_mean
+        FROM c JOIN b ON c.event_type = b.event_type
+        WHERE c.cents >= b.lo AND c.cents <= b.hi
+        GROUP BY 1
+    """,
+    description=(
+        "10-90% trimmed mean of event value per type via a grouped-agg "
+        "pandas UDF (the declared UDAF surface), oracle-checked"
+    ),
+    tags=("aggregate", "udaf", "robust", "deterministic"),
+)
+def value_trimmed_mean_by_type(spark, sf_dir):
+    """The custom-aggregate escape hatch, proven correct: a grouped-agg
+    pandas UDF (Arrow-batched, one numpy computation per group) computes
+    the outlier-robust trimmed mean the built-ins can't express directly —
+    checked bit-level against the oracle's quantile_cont formulation.
+    Exact integer cents inside; one double division per group at the end.
+    At 100 TB each group's values land on one executor (the UDAF contract)
+    — fine for bounded per-group cardinality; percentile-bounded built-in
+    filtering is the fallback for giant groups."""
+    from ..functions.scalars import trimmed_mean_cents_udaf
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    tm = trimmed_mean_cents_udaf()
+    return (
+        ev.select("event_type", cents.alias("cents"))
+        .groupBy("event_type")
+        .agg((tm(F.col("cents")) / 100.0).alias("trimmed_mean"))
+    )
