@@ -502,3 +502,28 @@ def duplicate_ngram_spans(
         )
         .drop("grp")
     )
+
+
+def chunk_documents_udtf(spark):
+    """The same chunking semantics as ``chunk_documents`` expressed as a
+    Python UDTF (the declared UDTF surface) — one input row fans out to
+    many chunk rows from the table function itself.  The BUILT-IN
+    ``sequence``/``posexplode`` version above remains the production path
+    (JVM-side, codegen'd); this registers ``chunk_udtf`` for SQL use and
+    returns the handle.  Parity with the built-in is asserted in
+    tests/test_text_ops.py."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_no bigint, chunk_text string")
+    class ChunkDocs:
+        def eval(self, doc_id, text, chunk_chars=512, overlap=64):
+            if text is None:
+                return
+            stride = chunk_chars - overlap
+            n = len(text)
+            n_chunks = max(1, -(-(n - overlap) // stride))
+            for i in range(n_chunks):
+                yield doc_id, i, text[i * stride : i * stride + chunk_chars]
+
+    spark.udtf.register("chunk_udtf", ChunkDocs)
+    return ChunkDocs

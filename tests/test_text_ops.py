@@ -230,3 +230,31 @@ def test_duplicate_ngram_spans_disjoint_runs_stay_separate(spark):
         if r["doc_id"] == 1
     )
     assert spans == [(1, 8), (17, 24)]
+
+
+def test_chunk_udtf_matches_builtin_chunker(spark, sf_dir):
+    from end_to_end_data_engineering_and_ml_system_spark.operators.text import (
+        chunk_documents,
+        chunk_documents_udtf,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    builtin = {
+        (r["doc_id"], r["chunk_no"], r["chunk_text"])
+        for r in chunk_documents(docs, "doc_id", "text").collect()
+    }
+    chunk_documents_udtf(spark)
+    docs.createOrReplaceTempView("docs_for_udtf")
+    via_udtf = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT c.doc_id, c.chunk_no, c.chunk_text "
+            "FROM docs_for_udtf d, "
+            "LATERAL chunk_udtf(d.doc_id, d.text) c"
+        ).collect()
+    }
+    assert via_udtf == builtin
+    assert builtin, "chunker must produce rows on the fixture corpus"
