@@ -35,6 +35,17 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("bench", help="run the headline benchmark (same as bench.py)")
 
+    sqlp = sub.add_parser(
+        "sql", help="run arbitrary SQL over the fixture tables (views "
+        "region/nation/customer/supplier/part/orders/lineitem/events/"
+        "documents/embeddings)"
+    )
+    sqlp.add_argument("statement")
+    sqlp.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    sqlp.add_argument("--show", type=int, default=20, help="rows to display")
+    sqlp.add_argument("--explain", action="store_true")
+
     # reference-verb commands (main.py:29-107 simulate/detect/setup + the
     # train_autoencoder.py training run), wired to the Spark-first parts
     simp = sub.add_parser(
@@ -84,6 +95,20 @@ def main(argv: list[str] | None = None) -> int:
             print(f"unknown query: {args.query}", file=sys.stderr)
             return 2
         print(q.oracle.strip() if q.oracle else "-- rows-only (no SQL oracle)")
+        return 0
+
+    if args.cmd == "sql":
+        from .session import get_spark
+        from .sources.catalog import TABLES, load_table
+
+        spark = get_spark(app_name="cli-sql")
+        spark.sparkContext.setLogLevel("ERROR")
+        for t in TABLES:
+            load_table(spark, args.sf_dir, t).createOrReplaceTempView(t)
+        df = spark.sql(args.statement)
+        if args.explain:
+            df.explain("formatted")
+        df.show(args.show, truncate=False)
         return 0
 
     if args.cmd == "setup":

@@ -58,3 +58,19 @@ def test_cli_detect_routes_all_rows(spark, sf_dir, capsys):
 
 def test_cli_setup_reports_missing_lib_not_raise():
     assert main(["setup"]) == 1  # no kafka-python in this container
+
+
+def test_cli_sql_front_door(capsys):
+    assert (
+        main(
+            [
+                "sql",
+                "SELECT COUNT(*) AS n FROM documents",
+                "--sf-dir",
+                "/root/testdata/sf0.001",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "500" in out
