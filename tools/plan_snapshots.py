@@ -25,6 +25,15 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 # streaming plans are covered by tests/test_streaming.py equivalence runs)
 SKIP_TAGS = {"streaming"}
 
+# round-5 flagship (non-bench) queries worth pinning alongside the bench set
+EXTRA_SNAPSHOTS = (
+    "quality_classifier_score_deciles",
+    "corpus_pipeline_v2_learned",
+    "user_rate_limit_violations",
+    "preference_pairs",
+    "event_series_correlation_matrix",
+)
+
 
 def normalize(plan: str) -> str:
     plan = re.sub(r"#\d+L?", "#x", plan)            # expression ids
@@ -65,6 +74,7 @@ def formatted_plan(df) -> str:
 def build_snapshots() -> str:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from end_to_end_data_engineering_and_ml_system_spark.plans.registry import (
+        all_queries,
         bench_queries,
     )
     from end_to_end_data_engineering_and_ml_system_spark.session import get_spark
@@ -97,7 +107,11 @@ def build_snapshots() -> str:
         "Curated commentary on WHY each plan looks this way lives in "
         "PLANS.md.\n",
     ]
-    for name, q in sorted(bench_queries().items()):
+    snap = dict(bench_queries())
+    snap.update(
+        (n, all_queries()[n]) for n in EXTRA_SNAPSHOTS if n in all_queries()
+    )
+    for name, q in sorted(snap.items()):
         if SKIP_TAGS & set(q.tags):
             parts.append(f"## {name}\n\n(streaming — plan not snapshotted; "
                          "see tests/test_streaming.py)\n")
