@@ -1517,3 +1517,42 @@ def value_trimmed_mean_by_type(spark, sf_dir):
         .groupBy("event_type")
         .agg((tm(F.col("cents")) / 100.0).alias("trimmed_mean"))
     )
+
+
+@register(
+    "tx_table_time_travel_counts",
+    oracle="""
+        SELECT 0 AS version,
+               CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rows
+        FROM events
+        UNION ALL
+        SELECT 1, CAST(COUNT(*) AS BIGINT) FROM events
+        ORDER BY version
+    """,
+    description=(
+        "versioned-table time travel: row counts of two committed "
+        "snapshots read back through the transaction log"
+    ),
+    tags=("table-format", "source", "deterministic"),
+)
+def tx_table_time_travel_counts(spark, sf_dir):
+    """The lakehouse read contract end-to-end: version 0 commits the
+    non-error events, version 1 appends the errors (append reuses v0's
+    immutable data files — only new files are written), and BOTH versions
+    are then read back via the manifest. The oracle recomputes each
+    snapshot's expected count from the raw table; matching proves commits
+    are complete and time travel returns exactly the committed files."""
+    from ..scratch import scratch_unique
+    from ..sources.txlog import TxTable
+
+    ev = load_table(spark, sf_dir, "events")
+    t = TxTable(spark, scratch_unique(spark, "txdemo"))
+    t.overwrite(ev.where(F.col("event_type") != "error"))
+    t.append(ev.where(F.col("event_type") == "error"))
+    rows = [
+        (v, t.snapshot(version=v).count()) for v in t.versions()
+    ]
+    return spark.createDataFrame(rows, "version int, n_rows long").orderBy(
+        "version"
+    )

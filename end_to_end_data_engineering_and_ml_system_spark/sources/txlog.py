@@ -1,0 +1,180 @@
+"""Minimal transaction-log table format: versioned parquet snapshots with
+atomic commits and time travel — the lakehouse primitive (the public
+Delta/Iceberg idea reduced to its core) that turns a directory of parquet
+into a TABLE a pipeline can safely append to, overwrite, and read
+consistently while writers run.
+
+Design (all standard, public log-structured-table ideas):
+
+- data files are immutable parquet parts written to ``<root>/data/<uuid>/``;
+- a VERSION is a JSON manifest ``<root>/_log/<N>.json`` listing exactly the
+  data directories visible at that version (plus lineage metadata);
+- a commit is write-manifest-to-temp + ``os.replace`` to its final name —
+  atomic on POSIX, so a reader never observes a half-written manifest;
+- readers resolve the latest version by listing ``_log`` (or pin an
+  explicit ``version=`` for time travel) and read ONLY the files that
+  manifest lists — a concurrent writer's uncommitted data files are
+  invisible by construction (snapshot isolation for readers);
+- single-writer discipline is the caller's job (same contract as the
+  registry/scratch modules: the log lives on a shared FS, the DRIVER
+  performs the metadata operations; executors only write data files via
+  Spark itself).
+
+This intentionally skips what the big formats add on top — optimistic
+multi-writer conflict detection, file-level stats pruning, compaction
+scheduling — but the READ path composes with everything here: a snapshot
+is just a parquet read, so pushdown/pruning/AQE all apply unchanged, and
+``compact`` rewrites small files into a new version with the same atomic
+commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=2, sort_keys=True)
+    os.replace(tmp, path)
+
+
+class TxTable:
+    """A versioned parquet table rooted at ``root`` (shared FS on a
+    cluster)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._log_dir = os.path.join(root, "_log")
+        self._data_dir = os.path.join(root, "data")
+
+    # -- metadata ----------------------------------------------------------
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self._log_dir):
+            return []
+        out = []
+        for f in os.listdir(self._log_dir):
+            if f.endswith(".json") and not f.startswith("."):
+                stem = f[: -len(".json")]
+                if stem.isdigit():
+                    out.append(int(stem))
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _manifest(self, version: int) -> dict:
+        with open(os.path.join(self._log_dir, f"{version}.json")) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        """The audit trail: one row per committed version."""
+        return [self._manifest(v) for v in self.versions()]
+
+    # -- writes ------------------------------------------------------------
+
+    def _write_data(self, df: DataFrame) -> str:
+        part = os.path.join(self._data_dir, uuid.uuid4().hex)
+        df.write.mode("error").parquet(part)
+        return part
+
+    def _commit(self, dirs: list[str], op: str) -> int:
+        os.makedirs(self._log_dir, exist_ok=True)
+        prev = self.latest_version()
+        version = 0 if prev is None else prev + 1
+        _atomic_write_json(
+            os.path.join(self._log_dir, f"{version}.json"),
+            {
+                "version": version,
+                "op": op,
+                "data_dirs": sorted(dirs),
+                "parent": prev,
+                "committed_at": time.time(),
+            },
+        )
+        return version
+
+    def overwrite(self, df: DataFrame) -> int:
+        """New version containing exactly ``df``. Old versions stay
+        readable (time travel) until vacuumed."""
+        return self._commit([self._write_data(df)], "overwrite")
+
+    def append(self, df: DataFrame) -> int:
+        """New version = previous version's files + ``df``'s new files —
+        the data files themselves are never rewritten."""
+        prev = self.latest_version()
+        dirs = [] if prev is None else list(self._manifest(prev)["data_dirs"])
+        dirs.append(self._write_data(df))
+        return self._commit(dirs, "append")
+
+    def merge(self, source: DataFrame, key_col: str, order_cols: list[str]) -> int:
+        """MERGE INTO as a new version: latest-per-key over (snapshot ∪
+        source), source winning ties — the batch form of the streaming
+        latest-state loop, committed atomically."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        snap = self.snapshot()
+        unioned = source if snap is None else snap.unionByName(source)
+        w = Window.partitionBy(key_col).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        merged = (
+            unioned.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        return self._commit([self._write_data(merged)], "merge")
+
+    def compact(self, target_partitions: int = 1) -> int:
+        """Small-file maintenance: rewrite the current snapshot into
+        ``target_partitions`` files as a new version (readers on old
+        versions are untouched)."""
+        snap = self.snapshot()
+        if snap is None:
+            raise ValueError("cannot compact an empty table")
+        return self._commit(
+            [self._write_data(snap.coalesce(target_partitions))], "compact"
+        )
+
+    # -- reads -------------------------------------------------------------
+
+    def snapshot(self, version: int | None = None) -> DataFrame | None:
+        """The table at ``version`` (default: latest); None if empty.
+        A plain parquet read of the manifest's files — pushdown, pruning,
+        and AQE apply as for any parquet scan."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return None
+        dirs = self._manifest(v)["data_dirs"]
+        return self.spark.read.parquet(*dirs)
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Drop data directories unreferenced by the ``keep_last`` newest
+        versions (and their manifests). Returns removed paths."""
+        import shutil
+
+        vs = self.versions()
+        if len(vs) <= keep_last:
+            return []
+        keep_vs = vs[-keep_last:]
+        keep_dirs = set()
+        for v in keep_vs:
+            keep_dirs.update(self._manifest(v)["data_dirs"])
+        removed = []
+        for v in vs[: -keep_last]:
+            for d in self._manifest(v)["data_dirs"]:
+                if d not in keep_dirs and os.path.isdir(d):
+                    shutil.rmtree(d)
+                    removed.append(d)
+            os.remove(os.path.join(self._log_dir, f"{v}.json"))
+        return removed

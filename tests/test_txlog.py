@@ -1,0 +1,86 @@
+"""Transaction-log table format: atomic versioned snapshots, time travel,
+append/merge/compact/vacuum, and reader isolation from uncommitted data."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+    load_table,
+)
+from end_to_end_data_engineering_and_ml_system_spark.sources.txlog import (
+    TxTable,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _events(spark):
+    return load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+
+
+def test_overwrite_append_time_travel(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    assert t.snapshot() is None
+    ev = _events(spark)
+
+    v0 = t.overwrite(ev.filter(F.col("event_type") == "click"))
+    v1 = t.append(ev.filter(F.col("event_type") == "error"))
+    assert (v0, v1) == (0, 1)
+
+    clicks = ev.filter(F.col("event_type") == "click").count()
+    errors = ev.filter(F.col("event_type") == "error").count()
+    assert t.snapshot(version=0).count() == clicks  # time travel
+    assert t.snapshot().count() == clicks + errors
+    assert [m["op"] for m in t.history()] == ["overwrite", "append"]
+
+
+def test_merge_is_latest_per_key(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b")], "k long, seq long, v string"
+    )
+    t.overwrite(base)
+    src = spark.createDataFrame(
+        [(2, 2, "b2"), (3, 1, "c")], "k long, seq long, v string"
+    )
+    t.merge(src, "k", ["seq"])
+    got = {(r["k"], r["v"]) for r in t.snapshot().collect()}
+    assert got == {(1, "a"), (2, "b2"), (3, "c")}
+    # the pre-merge version is still readable
+    assert {(r["k"], r["v"]) for r in t.snapshot(version=0).collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+
+
+def test_reader_isolated_from_uncommitted_writer(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    ev = _events(spark)
+    t.overwrite(ev.limit(100))
+    before = t.snapshot().count()
+    # writer crashes mid-write: data files land, NO manifest committed
+    t._write_data(ev.limit(50))
+    assert t.snapshot().count() == before
+    assert t.latest_version() == 0
+
+
+def test_compact_and_vacuum(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    ev = _events(spark)
+    t.overwrite(ev.repartition(6))
+    t.append(ev.limit(10))
+    n = t.snapshot().count()
+    t.compact(target_partitions=1)
+    assert t.snapshot().count() == n
+    removed = t.vacuum(keep_last=1)
+    assert removed, "vacuum must drop the superseded data dirs"
+    # latest survives, with the data intact
+    assert t.snapshot().count() == n
+    assert t.versions() == [2]
+    for d in removed:
+        assert not os.path.isdir(d)
