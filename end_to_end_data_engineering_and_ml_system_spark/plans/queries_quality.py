@@ -1556,3 +1556,47 @@ def tx_table_time_travel_counts(spark, sf_dir):
     return spark.createDataFrame(rows, "version int, n_rows long").orderBy(
         "version"
     )
+
+
+@register(
+    "stream_merge_into_tx_table",
+    oracle="""
+        SELECT user_id,
+               event_id AS last_event_id,
+               ts AS last_ts
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+    description=(
+        "streaming MERGE INTO the transaction-log table: one committed "
+        "version per micro-batch; final snapshot equals the batch SCD1 "
+        "view (full oracle)"
+    ),
+    tags=("streaming", "cdc", "table-format", "deterministic"),
+)
+def stream_merge_into_tx_table(spark, sf_dir):
+    """The versioned streaming-upsert loop: each micro-batch commits a
+    MERGE version into the txlog table, leaving an auditable one-version-
+    per-batch history, and the final snapshot is batch-split-independent
+    (ordering by (ts, event_id), not arrival) — so the streaming query
+    shares the batch SCD1 oracle verbatim. The invariant that the table
+    accumulated one version per non-empty batch is asserted in
+    tests/test_streaming.py."""
+    from ..scratch import scratch_unique
+    from ..sources.txlog import TxTable
+    from ..streaming.pipeline import events_stream, run_merge_into_table
+
+    table = TxTable(spark, scratch_unique(spark, "txmerge"))
+    state = run_merge_into_table(
+        events_stream(spark, sf_dir), table, "user_id", ["ts", "event_id"]
+    )
+    return state.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+    )

@@ -854,3 +854,51 @@ def run_latest_state_merge(
     if state_dir[0] is None:
         return spark.createDataFrame([], stream_df.schema)
     return spark.read.parquet(state_dir[0])
+
+
+def run_merge_into_table(
+    stream_df: DataFrame,
+    table,
+    key_col: str,
+    order_cols: list,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Streaming MERGE INTO a transaction-log table (sources/txlog.py):
+    each micro-batch compacts to its latest-per-key and commits one MERGE
+    version — so the table's history is the batch trail (one auditable
+    version per micro-batch) and its final snapshot equals the batch SCD1
+    view, independent of how the stream was split (ordering is by
+    ``order_cols``, not arrival). The versioned twin of
+    ``run_latest_state_merge``'s rotated snapshots."""
+    from pyspark.sql import Window
+
+    spark = stream_df.sparkSession
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(key_col).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.merge(latest(batch_df), key_col, list(order_cols))
+
+    ck = scratch_unique(spark, "txmerge_ck")
+    with _replay_shuffle_partitions(spark):
+        q = (
+            stream_df.writeStream.foreachBatch(process)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+    snap = table.snapshot()
+    if snap is None:
+        return spark.createDataFrame([], stream_df.schema)
+    return snap

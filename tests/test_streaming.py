@@ -498,3 +498,44 @@ def test_stream_topk_similarity_invariant_to_batch_split(spark, sf_dir):
     coarse = run(4)
     assert fine == coarse
     assert len(fine) == 4 * 3
+
+
+def test_stream_merge_into_tx_table_versions_and_state(spark, sf_dir, tmp_path):
+    from end_to_end_data_engineering_and_ml_system_spark.sources.txlog import (
+        TxTable,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.streaming.pipeline import (
+        events_stream,
+        run_merge_into_table,
+    )
+
+    table = TxTable(spark, str(tmp_path / "state"))
+    state = run_merge_into_table(
+        events_stream(spark, sf_dir), table, "user_id", ["ts", "event_id"]
+    )
+    # one committed MERGE version per non-empty micro-batch (8 staged
+    # files / 2 per trigger = 4 batches), all auditable in the history
+    hist = table.history()
+    assert len(hist) >= 2
+    assert all(m["op"] == "merge" for m in hist)
+    # final snapshot is the batch SCD1 view
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = {
+        (r["user_id"], r["event_id"])
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    got = {(r["user_id"], r["event_id"]) for r in state.collect()}
+    assert got == want
+    # earlier versions are PARTIAL states (fewer or equal users), readable
+    v0 = table.snapshot(version=0)
+    assert v0.count() <= len(want)
