@@ -158,6 +158,38 @@ class TxTable:
         dirs = self._manifest(v)["data_dirs"]
         return self.spark.read.parquet(*dirs)
 
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Rows added between ``from_version`` (exclusive) and
+        ``to_version`` (inclusive, default latest) — the incremental-
+        consumption feed a downstream pipeline reads instead of rescanning
+        the table (the public change-data-feed idea).
+
+        Append versions are FREE to diff: the change set is exactly the
+        data dirs the manifests added, so only new files are read. A
+        non-append version in the range (overwrite/merge/compact rewrites
+        file sets without row-level lineage) falls back to the snapshot
+        anti-join diff — correct, but full-scan; pipelines that need cheap
+        CDC should write via ``append``/``merge`` with a key, and consume
+        merge versions keyed (the merge output IS the upserted state)."""
+        vs = self.versions()
+        to_v = self.latest_version() if to_version is None else to_version
+        if from_version not in vs or to_v not in vs or from_version > to_v:
+            raise ValueError(f"bad version range {from_version}..{to_v}")
+        rng = [v for v in vs if from_version < v <= to_v]
+        if all(self._manifest(v)["op"] == "append" for v in rng):
+            base = set(self._manifest(from_version)["data_dirs"])
+            new_dirs = [
+                d
+                for d in self._manifest(to_v)["data_dirs"]
+                if d not in base
+            ]
+            if not new_dirs:
+                return self.snapshot(from_version).limit(0)
+            return self.spark.read.parquet(*new_dirs)
+        old = self.snapshot(from_version)
+        new = self.snapshot(to_v)
+        return new.exceptAll(old)
+
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Drop data directories unreferenced by the ``keep_last`` newest
         versions (and their manifests). Returns removed paths."""

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
@@ -84,3 +85,41 @@ def test_compact_and_vacuum(spark, tmp_path):
     assert t.versions() == [2]
     for d in removed:
         assert not os.path.isdir(d)
+
+
+def test_changes_append_fast_path_and_diff_fallback(spark, tmp_path):
+    from tests.planutil import physical_plan
+
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    ev = _events(spark)
+    clicks = ev.filter(F.col("event_type") == "click")
+    errors = ev.filter(F.col("event_type") == "error")
+    views = ev.filter(F.col("event_type") == "view")
+
+    t.overwrite(clicks)          # v0
+    t.append(errors)             # v1
+    t.append(views)              # v2
+
+    # append-only range: changes = exactly the appended rows, and the plan
+    # reads ONLY the new files (no join/except against the base snapshot)
+    ch = t.changes(0, 2)
+    got = {r["event_id"] for r in ch.collect()}
+    want = {r["event_id"] for r in errors.unionByName(views).collect()}
+    assert got == want
+    assert "Except" not in physical_plan(ch)
+
+    # a merge in the range forces the snapshot-diff fallback, still correct
+    t.merge(
+        spark.createDataFrame(
+            [(clicks.first()["event_id"], clicks.first()["ts"], "click", 99.0)],
+            "event_id long, ts timestamp_ntz, event_type string, value double",
+        ),
+        "event_id",
+        ["value"],
+    )                            # v3 (rewrites the file set)
+    diff = t.changes(2, 3)
+    rows = diff.collect()
+    assert any(r["value"] == 99.0 for r in rows)
+
+    with pytest.raises(ValueError):
+        t.changes(2, 1)
