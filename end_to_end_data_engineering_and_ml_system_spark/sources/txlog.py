@@ -38,6 +38,16 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _stat_json(v):
+    """JSON-comparable stat encoding: datetimes to ISO strings (ordering
+    preserved), everything else as-is."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    return v
+
+
 def _atomic_write_json(path: str, obj: dict) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -49,9 +59,20 @@ class TxTable:
     """A versioned parquet table rooted at ``root`` (shared FS on a
     cluster)."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        stats_cols: tuple = (),
+    ):
+        """``stats_cols`` enables manifest-level data skipping: each data
+        dir's min/max for those columns is computed at WRITE time (one
+        tiny aggregate per commit) and stored beside the dir, so
+        ``snapshot_pruned`` can skip whole file sets from metadata alone —
+        the public data-skipping idea, at directory granularity."""
         self.spark = spark
         self.root = root
+        self.stats_cols = tuple(stats_cols)
         self._log_dir = os.path.join(root, "_log")
         self._data_dir = os.path.join(root, "data")
 
@@ -85,7 +106,32 @@ class TxTable:
     def _write_data(self, df: DataFrame) -> str:
         part = os.path.join(self._data_dir, uuid.uuid4().hex)
         df.write.mode("error").parquet(part)
+        if self.stats_cols:
+            from pyspark.sql import functions as F
+
+            aggs = []
+            for c in self.stats_cols:
+                aggs += [
+                    F.min(c).alias(f"{c}__min"),
+                    F.max(c).alias(f"{c}__max"),
+                ]
+            row = df.agg(*aggs).first()
+            stats = {
+                c: {
+                    "min": _stat_json(row[f"{c}__min"]),
+                    "max": _stat_json(row[f"{c}__max"]),
+                }
+                for c in self.stats_cols
+            }
+            _atomic_write_json(f"{part}.stats.json", stats)
         return part
+
+    def _dir_stats(self, d: str) -> dict | None:
+        p = f"{d}.stats.json"
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
 
     def _commit(self, dirs: list[str], op: str) -> int:
         os.makedirs(self._log_dir, exist_ok=True)
@@ -157,6 +203,31 @@ class TxTable:
             return None
         dirs = self._manifest(v)["data_dirs"]
         return self.spark.read.parquet(*dirs)
+
+    def snapshot_pruned(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> DataFrame | None:
+        """Snapshot restricted to ``lo <= col <= hi``, skipping every data
+        dir whose recorded [min,max] cannot overlap the range — metadata-
+        only planning before any parquet footer is opened (dirs without
+        stats are read, never wrongly skipped). The row-level filter is
+        still applied, so the result is exact; the stats only cut I/O."""
+        from pyspark.sql import functions as F
+
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return None
+        lo_j, hi_j = _stat_json(lo), _stat_json(hi)
+        keep = []
+        for d in self._manifest(v)["data_dirs"]:
+            s = (self._dir_stats(d) or {}).get(col)
+            if s is None or not (s["max"] < lo_j or s["min"] > hi_j):
+                keep.append(d)
+        if not keep:
+            return self.snapshot(v).limit(0).filter(F.col(col).isNull())
+        return self.spark.read.parquet(*keep).filter(
+            (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        )
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Rows added between ``from_version`` (exclusive) and

@@ -123,3 +123,32 @@ def test_changes_append_fast_path_and_diff_fallback(spark, tmp_path):
 
     with pytest.raises(ValueError):
         t.changes(2, 1)
+
+
+def test_manifest_stats_skip_disjoint_dirs(spark, tmp_path):
+    from tests.planutil import physical_plan
+
+    t = TxTable(spark, str(tmp_path / "tbl"), stats_cols=("value",))
+    low = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, value double"
+    )
+    high = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000, 1010)], "k long, value double"
+    )
+    t.overwrite(low)
+    t.append(high)
+
+    pruned = t.snapshot_pruned("value", 1000.0, 2000.0)
+    assert pruned.count() == 10
+    # only ONE data dir survives metadata pruning (the scan's file index
+    # holds one root path; full paths are truncated in plan strings)
+    plan = physical_plan(pruned)
+    assert "1 paths" in plan, plan
+    # a range overlapping both reads both and stays exact
+    both = t.snapshot_pruned("value", 5.0, 1005.0)
+    assert both.count() == 5 + 6
+    # dirs without stats are never wrongly skipped
+    t2 = TxTable(spark, str(tmp_path / "tbl2"))  # no stats_cols
+    t2.overwrite(low)
+    t2b = TxTable(spark, str(tmp_path / "tbl2"), stats_cols=("value",))
+    assert t2b.snapshot_pruned("value", 0.0, 3.0).count() == 4
