@@ -1,12 +1,24 @@
-"""Top-level convenience API (PEP 562 lazy exports — importing the package
-stays free of Spark/pandas import cost until a symbol is touched).
+"""PySpark-native analytics engine with the query and data-processing
+capabilities of the reference system (a network-anomaly-detection pipeline:
+batch ETL, streaming scoring, windowed dashboard analytics, ML scoring), plus
+the large-scale training-data operators (dedup, similarity search, text
+analysis, multimodal columns, learned quality filtering, tokenizer training,
+versioned tables) required at 100 TB scale.
 
-The full surface lives in the submodules (operators/, sources/, ml/,
-streaming/, plans/); these are the entry points a pipeline author reaches
-for first.
+Everything here is built on public Apache Spark APIs only: DataFrame/SQL for
+batch, Structured Streaming for streams, MLlib for feature/ML pipelines, and
+Arrow-vectorized pandas UDFs where built-ins genuinely cannot express the
+semantics. No driver-side collects on the data path (the reference's defining
+anti-pattern, see SURVEY.md §4).
+
+The names exported here are PEP 562 lazy — importing the package stays free
+of Spark/pandas import cost until a symbol is touched; the full surface
+lives in the submodules (operators/, sources/, ml/, streaming/, plans/).
 """
 
 from __future__ import annotations
+
+__version__ = "0.1.0"
 
 _EXPORTS = {
     # session + catalog
