@@ -258,3 +258,102 @@ def _mse_partials(w: np.ndarray):
             yield pd.DataFrame({"s": [s], "mn": [mn], "mx": [mx], "n": [n]})
 
     return fn
+
+
+KMEANS_SCHEMA = (
+    "cluster int, vec_sum array<double>, n long, inertia double"
+)
+
+
+def _kmeans_partials(centroids: np.ndarray):
+    """Per-partition Lloyd's partials: each row assigns to its nearest
+    centroid (squared euclidean, ties to the lowest centroid id via
+    argmin), contributing its vector to that cluster's sum and its
+    distance to the inertia.  Vectorized numpy over Arrow batches."""
+
+    def fn(batches):
+        import pandas as pd
+
+        k, d = centroids.shape
+        sums = np.zeros((k, d))
+        counts = np.zeros(k, dtype=np.int64)
+        inertia = np.zeros(k)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["features"].to_numpy())  # (b, d)
+            # (b, k) squared distances
+            d2 = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                m = assign == c
+                if m.any():
+                    sums[c] += x[m].sum(axis=0)
+                    counts[c] += int(m.sum())
+                    inertia[c] += float(d2[m, c].sum())
+        yield pd.DataFrame(
+            {
+                "cluster": np.arange(k, dtype=np.int32),
+                "vec_sum": [s.tolist() for s in sums],
+                "n": counts,
+                "inertia": inertia,
+            }
+        )
+
+    return fn
+
+
+@dataclass
+class KMeansFitResult:
+    centroids: np.ndarray
+    inertias: list[float]  # total inertia per iteration, BEFORE the update
+
+
+def fit_kmeans_lloyd(
+    features: DataFrame,
+    id_col: str,
+    k: int = 8,
+    iters: int = 5,
+) -> KMeansFitResult:
+    """Distributed Lloyd's k-means with a DETERMINISTIC md5-medoid init
+    (the k rows with the smallest ``md5(id)`` become the initial
+    centroids — engine-portable, no RNG), completing the trainer family
+    (linear AE, logistic classifier, now clustering).  Same
+    parameter-server shape: per iteration one ``mapInPandas`` aggregation
+    collects ``#partitions × k`` partial rows; only the k×d centroid
+    matrix rides in the closure.  Lloyd's guarantees the inertia sequence
+    is non-increasing — the pytest invariant."""
+    from pyspark.sql import functions as F
+
+    init_rows = (
+        features.select(id_col, "features")
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(f"need at least {k} rows, got {len(init_rows)}")
+    centroids = np.array([r["features"] for r in init_rows], dtype=float)
+    df = features.select("features")
+    inertias: list[float] = []
+    for _ in range(iters):
+        parts = df.mapInPandas(
+            _kmeans_partials(centroids), KMEANS_SCHEMA
+        ).collect()
+        k_, d = centroids.shape
+        sums = np.zeros((k_, d))
+        counts = np.zeros(k_)
+        total_inertia = 0.0
+        for p in parts:
+            c = p["cluster"]
+            sums[c] += np.asarray(p["vec_sum"])
+            counts[c] += p["n"]
+            total_inertia += p["inertia"]
+        inertias.append(total_inertia)
+        # empty clusters keep their centroid (standard Lloyd's fallback)
+        nonempty = counts > 0
+        centroids = centroids.copy()
+        centroids[nonempty] = (
+            sums[nonempty] / counts[nonempty, None]
+        )
+    return KMeansFitResult(centroids=centroids, inertias=inertias)

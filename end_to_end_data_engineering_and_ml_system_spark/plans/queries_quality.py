@@ -1600,3 +1600,145 @@ def stream_merge_into_tx_table(spark, sf_dir):
         F.col("event_id").alias("last_event_id"),
         F.col("ts").alias("last_ts"),
     )
+
+
+@register(
+    "kmeans_inertia_curve",
+    oracle=None,  # iterative float optimization (centroid means depend on
+    # float summation order) — Lloyd's monotone-inertia guarantee and the
+    # deterministic init are pytest invariants; iteration 0 is
+    # oracle-checked below
+    description=(
+        "distributed Lloyd's k-means on embeddings: per-iteration total "
+        "inertia (deterministic md5-medoid init, parameter-server loop)"
+    ),
+    tags=("ml", "training", "clustering", "no-oracle"),
+)
+def kmeans_inertia_curve(spark, sf_dir):
+    """The third canonical trainer (after the linear AE and the logistic
+    filter): one mapInPandas aggregation per Lloyd's iteration collects
+    #partitions × k partial rows; only the k×d centroid matrix moves.
+    Inertia is non-increasing by construction — the invariant pytest
+    pins."""
+    from ..ml.training import fit_kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias(
+            "features"
+        ),
+    )
+    fit = fit_kmeans_lloyd(emb, "vec_id", k=8, iters=6)
+    return spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(fit.inertias)],
+        "iteration int, inertia double",
+    )
+
+
+@register(
+    "kmeans_init_assignment_portable",
+    oracle="""
+        -- iteration 0 of Lloyd's under the deterministic md5-medoid init,
+        -- recomputed from scratch: cluster sizes of the first assignment.
+        -- squared distances sum DECIMAL-exact (order-free), ties broken by
+        -- medoid rank.
+        WITH m AS (
+            SELECT vec_id AS medoid_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS cluster_rank
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT 8
+        ),
+        ex AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ),
+        cx AS (
+            SELECT m.cluster_rank, e.pos, e.x AS c
+            FROM m JOIN ex e ON e.vec_id = m.medoid_id
+        ),
+        d AS (
+            SELECT e.vec_id, c.cluster_rank,
+                   SUM(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(28,10)))
+                       AS d2
+            FROM ex e JOIN cx c ON e.pos = c.pos
+            GROUP BY 1, 2
+        ),
+        a AS (
+            SELECT vec_id, cluster_rank,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY d2, cluster_rank
+                   ) AS rn
+            FROM d
+        )
+        SELECT CAST(cluster_rank AS INT) AS cluster_rank,
+               CAST(COUNT(*) AS BIGINT) AS n_assigned
+        FROM a
+        WHERE rn = 1
+        GROUP BY 1
+    """,
+    description=(
+        "Lloyd's iteration-0 assignment under the md5-medoid init, "
+        "oracle-checked (decimal-exact distances, rank tie-break)"
+    ),
+    tags=("ml", "clustering", "deterministic"),
+)
+def kmeans_init_assignment_portable(spark, sf_dir):
+    """Cross-engine proof of the k-means core: the deterministic init and
+    the nearest-centroid assignment recomputed declaratively (posexplode +
+    pos-join + decimal-exact squared distances + rank-tie argmin) and
+    checked against a from-scratch SQL oracle — the same pin-the-portable-
+    core pattern as bpe_initial_pair_counts. Later iterations average
+    floats and stay rows-only by necessity."""
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = (
+        emb.select(
+            F.col("vec_id").alias("medoid_id"),
+            (
+                F.row_number().over(
+                    W.orderBy(
+                        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+                    )
+                )
+                - 1
+            ).alias("cluster_rank"),
+        )
+        .orderBy("cluster_rank")
+        .limit(8)
+    )
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    cx = m.join(
+        ex.select(
+            F.col("vec_id").alias("medoid_id"),
+            "pos",
+            F.col("x").alias("c"),
+        ),
+        "medoid_id",
+    )
+    d = (
+        ex.join(F.broadcast(cx.select("cluster_rank", "pos", "c")), "pos")
+        .groupBy("vec_id", "cluster_rank")
+        .agg(
+            F.sum(
+                (
+                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+                ).cast("decimal(28,10)")
+            ).alias("d2")
+        )
+    )
+    a = d.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("vec_id").orderBy("d2", "cluster_rank")
+        ),
+    ).where(F.col("rn") == 1)
+    return a.groupBy(
+        F.col("cluster_rank").cast("int").alias("cluster_rank")
+    ).agg(F.count("*").cast("bigint").alias("n_assigned"))

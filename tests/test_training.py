@@ -73,3 +73,32 @@ def test_empty_frame_raises(spark):
     empty = spark.createDataFrame([], "features array<double>")
     with pytest.raises(ValueError, match="empty training frame"):
         fit_linear_autoencoder(empty, dim=4, k=2, epochs=1)
+
+
+def test_kmeans_lloyd_monotone_and_deterministic(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_and_ml_system_spark.ml.training import (
+        fit_kmeans_lloyd,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias(
+            "features"
+        ),
+    )
+    fit = fit_kmeans_lloyd(emb, "vec_id", k=4, iters=5)
+    # Lloyd's guarantee: inertia never increases
+    for a, b in zip(fit.inertias, fit.inertias[1:]):
+        assert b <= a + 1e-9
+    assert fit.inertias[-1] < fit.inertias[0], "must actually improve"
+    # deterministic init: same result across partitionings (float sums in
+    # centroid means can differ in low bits — compare assignments shape)
+    again = fit_kmeans_lloyd(emb.repartition(7), "vec_id", k=4, iters=5)
+    import numpy as np
+
+    assert np.allclose(fit.centroids, again.centroids, atol=1e-9)
