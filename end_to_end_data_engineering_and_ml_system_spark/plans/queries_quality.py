@@ -1742,3 +1742,107 @@ def kmeans_init_assignment_portable(spark, sf_dir):
     return a.groupBy(
         F.col("cluster_rank").cast("int").alias("cluster_rank")
     ).agg(F.count("*").cast("bigint").alias("n_assigned"))
+
+
+@register(
+    "hourly_seasonal_naive_mase",
+    oracle="""
+        -- seasonal-naive benchmark forecast (yhat[h] = y[h-168]) scored
+        -- with MASE: mean|err| over mean|one-step naive err|, both sums of
+        -- exact integer count differences; doubles only in the final
+        -- division.
+        WITH bounds AS (
+            SELECT date_trunc('hour', MIN(ts)) AS h0,
+                   date_trunc('hour', MAX(ts)) AS h1
+            FROM events
+        ),
+        spine AS (
+            SELECT t.event_type, s.hour
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN bounds
+            CROSS JOIN LATERAL (
+                SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                    AS hour
+            ) s
+        ),
+        c AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        y AS (
+            SELECT spine.event_type, spine.hour,
+                   COALESCE(c.n, 0) AS n
+            FROM spine LEFT JOIN c
+              ON spine.event_type = c.event_type AND spine.hour = c.hour
+        ),
+        l AS (
+            SELECT event_type, hour, n,
+                   LAG(n, 168) OVER (
+                       PARTITION BY event_type ORDER BY hour) AS season,
+                   LAG(n, 1) OVER (
+                       PARTITION BY event_type ORDER BY hour) AS prev
+            FROM y
+        )
+        SELECT
+            event_type,
+            CAST(COUNT(*) AS BIGINT) AS n_scored,
+            CAST(SUM(abs(n - season)) AS BIGINT) AS sum_abs_err,
+            CAST(SUM(abs(n - prev)) AS BIGINT) AS sum_abs_naive_err,
+            CAST(SUM(abs(n - season)) AS DOUBLE)
+                / CAST(SUM(abs(n - prev)) AS DOUBLE) AS mase
+        FROM l
+        WHERE season IS NOT NULL AND prev IS NOT NULL
+        GROUP BY 1
+    """,
+    description=(
+        "seasonal-naive hourly forecast benchmark scored with MASE "
+        "(exact integer error sums over the zero-filled spine)"
+    ),
+    tags=("analytics", "timeseries", "forecast", "deterministic"),
+)
+def hourly_seasonal_naive_mase(spark, sf_dir):
+    """The forecasting-benchmark discipline: before any model ships, beat
+    seasonal-naive (same hour last week) — MASE < 1 means you did. All
+    error sums are exact integer count differences over the zero-filled
+    hour spine; the lag windows ride the per-type ordered slice (one
+    shuffle on event_type)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    ).first()
+    spine_hours = spark.sql(
+        "SELECT explode(sequence(TIMESTAMP_NTZ'{lo}', TIMESTAMP_NTZ'{hi}', "
+        "INTERVAL 1 HOUR)) AS hour".format(lo=bounds["lo"], hi=bounds["hi"])
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(spine_hours)
+    c = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n"))
+    y = spine.join(c, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    w = W.partitionBy("event_type").orderBy("hour")
+    l = y.select(
+        "event_type",
+        "n",
+        F.lag("n", 168).over(w).alias("season"),
+        F.lag("n", 1).over(w).alias("prev"),
+    ).where(F.col("season").isNotNull() & F.col("prev").isNotNull())
+    return l.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_scored"),
+        F.sum(F.abs(F.col("n") - F.col("season")))
+        .cast("bigint")
+        .alias("sum_abs_err"),
+        F.sum(F.abs(F.col("n") - F.col("prev")))
+        .cast("bigint")
+        .alias("sum_abs_naive_err"),
+        (
+            F.sum(F.abs(F.col("n") - F.col("season"))).cast("double")
+            / F.sum(F.abs(F.col("n") - F.col("prev"))).cast("double")
+        ).alias("mase"),
+    )
