@@ -1846,3 +1846,52 @@ def hourly_seasonal_naive_mase(spark, sf_dir):
             / F.sum(F.abs(F.col("n") - F.col("prev"))).cast("double")
         ).alias("mase"),
     )
+
+
+@register(
+    "near_dup_triangle_census",
+    oracle=f"""
+        WITH RECURSIVE t AS ({_SQL_SHINGLES}),
+        {_SQL_VERIFIED_PAIRS}
+        SELECT
+            CAST((SELECT COUNT(*) FROM vp) AS BIGINT) AS n_edges,
+            CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM vp ab
+        JOIN vp bc ON ab.id2 = bc.id1
+        JOIN vp ac ON ac.id1 = ab.id1 AND ac.id2 = bc.id2
+    """,
+    description=(
+        "triangle census of the verified near-dup graph: cliquish replica "
+        "groups vs chain-like gradual drift (second graph primitive after "
+        "connected components)"
+    ),
+    tags=("dedup", "graph", "aggregate", "deterministic"),
+)
+def near_dup_triangle_census(spark, sf_dir):
+    """Whether near-dups form CLIQUES (replica floods — safe to keep one
+    canonical doc) or CHAINS (gradual drift — transitive clustering may
+    over-merge) is the triangle density question. Edges are ordered
+    (id1<id2), so each triangle is counted exactly once by the
+    ab⋈bc⋈ac join; at corpus scale the standard degree-ordered orientation
+    keeps the join linear in edges (near-dup graphs are sparse — the
+    candidates are ~linear by construction)."""
+    from ..operators.dedup import lsh_verified_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    vp = lsh_verified_near_dups(docs, "doc_id", "text", threshold=0.6)
+    n_edges = vp.count()
+    ab = vp.alias("ab")
+    bc = vp.alias("bc")
+    ac = vp.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.id2") == F.col("bc.id1"))
+        .join(
+            ac,
+            (F.col("ac.id1") == F.col("ab.id1"))
+            & (F.col("ac.id2") == F.col("bc.id2")),
+        )
+        .count()
+    )
+    return spark.createDataFrame(
+        [(n_edges, tri)], "n_edges long, n_triangles long"
+    )
