@@ -49,6 +49,11 @@ SAMPLE = [
     "events_t_closeness_audit",   # exact-integer TV numerator
     "cross_source_duplicate_matrix",  # verified pairs -> source grain
     "preference_pairs_split_counts",  # md5-range pair membership
+    "value_trimmed_mean_by_type", # UDAF over exact cents
+    "hourly_seasonal_naive_mase", # integer error sums over the spine
+    "kmeans_init_assignment_portable",  # decimal-exact distances
+    "near_dup_triangle_census",   # ordered-edge triple join
+    "tx_table_time_travel_counts",  # committed-manifest reads
 ]
 
 
