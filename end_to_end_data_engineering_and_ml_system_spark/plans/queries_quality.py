@@ -1895,3 +1895,71 @@ def near_dup_triangle_census(spark, sf_dir):
     return spark.createDataFrame(
         [(n_edges, tri)], "n_edges long, n_triangles long"
     )
+
+
+@register(
+    "term_posting_stats",
+    oracle="""
+        -- inverted-index build, summarized: per-term document frequency,
+        -- total occurrences, and the first (lowest-id) posting — the
+        -- search-index construction shape, top-25 terms by df with
+        -- lexicographic tie-break
+        WITH tok AS (
+            SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(trim(text), '\\s+'),
+                tk -> tk <> '')) AS term
+            FROM documents
+        ),
+        post AS (
+            SELECT term, doc_id, COUNT(*) AS tf
+            FROM tok GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT term,
+                   CAST(COUNT(*) AS BIGINT) AS df,
+                   CAST(SUM(tf) AS BIGINT) AS total_occurrences,
+                   CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+            FROM post GROUP BY 1
+        )
+        SELECT term, df, total_occurrences, first_doc_id
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY df DESC, term) AS rn
+            FROM stats
+        )
+        WHERE rn <= 25
+    """,
+    description=(
+        "inverted-index construction stats: per-term df / occurrences / "
+        "first posting, top-25 by document frequency"
+    ),
+    tags=("text", "index", "aggregate", "deterministic"),
+)
+def term_posting_stats(spark, sf_dir):
+    """The search-index build as a declarative plan: explode terms, reduce
+    to the (term, doc) posting grain (map-side combined — within-doc
+    repeats collapse before the shuffle), then the per-term rollup. At
+    100 TB the posting grain IS the index; this query materializes its
+    health stats. Deterministic: integer counts, lexicographic
+    tie-break."""
+    from ..operators.text import tokens
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    post = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    stats = post.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("total_occurrences"),
+        F.min("doc_id").cast("bigint").alias("first_doc_id"),
+    )
+    return (
+        stats.withColumn(
+            "rn",
+            F.row_number().over(W.orderBy(F.desc("df"), F.asc("term"))),
+        )
+        .where(F.col("rn") <= 25)
+        .drop("rn")
+    )
