@@ -1963,3 +1963,88 @@ def term_posting_stats(spark, sf_dir):
         .where(F.col("rn") <= 25)
         .drop("rn")
     )
+
+
+@register(
+    "join_cardinality_estimate_vs_actual",
+    oracle="""
+        -- the textbook CBO estimate |R ⋈ S| ≈ |R|·|S| / max(d_R, d_S)
+        -- versus ground truth, per join — the estimator audit an optimizer
+        -- engineer runs when plans pick bad strategies. Exact integers in,
+        -- one double division out.
+        WITH s AS (
+            SELECT
+                (SELECT COUNT(*) FROM orders) AS n_o,
+                (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS d_o,
+                (SELECT COUNT(*) FROM customer) AS n_c,
+                (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS d_c,
+                (SELECT COUNT(*) FROM orders o
+                 JOIN customer c ON o.o_custkey = c.c_custkey) AS actual_oc,
+                (SELECT COUNT(*) FROM lineitem) AS n_l,
+                (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS d_l,
+                (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS d_ok,
+                (SELECT COUNT(*) FROM lineitem l
+                 JOIN orders o ON l.l_orderkey = o.o_orderkey) AS actual_lo
+        )
+        SELECT * FROM (
+            SELECT 'orders_customer' AS join_name,
+                   CAST(n_o AS BIGINT) AS n_left,
+                   CAST(n_c AS BIGINT) AS n_right,
+                   CAST(floor(n_o * n_c / greatest(d_o, d_c)) AS BIGINT)
+                       AS estimated_rows,
+                   CAST(actual_oc AS BIGINT) AS actual_rows,
+                   CAST(floor(n_o * n_c / greatest(d_o, d_c)) AS DOUBLE)
+                       / CAST(actual_oc AS DOUBLE) AS est_over_actual
+            FROM s
+            UNION ALL
+            SELECT 'lineitem_orders',
+                   CAST(n_l AS BIGINT), CAST(n_o AS BIGINT),
+                   CAST(floor(n_l * n_o / greatest(d_l, d_ok)) AS BIGINT),
+                   CAST(actual_lo AS BIGINT),
+                   CAST(floor(n_l * n_o / greatest(d_l, d_ok)) AS DOUBLE)
+                       / CAST(actual_lo AS DOUBLE)
+            FROM s
+        ) ORDER BY join_name
+    """,
+    description=(
+        "CBO estimator audit: textbook equi-join cardinality estimate vs "
+        "ground truth for the two core joins"
+    ),
+    tags=("optimizer", "diagnostics", "aggregate", "deterministic"),
+)
+def join_cardinality_estimate_vs_actual(spark, sf_dir):
+    """Why plans go wrong, quantified: the uniform-frequency estimate
+    |R|·|S|/max(d_R,d_S) against the true join size. A ratio near 1 means
+    NDV statistics alone would plan this join well; far from 1 flags skew
+    that needs histograms (or the engine's salting/AQE paths). All inputs
+    are exact integer counts — the estimate division floors identically
+    in both engines (DuckDB integer / is double division, so both sides
+    CAST the double quotient to BIGINT)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    n_o = orders.count()
+    d_o = orders.select("o_custkey").distinct().count()
+    n_c = cust.count()
+    d_c = cust.select("c_custkey").distinct().count()
+    actual_oc = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).count()
+    n_l = li.count()
+    d_l = li.select("l_orderkey").distinct().count()
+    d_ok = orders.select("o_orderkey").distinct().count()
+    actual_lo = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+
+    def row(name, nl, nr, dl, dr, actual):
+        est = int(nl * nr / max(dl, dr))
+        return (name, nl, nr, est, actual, float(est) / float(actual))
+
+    rows = [
+        row("lineitem_orders", n_l, n_o, d_l, d_ok, actual_lo),
+        row("orders_customer", n_o, n_c, d_o, d_c, actual_oc),
+    ]
+    return spark.createDataFrame(
+        sorted(rows),
+        "join_name string, n_left long, n_right long, estimated_rows long,"
+        " actual_rows long, est_over_actual double",
+    )
