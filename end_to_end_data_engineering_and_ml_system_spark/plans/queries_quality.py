@@ -2048,3 +2048,58 @@ def join_cardinality_estimate_vs_actual(spark, sf_dir):
         "join_name string, n_left long, n_right long, estimated_rows long,"
         " actual_rows long, est_over_actual double",
     )
+
+
+@register(
+    "order_price_equidepth_histogram",
+    oracle="""
+        -- equi-DEPTH histogram (equal counts per bucket, data-driven
+        -- edges) — the histogram an optimizer actually wants, vs the
+        -- equi-width value_histogram. Deterministic: NTILE over exact
+        -- integer cents with key tie-break.
+        WITH c AS (
+            SELECT o_orderkey,
+                   CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                       AS cents
+            FROM orders
+        ),
+        b AS (
+            SELECT cents,
+                   NTILE(10) OVER (ORDER BY cents, o_orderkey) AS bucket
+            FROM c
+        )
+        SELECT
+            CAST(bucket AS INT) AS bucket,
+            CAST(COUNT(*) AS BIGINT) AS n_orders,
+            CAST(MIN(cents) AS DOUBLE) / 100.0 AS lo_price,
+            CAST(MAX(cents) AS DOUBLE) / 100.0 AS hi_price
+        FROM b
+        GROUP BY 1
+    """,
+    description=(
+        "equi-depth price histogram: 10 equal-count buckets with "
+        "data-driven edges (NTILE over exact cents)"
+    ),
+    tags=("analytics", "aggregate", "optimizer", "deterministic"),
+)
+def order_price_equidepth_histogram(spark, sf_dir):
+    """Equal-count buckets expose the distribution's shape where
+    equal-width buckets pile everything into two bars — and equi-depth
+    edges are exactly what CBO histograms store. NTILE over a global
+    order is the one single-reducer step (same caveat as any exact
+    ranking; range-partitioned sort at cluster scale); everything
+    downstream is a tiny grouped pass over exact integers."""
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+    b = orders.select(
+        cents.alias("cents"), F.col("o_orderkey")
+    ).withColumn(
+        "bucket", F.ntile(10).over(W.orderBy("cents", "o_orderkey"))
+    )
+    return b.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        (F.min("cents").cast("double") / 100.0).alias("lo_price"),
+        (F.max("cents").cast("double") / 100.0).alias("hi_price"),
+    )
