@@ -2103,3 +2103,69 @@ def order_price_equidepth_histogram(spark, sf_dir):
         (F.min("cents").cast("double") / 100.0).alias("lo_price"),
         (F.max("cents").cast("double") / 100.0).alias("hi_price"),
     )
+
+
+@register(
+    "weighted_doc_sample",
+    oracle="""
+        -- weighted sampling without replacement, distributed and
+        -- engine-portable: Efraimidis-Spirakis keys k = ln(u)/w with u a
+        -- deterministic md5 uniform — the top-50 by key IS a weighted
+        -- sample (longer docs proportionally likelier), no RNG state, no
+        -- driver pass
+        WITH u AS (
+            SELECT doc_id, lang, n_chars,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                        1, 8)) AS BIGINT) / 4294967296.0 AS uni
+            FROM documents
+        ),
+        k AS (
+            SELECT doc_id, lang, n_chars,
+                   ln(uni) / CAST(n_chars AS DOUBLE) AS skey
+            FROM u
+            WHERE uni > 0 AND n_chars > 0
+        )
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY skey DESC, doc_id) AS rn
+            FROM k
+        )
+        WHERE rn <= 50
+    """,
+    description=(
+        "weighted sampling without replacement via Efraimidis-Spirakis "
+        "keys over deterministic md5 uniforms (top-k by key, no RNG state)"
+    ),
+    tags=("sampling", "deterministic"),
+)
+def weighted_doc_sample(spark, sf_dir):
+    """Length-weighted corpus sampling, the distributed way: each row
+    computes its own sample key k = ln(u)/w from an md5-uniform (exact
+    dyadic, identical on any engine), and the weighted sample is just
+    TakeOrdered top-k on the key — one pass, no RNG state to coordinate,
+    reproducible forever. This is the standard one-pass weighted
+    reservoir idea as a declarative plan; the seeded-randomSplit family
+    (R1/R2) stays engine-specific while this one is oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    uni = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    k = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        (F.log(uni) / F.col("n_chars").cast("double")).alias("skey"),
+    ).where((uni > 0) & (F.col("n_chars") > 0))
+    from pyspark.sql.window import Window as W
+
+    return (
+        k.withColumn(
+            "rn",
+            F.row_number().over(W.orderBy(F.desc("skey"), F.asc("doc_id"))),
+        )
+        .where(F.col("rn") <= 50)
+        .select("doc_id", "lang", "n_chars")
+    )
