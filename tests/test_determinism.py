@@ -54,6 +54,10 @@ SAMPLE = [
     "kmeans_init_assignment_portable",  # decimal-exact distances
     "near_dup_triangle_census",   # ordered-edge triple join
     "tx_table_time_travel_counts",  # committed-manifest reads
+    "term_posting_stats",         # posting-grain reduce, tie-broken topk
+    "join_cardinality_estimate_vs_actual",  # exact counts + floored est
+    "order_price_equidepth_histogram",      # NTILE over exact cents
+    "weighted_doc_sample",        # md5-uniform sample keys
 ]
 
 
