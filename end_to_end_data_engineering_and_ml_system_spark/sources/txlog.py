@@ -103,6 +103,20 @@ class TxTable:
 
     # -- writes ------------------------------------------------------------
 
+    def _check_schema(self, df: DataFrame, op: str) -> None:
+        """Appends/merges must match the table's committed schema exactly
+        (a silently widened parquet union corrupts every downstream
+        reader); overwrite MAY change schema — it defines a new one."""
+        prev = self.latest_version()
+        if prev is None or op == "overwrite":
+            return
+        committed = self._manifest(prev).get("schema")
+        if committed is not None and committed != df.schema.json():
+            raise ValueError(
+                f"{op} schema does not match the committed table schema; "
+                "use overwrite to change schemas"
+            )
+
     def _write_data(self, df: DataFrame) -> str:
         part = os.path.join(self._data_dir, uuid.uuid4().hex)
         df.write.mode("error").parquet(part)
@@ -133,10 +147,12 @@ class TxTable:
         with open(p) as f:
             return json.load(f)
 
-    def _commit(self, dirs: list[str], op: str) -> int:
+    def _commit(self, dirs: list[str], op: str, schema_json: str | None = None) -> int:
         os.makedirs(self._log_dir, exist_ok=True)
         prev = self.latest_version()
         version = 0 if prev is None else prev + 1
+        if schema_json is None and prev is not None:
+            schema_json = self._manifest(prev).get("schema")
         _atomic_write_json(
             os.path.join(self._log_dir, f"{version}.json"),
             {
@@ -144,19 +160,24 @@ class TxTable:
                 "op": op,
                 "data_dirs": sorted(dirs),
                 "parent": prev,
+                "schema": schema_json,
                 "committed_at": time.time(),
             },
         )
         return version
 
     def overwrite(self, df: DataFrame) -> int:
-        """New version containing exactly ``df``. Old versions stay
-        readable (time travel) until vacuumed."""
-        return self._commit([self._write_data(df)], "overwrite")
+        """New version containing exactly ``df`` (may change the table
+        schema — overwrite defines a new one). Old versions stay readable
+        (time travel) until vacuumed."""
+        return self._commit(
+            [self._write_data(df)], "overwrite", df.schema.json()
+        )
 
     def append(self, df: DataFrame) -> int:
         """New version = previous version's files + ``df``'s new files —
         the data files themselves are never rewritten."""
+        self._check_schema(df, "append")
         prev = self.latest_version()
         dirs = [] if prev is None else list(self._manifest(prev)["data_dirs"])
         dirs.append(self._write_data(df))
@@ -169,6 +190,7 @@ class TxTable:
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window
 
+        self._check_schema(source, "merge")
         snap = self.snapshot()
         unioned = source if snap is None else snap.unionByName(source)
         w = Window.partitionBy(key_col).orderBy(

@@ -152,3 +152,17 @@ def test_manifest_stats_skip_disjoint_dirs(spark, tmp_path):
     t2.overwrite(low)
     t2b = TxTable(spark, str(tmp_path / "tbl2"), stats_cols=("value",))
     assert t2b.snapshot_pruned("value", 0.0, 3.0).count() == 4
+
+
+def test_append_rejects_schema_drift_overwrite_allows(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "k long, v string"))
+    with pytest.raises(ValueError, match="schema"):
+        t.append(spark.createDataFrame([(2, "b", 1.0)],
+                                       "k long, v string, extra double"))
+    # same schema appends fine; overwrite may change the schema
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    assert t.snapshot().count() == 2
+    t.overwrite(spark.createDataFrame([(3, "c", 9.0)],
+                                      "k long, v string, extra double"))
+    assert "extra" in t.snapshot().columns
