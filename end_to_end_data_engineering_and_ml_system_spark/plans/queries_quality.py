@@ -2169,3 +2169,75 @@ def weighted_doc_sample(spark, sf_dir):
         .where(F.col("rn") <= 50)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@register(
+    "signup_to_purchase_latency_quantiles",
+    oracle="""
+        -- activation speed: per-user first signup -> first purchase
+        -- latency, exact quartiles over integer second deltas (dyadic
+        -- medians, engine-stable)
+        WITH f AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                       AS first_signup,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS first_purchase
+            FROM events
+            GROUP BY 1
+        ),
+        d AS (
+            SELECT CAST(floor(epoch(first_purchase))
+                        - floor(epoch(first_signup)) AS BIGINT) AS delta_s
+            FROM f
+            WHERE first_signup IS NOT NULL
+              AND first_purchase IS NOT NULL
+              AND first_purchase >= first_signup
+        )
+        SELECT
+            CAST(COUNT(*) AS BIGINT) AS n_users,
+            quantile_cont(delta_s, 0.25) AS p25_s,
+            quantile_cont(delta_s, 0.50) AS p50_s,
+            quantile_cont(delta_s, 0.75) AS p75_s
+        FROM d
+    """,
+    description=(
+        "activation latency: first-signup to first-purchase quartiles "
+        "(exact percentiles over integer second deltas)"
+    ),
+    tags=("analytics", "funnel", "aggregate", "deterministic"),
+)
+def signup_to_purchase_latency_quantiles(spark, sf_dir):
+    """The activation-speed KPI: one conditional-min reduce on the user
+    grain (map-side combined), then exact quartiles over integer second
+    deltas — interpolated midpoints are dyadic, so the numbers are
+    bit-stable on any engine. Truncated epoch seconds keep the delta an
+    exact integer (determinism rule: fractional epochs are floats in the
+    oracle engine)."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    d = f.where(
+        F.col("first_signup").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_signup"))
+    ).select(
+        (
+            F.unix_timestamp("first_purchase")
+            - F.unix_timestamp("first_signup")
+        )
+        .cast("bigint")
+        .alias("delta_s")
+    )
+    return d.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.expr("percentile(delta_s, 0.25)").alias("p25_s"),
+        F.expr("percentile(delta_s, 0.50)").alias("p50_s"),
+        F.expr("percentile(delta_s, 0.75)").alias("p75_s"),
+    )
