@@ -2241,3 +2241,41 @@ def signup_to_purchase_latency_quantiles(spark, sf_dir):
         F.expr("percentile(delta_s, 0.50)").alias("p50_s"),
         F.expr("percentile(delta_s, 0.75)").alias("p75_s"),
     )
+
+
+@register(
+    "quality_classifier_brier",
+    oracle=f"""
+        WITH c AS ({_SQL_QCOUNTS}),
+        z AS (
+            SELECT {_SQL_WL} AS wl,
+                   1.0 / (1.0 + exp(-({_SQL_Z}))) AS p
+            FROM c
+        )
+        SELECT
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(CAST((p - wl) * (p - wl) AS DECIMAL(28,10)))
+                 AS DOUBLE) / COUNT(*) AS brier
+        FROM z
+    """,
+    description=(
+        "Brier score of the frozen quality filter (decimal-exact sum of "
+        "squared probability errors)"
+    ),
+    tags=("ml", "text", "aggregate", "deterministic"),
+)
+def quality_classifier_brier(spark, sf_dir):
+    """Proper-scoring-rule calibration in one number, completing the eval
+    suite (deciles, confusion, PR, AUC, Brier). Each row's (p−y)² is the
+    identical fixed-fold double expression on both engines; quantizing to
+    DECIMAL(28,10) before the sum makes the aggregation order-free, so
+    the mean is bit-stable on any partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = quality_feature_counts(docs)
+    p = quality_probability()
+    err = p - weak_label().cast("double")
+    scored = counted.select((err * err).cast("decimal(28,10)").alias("e2"))
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("e2").cast("double") / F.count("*")).alias("brier"),
+    )
