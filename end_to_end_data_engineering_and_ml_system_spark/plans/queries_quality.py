@@ -2279,3 +2279,44 @@ def quality_classifier_brier(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_docs"),
         (F.sum("e2").cast("double") / F.count("*")).alias("brier"),
     )
+
+
+@register(
+    "stream_contract_split_counts",
+    oracle="""
+        SELECT
+            CAST(CASE WHEN value >= 0 AND user_id IS NOT NULL
+                      AND event_type IN
+                          ('view','click','signup','purchase','error')
+                 THEN 1 ELSE 0 END AS INT) AS passed,
+            CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1
+    """,
+    description=(
+        "data-contract gate IN the stream: per-micro-batch pass/violation "
+        "split, accumulated counts equal the batch gate (full oracle)"
+    ),
+    tags=("streaming", "quality", "deterministic"),
+)
+def stream_contract_split_counts(spark, sf_dir):
+    """The promotion gate applied at ingestion time instead of after the
+    fact: every micro-batch splits rows by the contract predicate (range,
+    null, enum-domain checks — a pure projection), and the running
+    pass/violation counts are associative, so the streamed result is
+    bit-equal to the batch gate over the full table — the oracle IS that
+    batch SQL. The violating side of this split is what feeds a
+    dead-letter sink in production (see run_dead_letter_foreach_batch)."""
+    from ..streaming.pipeline import events_stream, run_to_memory_sink
+
+    domain = ("view", "click", "signup", "purchase", "error")
+    s = events_stream(spark, sf_dir)
+    passed = (
+        (F.col("value") >= 0)
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isin(*domain)
+    ).cast("int")
+    agg = s.select(passed.alias("passed")).groupBy("passed").agg(
+        F.count("*").alias("n_events")
+    )
+    return run_to_memory_sink(agg)
