@@ -2320,3 +2320,39 @@ def stream_contract_split_counts(spark, sf_dir):
         F.count("*").alias("n_events")
     )
     return run_to_memory_sink(agg)
+
+
+@register(
+    "als_training_curve",
+    oracle=None,  # alternating closed-form solves over floats — the exact
+    # non-increase guarantee and cross-partitioning determinism are pytest
+    # invariants (tests/test_als.py)
+    description=(
+        "distributed ALS matrix factorization on the customer x part "
+        "purchase matrix: regularized loss per half-step"
+    ),
+    tags=("ml", "training", "recommendation", "no-oracle"),
+)
+def als_training_curve(spark, sf_dir):
+    """Collaborative filtering joins the trainer family: the customer×part
+    implicit-feedback matrix (purchase counts) factorized by alternating
+    per-entity ridge solves — ratings stay grouped on the cluster, only
+    the small factor matrices move, and exact alternating minimization
+    makes the loss sequence non-increasing by construction."""
+    from ..ml.als import fit_als
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ratings = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("user"),
+            F.col("l_partkey").alias("item"),
+        )
+        .agg(F.count("*").cast("double").alias("rating"))
+    )
+    fit = fit_als(ratings, "user", "item", k=8, iters=3)
+    return spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(fit.losses)],
+        "half_step int, reg_loss double",
+    )
