@@ -35,6 +35,7 @@ _EXPORTS = {
     # tokenizer training
     "learn_bpe_merges": ("end_to_end_data_engineering_and_ml_system_spark.operators.bpe", "learn_bpe_merges"),
     "bpe_token_lengths": ("end_to_end_data_engineering_and_ml_system_spark.operators.bpe", "bpe_token_lengths"),
+    "fit_als": ("end_to_end_data_engineering_and_ml_system_spark.ml.als", "fit_als"),
     # tracking / registry
     "Tracker": ("end_to_end_data_engineering_and_ml_system_spark.ml.registry", "Tracker"),
     "ModelRegistry": ("end_to_end_data_engineering_and_ml_system_spark.ml.registry", "ModelRegistry"),
