@@ -2445,3 +2445,66 @@ def part_copurchase_lift(spark, sf_dir):
     return out.orderBy(
         F.desc("lift"), F.asc("part_a"), F.asc("part_b")
     ).limit(20)
+
+
+@register(
+    "als_related_parts",
+    oracle=None,  # derives from the iterative ALS factors — determinism
+    # across partitionings is the pytest invariant; the serving math
+    # itself (factor cosine top-k) mirrors the oracle-checked
+    # embedding_cosine_topk shape
+    description=(
+        "recommendation serving: top-3 related parts by ALS factor "
+        "cosine for the five most-purchased parts"
+    ),
+    tags=("ml", "recommendation", "similarity", "no-oracle"),
+)
+def als_related_parts(spark, sf_dir):
+    """The serving side of the collaborative-filtering family: train ALS
+    on the purchase matrix, then answer 'customers who bought X also
+    like...' by factor-space cosine — the item-factor table is small
+    (items × k), so related-items is a driver-side numpy top-k here and a
+    broadcast-joined scoring pass at catalog scale (the
+    embedding_cosine_topk shape)."""
+    import numpy as np
+
+    from ..ml.als import fit_als
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ratings = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("user"),
+            F.col("l_partkey").alias("item"),
+        )
+        .agg(F.count("*").cast("double").alias("rating"))
+    )
+    top_parts = [
+        r["item"]
+        for r in ratings.groupBy("item")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("item"))
+        .limit(5)
+        .collect()
+    ]
+    fit = fit_als(ratings, "user", "item", k=8, iters=3)
+    ids = sorted(fit.item_factors)
+    mat = np.stack([fit.item_factors[i] for i in ids])
+    norms = np.linalg.norm(mat, axis=1)
+    rows = []
+    for q in top_parts:
+        qi = ids.index(q)
+        cos = (mat @ mat[qi]) / (norms * norms[qi])
+        order = np.argsort(-cos)
+        rank = 0
+        for j in order:
+            if ids[j] == q:
+                continue
+            rank += 1
+            rows.append((q, ids[j], rank, float(cos[j])))
+            if rank == 3:
+                break
+    return spark.createDataFrame(
+        rows, "part long, related_part long, rank int, cosine double"
+    )
