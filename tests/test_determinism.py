@@ -58,6 +58,9 @@ SAMPLE = [
     "join_cardinality_estimate_vs_actual",  # exact counts + floored est
     "order_price_equidepth_histogram",      # NTILE over exact cents
     "weighted_doc_sample",        # md5-uniform sample keys
+    "part_copurchase_lift",       # basket pairs, fixed-order lift
+    "quality_classifier_brier",   # quantized decimal error sum
+    "signup_to_purchase_latency_quantiles",  # dyadic quartiles
 ]
 
 
