@@ -2508,3 +2508,99 @@ def als_related_parts(spark, sf_dir):
     return spark.createDataFrame(
         rows, "part long, related_part long, rank int, cosine double"
     )
+
+
+@register(
+    "watermark_tolerance_curve",
+    oracle="""
+        -- how many events a watermark of delay D would DROP, for a sweep
+        -- of candidate delays — the tuning table behind the ST4 choice.
+        -- Same deterministic md5-jitter arrival model as
+        -- event_time_disorder_stats; an event is dropped at delay D when
+        -- its event time lags the running max by MORE than D seconds.
+        WITH j AS (
+            SELECT user_id, ts, event_id,
+                   floor(epoch(ts)) +
+                   CAST(concat('0x',
+                        substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 86401 AS arrival_s
+            FROM events
+        ),
+        w AS (
+            SELECT ts,
+                   MAX(ts) OVER (PARTITION BY user_id
+                                 ORDER BY arrival_s, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS prior_max
+            FROM j
+        ),
+        lagged AS (
+            SELECT CASE WHEN ts < prior_max
+                        THEN CAST(floor(epoch(prior_max)) AS BIGINT)
+                             - CAST(floor(epoch(ts)) AS BIGINT)
+                        ELSE 0 END AS lag_s,
+                   1 AS one
+            FROM w
+        ),
+        d(delay_s) AS (VALUES (0), (60), (600), (3600), (21600), (86400))
+        SELECT
+            CAST(delay_s AS BIGINT) AS delay_s,
+            CAST(SUM(CASE WHEN lag_s > delay_s THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_dropped,
+            CAST(SUM(CASE WHEN lag_s > delay_s THEN 1 ELSE 0 END)
+                 AS DOUBLE) / SUM(one) AS drop_frac
+        FROM lagged, d
+        GROUP BY 1
+    """,
+    description=(
+        "watermark tuning table: events dropped at each candidate delay "
+        "(0s..1d sweep over the deterministic arrival model)"
+    ),
+    tags=("streaming", "quality", "window", "deterministic"),
+)
+def watermark_tolerance_curve(spark, sf_dir):
+    """ST4 tuning, quantified: the completeness-vs-latency tradeoff as a
+    table — each candidate watermark delay with exactly how many events it
+    would drop. One running-max window (the disorder query's shape), then
+    a 6-value constant cross join with conditional integer sums — the
+    sweep costs one scan, not six."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    jitter = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 86401
+    )
+    j = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.unix_timestamp("ts") + jitter).alias("arrival_s"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arrival_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lag = F.when(
+        F.col("ts") < F.col("prior_max"),
+        F.unix_timestamp("prior_max") - F.unix_timestamp("ts"),
+    ).otherwise(0)
+    lagged = j.select(
+        F.max("ts").over(w).alias("prior_max"), "ts"
+    ).select(lag.alias("lag_s"))
+    delays = spark.createDataFrame(
+        [(0,), (60,), (600,), (3600,), (21600,), (86400,)], "delay_s long"
+    )
+    x = lagged.crossJoin(F.broadcast(delays))
+    dropped = F.sum(
+        F.when(F.col("lag_s") > F.col("delay_s"), 1).otherwise(0)
+    )
+    return x.groupBy("delay_s").agg(
+        dropped.cast("bigint").alias("n_dropped"),
+        (dropped.cast("double") / F.count("*")).alias("drop_frac"),
+    )
