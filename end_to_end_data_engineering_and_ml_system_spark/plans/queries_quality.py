@@ -2604,3 +2604,61 @@ def watermark_tolerance_curve(spark, sf_dir):
         dropped.cast("bigint").alias("n_dropped"),
         (dropped.cast("double") / F.count("*")).alias("drop_frac"),
     )
+
+
+@register(
+    "sessions_per_user_histogram",
+    oracle="""
+        -- engagement shape: how many 30-min-gap sessions each user has,
+        -- as a histogram (the engagement-depth companion to DAU): new
+        -- session when the gap from the previous event exceeds 30 min
+        WITH g AS (
+            SELECT user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_ts
+            FROM events
+        ),
+        s AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN prev_ts IS NULL
+                                 OR ts - prev_ts >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM g
+            GROUP BY 1
+        )
+        SELECT n_sessions,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM s
+        GROUP BY 1
+    """,
+    description=(
+        "sessions-per-user histogram (30-min gap sessionization reduced "
+        "to per-user counts, then the engagement-depth distribution)"
+    ),
+    tags=("analytics", "session", "window", "deterministic"),
+)
+def sessions_per_user_histogram(spark, sf_dir):
+    """Engagement depth, not just reach: the per-user session count
+    distribution. One lag window per user lane (the proven session-gap
+    definition shared with user_session_windows), a user-grain reduce,
+    then the tiny histogram grain — integer counts everywhere."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    # interval comparison on the naive timestamps (determinism rule 4:
+    # epoch() is fractional in the oracle engine, unix_timestamp truncates)
+    new_sess = F.when(
+        F.col("prev_ts").isNull()
+        | F.expr("ts - prev_ts >= INTERVAL 30 MINUTE"),
+        1,
+    ).otherwise(0)
+    s = g.groupBy("user_id").agg(
+        F.sum(new_sess).cast("bigint").alias("n_sessions")
+    )
+    return s.groupBy("n_sessions").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
