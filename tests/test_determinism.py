@@ -61,6 +61,8 @@ SAMPLE = [
     "part_copurchase_lift",       # basket pairs, fixed-order lift
     "quality_classifier_brier",   # quantized decimal error sum
     "signup_to_purchase_latency_quantiles",  # dyadic quartiles
+    "watermark_tolerance_curve",  # running-max window + delay sweep
+    "sessions_per_user_histogram",  # interval-exact session gaps
 ]
 
 
