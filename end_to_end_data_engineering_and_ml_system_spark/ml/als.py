@@ -1,122 +1,186 @@
 """Distributed ALS matrix factorization — the recommendation trainer,
 completing the workload families (relational, streaming, text/dedup,
-similarity, supervised + clustering trainers, now collaborative
-filtering).
+similarity, supervised + clustering trainers, collaborative filtering).
 
 Alternating least squares in its textbook distributed form (the same
 public formulation MLlib's ALS implements, re-expressed on the DataFrame
-API so the mechanics are visible):
+API so the mechanics are visible) — and, unlike the other trainers in
+this package, with the PARAMETERS THEMSELVES executor-resident: the
+factor matrices are O(users + items), so the driver-held parameter
+pattern that is correct for the 6-64-weight trainers would melt the
+driver at catalog scale. Here NOTHING of O(entities) size ever leaves
+the cluster:
 
 - the RATINGS stay on the cluster, grouped by whichever side is being
-  solved (``applyInPandas`` over groupBy(user) / groupBy(item));
-- the OTHER side's factor matrix is small (entities × k floats) and rides
-  to executors inside the closure — the parameter-server shape shared
-  with the AE/logistic/k-means trainers;
-- each half-step solves an exact per-entity ridge system
-  (AᵀA + λI) x = Aᵀr in closed form, which cannot increase the
-  regularized squared loss — so the loss sequence is non-increasing
-  across half-steps, the pytest invariant;
+  solved;
+- the FACTORS are DataFrames ``(id long, f array<double>)``; each
+  half-step is ``ratings ⋈ fixed-side factors`` (AQE broadcasts the
+  factor side automatically while it is small; at catalog scale it
+  becomes a plain shuffled hash join — either way, no driver transfer),
+  then ``groupBy(entity).applyInPandas`` assembles and solves that
+  entity's normal equations (AᵀA + λI) x = Aᵀr in closed form, which
+  cannot increase the regularized squared loss — so the loss sequence is
+  non-increasing across half-steps, the pytest invariant;
+- the LOSS is two joins (ratings ⋈ U ⋈ V) + a mapInPandas partial sum;
+  per-row e² is quantized to an integer 1e-10 grid and the partials are
+  carried as exact 128-bit integers split across two LONG columns (never
+  a double — a double partial drops low bits past 2^53, breaking the
+  bit-identical-across-partitionings guarantee the quantization exists
+  to provide), summed exactly as Python ints on the driver (a handful of
+  per-partition rows, not data);
 - determinism: init factors derive from md5 of (entity, dim) — no RNG —
-  and each per-entity solve sorts its ratings by the counterpart id
-  first, fixing the float accumulation order so refits are bit-identical
-  across partitionings.
+  computed JVM-side with the exact same arithmetic as the original
+  Python (int(md5[:8], 16) / 2^32), and each per-entity solve sorts its
+  ratings by the counterpart id first, fixing the float accumulation
+  order so refits are bit-identical across partitionings.
+
+``fit_als_df`` is the scale path (factors in, factors out, as
+DataFrames); ``fit_als`` is the small-scale convenience wrapper that
+collects the final factors into dicts for tests and notebooks.
 """
 
 from __future__ import annotations
 
-import hashlib
 from dataclasses import dataclass
 
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _md5_unit(entity, dim: int) -> float:
-    """Deterministic uniform in [0, 1) from md5(entity:dim)."""
-    h = hashlib.md5(f"{entity}:{dim}".encode()).hexdigest()[:8]
-    return int(h, 16) / 4294967296.0
+_Q = 1e10  # loss quantization grid (1e-10), shared by data + reg terms
+_SPLIT = 1 << 62  # partial sums ride as (high, low) longs: s = high*2^62 + low
 
 
-def _init_factors(ids: list, k: int) -> dict:
-    return {
-        e: np.array([0.1 + 0.9 * _md5_unit(e, d) for d in range(k)])
-        for e in ids
-    }
+def init_factors_df(ids: DataFrame, k: int) -> DataFrame:
+    """Deterministic md5 factor init, computed JVM-side: dim d of entity e
+    is ``0.1 + 0.9 * int(md5(f"{e}:{d}")[:8], 16) / 2**32`` — bit-identical
+    to the original driver-side Python init, with no RNG and no collect.
+    ``ids`` must have a single LONG column named ``id``."""
+    dim_expr = (
+        "transform(sequence(0, {km1}), d -> "
+        "0.1D + 0.9D * (cast(conv(substring(md5(concat(cast(id as string), "
+        "':', cast(d as string))), 1, 8), 16, 10) as bigint) / 4294967296.0D)"
+        ")"
+    ).format(km1=k - 1)
+    return ids.select("id", F.expr(dim_expr).alias("f"))
 
 
-def _solve_side(
+def _solve_side_df(
     ratings: DataFrame,
     solve_col: str,
     fixed_col: str,
-    fixed_factors: dict,
+    fixed_factors: DataFrame,
     k: int,
     reg: float,
-) -> dict:
-    """One ALS half-step: per-entity closed-form ridge solve over that
-    entity's ratings (sorted by counterpart id for a fixed accumulation
-    order). Returns {entity: factor_vector}."""
-    fixed_b = {e: v.tolist() for e, v in fixed_factors.items()}
+) -> DataFrame:
+    """One ALS half-step, fully on the cluster: join the fixed side's
+    factors onto the ratings, then per-entity closed-form ridge solve over
+    that entity's ratings (sorted by counterpart id for a fixed
+    accumulation order). Returns the solved side as (id, f)."""
 
     def solve(pdf):
         import pandas as pd
 
         pdf = pdf.sort_values(fixed_col)
-        a = np.array([fixed_b[key] for key in pdf[fixed_col]])
+        a = np.array([list(v) for v in pdf["f"]])
         r = pdf["rating"].to_numpy(dtype=float)
         ata = a.T @ a + reg * np.eye(k)
         atr = a.T @ r
         x = np.linalg.solve(ata, atr)
         return pd.DataFrame(
-            {"entity": [pdf[solve_col].iloc[0]], "factors": [x.tolist()]}
+            {"id": [pdf[solve_col].iloc[0]], "f": [x.tolist()]}
         )
 
-    rows = (
-        ratings.groupBy(solve_col)
-        .applyInPandas(solve, "entity long, factors array<double>")
-        .collect()
+    joined = ratings.join(
+        fixed_factors.withColumnRenamed("id", fixed_col), fixed_col
+    ).select(solve_col, fixed_col, "rating", "f")
+    return joined.groupBy(solve_col).applyInPandas(
+        solve, "id long, f array<double>"
     )
-    return {r["entity"]: np.array(r["factors"]) for r in rows}
 
 
-def _loss(
-    ratings: DataFrame,
-    u: dict,
-    v: dict,
-    user_col: str,
-    item_col: str,
-    reg: float,
-) -> float:
-    """Regularized squared loss, computed distributed: per-partition
-    partial sums of (r − u·v)² with both factor dicts in the closure."""
-    ub = {e: x.tolist() for e, x in u.items()}
-    vb = {e: x.tolist() for e, x in v.items()}
+def _exact_partial_sum(df: DataFrame) -> int:
+    """Sum a per-partition (high, low) long pair exactly on the driver.
+    ``df`` rows are tiny (one per partition), never data-sized."""
+    return sum(
+        int(r["high"]) * _SPLIT + int(r["low"]) for r in df.collect()
+    )
 
-    # each row's e² is a fixed per-row float computation; quantizing it to
-    # an integer (1e-10 grid) before summing makes the aggregation
-    # order-free, so the reported loss is bit-identical on any
-    # partitioning (same rule as the engine's decimal-exact aggregates)
-    def partials(batches):
+
+def _quantized_partials(int_iter_fn):
+    """Wrap a per-batch int-sum generator into a (high, low) long schema."""
+
+    def gen(batches):
         import pandas as pd
 
         s = 0
         for pdf in batches:
-            if not len(pdf):
-                continue
-            uu = np.array([ub[key] for key in pdf[user_col]])
-            vv = np.array([vb[key] for key in pdf[item_col]])
-            r = pdf["rating"].to_numpy(dtype=float)
-            e = r - (uu * vv).sum(axis=1)
-            s += int(np.rint((e * e) * 1e10).astype("int64").sum())
-        yield pd.DataFrame({"s": [float(s)]})
+            if len(pdf):
+                s += int_iter_fn(pdf)
+        yield pd.DataFrame({"high": [s // _SPLIT], "low": [s % _SPLIT]})
 
-    parts = ratings.mapInPandas(partials, "s double").collect()
-    data_loss = sum(int(p["s"]) for p in parts) / 1e10
-    reg_loss = reg * (
-        sum(float(u[k_] @ u[k_]) for k_ in sorted(u))
-        + sum(float(v[k_] @ v[k_]) for k_ in sorted(v))
+    return gen
+
+
+def _loss_df(
+    ratings: DataFrame,
+    u: DataFrame,
+    v: DataFrame,
+    user_col: str,
+    item_col: str,
+    reg: float,
+) -> float:
+    """Regularized squared loss with everything O(entities) staying on the
+    cluster: ratings ⋈ U ⋈ V for the data term, a scan of each factor
+    table for the reg term. Each row's contribution is quantized to the
+    1e-10 integer grid so the aggregation is order-free (bit-identical on
+    any partitioning); partials travel as exact split longs."""
+
+    j = (
+        ratings.join(
+            u.withColumnRenamed("id", user_col).withColumnRenamed("f", "uf"),
+            user_col,
+        )
+        .join(
+            v.withColumnRenamed("id", item_col).withColumnRenamed("f", "vf"),
+            item_col,
+        )
+        .select("rating", "uf", "vf")
     )
-    return data_loss + reg_loss
+
+    def data_term(pdf):
+        uu = np.array([list(x) for x in pdf["uf"]])
+        vv = np.array([list(x) for x in pdf["vf"]])
+        r = pdf["rating"].to_numpy(dtype=float)
+        e = r - (uu * vv).sum(axis=1)
+        return int(np.rint((e * e) * _Q).astype("int64").sum())
+
+    def reg_term(pdf):
+        m = np.array([list(x) for x in pdf["f"]])
+        return int(np.rint(reg * (m * m).sum(axis=1) * _Q).astype("int64").sum())
+
+    data_q = _exact_partial_sum(
+        j.mapInPandas(_quantized_partials(data_term), "high long, low long")
+    )
+    reg_q = _exact_partial_sum(
+        u.mapInPandas(_quantized_partials(reg_term), "high long, low long")
+    ) + _exact_partial_sum(
+        v.mapInPandas(_quantized_partials(reg_term), "high long, low long")
+    )
+    return (data_q + reg_q) / _Q
+
+
+@dataclass
+class AlsFitResultDF:
+    """Scale-path fit result: factors stay DataFrames (persisted)."""
+
+    user_factors_df: DataFrame
+    item_factors_df: DataFrame
+    losses: list[float]  # after each half-step (U-solve, V-solve, ...)
+
+    def unpersist(self) -> None:
+        self.user_factors_df.unpersist()
+        self.item_factors_df.unpersist()
 
 
 @dataclass
@@ -124,6 +188,55 @@ class AlsFitResult:
     user_factors: dict
     item_factors: dict
     losses: list[float]  # after each half-step (U-solve, V-solve, ...)
+
+
+def fit_als_df(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    k: int = 8,
+    iters: int = 4,
+    reg: float = 0.1,
+) -> AlsFitResultDF:
+    """``ratings`` needs (user_col, item_col, rating); ids must be LONG.
+    Each iteration runs the user half-step then the item half-step,
+    logging the regularized loss after each — exact alternating
+    minimization, so the sequence never increases. Nothing of
+    O(users + items) size ever touches the driver: factors are
+    DataFrames end to end, each half-step's result is persisted and the
+    previous generation unpersisted (the persist also truncates the
+    recompute chain across iterations)."""
+    ratings = ratings.select(
+        F.col(user_col), F.col(item_col), F.col("rating")
+    ).persist()
+    try:
+        v = init_factors_df(
+            ratings.select(F.col(item_col).alias("id")).distinct(), k
+        ).persist()
+        v.count()
+        u: DataFrame | None = None
+        losses: list[float] = []
+        for _ in range(iters):
+            u_new = _solve_side_df(
+                ratings, user_col, item_col, v, k, reg
+            ).persist()
+            u_new.count()
+            if u is not None:
+                u.unpersist()
+            u = u_new
+            losses.append(_loss_df(ratings, u, v, user_col, item_col, reg))
+            v_new = _solve_side_df(
+                ratings, item_col, user_col, u, k, reg
+            ).persist()
+            v_new.count()
+            v.unpersist()
+            v = v_new
+            losses.append(_loss_df(ratings, u, v, user_col, item_col, reg))
+        return AlsFitResultDF(
+            user_factors_df=u, item_factors_df=v, losses=losses
+        )
+    finally:
+        ratings.unpersist()
 
 
 def fit_als(
@@ -134,27 +247,20 @@ def fit_als(
     iters: int = 4,
     reg: float = 0.1,
 ) -> AlsFitResult:
-    """``ratings`` needs (user_col, item_col, rating). Each iteration runs
-    the user half-step then the item half-step, logging the regularized
-    loss after each — exact alternating minimization, so the sequence
-    never increases."""
-    ratings = ratings.select(
-        F.col(user_col), F.col(item_col), F.col("rating")
-    ).persist()
+    """Small-scale convenience wrapper over ``fit_als_df``: identical
+    training (same factors, same losses, bit for bit), with ONE terminal
+    collect of the final factor tables into dicts for tests/notebooks.
+    At catalog scale use ``fit_als_df`` and keep the factors distributed."""
+    fit = fit_als_df(ratings, user_col, item_col, k=k, iters=iters, reg=reg)
     try:
-        item_ids = [
-            r["e"] for r in ratings.select(
-                F.col(item_col).alias("e")
-            ).distinct().collect()
-        ]
-        v = _init_factors(sorted(item_ids), k)
-        u: dict = {}
-        losses: list[float] = []
-        for _ in range(iters):
-            u = _solve_side(ratings, user_col, item_col, v, k, reg)
-            losses.append(_loss(ratings, u, v, user_col, item_col, reg))
-            v = _solve_side(ratings, item_col, user_col, u, k, reg)
-            losses.append(_loss(ratings, u, v, user_col, item_col, reg))
-        return AlsFitResult(user_factors=u, item_factors=v, losses=losses)
+        u = {
+            r["id"]: np.array(r["f"])
+            for r in fit.user_factors_df.collect()
+        }
+        v = {
+            r["id"]: np.array(r["f"])
+            for r in fit.item_factors_df.collect()
+        }
     finally:
-        ratings.unpersist()
+        fit.unpersist()
+    return AlsFitResult(user_factors=u, item_factors=v, losses=fit.losses)

@@ -2311,11 +2311,17 @@ def stream_contract_split_counts(spark, sf_dir):
 
     domain = ("view", "click", "signup", "purchase", "error")
     s = events_stream(spark, sf_dir)
-    passed = (
-        (F.col("value") >= 0)
-        & F.col("user_id").isNotNull()
-        & F.col("event_type").isin(*domain)
-    ).cast("int")
+    # coalesce(..., 0): a NULL value makes the conjunction NULL, which must
+    # bucket under passed=0 (NULL-as-violation) to match the oracle's
+    # CASE WHEN ... THEN 1 ELSE 0 semantics.
+    passed = F.coalesce(
+        (
+            (F.col("value") >= 0)
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isin(*domain)
+        ).cast("int"),
+        F.lit(0),
+    )
     agg = s.select(passed.alias("passed")).groupBy("passed").agg(
         F.count("*").alias("n_events")
     )
@@ -2338,8 +2344,10 @@ def als_training_curve(spark, sf_dir):
     implicit-feedback matrix (purchase counts) factorized by alternating
     per-entity ridge solves — ratings stay grouped on the cluster, only
     the small factor matrices move, and exact alternating minimization
-    makes the loss sequence non-increasing by construction."""
-    from ..ml.als import fit_als
+    makes the loss sequence non-increasing by construction. The factors
+    are DataFrame-resident end to end (``fit_als_df``): only the loss
+    scalars — one per half-step — ever reach the driver."""
+    from ..ml.als import fit_als_df
 
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -2351,7 +2359,8 @@ def als_training_curve(spark, sf_dir):
         )
         .agg(F.count("*").cast("double").alias("rating"))
     )
-    fit = fit_als(ratings, "user", "item", k=8, iters=3)
+    fit = fit_als_df(ratings, "user", "item", k=8, iters=3)
+    fit.unpersist()
     return spark.createDataFrame(
         [(i, float(x)) for i, x in enumerate(fit.losses)],
         "half_step int, reg_loss double",
@@ -2462,13 +2471,13 @@ def part_copurchase_lift(spark, sf_dir):
 def als_related_parts(spark, sf_dir):
     """The serving side of the collaborative-filtering family: train ALS
     on the purchase matrix, then answer 'customers who bought X also
-    like...' by factor-space cosine — the item-factor table is small
-    (items × k), so related-items is a driver-side numpy top-k here and a
-    broadcast-joined scoring pass at catalog scale (the
-    embedding_cosine_topk shape)."""
-    import numpy as np
-
-    from ..ml.als import fit_als
+    like...' by factor-space cosine, computed DISTRIBUTED — the query
+    parts broadcast against the item-factor table through the
+    oracle-checked ``cosine_topk_bruteforce`` shape, so serving scales
+    with the catalog instead of collecting the factor matrix to the
+    driver."""
+    from ..ml.als import fit_als_df
+    from ..operators.similarity import cosine_topk_bruteforce
 
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -2480,31 +2489,35 @@ def als_related_parts(spark, sf_dir):
         )
         .agg(F.count("*").cast("double").alias("rating"))
     )
-    top_parts = [
-        r["item"]
-        for r in ratings.groupBy("item")
+    top_parts = (
+        ratings.groupBy("item")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("item"))
         .limit(5)
-        .collect()
-    ]
-    fit = fit_als(ratings, "user", "item", k=8, iters=3)
-    ids = sorted(fit.item_factors)
-    mat = np.stack([fit.item_factors[i] for i in ids])
-    norms = np.linalg.norm(mat, axis=1)
-    rows = []
-    for q in top_parts:
-        qi = ids.index(q)
-        cos = (mat @ mat[qi]) / (norms * norms[qi])
-        order = np.argsort(-cos)
-        rank = 0
-        for j in order:
-            if ids[j] == q:
-                continue
-            rank += 1
-            rows.append((q, ids[j], rank, float(cos[j])))
-            if rank == 3:
-                break
+        .select("item")
+    )
+    fit = fit_als_df(ratings, "user", "item", k=8, iters=3)
+    factors = fit.item_factors_df
+    out = (
+        cosine_topk_bruteforce(
+            factors,
+            factors.join(
+                F.broadcast(top_parts), factors.id == top_parts.item
+            ).select("id", "f"),
+            id_col="id",
+            vec_col="f",
+            k=3,
+        )
+        .select(
+            F.col("query_id").alias("part"),
+            F.col("cand_id").alias("related_part"),
+            F.col("rn").alias("rank"),
+            "cosine",
+        )
+        .orderBy("part", "rank")
+    )
+    rows = out.collect()  # 15 rows — materialize before unpersisting factors
+    fit.unpersist()
     return spark.createDataFrame(
         rows, "part long, related_part long, rank int, cosine double"
     )

@@ -181,7 +181,11 @@ class TxTable:
         prev = self.latest_version()
         dirs = [] if prev is None else list(self._manifest(prev)["data_dirs"])
         dirs.append(self._write_data(df))
-        return self._commit(dirs, "append")
+        # A table whose FIRST commit is an append must still pin its schema,
+        # or _check_schema never activates for any later writer.
+        return self._commit(
+            dirs, "append", df.schema.json() if prev is None else None
+        )
 
     def merge(self, source: DataFrame, key_col: str, order_cols: list[str]) -> int:
         """MERGE INTO as a new version: latest-per-key over (snapshot ∪
@@ -192,16 +196,30 @@ class TxTable:
 
         self._check_schema(source, "merge")
         snap = self.snapshot()
-        unioned = source if snap is None else snap.unionByName(source)
+        # Tag provenance BEFORE the union so that when a snapshot row and a
+        # source row tie on every order col, the source row deterministically
+        # wins (the documented SCD1 semantics) instead of a partition-order-
+        # dependent arbitrary pick.
+        src = source.withColumn("__src", F.lit(1))
+        unioned = (
+            src
+            if snap is None
+            else snap.withColumn("__src", F.lit(0)).unionByName(src)
+        )
         w = Window.partitionBy(key_col).orderBy(
-            *[F.col(c).desc() for c in order_cols]
+            *[F.col(c).desc() for c in order_cols], F.col("__src").desc()
         )
         merged = (
             unioned.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            .drop("__rn", "__src")
         )
-        return self._commit([self._write_data(merged)], "merge")
+        schema_json = (
+            source.schema.json() if self.latest_version() is None else None
+        )
+        return self._commit(
+            [self._write_data(merged)], "merge", schema_json
+        )
 
     def compact(self, target_partitions: int = 1) -> int:
         """Small-file maintenance: rewrite the current snapshot into
@@ -243,7 +261,12 @@ class TxTable:
         keep = []
         for d in self._manifest(v)["data_dirs"]:
             s = (self._dir_stats(d) or {}).get(col)
-            if s is None or not (s["max"] < lo_j or s["min"] > hi_j):
+            if (
+                s is None
+                or s["min"] is None
+                or s["max"] is None  # all-NULL part: cannot prune, keep it
+                or not (s["max"] < lo_j or s["min"] > hi_j)
+            ):
                 keep.append(d)
         if not keep:
             return self.snapshot(v).limit(0).filter(F.col(col).isNull())
@@ -300,6 +323,8 @@ class TxTable:
             for d in self._manifest(v)["data_dirs"]:
                 if d not in keep_dirs and os.path.isdir(d):
                     shutil.rmtree(d)
+                    if os.path.exists(f"{d}.stats.json"):
+                        os.remove(f"{d}.stats.json")
                     removed.append(d)
             os.remove(os.path.join(self._log_dir, f"{v}.json"))
         return removed

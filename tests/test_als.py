@@ -54,3 +54,42 @@ def test_als_reconstructs_dominant_preferences(spark):
     v = fit.item_factors[top["item"]]
     assert float(u @ v) > 0.5
     r.unpersist()
+
+
+def test_init_factors_df_matches_python_md5_reference(spark):
+    # the JVM-side init must be bit-identical to the original Python
+    # formula: 0.1 + 0.9 * int(md5(f"{e}:{d}")[:8], 16) / 2**32
+    import hashlib
+
+    from end_to_end_data_engineering_and_ml_system_spark.ml.als import (
+        init_factors_df,
+    )
+
+    ids = [0, 1, 7, 123456789, 2**40 + 3]
+    df = init_factors_df(
+        spark.createDataFrame([(i,) for i in ids], "id long"), k=6
+    )
+    got = {r["id"]: list(r["f"]) for r in df.collect()}
+    for e in ids:
+        for d in range(6):
+            h = hashlib.md5(f"{e}:{d}".encode()).hexdigest()[:8]
+            want = 0.1 + 0.9 * (int(h, 16) / 4294967296.0)
+            assert got[e][d] == want, (e, d, got[e][d], want)
+
+
+def test_als_df_factors_match_collected_wrapper(spark):
+    # fit_als is documented as "identical training, one terminal collect":
+    # the DF path and the dict wrapper must agree bit-for-bit
+    from end_to_end_data_engineering_and_ml_system_spark.ml.als import (
+        fit_als_df,
+    )
+
+    r = _ratings(spark, SF_SMOKE)
+    a = fit_als(r, "user", "item", k=3, iters=1)
+    b = fit_als_df(r, "user", "item", k=3, iters=1)
+    assert a.losses == b.losses
+    got = {x["id"]: list(x["f"]) for x in b.user_factors_df.collect()}
+    b.unpersist()
+    assert set(got) == set(a.user_factors)
+    for key, vec in got.items():
+        assert np.array_equal(np.array(vec), a.user_factors[key])

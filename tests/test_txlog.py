@@ -166,3 +166,65 @@ def test_append_rejects_schema_drift_overwrite_allows(spark, tmp_path):
     t.overwrite(spark.createDataFrame([(3, "c", 9.0)],
                                       "k long, v string, extra double"))
     assert "extra" in t.snapshot().columns
+
+
+def test_merge_source_wins_order_col_ties(spark, tmp_path):
+    # documented SCD1 semantics: when snapshot and source rows tie on every
+    # order col, the SOURCE row must win deterministically
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 5, "old"), (2, 5, "old")], "k long, seq long, v string"
+        )
+    )
+    src = spark.createDataFrame(
+        [(1, 5, "new"), (2, 5, "new")], "k long, seq long, v string"
+    ).repartition(7)
+    t.merge(src, "k", ["seq"])
+    got = {(r["k"], r["v"]) for r in t.snapshot().collect()}
+    assert got == {(1, "new"), (2, "new")}
+    # __src tag must not leak into the committed snapshot
+    assert t.snapshot().columns == ["k", "seq", "v"]
+
+
+def test_first_append_pins_schema(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    with pytest.raises(ValueError, match="schema"):
+        t.append(spark.createDataFrame([(2,)], "k long"))
+
+
+def test_first_merge_pins_schema(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.merge(
+        spark.createDataFrame([(1, 1, "a")], "k long, seq long, v string"),
+        "k",
+        ["seq"],
+    )
+    with pytest.raises(ValueError, match="schema"):
+        t.append(spark.createDataFrame([(2, 2)], "k long, seq long"))
+
+
+def test_snapshot_pruned_keeps_all_null_stats_parts(spark, tmp_path):
+    # a part whose stats column is entirely NULL records min=max=null; it
+    # must be KEPT (cannot prune), not crash the planner
+    t = TxTable(spark, str(tmp_path / "tbl"), stats_cols=("x",))
+    t.overwrite(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, x double")
+    )
+    t.append(
+        spark.createDataFrame([(3, None), (4, None)], "k long, x double")
+    )
+    got = t.snapshot_pruned("x", 5.0, 15.0)
+    assert {r["k"] for r in got.collect()} == {1}
+
+
+def test_vacuum_removes_stats_sidecars(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "tbl"), stats_cols=("x",))
+    t.overwrite(spark.createDataFrame([(1, 1.0)], "k long, x double"))
+    t.overwrite(spark.createDataFrame([(2, 2.0)], "k long, x double"))
+    removed = t.vacuum(keep_last=1)
+    assert removed
+    for d in removed:
+        assert not os.path.exists(f"{d}.stats.json"), d
+    assert t.snapshot().count() == 1
