@@ -62,89 +62,82 @@ def register(
 
 
 # The correctness driver samples the FIRST 50 names in the dict returned by
-# ``__spark_entry__.queries()``. Rounds 1-4 windows covered 149 of the 211
-# registered names; this round-5 window is the 50 oracle-checked queries that
-# have NEVER produced a driver-side correctness row (registry names minus the
-# union of CORRECTNESS_r01-r04 keys). Deliberately left out of the window
-# (12 names, bringing the 62 never-tested down to the 50-slot budget): the
-# five rows-only entries (audio_frame_energy, doc_pack_bins_ffd,
-# flows_preprocess_summary, stratified_sample_counts, linear_ae_training_curve
-# — the driver would record only a weak rows check, and each has an invariant
-# test or an oracle-checked sibling) and seven whose exact plan shape already
-# has green driver evidence via a sibling: deterministic_split_counts
-# (≈ cluster_aware_split_counts' md5-range split), large_quantity_orders
-# (join+agg+HAVING+topk ≈ top_orders_per_customer + pricing_summary),
-# orders_priority_summary_sql (same Catalyst plan as the proven DataFrame
-# form), discount_band_revenue (banded CASE agg ≈ pricing_summary /
-# brand_bucket_revenue), nation_trade_volume (multi-join+agg ≈
-# revenue_by_nation), customer_repeat_purchase_rate (grouped count + ratio ≈
-# customer_order_count_distribution), monthly_revenue_naive_forecast (lag
-# window over monthly agg ≈ customer_order_gaps / daily_gmv_trailing_ma).
-# Everything else keeps definition order after the priority block; the local
-# gate still checks all registered queries every round.  The 14 round-5
-# additions (queries_quality.py: learned quality filter, preference pairs,
-# BPE, rate-limit, contract, MAD, l-diversity, stream deciles) register
-# AFTER this block — each is strict-green in the local gate at BOTH sf0.01
-# and sf0.1; they are the round-6 rotation's first candidates, together
-# with the 12 names listed above.
+# ``__spark_entry__.queries()``. Rounds 1-5 windows cumulatively covered 199
+# of the 253 registered names; this round-6 window is the remaining 54 minus
+# four, i.e. every query that has NEVER produced a driver-side row: all 41
+# never-tested oracle-checked queries plus 9 of the 13 never-tested rows-only
+# queries (the driver records the weaker rows-only check for those — still
+# first driver evidence). Deliberately left out (4 names, fitting the 50-slot
+# budget): flows_preprocess_summary (rows-only by nature; the same ETL path is
+# driver-green via etl_end_to_end), stratified_sample_counts (rows-only; the
+# oracle-checked weighted_doc_sample / balanced_class_sample siblings ARE in
+# this window), audio_frame_energy (rows-only PCM decode with a numpy-
+# reference pytest), doc_pack_bins_ffd (rows-only FFD packing; invariant-
+# tested, and doc_token_packing is driver-green). Everything else keeps
+# definition order after the priority block; the local gate still checks all
+# registered queries every round. Queries added in round 6 register after the
+# block and are the round-7 rotation's first candidates.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # TPC-H-adjacent OLAP analogs
-    "profit_by_nation_year",
-    "intra_region_supply_share",
-    "customer_order_count_distribution",
-    "sole_late_supplier_orders",
-    "supplier_concentration_hhi",
-    "top_order_revenue_concentration",
-    "customer_cohort_ltv_curve",
-    "daily_gmv_trailing_ma",
-    # table ops / CDC / incremental
-    "orders_cdc_merge_counts",
-    "incremental_daily_agg_merge",
-    "stream_latest_state_merge",
-    "corpus_manifest",
-    # LLM-data: dedup internals + calibration
-    "doc_duplicate_ngram_windows",
-    "doc_duplicate_ngram_spans",
-    "doc_span_dedup_savings",
-    "chunk_level_dedup_stats",
-    "near_dup_cluster_size_histogram",
-    "near_dup_threshold_sensitivity",
-    "minhash_jaccard_calibration",
-    "corpus_boilerplate_ngrams",
-    # LLM-data: corpus mixing / training prep
-    "corpus_temperature_mix",
-    "training_shuffle_shards",
-    "label_balance_by_split",
-    "doc_unigram_logprob",
-    "token_cms_estimates",
-    "token_zipf_fit",
-    "vocab_growth_heaps",
-    "doc_readability_scores",
-    "doc_label_noise_audit",
-    "source_unigram_jsd",
-    # drift / monitoring / quality audits
-    "drift_psi_events",
-    "stream_drift_psi",
-    "event_mix_drift_daily",
-    "embedding_drift_by_dim",
-    "embedding_retrieval_label_consistency",
-    "error_burst_detection",
-    "events_duplicate_delivery_audit",
-    "events_k_anonymity_audit",
-    "value_benford_audit",
-    "float_downcast_precision_audit",
-    "join_fanout_profile",
-    # feature engineering / stats
-    "user_hashed_features",
-    "user_feature_store_row",
-    "user_activity_entropy",
-    "value_impute_by_group",
-    "price_quantity_ols",
-    "events_ab_test_readout",
-    "daily_growth_accounting",
-    # events time-series surface
-    "events_hourly_gapfill",
-    "events_outage_intervals",
+    # --- never-driver-tested, oracle-checked (41) ---
+    # OLAP / relational analogs
+    "deterministic_split_counts",
+    "large_quantity_orders",
+    "orders_priority_summary_sql",
+    "nation_trade_volume",
+    "discount_band_revenue",
+    "monthly_revenue_naive_forecast",
+    "customer_repeat_purchase_rate",
+    "signup_to_purchase_latency_quantiles",
+    "sessions_per_user_histogram",
+    "order_price_equidepth_histogram",
+    "value_trimmed_mean_by_type",
+    "hourly_seasonal_naive_mase",
+    "part_copurchase_lift",
+    "join_cardinality_estimate_vs_actual",
+    "event_series_correlation_matrix",
+    # learned quality filter + eval suite
+    "quality_classifier_score_deciles",
+    "quality_classifier_confusion",
+    "quality_classifier_pr_curve",
+    "quality_classifier_auc",
+    "quality_classifier_brier",
+    "corpus_pipeline_v2_learned",
+    # RLHF preference data
+    "preference_pairs",
+    "preference_pairs_split_counts",
+    "reward_margin_stats",
+    # privacy / governance triple + monitors
+    "events_l_diversity_audit",
+    "events_t_closeness_audit",
+    "events_mad_outlier_hours",
+    "events_data_contract_report",
+    "user_rate_limit_violations",
+    # streaming additions
+    "stream_doc_quality_deciles",
+    "stream_embedding_topk",
+    "stream_contract_split_counts",
+    "stream_merge_into_tx_table",
+    "watermark_tolerance_curve",
+    # txlog table format
+    "tx_table_time_travel_counts",
+    # dedup / text internals
+    "cross_source_duplicate_matrix",
+    "near_dup_triangle_census",
+    "term_posting_stats",
+    "weighted_doc_sample",
+    # trainers (oracle-checked cores)
+    "kmeans_init_assignment_portable",
+    "bpe_initial_pair_counts",
+    # --- never-driver-tested, rows-only by necessity (9) ---
+    "bpe_learned_merges",
+    "doc_bpe_learned_token_counts",
+    "bpe_fertility_by_lang",
+    "bpe_merges_by_lang",
+    "kmeans_inertia_curve",
+    "als_training_curve",
+    "als_related_parts",
+    "linear_ae_training_curve",
+    "quality_classifier_training_curve",
 )
 
 

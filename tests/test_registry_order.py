@@ -28,9 +28,11 @@ def test_priority_no_duplicates():
 
 
 def test_driver_window_is_priority_list():
+    # names past the 50-slot window are legal (mid-round additions queue as
+    # the next rotation's candidates) but the window itself must be full
     head = list(all_queries())[: len(_DRIVER_PRIORITY)]
     assert head == list(_DRIVER_PRIORITY)
-    assert len(_DRIVER_PRIORITY) == DRIVER_WINDOW
+    assert len(_DRIVER_PRIORITY) >= DRIVER_WINDOW
 
 
 def test_reorder_preserves_registry():
@@ -46,21 +48,62 @@ def test_registry_never_shrinks():
     assert len(_REGISTRY) >= 156
 
 
-def test_round4_window_is_never_driver_tested():
-    """The round-4 window exists to close the driver-evidence gap: every
-    name in it must be absent from all committed CORRECTNESS_r0*.json files
-    (i.e. genuinely never driver-tested before this round)."""
+def _shipped_driver_tested() -> set[str]:
     import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0[123].json")))
-    if not files:  # fresh clone without round artifacts
-        return
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0[12345].json")))
     tested: set[str] = set()
     for f in files:
         with open(f) as fh:
             tested |= set(json.load(fh))
+    return tested
+
+
+def test_current_window_is_never_driver_tested():
+    """The rotation window exists to close the driver-evidence gap: every
+    name in it must be absent from all committed CORRECTNESS_r0*.json files
+    (i.e. genuinely never driver-tested before this round)."""
+    tested = _shipped_driver_tested()
+    if not tested:  # fresh clone without round artifacts
+        return
     overlap = [n for n in _DRIVER_PRIORITY if n in tested]
     assert not overlap, f"window wastes slots on already-proven queries: {overlap}"
+
+
+# Rows-only queries deliberately excluded from the round-6 window (each has
+# an invariant test and/or a driver-green oracle-checked sibling — rationale
+# in the _DRIVER_PRIORITY comment in plans/registry.py). A query may live
+# here ONLY with that justification; everything else must eventually rotate
+# through the driver window.
+DOCUMENTED_EXCLUSIONS = {
+    "flows_preprocess_summary",
+    "stratified_sample_counts",
+    "audio_frame_energy",
+    "doc_pack_bins_ffd",
+}
+
+
+def test_every_query_has_driver_evidence_path():
+    """Evidence-ledger guard: a registered query may not silently live
+    gate-only forever. Every name must be (a) already driver-tested in a
+    shipped CORRECTNESS round, (b) queued in the current driver window, or
+    (c) on the documented exclusion list. New queries added mid-round must
+    be appended to _DRIVER_PRIORITY (beyond the 50-slot window is fine —
+    they become the next rotation's candidates) or justified above."""
+    _ensure_loaded()
+    tested = _shipped_driver_tested()
+    if not tested:  # fresh clone without round artifacts
+        return
+    unaccounted = sorted(
+        set(_REGISTRY)
+        - tested
+        - set(_DRIVER_PRIORITY)
+        - DOCUMENTED_EXCLUSIONS
+    )
+    assert not unaccounted, (
+        "queries with no driver-evidence path (add to _DRIVER_PRIORITY or "
+        f"document an exclusion): {unaccounted}"
+    )
