@@ -8062,6 +8062,42 @@ def linear_ae_training_curve(spark, sf_dir):
 
 
 @register(
+    "mlp_ae_training_curve",
+    oracle=None,  # iterative nonlinear optimization — not SQL-expressible;
+    # invariants (monotone loss under full-batch Adam at this lr, exact
+    # reference architecture, beats the reference's recorded mse band on
+    # its own train batch) are pinned by tests/test_training.py
+    description=(
+        "M7 exact-architecture parity: per-epoch loss of the reference's "
+        "nonlinear AE (64-64-16-64-64 relu/linear, mse, full-batch Adam) "
+        "trained via the parameter-server loop"
+    ),
+    tags=("ml", "training", "rows-only"),
+)
+def mlp_ae_training_curve(spark, sf_dir):
+    """The reference's actual model family (train_autoencoder.py:34-51:
+    Dense 64-relu -> 16-relu -> 64-relu -> linear output, mse loss, Adam)
+    trained distributed: each epoch's full-batch loss + backprop gradient
+    is ONE mapInPandas partial-sum aggregation; only the ~10k parameters
+    (and Adam moments) live on the driver. Seeded Glorot init, no
+    shuffling — the curve is deterministic and, at the Keras-default lr
+    on this data, monotone decreasing (pinned by tests/test_training.py,
+    which also checks the fit beats the reference's recorded 0.65-0.82
+    mse_mean band on the reference's own train batch)."""
+    from ..ml.training import fit_mlp_autoencoder
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        F.transform("embedding", lambda v: v.cast("double")).alias("features")
+    )
+    res = fit_mlp_autoencoder(feats, dim=64, epochs=8, lr=1e-3)
+    return spark.createDataFrame(
+        [(i, l) for i, l in enumerate(res.losses)],
+        "epoch bigint, train_loss double",
+    )
+
+
+@register(
     "minhash_jaccard_calibration",
     oracle="""
         WITH t AS ({shingles}),

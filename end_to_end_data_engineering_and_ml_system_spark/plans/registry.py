@@ -138,6 +138,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "als_related_parts",
     "linear_ae_training_curve",
     "quality_classifier_training_curve",
+    # --- round-6 additions: past the 50-slot window, queued for round 7 ---
+    "mlp_ae_training_curve",
 )
 
 
