@@ -8554,6 +8554,109 @@ def near_dup_cluster_size_histogram(spark, sf_dir):
 
 
 @register(
+    "corpus_dedup_snapshot_pipeline",
+    oracle=f"""
+        -- the oracle RECOMPUTES everything from the raw corpus; the Spark
+        -- side derives the same three summaries from a committed
+        -- cluster-label snapshot — matching hashes prove
+        -- derive-from-snapshot ≡ recompute
+        WITH RECURSIVE t AS ({{shingles}}),
+        {{verified_pairs}},
+        sizes AS (
+            SELECT cluster_id, COUNT(*) AS sz FROM labels GROUP BY 1
+        ),
+        splits AS (
+            SELECT doc_id,
+                   cluster_id,
+                   CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, cluster_id,
+                         CAST(concat('0x',
+                              substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) / 4294967296.0 AS u
+                  FROM labels)
+        )
+        SELECT 'kept_docs' AS metric, 'corpus' AS key,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM labels WHERE doc_id = cluster_id
+        UNION ALL
+        SELECT 'split', split, CAST(COUNT(*) AS BIGINT)
+        FROM splits GROUP BY 2
+        UNION ALL
+        SELECT 'cluster_size', CAST(sz AS VARCHAR), CAST(COUNT(*) AS BIGINT)
+        FROM sizes GROUP BY 2
+    """.format(shingles=_SQL_SHINGLES, verified_pairs=_SQL_VERIFIED_PAIRS),
+    description=(
+        "materialize-once dedup: LSH-verify + connected components run "
+        "ONCE, labels committed to a transaction-log table, and the kept "
+        "corpus / leakage-safe split / cluster-size histogram all derived "
+        "from the committed snapshot (oracle recomputes from scratch)"
+    ),
+    tags=("dedup", "graph", "table-format", "pipeline"),
+)
+def corpus_dedup_snapshot_pipeline(spark, sf_dir):
+    """How a real 100 TB pipeline runs the dedup family: the expensive
+    work (LSH banding -> verify -> iterative min-label clustering) happens
+    ONCE, the per-doc cluster labels are committed atomically to a
+    ``TxTable`` (the published ``dedup_cluster_labels`` artifact), and
+    every downstream consumer — dedup'd corpus writer, cluster-aware
+    splitter, QA histogram — is a cheap rollup over the committed
+    snapshot. The per-query-independent siblings (doc_dedup_clusters,
+    corpus_near_dedup_kept, cluster_aware_split_counts,
+    near_dup_cluster_size_histogram) each rebuild this pipeline because
+    the driver contract requires it; this query is the composed form, and
+    its oracle recomputes everything from the raw corpus — a hash match
+    proves deriving from the snapshot is equivalent to recomputing."""
+    from ..operators.dedup import lsh_verified_near_dups
+    from ..operators.graph import dedup_cluster_labels
+    from ..operators.relational import hash_uniform
+    from ..scratch import scratch_unique
+    from ..sources.txlog import TxTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_verified_near_dups(
+        docs, "doc_id", "text", num_hashes=8, rows_per_band=2, n=3,
+        threshold=0.6,
+    )
+    labeled = dedup_cluster_labels(docs, pairs, "doc_id")
+
+    table = TxTable(spark, scratch_unique(spark, "dedup_labels"))
+    table.overwrite(labeled.select("doc_id", "cluster_id", "is_canonical"))
+    snap = table.snapshot()  # all three consumers read the COMMITTED table
+
+    kept = snap.filter("is_canonical").agg(
+        F.lit("kept_docs").alias("metric"),
+        F.lit("corpus").alias("key"),
+        F.count("*").alias("n"),
+    )
+    u = hash_uniform("cluster_id")
+    split = (
+        snap.withColumn(
+            "split",
+            F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("split").alias("metric"), F.col("split").alias("key"), "n"
+        )
+    )
+    hist = (
+        snap.groupBy("cluster_id")
+        .agg(F.count("*").alias("sz"))
+        .groupBy("sz")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("cluster_size").alias("metric"),
+            F.col("sz").cast("string").alias("key"),
+            "n",
+        )
+    )
+    return kept.unionByName(split).unionByName(hist)
+
+
+@register(
     "corpus_manifest",
     oracle=f"""
         SELECT source,

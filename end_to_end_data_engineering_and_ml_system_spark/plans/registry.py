@@ -140,6 +140,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "quality_classifier_training_curve",
     # --- round-6 additions: past the 50-slot window, queued for round 7 ---
     "mlp_ae_training_curve",
+    "corpus_dedup_snapshot_pipeline",
 )
 
 

@@ -181,3 +181,33 @@ def test_scratch_dir_conf_overrides_tempfile(spark):
         )
     finally:
         spark.conf.unset(SCRATCH_DIR_CONF)
+
+
+def test_snapshot_pipeline_matches_standalone_queries(spark):
+    """corpus_dedup_snapshot_pipeline derives its three summaries from the
+    committed TxTable snapshot; each must equal the standalone
+    recompute-from-scratch query it replaces (the oracle proves the same
+    against DuckDB — this pins it engine-internally too)."""
+    from end_to_end_data_engineering_and_ml_system_spark.plans.registry import (
+        all_queries,
+    )
+
+    from .conftest import SF_SMOKE
+
+    qs = all_queries()
+    composed = {
+        (r["metric"], r["key"]): r["n"]
+        for r in qs["corpus_dedup_snapshot_pipeline"].build(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    kept = qs["corpus_near_dedup_kept"].build(spark, SF_SMOKE).count()
+    assert composed[("kept_docs", "corpus")] == kept
+    for r in qs["cluster_aware_split_counts"].build(spark, SF_SMOKE).collect():
+        assert composed[("split", r["split"])] == r["n_docs"]
+    for r in (
+        qs["near_dup_cluster_size_histogram"].build(spark, SF_SMOKE).collect()
+    ):
+        assert composed[("cluster_size", str(r["cluster_size"]))] == r[
+            "n_clusters"
+        ]
