@@ -17,22 +17,24 @@ the cluster:
   half-step is ``ratings ⋈ fixed-side factors`` (AQE broadcasts the
   factor side automatically while it is small; at catalog scale it
   becomes a plain shuffled hash join — either way, no driver transfer),
-  then ``groupBy(entity).applyInPandas`` assembles and solves that
-  entity's normal equations (AᵀA + λI) x = Aᵀr in closed form, which
-  cannot increase the regularized squared loss — so the loss sequence is
+  then each entity's normal-equation terms (upper triangle of AᵀA and
+  Aᵀr) are assembled by a codegen'd map-side-combined groupBy
+  aggregation and ALL the k×k ridge systems (AᵀA + λI) x = Aᵀr are
+  solved batched in one mapInPandas pass — one Python call per
+  PARTITION, never per entity. The closed-form per-entity minimization
+  cannot increase the regularized squared loss, so the loss sequence is
   non-increasing across half-steps, the pytest invariant;
-- the LOSS is two joins (ratings ⋈ U ⋈ V) + a mapInPandas partial sum;
-  per-row e² is quantized to an integer 1e-10 grid and the partials are
-  carried as exact 128-bit integers split across two LONG columns (never
-  a double — a double partial drops low bits past 2^53, breaking the
-  bit-identical-across-partitionings guarantee the quantization exists
-  to provide), summed exactly as Python ints on the driver (a handful of
-  per-partition rows, not data);
+- the LOSS is two joins (ratings ⋈ U ⋈ V) feeding one JVM hash
+  aggregate; per-row e² is quantized onto an integer 1e-10 grid (a LONG)
+  and summed as DECIMAL(38,0) — never a double, whose partials would
+  drop low bits past 2^53 and break the bit-identical-across-
+  partitionings guarantee the quantization exists to provide;
 - determinism: init factors derive from md5 of (entity, dim) — no RNG —
   computed JVM-side with the exact same arithmetic as the original
-  Python (int(md5[:8], 16) / 2^32), and each per-entity solve sorts its
-  ratings by the counterpart id first, fixing the float accumulation
-  order so refits are bit-identical across partitionings.
+  Python (int(md5[:8], 16) / 2^32), and the normal-equation terms are
+  quantized to the same 1e-10 integer grid before summing, so the
+  assembled systems — and therefore the factors — are bit-identical
+  across partitionings with no accumulation-order pinning at all.
 
 ``fit_als_df`` is the scale path (factors in, factors out, as
 DataFrames); ``fit_als`` is the small-scale convenience wrapper that
@@ -47,8 +49,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_Q = 1e10  # loss quantization grid (1e-10), shared by data + reg terms
-_SPLIT = 1 << 62  # partial sums ride as (high, low) longs: s = high*2^62 + low
+_Q = 1e10  # quantization grid (1e-10): loss terms + normal-equation sums
 
 
 def init_factors_df(ids: DataFrame, k: int) -> DataFrame:
@@ -73,53 +74,90 @@ def _solve_side_df(
     k: int,
     reg: float,
 ) -> DataFrame:
-    """One ALS half-step, fully on the cluster: join the fixed side's
-    factors onto the ratings, then per-entity closed-form ridge solve over
-    that entity's ratings (sorted by counterpart id for a fixed
-    accumulation order). Returns the solved side as (id, f)."""
-
-    def solve(pdf):
-        import pandas as pd
-
-        pdf = pdf.sort_values(fixed_col)
-        a = np.array([list(v) for v in pdf["f"]])
-        r = pdf["rating"].to_numpy(dtype=float)
-        ata = a.T @ a + reg * np.eye(k)
-        atr = a.T @ r
-        x = np.linalg.solve(ata, atr)
-        return pd.DataFrame(
-            {"id": [pdf[solve_col].iloc[0]], "f": [x.tolist()]}
-        )
-
+    """One ALS half-step, fully on the cluster, with NO per-entity Python
+    call: join the fixed side's factors onto the ratings, assemble each
+    entity's normal-equation terms (the upper triangle of AᵀA and Aᵀr,
+    k(k+1)/2 + k scalars) as a codegen'd JVM groupBy aggregation, then
+    solve ALL entities' k×k ridge systems in one batched
+    ``np.linalg.solve`` inside mapInPandas. Per-term products are
+    quantized to the 1e-10 integer grid and summed as longs, so the
+    assembled systems — and therefore the factors — are bit-identical on
+    any partitioning without needing a per-entity accumulation order.
+    This is the shape that survives 10⁸ entities: the expensive part is a
+    map-side-combined hash aggregation; Python sees one Arrow batch per
+    partition of the (entities × 44-scalar) table, not one call per
+    entity."""
     joined = ratings.join(
         fixed_factors.withColumnRenamed("id", fixed_col), fixed_col
-    ).select(solve_col, fixed_col, "rating", "f")
-    return joined.groupBy(solve_col).applyInPandas(
-        solve, "id long, f array<double>"
-    )
+    ).select(solve_col, "rating", "f")
+    q = F.lit(_Q)
+    aggs = []
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(
+                F.sum(
+                    F.round(
+                        F.element_at("f", i + 1)
+                        * F.element_at("f", j + 1)
+                        * q
+                    ).cast("long")
+                ).alias(f"a_{i}_{j}")
+            )
+        aggs.append(
+            F.sum(
+                F.round(
+                    F.col("rating") * F.element_at("f", i + 1) * q
+                ).cast("long")
+            ).alias(f"b_{i}")
+        )
+    g = joined.groupBy(F.col(solve_col).alias("id")).agg(*aggs)
 
-
-def _exact_partial_sum(df: DataFrame) -> int:
-    """Sum a per-partition (high, low) long pair exactly on the driver.
-    ``df`` rows are tiny (one per partition), never data-sized."""
-    return sum(
-        int(r["high"]) * _SPLIT + int(r["low"]) for r in df.collect()
-    )
-
-
-def _quantized_partials(int_iter_fn):
-    """Wrap a per-batch int-sum generator into a (high, low) long schema."""
-
-    def gen(batches):
+    def solve_batch(batches):
         import pandas as pd
 
-        s = 0
+        eye = reg * np.eye(k)
         for pdf in batches:
-            if len(pdf):
-                s += int_iter_fn(pdf)
-        yield pd.DataFrame({"high": [s // _SPLIT], "low": [s % _SPLIT]})
+            if not len(pdf):
+                continue
+            n = len(pdf)
+            ata = np.empty((n, k, k))
+            atr = np.empty((n, k))
+            for i in range(k):
+                for j in range(i, k):
+                    v = pdf[f"a_{i}_{j}"].to_numpy(dtype=np.int64) / _Q
+                    ata[:, i, j] = v
+                    ata[:, j, i] = v
+                atr[:, i] = pdf[f"b_{i}"].to_numpy(dtype=np.int64) / _Q
+            x = np.linalg.solve(ata + eye, atr)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "f": [row.tolist() for row in x]}
+            )
 
-    return gen
+    return g.mapInPandas(solve_batch, "id long, f array<double>")
+
+
+def _dot(a, b):
+    """JVM-side dot product of two array<double> columns; the zip_with +
+    aggregate accumulation runs in index order, so the float result is a
+    pure function of the two arrays (partitioning-independent)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _quantized_sum(df: DataFrame, row_expr) -> int:
+    """Exact order-free sum of a per-row quantized contribution: each
+    row's float is rounded onto the 1e-10 integer grid as a LONG, and the
+    longs are summed as DECIMAL(38,0) — overflow-free and bit-identical
+    on any partitioning. Returns the integer grid total."""
+    row = df.select(
+        F.sum(
+            F.round(row_expr * F.lit(_Q)).cast("long").cast("decimal(38,0)")
+        ).alias("s")
+    ).first()
+    return int(row["s"]) if row["s"] is not None else 0
 
 
 def _loss_df(
@@ -130,12 +168,12 @@ def _loss_df(
     item_col: str,
     reg: float,
 ) -> float:
-    """Regularized squared loss with everything O(entities) staying on the
-    cluster: ratings ⋈ U ⋈ V for the data term, a scan of each factor
-    table for the reg term. Each row's contribution is quantized to the
-    1e-10 integer grid so the aggregation is order-free (bit-identical on
-    any partitioning); partials travel as exact split longs."""
-
+    """Regularized squared loss computed ENTIRELY JVM-side: ratings ⋈ U ⋈
+    V for the data term, a scan of each factor table for the reg term —
+    whole-stage-codegen projections feeding one hash aggregate each, no
+    Python on the data path. Per-row contributions are quantized to the
+    1e-10 integer grid before the exact decimal sum, so the loss is
+    bit-identical on any partitioning."""
     j = (
         ratings.join(
             u.withColumnRenamed("id", user_col).withColumnRenamed("f", "uf"),
@@ -147,26 +185,10 @@ def _loss_df(
         )
         .select("rating", "uf", "vf")
     )
-
-    def data_term(pdf):
-        uu = np.array([list(x) for x in pdf["uf"]])
-        vv = np.array([list(x) for x in pdf["vf"]])
-        r = pdf["rating"].to_numpy(dtype=float)
-        e = r - (uu * vv).sum(axis=1)
-        return int(np.rint((e * e) * _Q).astype("int64").sum())
-
-    def reg_term(pdf):
-        m = np.array([list(x) for x in pdf["f"]])
-        return int(np.rint(reg * (m * m).sum(axis=1) * _Q).astype("int64").sum())
-
-    data_q = _exact_partial_sum(
-        j.mapInPandas(_quantized_partials(data_term), "high long, low long")
-    )
-    reg_q = _exact_partial_sum(
-        u.mapInPandas(_quantized_partials(reg_term), "high long, low long")
-    ) + _exact_partial_sum(
-        v.mapInPandas(_quantized_partials(reg_term), "high long, low long")
-    )
+    err = F.col("rating") - _dot(F.col("uf"), F.col("vf"))
+    data_q = _quantized_sum(j, err * err)
+    reg_expr = F.lit(reg) * _dot(F.col("f"), F.col("f"))
+    reg_q = _quantized_sum(u, reg_expr) + _quantized_sum(v, reg_expr)
     return (data_q + reg_q) / _Q
 
 

@@ -119,11 +119,98 @@ def pathological(n: int, sf_dir: str) -> None:
     big.unpersist()
 
 
+def trainers(n: int, sf_dir: str) -> None:
+    """ALS + k-means scale probe: per-iteration wall at 1x and Nx data.
+
+    For ALS the point is the executor-resident design: factors are
+    DataFrames, so when the USER dimension is replicated Nx (ratings and
+    distinct users both grow Nx) nothing O(users) crosses to the driver —
+    per-half-step wall must be bound by the grouped solve (≈linear in
+    ratings), and driver-side resident memory must stay flat. The probe
+    prints both, plus the monotone-loss check at each scale."""
+    import resource
+
+    from end_to_end_data_engineering_and_ml_system_spark.ml.als import (
+        fit_als_df,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.ml.training import (
+        fit_kmeans_lloyd,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.session import get_spark
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    spark = get_spark(app_name="scale-probe-trainers", cpus=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("user"),
+            F.col("l_partkey").alias("item"),
+        )
+        .agg(F.count("*").cast("double").alias("rating"))
+    )
+
+    def rss_mb() -> float:
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+    for mult in (1, n):
+        r = base if mult == 1 else replicate(base, "user", mult)
+        r = r.persist()
+        n_ratings = r.count()
+        n_users = r.select("user").distinct().count()
+        before = rss_mb()
+        t0 = time.perf_counter()
+        fit = fit_als_df(r, "user", "item", k=8, iters=2)
+        wall = time.perf_counter() - t0
+        mono = all(
+            b <= a + 1e-6 for a, b in zip(fit.losses, fit.losses[1:])
+        )
+        print(
+            f"als {mult}x: ratings={n_ratings} users={n_users} "
+            f"wall={wall:.2f}s per_half_step={wall / 4:.2f}s "
+            f"monotone={mono} driver_maxrss_delta={rss_mb() - before:.0f}MB"
+        )
+        fit.unpersist()
+        r.unpersist()
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias(
+            "features"
+        ),
+    )
+    for mult in (1, n):
+        d = emb if mult == 1 else replicate(emb, "vec_id", mult)
+        d = d.persist()
+        rows = d.count()
+        t0 = time.perf_counter()
+        fit = fit_kmeans_lloyd(d, "vec_id", k=8, iters=3)
+        wall = time.perf_counter() - t0
+        mono = all(
+            b <= a + 1e-6 for a, b in zip(fit.inertias, fit.inertias[1:])
+        )
+        print(
+            f"kmeans {mult}x: rows={rows} wall={wall:.2f}s "
+            f"per_iter={wall / 3:.2f}s monotone={mono}"
+        )
+        d.unpersist()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--pathological":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 100
         sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
         pathological(n, sf_dir)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--trainers":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+        trainers(n, sf_dir)
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
