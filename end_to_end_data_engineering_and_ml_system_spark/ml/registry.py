@@ -283,3 +283,81 @@ class ModelRegistry:
         )
         with open(p, "rb") as f:
             return f.read()
+
+
+# ---------------------------------------------------------------------------
+# HTTP-MLflow swap seam
+# ---------------------------------------------------------------------------
+#
+# Everything in this package consumes the tracker through the FOUR duck-typed
+# verbs (start_run -> run.log_params / run.log_metrics(step=) /
+# run.log_artifact / run.end) and reads back through runs()/
+# find_latest_run_id()/get_run(). A deployment with a real MLflow tracking
+# server swaps the file backend by passing an ``MlflowTracker`` anywhere a
+# ``Tracker`` is accepted — the trainers (ml/training.py, ml/quality.py)
+# only ever touch the run verbs, so no caller changes. The adapter is
+# import-gated: this container ships no ``mlflow`` package, so it exists as
+# the documented seam plus an interface-parity test
+# (tests/test_registry_ml.py); on an environment with MLflow installed it
+# talks to the server the reference's own scripts use
+# (train_autoencoder.py:117-180, tracking URI from env).
+
+
+class MlflowRunAdapter:
+    """Duck-type twin of ``Run`` over an active ``mlflow`` run."""
+
+    def __init__(self, mlflow_mod, run_id: str):
+        self._mlflow = mlflow_mod
+        self.run_id = run_id
+
+    def log_params(self, params: dict) -> None:
+        self._mlflow.log_params({k: str(v) for k, v in params.items()})
+
+    def log_metrics(self, metrics: dict, step: int = 0) -> None:
+        self._mlflow.log_metrics(
+            {k: float(v) for k, v in metrics.items()}, step=int(step)
+        )
+
+    def log_artifact(self, name: str, data: bytes) -> str:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="mlflow_artifact_")
+        path = os.path.join(d, name)
+        with open(path, "wb") as f:
+            f.write(data)
+        self._mlflow.log_artifact(path)
+        return path
+
+    def end(self, status: str = "FINISHED") -> None:
+        self._mlflow.end_run(status=status)
+
+
+class MlflowTracker:
+    """``Tracker`` twin over a real MLflow tracking server (import-gated:
+    raises ImportError where ``mlflow`` is not installed — this container).
+    ``tracking_uri`` is the reference's ``MLFLOW_TRACKING_URI``."""
+
+    def __init__(self, tracking_uri: str):
+        import mlflow  # noqa: F401 — hard requirement for this backend
+
+        self._mlflow = mlflow
+        mlflow.set_tracking_uri(tracking_uri)
+
+    def start_run(self, experiment: str) -> MlflowRunAdapter:
+        self._mlflow.set_experiment(experiment)
+        active = self._mlflow.start_run()
+        return MlflowRunAdapter(self._mlflow, active.info.run_id)
+
+    def runs(self, experiment: str) -> list[dict]:
+        df = self._mlflow.search_runs(
+            experiment_names=[experiment], order_by=["start_time ASC"]
+        )
+        return df.to_dict("records")
+
+    def find_latest_run_id(self, experiment: str) -> str | None:
+        df = self._mlflow.search_runs(
+            experiment_names=[experiment],
+            order_by=["start_time DESC"],
+            max_results=1,
+        )
+        return None if df.empty else df.iloc[0]["run_id"]

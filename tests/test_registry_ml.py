@@ -109,3 +109,47 @@ def test_registry_feeds_spark_inference(spark, sf_dir, tmp_path):
         for r in serialized_model_inference(li, blob, "row_id").collect()
     }
     assert got == want and len(got) == 500
+
+
+def test_mlflow_adapter_interface_parity():
+    """The HTTP-MLflow seam: MlflowTracker/MlflowRunAdapter must expose
+    exactly the duck-typed verbs the trainers consume, so a deployment
+    with a real server swaps backends with no caller changes. (The live
+    swap itself needs an mlflow install + server — absent in this
+    container, so parity of the surface is what is pinned here.)"""
+    import inspect
+
+    from end_to_end_data_engineering_and_ml_system_spark.ml.registry import (
+        MlflowRunAdapter,
+        MlflowTracker,
+        Run,
+        Tracker,
+    )
+
+    for verb in ("log_params", "log_metrics", "log_artifact", "end"):
+        ours = inspect.signature(getattr(Run, verb))
+        theirs = inspect.signature(getattr(MlflowRunAdapter, verb))
+        assert list(ours.parameters) == list(theirs.parameters), verb
+    for verb in ("start_run", "runs", "find_latest_run_id"):
+        ours = inspect.signature(getattr(Tracker, verb))
+        theirs = inspect.signature(getattr(MlflowTracker, verb))
+        assert list(ours.parameters) == list(theirs.parameters), verb
+
+
+def test_mlflow_live_swap_if_available(tmp_path):
+    """Runs only where mlflow is installed: the adapter must drive a real
+    (file-URI) MLflow backend through the same verbs the trainers use."""
+    import pytest
+
+    pytest.importorskip("mlflow")
+    from end_to_end_data_engineering_and_ml_system_spark.ml.registry import (
+        MlflowTracker,
+    )
+
+    t = MlflowTracker(f"file://{tmp_path}/mlruns")
+    run = t.start_run("swap_test")
+    run.log_params({"k": 8})
+    run.log_metrics({"loss": 1.5}, step=0)
+    run.log_metrics({"loss": 1.2}, step=1)
+    run.end()
+    assert t.find_latest_run_id("swap_test") == run.run_id
