@@ -93,3 +93,43 @@ def test_als_df_factors_match_collected_wrapper(spark):
     assert set(got) == set(a.user_factors)
     for key, vec in got.items():
         assert np.array_equal(np.array(vec), a.user_factors[key])
+
+
+def test_als_quality_comparable_to_mllib(spark):
+    """Cross-check against the public scale-path implementation: MLlib's
+    ALS (pyspark.ml.recommendation) on the same ratings at the same rank
+    and regularization. Our exact alternating solver must reach a data
+    RMSE in the same ballpark (within 1.5x) — guarding against a
+    subtly-wrong normal-equation assembly that still looks monotone."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.recommendation import ALS as MllibALS
+
+    r = _ratings(spark, SF_SMOKE).persist()
+    ours = fit_als(r, "user", "item", k=4, iters=4)
+    n = r.count()
+    # our data term: regularized loss minus reg part is embedded in the
+    # curve; recompute plain RMSE from the final factors via the dicts
+    rows = r.collect()
+    se = 0.0
+    for row in rows:
+        u = ours.user_factors[row["user"]]
+        v = ours.item_factors[row["item"]]
+        se += float((row["rating"] - u @ v) ** 2)
+    ours_rmse = (se / n) ** 0.5
+
+    mllib = MllibALS(
+        rank=4,
+        maxIter=4,
+        regParam=0.1,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        seed=42,
+        coldStartStrategy="drop",
+    ).fit(r)
+    pred = mllib.transform(r)
+    mllib_rmse = RegressionEvaluator(
+        metricName="rmse", labelCol="rating", predictionCol="prediction"
+    ).evaluate(pred)
+    r.unpersist()
+    assert ours_rmse <= 1.5 * mllib_rmse + 0.05, (ours_rmse, mllib_rmse)

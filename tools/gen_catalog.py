@@ -28,8 +28,8 @@ def main() -> None:
         f"{len(qs)} registered queries — {n_oracle} DuckDB-oracle-checked, "
         f"{len(qs) - n_oracle} rows-only (non-SQL-expressible; each carries "
         "an invariant test and, where noted in COVERAGE.md, an "
-        "oracle-checked sibling). The first "
-        f"{len(_DRIVER_PRIORITY)} names are the round-4 driver window. "
+        "oracle-checked sibling). The first 50 names are the current "
+        f"driver window ({len(_DRIVER_PRIORITY)} priority-pinned). "
         "Run any of them: `python -m end_to_end_data_engineering_and_ml_system_spark "
         "run <name>`.",
         "",
