@@ -25,13 +25,16 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 # streaming plans are covered by tests/test_streaming.py equivalence runs)
 SKIP_TAGS = {"streaming"}
 
-# round-5 flagship (non-bench) queries worth pinning alongside the bench set
+# flagship (non-bench) queries worth pinning alongside the bench set
 EXTRA_SNAPSHOTS = (
     "quality_classifier_score_deciles",
     "corpus_pipeline_v2_learned",
     "user_rate_limit_violations",
     "preference_pairs",
     "event_series_correlation_matrix",
+    # round 6: the materialize-once dedup pipeline — the snapshot shows the
+    # derived consumers are plain rollups over one committed parquet read
+    "corpus_dedup_snapshot_pipeline",
 )
 
 
