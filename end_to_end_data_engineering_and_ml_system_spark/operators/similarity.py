@@ -468,3 +468,125 @@ def quantize_int8_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame
         )
         .select("dim", "mn", "mx", "n_vecs", "mean_code", "mean_abs_err")
     )
+
+
+def semdedup_portable(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    tau: float = 0.3,
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition embeddings into k clusters, then drop
+    within-cluster semantic near-duplicates whose pairwise cosine exceeds
+    ``tau``. Engine-portable deterministic variant:
+
+    - **centroids** = the k corpus vectors with the smallest
+      ``md5(id)`` — a seedless uniform pick any engine reproduces
+      (cluster_id = md5 rank 0..k-1);
+    - **assignment** = exact decimal-summed cosine argmax against the k
+      centroids (ties -> lowest cluster_id);
+    - **drop rule** = a vector is dropped when any *lower-id* member of
+      its cluster has cosine > tau. The paper keeps one exemplar per
+      near-dup group; lowest-id is its deterministic stand-in (drops are
+      decided against all members, not only surviving ones — same kept
+      set on cliques, order-free to evaluate).
+
+    Returns ``(id, cluster_id, max_cos_prev, is_kept)`` — one row per
+    corpus vector; ``max_cos_prev`` is the max cosine to any lower-id
+    cluster member (-1.0 when none), so callers can re-threshold without
+    re-running the pairwise stage.
+
+    Scale shape: k grows with the corpus (SemDeDup uses 50k clusters for
+    5B LAION embeddings), so cluster sizes stay bounded and the only
+    quadratic stage — the within-cluster self-join — is quadratic in the
+    *cluster*, never the corpus. Assignment is a posexplode equi-join on
+    position against a k×dim broadcast side; every sum is a codegen'd
+    grouped decimal aggregate (order-independent, cross-engine exact)."""
+    ex = corpus.select(
+        F.col(id_col).alias("__id"), F.posexplode(vec_col).alias("pos", "xf")
+    ).select("__id", "pos", F.col("xf").cast("double").alias("x"))
+    norms = ex.groupBy("__id").agg(
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("nrm")
+    )
+    rank_w = Window.orderBy("__r", "cent_vid")
+    cent = (
+        corpus.select(
+            F.col(id_col).alias("cent_vid"),
+            F.md5(F.col(id_col).cast("string")).alias("__r"),
+        )
+        .orderBy("__r", "cent_vid")
+        .limit(k)
+        .withColumn("cluster_id", F.row_number().over(rank_w) - F.lit(1))
+    )
+    cex = cent.join(ex, cent.cent_vid == ex.__id).select(
+        "cluster_id", "pos", F.col("x").alias("cx")
+    )
+    cnorm = cent.join(norms, cent.cent_vid == norms.__id).select(
+        "cluster_id", F.col("nrm").alias("cnrm")
+    )
+    adots = (
+        ex.join(F.broadcast(cex), "pos")
+        .groupBy("__id", "cluster_id")
+        .agg(
+            F.sum((F.col("x") * F.col("cx")).cast("decimal(28,10)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    acos = (
+        adots.join(norms, "__id")
+        .join(F.broadcast(cnorm), "cluster_id")
+        .select(
+            "__id",
+            "cluster_id",
+            (F.col("dot") / (F.sqrt("nrm") * F.sqrt("cnrm"))).alias("c"),
+        )
+    )
+    aw = Window.partitionBy("__id").orderBy(F.col("c").desc(), "cluster_id")
+    assign = (
+        acos.withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("__id", "cluster_id")
+    )
+    exc = ex.join(assign, "__id")
+    pdots = (
+        exc.alias("a")
+        .join(
+            exc.alias("b"),
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(
+            F.col("a.cluster_id").alias("cluster_id"),
+            F.col("a.__id").alias("id1"),
+            F.col("b.__id").alias("id2"),
+        )
+        .agg(
+            F.sum((F.col("a.x") * F.col("b.x")).cast("decimal(28,10)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    pcos = (
+        pdots.join(norms.select(F.col("__id").alias("id1"), F.col("nrm").alias("n1")), "id1")
+        .join(norms.select(F.col("__id").alias("id2"), F.col("nrm").alias("n2")), "id2")
+        .select(
+            "id2",
+            (F.col("dot") / (F.sqrt("n1") * F.sqrt("n2"))).alias("pc"),
+        )
+    )
+    max_prev = pcos.groupBy("id2").agg(F.max("pc").alias("max_cos_prev"))
+    return (
+        assign.join(max_prev, assign.__id == max_prev.id2, "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "cluster_id",
+            F.coalesce("max_cos_prev", F.lit(-1.0)).alias("max_cos_prev"),
+            (F.coalesce("max_cos_prev", F.lit(-1.0)) <= F.lit(tau)).alias("is_kept"),
+        )
+    )

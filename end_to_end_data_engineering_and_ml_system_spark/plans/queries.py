@@ -10940,3 +10940,147 @@ def daily_growth_accounting(spark, sf_dir):
         F.sum(F.when(~is_new, 1).otherwise(0)).alias("returning_users"),
         (new_c.cast("double") / F.count("*")).alias("new_frac"),
     )
+
+
+_SEMDEDUP_CTES = """
+        WITH ex AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ),
+        norms AS (
+            SELECT vec_id,
+                   CAST(SUM(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS nrm
+            FROM ex GROUP BY 1
+        ),
+        cent AS (
+            SELECT vec_id AS cent_vid,
+                   ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                       AS cluster_id
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+        ),
+        cex AS (
+            SELECT c.cluster_id, e.pos, e.x AS cx
+            FROM cent c JOIN ex e ON e.vec_id = c.cent_vid
+        ),
+        cnorm AS (
+            SELECT c.cluster_id, n.nrm AS cnrm
+            FROM cent c JOIN norms n ON n.vec_id = c.cent_vid
+        ),
+        adots AS (
+            SELECT e.vec_id, c.cluster_id,
+                   CAST(SUM(CAST(e.x * c.cx AS DECIMAL(28,10))) AS DOUBLE)
+                       AS dot
+            FROM ex e JOIN cex c ON e.pos = c.pos
+            GROUP BY 1, 2
+        ),
+        acos AS (
+            SELECT a.vec_id, a.cluster_id,
+                   a.dot / (sqrt(n.nrm) * sqrt(cn.cnrm)) AS c
+            FROM adots a
+            JOIN norms n ON a.vec_id = n.vec_id
+            JOIN cnorm cn ON a.cluster_id = cn.cluster_id
+        ),
+        assign AS (
+            SELECT vec_id, cluster_id FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY c DESC, cluster_id) AS rn
+                FROM acos
+            ) WHERE rn = 1
+        ),
+        exc AS (
+            SELECT a.cluster_id, e.vec_id, e.pos, e.x
+            FROM ex e JOIN assign a ON e.vec_id = a.vec_id
+        ),
+        pdots AS (
+            SELECT a.cluster_id, a.vec_id AS id1, b.vec_id AS id2,
+                   CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,10))) AS DOUBLE)
+                       AS dot
+            FROM exc a JOIN exc b
+              ON a.cluster_id = b.cluster_id AND a.pos = b.pos
+             AND a.vec_id < b.vec_id
+            GROUP BY 1, 2, 3
+        ),
+        maxprev AS (
+            SELECT id2,
+                   MAX(dot / (sqrt(n1.nrm) * sqrt(n2.nrm))) AS max_cos_prev
+            FROM pdots
+            JOIN norms n1 ON id1 = n1.vec_id
+            JOIN norms n2 ON id2 = n2.vec_id
+            GROUP BY 1
+        )
+"""
+
+
+@register(
+    "embedding_semdedup_kept",
+    oracle=_SEMDEDUP_CTES
+    + """
+        SELECT s.cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(CASE WHEN COALESCE(m.max_cos_prev, -1.0) <= 0.3
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM assign s LEFT JOIN maxprev m ON s.vec_id = m.id2
+        GROUP BY 1
+    """,
+    description=(
+        "SemDeDup semantic dedup (arXiv:2303.09540): md5-pick centroids, "
+        "exact-decimal cosine assignment, within-cluster near-dup drop"
+    ),
+    tags=("dedup", "similarity", "semdedup"),
+)
+def embedding_semdedup_kept(spark, sf_dir):
+    """Per-cluster survivor counts of the SemDeDup pipeline: k clusters
+    around deterministically-picked centroids, a vector dropped when a
+    lower-id cluster member exceeds cosine tau. The quadratic stage is
+    within-cluster only — k scales with the corpus so cluster sizes stay
+    bounded (the paper runs 50k clusters over 5B LAION embeddings)."""
+    from ..operators.similarity import semdedup_portable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = semdedup_portable(emb, k=8, tau=0.3)
+    return t.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.col("is_kept").cast("int")).alias("n_kept"),
+    )
+
+
+@register(
+    "embedding_semdedup_threshold_sweep",
+    oracle=_SEMDEDUP_CTES
+    + """
+        SELECT t.tau,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN COALESCE(m.max_cos_prev, -1.0) <= t.tau
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM assign s
+        LEFT JOIN maxprev m ON s.vec_id = m.id2
+        CROSS JOIN (SELECT unnest([0.20, 0.25, 0.30, 0.35, 0.40]) AS tau) t
+        GROUP BY 1
+    """,
+    description=(
+        "SemDeDup retention curve: survivors at five cosine thresholds "
+        "from one pairwise pass (re-threshold without recompute)"
+    ),
+    tags=("dedup", "similarity", "semdedup"),
+)
+def embedding_semdedup_threshold_sweep(spark, sf_dir):
+    """Budget-setting view for semantic dedup: the per-vector
+    max-cosine-to-lower-id-cluster-member from one SemDeDup pairwise pass
+    is re-thresholded at five taus — choosing the dedup strength costs one
+    broadcast re-aggregation, not five pipeline reruns."""
+    from ..operators.similarity import semdedup_portable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = semdedup_portable(emb, k=8, tau=0.3)
+    taus = spark.createDataFrame(
+        [(0.20,), (0.25,), (0.30,), (0.35,), (0.40,)], "tau double"
+    )
+    return t.crossJoin(F.broadcast(taus)).groupBy("tau").agg(
+        F.count("*").alias("n_total"),
+        F.sum(
+            (F.col("max_cos_prev") <= F.col("tau")).cast("int")
+        ).alias("n_kept"),
+    )

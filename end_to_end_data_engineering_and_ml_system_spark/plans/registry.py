@@ -141,6 +141,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- round-6 additions: past the 50-slot window, queued for round 7 ---
     "mlp_ae_training_curve",
     "corpus_dedup_snapshot_pipeline",
+    "embedding_semdedup_kept",
+    "embedding_semdedup_threshold_sweep",
 )
 
 

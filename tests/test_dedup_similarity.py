@@ -442,3 +442,62 @@ def test_simhash_pairs_exact_vs_bruteforce(spark):
             want[(a, b)] = d
     assert got == want  # pigeonhole banding loses nothing within radius 3
     assert (0, 1) in got and (0, 3) in got and (0, 4) not in got
+
+
+def test_semdedup_identical_vectors_dropped(spark):
+    from end_to_end_data_engineering_and_ml_system_spark.operators.similarity import (
+        semdedup_portable,
+    )
+
+    # unit basis vectors -> norms and cosines are FP-exact (0.0 / 1.0)
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),   # identical to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 1.0, 0.0]),   # identical to 3
+        (5, [0.0, 0.0, 1.0]),   # orthogonal to everything
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = semdedup_portable(df, k=2, tau=0.95).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert len(by_id) == 5  # one row per corpus vector
+    # identical vectors have identical centroid cosines -> same cluster,
+    # and the higher id of each identical pair sees max_cos_prev == 1.0
+    assert by_id[1].cluster_id == by_id[2].cluster_id
+    assert by_id[3].cluster_id == by_id[4].cluster_id
+    assert by_id[2].max_cos_prev == 1.0 and not by_id[2].is_kept
+    assert by_id[4].max_cos_prev == 1.0 and not by_id[4].is_kept
+    # the lowest id of every cluster always survives
+    kept = {r.vec_id for r in out if r.is_kept}
+    for cid in {r.cluster_id for r in out}:
+        members = [r.vec_id for r in out if r.cluster_id == cid]
+        assert min(members) in kept
+
+
+def test_semdedup_fixture_invariants(spark, sf_dir):
+    from end_to_end_data_engineering_and_ml_system_spark.operators.similarity import (
+        semdedup_portable,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    t = semdedup_portable(emb, k=8, tau=0.3).persist()
+    try:
+        assert t.count() == n  # total assignment, no dup / dropped ids
+        assert t.select("vec_id").distinct().count() == n
+        # every nonempty cluster keeps at least its lowest-id member
+        per = t.groupBy("cluster_id").agg(
+            F.count("*").alias("m"),
+            F.sum(F.col("is_kept").cast("int")).alias("k"),
+        ).collect()
+        assert all(r.k >= 1 for r in per)
+        assert sum(r.m for r in per) == n
+        # retention is monotone in tau (same pairwise maxima re-thresholded)
+        kept_at = [
+            t.filter(F.col("max_cos_prev") <= tau).count()
+            for tau in (0.2, 0.3, 0.4)
+        ]
+        assert kept_at == sorted(kept_at)
+        assert 0 < kept_at[0] <= kept_at[-1] <= n
+    finally:
+        t.unpersist()

@@ -63,6 +63,9 @@ SAMPLE = [
     "signup_to_purchase_latency_quantiles",  # dyadic quartiles
     "watermark_tolerance_curve",  # running-max window + delay sweep
     "sessions_per_user_histogram",  # interval-exact session gaps
+    # round-6 additions
+    "embedding_semdedup_kept",    # decimal-exact cosines, md5 centroids
+    "embedding_semdedup_threshold_sweep",  # re-thresholded pairwise maxima
 ]
 
 
