@@ -2675,3 +2675,57 @@ def sessions_per_user_histogram(spark, sf_dir):
     return s.groupBy("n_sessions").agg(
         F.count("*").cast("bigint").alias("n_users")
     )
+
+
+@register(
+    "tx_table_zorder_pruned_scan",
+    oracle="""
+        SELECT 'value' AS pruned_on,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events WHERE value BETWEEN 200.0 AND 500.0
+        UNION ALL
+        SELECT 'user_id' AS pruned_on,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events WHERE user_id BETWEEN 0 AND 20
+    """,
+    description=(
+        "OPTIMIZE ZORDER on the tx table, then metadata-pruned range "
+        "scans on BOTH clustered columns (full oracle on the raw table)"
+    ),
+    tags=("table-format", "source", "deterministic"),
+)
+def tx_table_zorder_pruned_scan(spark, sf_dir):
+    """Multi-column data skipping end-to-end: four appends land events in
+    hash-arbitrary data dirs (every dir overlaps every range — zero
+    skipping), then ``optimize`` z-orders the table on (user_id, value)
+    with equi-depth quantile codes, and ``snapshot_pruned`` answers a
+    selective range on EITHER column reading only the overlapping dirs.
+    The oracle recomputes both scans on the raw table: matching proves the
+    pruning is metadata-only planning, never a semantic change. (The
+    dirs-skipped assertions live in tests/test_txlog.py — file layout
+    isn't SQL-expressible.)"""
+    from ..scratch import scratch_unique
+    from ..sources.txlog import TxTable
+
+    ev = load_table(spark, sf_dir, "events")
+    t = TxTable(
+        spark,
+        scratch_unique(spark, "txzorder"),
+        stats_cols=("value", "user_id"),
+    )
+    for i in range(4):
+        t.append(ev.filter(F.pmod(F.xxhash64("event_id"), F.lit(4)) == i))
+    t.optimize(["user_id", "value"], num_buckets=16)
+
+    def scan(col, lo, hi, label):
+        return t.snapshot_pruned(col, lo, hi).agg(
+            F.lit(label).alias("pruned_on"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+
+    return scan("value", 200.0, 500.0, "value").unionByName(
+        scan("user_id", 0, 20, "user_id")
+    )

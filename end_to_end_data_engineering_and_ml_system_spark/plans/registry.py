@@ -143,6 +143,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_dedup_snapshot_pipeline",
     "embedding_semdedup_kept",
     "embedding_semdedup_threshold_sweep",
+    "tx_table_zorder_pruned_scan",
 )
 
 

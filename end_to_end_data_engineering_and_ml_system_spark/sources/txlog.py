@@ -232,6 +232,134 @@ class TxTable:
             [self._write_data(snap.coalesce(target_partitions))], "compact"
         )
 
+    def optimize(
+        self,
+        cluster_by: list[str],
+        num_buckets: int = 8,
+        bits: int = 8,
+    ) -> int:
+        """OPTIMIZE ... ZORDER BY, at this format's dir granularity (the
+        public Delta/Iceberg clustering idea): rewrite the snapshot into
+        ``num_buckets`` data dirs ordered by the interleaved-bit z-value
+        of ``cluster_by``, so each dir's recorded min/max becomes tight on
+        EVERY clustered column at once and ``snapshot_pruned`` skips most
+        dirs for a selective range on ANY of them — multi-column data
+        skipping one linear sort order cannot give.
+
+        Mechanics (one quantile pass for codes, one pass for the rewrite,
+        one grouped aggregate for all sidecar stats):
+
+        - each cluster column maps to a ``bits``-bit EQUI-DEPTH quantile
+          code (count of approx-quantile cuts below the value — the
+          sample-based range-ID idea Delta's ZORDER uses). Rank codes are
+          skew-proof: a value distribution with a long tail still spreads
+          uniformly over the code space, where min/max linear scaling
+          would burn every high bit on the tail,
+        - the z-value interleaves those codes (col i owns bit positions
+          ``b*n + i``),
+        - bucket boundaries come from approximate z-quantiles, so buckets
+          stay balanced,
+        - the write is one ``partitionBy`` job; per-bucket stats for every
+          ``stats_cols`` column come from ONE groupBy — no per-dir rescans.
+
+        The content of the committed version is exactly the snapshot
+        (bucket/file layout is maintenance metadata, like ``compact``)."""
+        from pyspark.sql import functions as F
+
+        snap = self.snapshot()
+        if snap is None:
+            raise ValueError("cannot optimize an empty table")
+        if not cluster_by:
+            raise ValueError("cluster_by must name at least one column")
+        dtypes = dict(snap.dtypes)
+        numeric = []
+        for c in cluster_by:
+            t = dtypes.get(c)
+            if t is None:
+                raise ValueError(f"unknown cluster column {c!r}")
+            if t.startswith("timestamp"):
+                numeric.append(F.unix_timestamp(F.col(c)).cast("double"))
+            else:
+                numeric.append(F.col(c).cast("double"))
+        n = len(cluster_by)
+        ncodes = 1 << bits
+        proj = snap.select(
+            *[e.alias(f"__c{i}") for i, e in enumerate(numeric)]
+        )
+        probs = [j / ncodes for j in range(1, ncodes)]
+        all_cuts = proj.stat.approxQuantile(
+            [f"__c{i}" for i in range(n)], probs, 1.0 / (4 * ncodes)
+        )
+        z = F.lit(0).cast("bigint")
+        for i, e in enumerate(numeric):
+            # duplicate cuts are KEPT: a low-cardinality or heavy-hitter
+            # column then still maps onto the full code range by RANK
+            # (dedup would pack its codes into the low bits and let the
+            # other columns' high bits dominate every bucket boundary)
+            cuts = sorted(all_cuts[i])
+            if not cuts:
+                continue  # all-NULL column adds no ordering bits
+            # code = number of cuts strictly below the value (NULLs -> 0):
+            # a JVM-side fold over the cut array, no per-row Python
+            code = F.aggregate(
+                F.array(*[F.lit(float(c)) for c in cuts]),
+                F.lit(0).cast("bigint"),
+                lambda acc, cut: acc
+                + F.when(F.coalesce(e, F.lit(float("-inf"))) > cut, 1)
+                .otherwise(0)
+                .cast("bigint"),
+            )
+            for bit in range(bits):
+                z = z + F.shiftleft(
+                    F.shiftright(code, bit).bitwiseAND(F.lit(1)),
+                    bit * n + i,
+                )
+        zdf = snap.withColumn("__z", z).persist()
+        try:
+            qs = [i / num_buckets for i in range(1, num_buckets)]
+            cuts = zdf.stat.approxQuantile("__z", qs, 0.001) if qs else []
+            bucket = F.lit(0)
+            for cut in cuts:
+                bucket = bucket + (F.col("__z") > F.lit(cut)).cast("int")
+            out = zdf.withColumn("__zb", bucket)
+            part_root = os.path.join(self._data_dir, uuid.uuid4().hex)
+            (
+                out.repartition(num_buckets, "__zb")
+                .sortWithinPartitions("__zb", "__z")
+                .drop("__z")
+                .write.partitionBy("__zb")
+                .mode("error")
+                .parquet(part_root)
+            )
+            dirs = []
+            if self.stats_cols:
+                saggs = []
+                for c in self.stats_cols:
+                    saggs += [
+                        F.min(c).alias(f"{c}__min"),
+                        F.max(c).alias(f"{c}__max"),
+                    ]
+                for r in out.groupBy("__zb").agg(*saggs).collect():
+                    d = os.path.join(part_root, f"__zb={r['__zb']}")
+                    stats = {
+                        c: {
+                            "min": _stat_json(r[f"{c}__min"]),
+                            "max": _stat_json(r[f"{c}__max"]),
+                        }
+                        for c in self.stats_cols
+                    }
+                    _atomic_write_json(f"{d}.stats.json", stats)
+                    dirs.append(d)
+            else:
+                dirs = [
+                    os.path.join(part_root, e)
+                    for e in os.listdir(part_root)
+                    if e.startswith("__zb=")
+                ]
+            return self._commit(dirs, "optimize")
+        finally:
+            zdf.unpersist()
+
     # -- reads -------------------------------------------------------------
 
     def snapshot(self, version: int | None = None) -> DataFrame | None:

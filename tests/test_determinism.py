@@ -66,6 +66,7 @@ SAMPLE = [
     # round-6 additions
     "embedding_semdedup_kept",    # decimal-exact cosines, md5 centroids
     "embedding_semdedup_threshold_sweep",  # re-thresholded pairwise maxima
+    "tx_table_zorder_pruned_scan",  # pruning is I/O-only, results exact
 ]
 
 

@@ -228,3 +228,82 @@ def test_vacuum_removes_stats_sidecars(spark, tmp_path):
     for d in removed:
         assert not os.path.exists(f"{d}.stats.json"), d
     assert t.snapshot().count() == 1
+
+
+def _kept_dirs(t, col, lo, hi):
+    dirs = t._manifest(t.latest_version())["data_dirs"]
+    kept = []
+    for d in dirs:
+        s = (t._dir_stats(d) or {}).get(col)
+        if (
+            s is None
+            or s["min"] is None
+            or s["max"] is None
+            or not (s["max"] < lo or s["min"] > hi)
+        ):
+            kept.append(d)
+    return len(kept), len(dirs)
+
+
+def test_optimize_zorder_prunes_both_columns(spark, tmp_path):
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "value", "ts"
+    )
+    t = TxTable(spark, str(tmp_path / "z"), stats_cols=("value", "user_id"))
+    for i in range(4):
+        t.append(ev.filter(F.pmod(F.xxhash64("event_id"), F.lit(4)) == i))
+    # fixture-independent selective ranges: value's top decile, users' bottom
+    v_lo, v_hi = ev.agg(
+        F.expr("percentile(value, 0.9)"), F.max("value")
+    ).first()
+    u_lo, u_hi = 0, int(ev.agg(F.expr("percentile(user_id, 0.1)")).first()[0])
+    # hash-sliced appends overlap every range on both columns: no skipping
+    assert _kept_dirs(t, "value", v_lo, v_hi) == (4, 4)
+    assert _kept_dirs(t, "user_id", u_lo, u_hi) == (4, 4)
+    before = sorted(
+        tuple(r) for r in t.snapshot().groupBy("user_id").count().collect()
+    )
+    t.optimize(["user_id", "value"], num_buckets=16)
+    # z-ordering makes dir stats tight on BOTH columns at once
+    kept_v, total = _kept_dirs(t, "value", v_lo, v_hi)
+    kept_u, _ = _kept_dirs(t, "user_id", u_lo, u_hi)
+    assert total >= 8  # rewrite actually produced multiple bucket dirs
+    assert kept_v < total and kept_u < total
+    # ... without changing the committed content or schema
+    after = sorted(
+        tuple(r) for r in t.snapshot().groupBy("user_id").count().collect()
+    )
+    assert before == after
+    assert t.snapshot().schema == ev.schema
+    # pruned scans stay EXACT (stats only cut I/O, the filter still runs)
+    got = t.snapshot_pruned("value", v_lo, v_hi).count()
+    want = ev.filter((F.col("value") >= v_lo) & (F.col("value") <= v_hi)).count()
+    assert got == want
+
+
+def test_optimize_timestamp_cluster_column(spark, tmp_path):
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "ts", "value")
+    t = TxTable(spark, str(tmp_path / "zts"), stats_cols=("ts",))
+    t.append(ev)
+    t.optimize(["ts"], num_buckets=8)
+    # single-column z-order == range clustering: ts ranges prune
+    lo = ev.agg(F.min("ts")).first()[0]
+    mid = ev.selectExpr(
+        "cast(timestamp_micros(cast(percentile("
+        "unix_micros(cast(ts as timestamp)), 0.1) as bigint)) as timestamp_ntz) as m"
+    ).first()[0]
+    kept, total = _kept_dirs(t, "ts", lo.isoformat(), mid.isoformat())
+    assert total >= 4 and kept < total
+    assert t.snapshot().count() == ev.count()
+
+
+def test_optimize_empty_and_bad_args(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "ze"))
+    with pytest.raises(ValueError):
+        t.optimize(["value"])
+    ev = _events(spark)
+    t.append(ev)
+    with pytest.raises(ValueError):
+        t.optimize([])
+    with pytest.raises(ValueError):
+        t.optimize(["no_such_col"])
