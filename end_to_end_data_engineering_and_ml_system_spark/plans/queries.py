@@ -11084,3 +11084,166 @@ def embedding_semdedup_threshold_sweep(spark, sf_dir):
             (F.col("max_cos_prev") <= F.col("tau")).cast("int")
         ).alias("n_kept"),
     )
+
+
+@register(
+    "pq_init_assignment_portable",
+    oracle="""
+        -- product-quantization iteration 0 under the md5-medoid init:
+        -- per-subspace code histogram of the first assignment. Subspace
+        -- of a position is floor((pos-1)/dsub) (1-based unnest); squared
+        -- distances sum DECIMAL-exact, ties break by code rank.
+        WITH cw AS (
+            SELECT vec_id AS cw_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS code_rank
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT 16
+        ),
+        ex AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ),
+        cx AS (
+            SELECT cw.code_rank, e.pos, e.x AS c
+            FROM cw JOIN ex e ON e.vec_id = cw.cw_id
+        ),
+        d AS (
+            SELECT e.vec_id,
+                   CAST(FLOOR((e.pos - 1) / 8) AS INT) AS sub,
+                   c.code_rank,
+                   SUM(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(28,10)))
+                       AS d2
+            FROM ex e JOIN cx c ON e.pos = c.pos
+            GROUP BY 1, 2, 3
+        ),
+        a AS (
+            SELECT vec_id, sub, code_rank,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id, sub ORDER BY d2, code_rank
+                   ) AS rn
+            FROM d
+        )
+        SELECT sub, CAST(code_rank AS INT) AS code_rank,
+               CAST(COUNT(*) AS BIGINT) AS n_assigned
+        FROM a
+        WHERE rn = 1
+        GROUP BY 1, 2
+    """,
+    description=(
+        "product-quantization iteration-0 code histogram under the "
+        "md5-medoid init, oracle-checked per subspace"
+    ),
+    tags=("ml", "similarity", "pq", "deterministic"),
+)
+def pq_init_assignment_portable(spark, sf_dir):
+    """Cross-engine proof of the PQ core (operators/pq.py): the
+    deterministic codebook init and the per-subspace nearest-codeword
+    assignment recomputed declaratively — posexplode, pos-join against
+    the 16 seed rows, decimal-exact squared distances grouped by
+    (vector, subspace), rank-tie argmin — and checked against a
+    from-scratch SQL oracle. Later Lloyd iterations average floats and
+    stay rows-only by necessity (embedding_pq_distortion_curve)."""
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # rank AFTER the limit: the scan becomes TakeOrderedAndProject(16)
+    # and the unpartitioned window only ever sees 16 rows — no global
+    # single-partition sort at scale
+    cw = (
+        emb.select(
+            F.col("vec_id").alias("cw_id"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "cw_id")
+        .limit(16)
+        .select(
+            "cw_id",
+            (F.row_number().over(W.orderBy("h", "cw_id")) - 1).alias(
+                "code_rank"
+            ),
+        )
+    )
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    cx = cw.join(
+        ex.select(F.col("vec_id").alias("cw_id"), "pos", F.col("x").alias("c")),
+        "cw_id",
+    ).select("code_rank", "pos", "c")
+    d = (
+        ex.join(F.broadcast(cx), "pos")
+        .groupBy(
+            "vec_id",
+            F.floor(F.col("pos") / 8).cast("int").alias("sub"),
+            "code_rank",
+        )
+        .agg(
+            F.sum(
+                ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(
+                    "decimal(28,10)"
+                )
+            ).alias("d2")
+        )
+    )
+    a = d.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("vec_id", "sub").orderBy("d2", "code_rank")
+        ),
+    ).where(F.col("rn") == 1)
+    return a.groupBy("sub", F.col("code_rank").cast("int").alias("code_rank")).agg(
+        F.count("*").cast("bigint").alias("n_assigned")
+    )
+
+
+@register(
+    "embedding_pq_distortion_curve",
+    oracle=None,
+    description=(
+        "PQ codebook training curve: total quantization distortion per "
+        "fused-Lloyd iteration (rows-only; monotone invariant in pytest)"
+    ),
+    tags=("ml", "similarity", "pq"),
+)
+def embedding_pq_distortion_curve(spark, sf_dir):
+    """Distortion per training iteration of the fused per-subspace
+    Lloyd's loop — non-increasing by construction. Driver state is the
+    m×ks×dsub codebook only; each iteration is one mapInPandas pass."""
+    from ..operators.pq import fit_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fit = fit_pq(emb, m=8, ks=16, iters=3)
+    rows = [(i, float(d)) for i, d in enumerate(fit.distortions)]
+    return spark.createDataFrame(rows, "iter int, distortion double")
+
+
+@register(
+    "embedding_pq_adc_topk",
+    oracle=None,
+    description=(
+        "PQ/ADC approximate top-k over 24-byte codes (~10x compression); "
+        "recall@3 = 0.72 vs exact L2 measured in tests/test_pq.py"
+    ),
+    tags=("ml", "similarity", "pq", "ann"),
+)
+def embedding_pq_adc_topk(spark, sf_dir):
+    """The compressed-domain ANN path: train codebooks, encode the corpus
+    to (id, sub, code) — m=32 six-bit codes (24 bytes) a vector at rest,
+    ~10x under float32 — and answer top-k for the first 8 vectors via
+    asymmetric distance computation: a broadcast (query × sub × code)
+    lookup table, one grouped sum over the codes, one window top-k. The
+    corpus scan never touches the original floats. m=32/ks=64 is the
+    measured 0.72-recall@3 operating point on the unclustered synthetic
+    gaussians (PQ's worst case — real embedding corpora cluster)."""
+    from ..operators.pq import codebook_df, fit_pq, pq_adc_topk, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fit = fit_pq(emb, m=32, ks=64, iters=3)
+    cb = codebook_df(spark, fit.codebooks)
+    enc = pq_encode(emb, cb, m=32)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return pq_adc_topk(enc, cb, queries, m=32, k=3)

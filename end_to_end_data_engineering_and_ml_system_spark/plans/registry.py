@@ -144,6 +144,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_semdedup_kept",
     "embedding_semdedup_threshold_sweep",
     "tx_table_zorder_pruned_scan",
+    "pq_init_assignment_portable",
+    "embedding_pq_distortion_curve",
+    "embedding_pq_adc_topk",
 )
 
 

@@ -1,0 +1,106 @@
+"""Product-quantization invariants: fused-Lloyd training converges,
+encoding is partitioning-independent, and ADC search has a MEASURED
+recall floor against exact squared-L2 ground truth (operators/pq.py).
+Approximate search without a recall number is an unquantified
+liability — same policy as test_ann_recall / test_lsh_recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_and_ml_system_spark.operators.pq import (
+    codebook_df,
+    fit_pq,
+    pq_adc_topk,
+    pq_encode,
+)
+from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import load_table
+
+M, KS, K = 32, 64, 3
+N_QUERIES = 25
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def fitted(emb):
+    return fit_pq(emb, m=M, ks=KS, iters=3)
+
+
+def _exact_l2_topk(emb, queries, k):
+    """Exact squared-L2 top-k, the ADC ground truth (PQ approximates
+    L2, not cosine — cosine_topk_bruteforce is the wrong oracle here)."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", d2.alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "cand_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+
+
+def _pairs(df):
+    return {(r["query_id"], r["cand_id"]) for r in df.collect()}
+
+
+def test_fit_pq_distortion_monotone_nonincreasing(fitted):
+    d = fitted.distortions
+    assert len(d) == 3 and all(x > 0 for x in d)
+    assert all(a >= b - 1e-6 for a, b in zip(d, d[1:])), d
+    print(f"PQ distortion curve: {d}")
+
+
+def test_fit_pq_codebook_shape_and_determinism(emb, fitted):
+    assert fitted.codebooks.shape == (M, KS, 64 // M)
+    refit = fit_pq(emb.repartition(7), m=M, ks=KS, iters=3)
+    # md5 init + order-free partial reduce => same curve to float noise
+    for a, b in zip(fitted.distortions, refit.distortions):
+        assert a == pytest.approx(b, rel=1e-9)
+
+
+def test_pq_encode_partitioning_independent(spark, emb, fitted):
+    cb = codebook_df(spark, fitted.codebooks)
+    e1 = pq_encode(emb, cb, m=M)
+    e2 = pq_encode(emb.repartition(5), cb, m=M)
+    assert e1.count() == emb.count() * M
+    assert e1.exceptAll(e2).isEmpty() and e2.exceptAll(e1).isEmpty()
+    # every (vector, subspace) gets exactly one code
+    dup = e1.groupBy("vec_id", "sub").count().filter(F.col("count") > 1)
+    assert dup.isEmpty()
+
+
+def test_pq_adc_recall_floor(spark, emb, fitted):
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = _pairs(_exact_l2_topk(emb, queries, K))
+    assert len(exact) == N_QUERIES * K
+    cb = codebook_df(spark, fitted.codebooks)
+    enc = pq_encode(emb, cb, m=M).cache()
+    got = pq_adc_topk(enc, cb, queries, m=M, k=K)
+    rows = got.collect()
+    assert all(r["rn"] <= K for r in rows)
+    recall = len(_pairs(got) & exact) / len(exact)
+    print(f"PQ/ADC recall@{K} (m={M}, ks={KS}): {recall:.3f}")
+    # unclustered synthetic gaussians are PQ's worst case; m=32/ks=64
+    # (24-byte codes, ~10x over float32) measured 0.72 here — floor at
+    # 0.5 to absorb fixture regeneration noise
+    assert recall >= 0.5, recall
