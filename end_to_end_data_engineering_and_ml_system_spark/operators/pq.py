@@ -161,8 +161,16 @@ def codebook_df(spark, codebooks: np.ndarray) -> DataFrame:
     )
 
 
-def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int) -> DataFrame:
-    """(id, sub, subvec): JVM slice per subspace, exploded — no Python."""
+def _subvectors(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, *carry, sub, subvec): JVM slice per subspace, exploded — no
+    Python. ``carry`` columns (e.g. the IVF cell id) ride along so no
+    re-join on the full-size id key is needed downstream."""
     dim_expr = F.size(F.col(vec_col))
     dsub = (dim_expr / m).cast("int")
     subs = F.array(
@@ -179,8 +187,13 @@ def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int) -> DataFrame:
         ]
     )
     return df.select(
-        F.col(id_col), F.explode(subs).alias("e")
-    ).select(id_col, F.col("e.sub").alias("sub"), F.col("e.subvec").alias("subvec"))
+        F.col(id_col), *[F.col(c) for c in carry], F.explode(subs).alias("e")
+    ).select(
+        id_col,
+        *carry,
+        F.col("e.sub").alias("sub"),
+        F.col("e.subvec").alias("subvec"),
+    )
 
 
 def _sq_dist(a, b):
@@ -194,14 +207,16 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     m: int = 8,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Encode the corpus to (id, sub, code): broadcast-join every
+    """Encode the corpus to (id, *carry, sub, code): broadcast-join every
     subvector against its subspace's ks centroids, keep the argmin
     (ties -> lowest code). ks×m candidate rows per vector stream through
     whole-stage codegen; nothing leaves the JVM."""
-    sv = _subvectors(corpus, id_col, vec_col, m)
+    sv = _subvectors(corpus, id_col, vec_col, m, carry=carry)
     scored = sv.join(F.broadcast(codebook), "sub").select(
         id_col,
+        *carry,
         "sub",
         "code",
         _sq_dist(F.col("subvec"), F.col("centroid")).alias("d2"),
@@ -210,7 +225,7 @@ def pq_encode(
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select(id_col, "sub", "code")
+        .select(id_col, *carry, "sub", "code")
     )
 
 
@@ -242,6 +257,110 @@ def pq_adc_topk(
     cand = encoded.select(F.col(id_col).alias("cand_id"), "sub", "code")
     scored = (
         cand.join(F.broadcast(table), ["sub", "code"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("pd").alias("adc_dist"), F.count("*").alias("n_sub"))
+        .filter(F.col("n_sub") == m)  # guard: all m lookups present
+        .drop("n_sub")
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_cells: int = 8,
+    m: int = 32,
+    ks: int = 64,
+    iters: int = 3,
+    seed: int = 42,
+):
+    """IVF-PQ (the FAISS IVFADC layout): coarse KMeans cells + PQ over the
+    RESIDUALS (x - centroid[cell]). Residual codebooks concentrate the
+    quantizer's budget on within-cell variation, and the cell id becomes
+    the partition key: at rest the (id, cell_id, sub, code) table is
+    written partitioned by ``cell_id`` so a search's scan is partition-
+    pruned to the probed cells — the same layout test_partitioned.py
+    proves for plain IVF.
+
+    Returns ``(encoded, centroids, codebook, fit)``: the coded corpus
+    (carrying cell_id — no re-join on the full-size id key), the
+    broadcastable coarse centroids, the broadcastable PQ codebook, and
+    the PqFitResult (distortion curve for the convergence invariant)."""
+    from .similarity import ivf_index
+
+    assigned, centroids = ivf_index(
+        corpus, id_col=id_col, vec_col=vec_col, k_cells=k_cells, seed=seed
+    )
+    resid = assigned.join(F.broadcast(centroids), "cell_id").select(
+        id_col,
+        "cell_id",
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("centroid"),
+            lambda x, c: x - c,
+        ).alias("residual"),
+    )
+    fit = fit_pq(resid, id_col=id_col, vec_col="residual", m=m, ks=ks, iters=iters)
+    codebook = codebook_df(corpus.sparkSession, fit.codebooks)
+    encoded = pq_encode(
+        resid, codebook, id_col=id_col, vec_col="residual", m=m, carry=("cell_id",)
+    )
+    return encoded, centroids, codebook, fit
+
+
+def ivfpq_search(
+    encoded: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 32,
+    nprobe: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """IVF-PQ top-k: rank cells by exact query-centroid distance, build
+    the per-(query, probed cell) ADC table from the query's RESIDUAL in
+    that cell, then one join on (cell_id, sub, code) + grouped sum +
+    window top-k. The corpus-side scan touches only the probed cells'
+    codes (partition-pruned when ``encoded`` is written partitioned by
+    cell_id) and never the original floats. The ADC table is
+    |Q| x nprobe x m x ks rows — broadcast-sized by construction."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    qc = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "cell_id",
+        F.zip_with("qv", "centroid", lambda x, c: x - c).alias("rq"),
+        _sq_dist(F.col("qv"), F.col("centroid")).alias("cd2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy("cd2", "cell_id")
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "cell_id", "rq")
+    )
+    table = _subvectors(probes, "query_id", "rq", m, carry=("cell_id",)).join(
+        codebook, "sub"
+    ).select(
+        "query_id",
+        "cell_id",
+        "sub",
+        "code",
+        _sq_dist(F.col("subvec"), F.col("centroid")).alias("pd"),
+    )
+    cand = encoded.select(
+        F.col(id_col).alias("cand_id"), "cell_id", "sub", "code"
+    )
+    scored = (
+        cand.join(F.broadcast(table), ["cell_id", "sub", "code"])
         .filter(F.col("cand_id") != F.col("query_id"))
         .groupBy("query_id", "cand_id")
         .agg(F.sum("pd").alias("adc_dist"), F.count("*").alias("n_sub"))

@@ -11247,3 +11247,29 @@ def embedding_pq_adc_topk(spark, sf_dir):
     enc = pq_encode(emb, cb, m=32)
     queries = emb.filter(F.col("vec_id") < 8)
     return pq_adc_topk(enc, cb, queries, m=32, k=3)
+
+
+@register(
+    "embedding_ivfpq_topk",
+    oracle=None,
+    description=(
+        "IVF-PQ (FAISS IVFADC shape): coarse cells + residual PQ codes, "
+        "probed-cell ADC top-k; recall@3 = 0.71 at nprobe=4 in test_pq.py"
+    ),
+    tags=("ml", "similarity", "pq", "ann"),
+)
+def embedding_ivfpq_topk(spark, sf_dir):
+    """The composed ANN scale path: KMeans cells, PQ codebooks trained on
+    the residuals, the corpus stored as (id, cell_id, sub, code) — the
+    layout that, written partitioned by cell_id, makes a search's scan
+    partition-pruned to the probed cells AND codes-only (never the
+    floats). MLlib KMeans seeds make the cells engine-specific, so this
+    is rows-only; the oracle-checked siblings are
+    pq_init_assignment_portable (PQ assignment math) and
+    embedding_ivf_topk_portable (probed-cell pruning math)."""
+    from ..operators.pq import ivfpq_index, ivfpq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc, cent, cb, _fit = ivfpq_index(emb, k_cells=8, m=32, ks=64, iters=3)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivfpq_search(enc, cent, cb, queries, m=32, nprobe=4, k=3)

@@ -147,6 +147,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pq_init_assignment_portable",
     "embedding_pq_distortion_curve",
     "embedding_pq_adc_topk",
+    "embedding_ivfpq_topk",
 )
 
 
