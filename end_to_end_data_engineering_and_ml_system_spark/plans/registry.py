@@ -148,6 +148,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_pq_distortion_curve",
     "embedding_pq_adc_topk",
     "embedding_ivfpq_topk",
+    "dsir_importance_weights",
+    "dsir_selection_by_source",
 )
 
 
