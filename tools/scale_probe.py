@@ -201,11 +201,92 @@ def trainers(n: int, sf_dir: str) -> None:
         d.unpersist()
 
 
+def pq_dsir(n: int, sf_dir: str) -> None:
+    """PQ / IVF-PQ / DSIR scale probe at 1x and Nx corpora.
+
+    PQ training is one mapInPandas pass per iteration with O(m*ks*dsub)
+    driver state (corpus-size independent), encoding and ADC search are
+    pure JVM joins, and the DSIR distributions are <=B-row aggregates —
+    so all three walls must grow ~linearly with the corpus, and the ADC
+    candidate join must be bound by codes x queries, never floats."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.dsir import (
+        dsir_log_weights,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.operators.pq import (
+        codebook_df,
+        fit_pq,
+        ivfpq_index,
+        ivfpq_search,
+        pq_adc_topk,
+        pq_encode,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.session import get_spark
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    spark = get_spark(app_name="scale-probe-pq-dsir", cpus=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for mult in (1, n):
+        d = (emb if mult == 1 else replicate(emb, "vec_id", mult)).persist()
+        rows = d.count()
+        t0 = time.perf_counter()
+        fit = fit_pq(d, m=32, ks=64, iters=3)
+        t_fit = time.perf_counter() - t0
+        cb = codebook_df(spark, fit.codebooks)
+        t0 = time.perf_counter()
+        enc = pq_encode(d, cb, m=32).persist()
+        n_codes = enc.count()
+        t_enc = time.perf_counter() - t0
+        q = d.filter(F.col("vec_id") < 8)
+        t0 = time.perf_counter()
+        pq_adc_topk(enc, cb, q, m=32, k=3).count()
+        t_adc = time.perf_counter() - t0
+        mono = all(
+            a >= b - 1e-6 for a, b in zip(fit.distortions, fit.distortions[1:])
+        )
+        print(
+            f"pq {mult}x: rows={rows} fit={t_fit:.2f}s encode={t_enc:.2f}s "
+            f"({n_codes} codes) adc_topk={t_adc:.2f}s monotone={mono}"
+        )
+        enc.unpersist()
+        t0 = time.perf_counter()
+        enc2, cent, cb2, _ = ivfpq_index(d, k_cells=8, m=32, ks=64, iters=2)
+        enc2 = enc2.persist()
+        enc2.count()
+        t_idx = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ivfpq_search(enc2, cent, cb2, q, m=32, nprobe=2, k=3).count()
+        t_srch = time.perf_counter() - t0
+        print(f"ivfpq {mult}x: index={t_idx:.2f}s search_nprobe2={t_srch:.2f}s")
+        enc2.unpersist()
+        d.unpersist()
+
+    docs = load_table(spark, sf_dir, "documents")
+    for mult in (1, n):
+        d = (docs if mult == 1 else replicate(docs, "doc_id", mult)).persist()
+        rows = d.count()
+        t0 = time.perf_counter()
+        dsir_log_weights(
+            d, target=F.col("source").isin("src0", "src1", "src2")
+        ).count()
+        wall = time.perf_counter() - t0
+        print(f"dsir_log_weights {mult}x: docs={rows} wall={wall:.2f}s")
+        d.unpersist()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--pathological":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 100
         sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
         pathological(n, sf_dir)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--pq-dsir":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+        pq_dsir(n, sf_dir)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--trainers":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
