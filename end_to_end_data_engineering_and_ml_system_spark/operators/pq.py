@@ -93,6 +93,35 @@ class PqFitResult:
     distortions: list[float]  # total distortion per iteration, BEFORE update
 
 
+def init_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 16,
+) -> np.ndarray:
+    """The deterministic md5-medoid iteration-0 codebook: the ks rows
+    with the smallest md5(id) seed every subspace from their own
+    subvectors. Engine-portable (no RNG, no float averaging), so encodes
+    against it are oracle-checkable; plans as TakeOrderedAndProject."""
+    init_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(ks)
+        .collect()
+    )
+    if len(init_rows) < ks:
+        raise ValueError(f"need at least {ks} rows, got {len(init_rows)}")
+    dim = len(init_rows[0][vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    seeds = np.array([list(r[vec_col]) for r in init_rows], dtype=float)
+    return np.stack(
+        [seeds[:, s * dsub : (s + 1) * dsub] for s in range(m)]
+    )  # (m, ks, dsub)
+
+
 def fit_pq(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -110,22 +139,8 @@ def fit_pq(
     state is the m×ks×dsub codebook: a few KB, independent of corpus
     size, so the driver-held pattern is correct here (unlike per-entity
     factors)."""
-    init_rows = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(ks)
-        .collect()
-    )
-    if len(init_rows) < ks:
-        raise ValueError(f"need at least {ks} rows, got {len(init_rows)}")
-    dim = len(init_rows[0][vec_col])
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    dsub = dim // m
-    seeds = np.array([list(r[vec_col]) for r in init_rows], dtype=float)
-    codebooks = np.stack(
-        [seeds[:, s * dsub : (s + 1) * dsub] for s in range(m)]
-    )  # (m, ks, dsub)
+    codebooks = init_codebooks(corpus, id_col=id_col, vec_col=vec_col, m=m, ks=ks)
+    m, ks, dsub = codebooks.shape
     feats = corpus.select(
         F.col(vec_col).cast("array<double>").alias("features")
     )
@@ -201,6 +216,18 @@ def _sq_dist(a, b):
     return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _sq_dist_exact(a, b):
+    """Decimal-exact squared distance: each term quantized to
+    DECIMAL(28,10) before the sum, so the argmin is order-free and
+    bit-identical across engines (the portable-oracle contract)."""
+    d = F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("decimal(28,10)"))
+    return F.aggregate(
+        d,
+        F.lit(0).cast("decimal(28,10)"),
+        lambda acc, v: (acc + v).cast("decimal(28,10)"),
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     codebook: DataFrame,
@@ -208,18 +235,22 @@ def pq_encode(
     vec_col: str = "embedding",
     m: int = 8,
     carry: tuple[str, ...] = (),
+    exact: bool = False,
 ) -> DataFrame:
     """Encode the corpus to (id, *carry, sub, code): broadcast-join every
     subvector against its subspace's ks centroids, keep the argmin
     (ties -> lowest code). ks×m candidate rows per vector stream through
-    whole-stage codegen; nothing leaves the JVM."""
+    whole-stage codegen; nothing leaves the JVM. ``exact=True`` ranks by
+    decimal-exact distances (engine-portable argmin for oracle-checked
+    paths); the float default is the throughput path."""
     sv = _subvectors(corpus, id_col, vec_col, m, carry=carry)
+    dist = _sq_dist_exact if exact else _sq_dist
     scored = sv.join(F.broadcast(codebook), "sub").select(
         id_col,
         *carry,
         "sub",
         "code",
-        _sq_dist(F.col("subvec"), F.col("centroid")).alias("d2"),
+        dist(F.col("subvec"), F.col("centroid")).alias("d2"),
     )
     w = Window.partitionBy(id_col, "sub").orderBy("d2", "code")
     return (

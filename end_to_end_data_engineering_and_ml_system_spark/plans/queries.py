@@ -11404,3 +11404,81 @@ def dsir_selection_by_source(spark, sf_dir):
         F.count("sel_id").cast("bigint").alias("n_selected"),
         F.count("*").cast("bigint").alias("n_docs"),
     )
+
+
+@register(
+    "stream_pq_index_update",
+    oracle="""
+        -- the streamed PQ index must equal the batch encode of the whole
+        -- corpus against the committed md5-medoid codebook: per-(sub,
+        -- code) histogram, decimal-exact distances, ties to lowest code.
+        WITH cw AS (
+            SELECT vec_id AS cw_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS code
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT 16
+        ),
+        ex AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ),
+        cx AS (
+            SELECT cw.code, e.pos, e.x AS c
+            FROM cw JOIN ex e ON e.vec_id = cw.cw_id
+        ),
+        d AS (
+            SELECT e.vec_id,
+                   CAST(FLOOR((e.pos - 1) / 8) AS INT) AS sub,
+                   c.code,
+                   SUM(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(28,10)))
+                       AS d2
+            FROM ex e JOIN cx c ON e.pos = c.pos
+            GROUP BY 1, 2, 3
+        ),
+        a AS (
+            SELECT vec_id, sub, code,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id, sub ORDER BY d2, code
+                   ) AS rn
+            FROM d
+        )
+        SELECT sub, CAST(code AS INT) AS code,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM a
+        WHERE rn = 1
+        GROUP BY 1, 2
+    """,
+    description=(
+        "streaming vector-index maintenance: per-batch PQ encode into a "
+        "txlog table; final code histogram equals the batch encode (full "
+        "oracle)"
+    ),
+    tags=("streaming", "pq", "ann", "table-format", "deterministic"),
+)
+def stream_pq_index_update(spark, sf_dir):
+    """The live-retrieval index loop composed from three proven parts:
+    embeddings arrive as a file-source stream, every micro-batch is
+    PQ-encoded against the committed md5-medoid codebook (broadcast) with
+    decimal-exact argmin, and each batch commits one append version into
+    the transaction-log table — codebook re-training stays a rare offline
+    event, exactly like production IVF-PQ serving. The final snapshot is
+    batch-split-independent (encoding is per-row and codebook-stationary),
+    so the streamed index shares the batch SQL oracle verbatim."""
+    from ..operators.pq import codebook_df, init_codebooks
+    from ..scratch import scratch_unique
+    from ..sources.txlog import TxTable
+    from ..streaming.pipeline import embeddings_stream, run_pq_index_append
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = codebook_df(spark, init_codebooks(emb, m=8, ks=16))
+    table = TxTable(spark, scratch_unique(spark, "pqindex"))
+    snap = run_pq_index_append(
+        embeddings_stream(spark, sf_dir), table, cb, m=8
+    )
+    return snap.groupBy("sub", "code").agg(
+        F.count("*").cast("bigint").alias("n_vectors")
+    )

@@ -150,6 +150,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_ivfpq_topk",
     "dsir_importance_weights",
     "dsir_selection_by_source",
+    "stream_pq_index_update",
 )
 
 

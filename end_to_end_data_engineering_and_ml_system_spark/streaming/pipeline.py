@@ -902,3 +902,48 @@ def run_merge_into_table(
     if snap is None:
         return spark.createDataFrame([], stream_df.schema)
     return snap
+
+
+def run_pq_index_append(
+    stream_df: DataFrame,
+    table,
+    codebook: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    timeout_s: int = 300,
+):
+    """Streaming vector-index maintenance: each micro-batch of arriving
+    embeddings is PQ-encoded against the COMMITTED codebook (broadcast,
+    a few KB) and appended as one transaction-log version — the
+    index-update loop of a live retrieval system. Encoding is per-row and
+    codebook-stationary, so the final snapshot equals the batch encode of
+    the whole corpus no matter how the stream was split; with the
+    deterministic init codebook the result is oracle-checkable
+    (decimal-exact argmin). Appends are cheap (codes only, ~bytes per
+    vector); re-training the codebook is the rare offline event, exactly
+    like production IVF-PQ deployments."""
+    from ..operators.pq import pq_encode
+
+    spark = stream_df.sparkSession
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.append(
+            pq_encode(
+                batch_df, codebook, id_col=id_col, vec_col=vec_col, m=m,
+                exact=True,
+            )
+        )
+
+    ck = scratch_unique(spark, "pqidx_ck")
+    with _replay_shuffle_partitions(spark):
+        q = (
+            stream_df.writeStream.foreachBatch(process)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+    return table.snapshot()

@@ -144,3 +144,34 @@ def test_ivfpq_recall_floor_and_cell_pruning(spark, emb):
         )
     )
     assert probed.count() < total_codes
+
+
+def test_stream_pq_index_versions_and_batch_equivalence(spark, sf_dir, emb):
+    """Streaming index maintenance: one txlog version per non-empty
+    micro-batch, and the streamed snapshot equals the batch encode of the
+    same corpus against the same committed codebook."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.pq import (
+        codebook_df,
+        init_codebooks,
+        pq_encode,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.scratch import (
+        scratch_unique,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.sources.txlog import (
+        TxTable,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.streaming.pipeline import (
+        embeddings_stream,
+        run_pq_index_append,
+    )
+
+    cb = codebook_df(spark, init_codebooks(emb, m=8, ks=16))
+    table = TxTable(spark, scratch_unique(spark, "pqidx_test"))
+    snap = run_pq_index_append(
+        embeddings_stream(spark, sf_dir, max_files_per_trigger=1), table, cb, m=8
+    )
+    assert len(table.versions()) >= 1
+    batch = pq_encode(emb, cb, m=8, exact=True)
+    assert snap.count() == batch.count() == emb.count() * 8
+    assert snap.exceptAll(batch).isEmpty() and batch.exceptAll(snap).isEmpty()
