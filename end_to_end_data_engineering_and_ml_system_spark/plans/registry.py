@@ -63,21 +63,34 @@ def register(
 
 # The correctness driver samples the FIRST 50 names in the dict returned by
 # ``__spark_entry__.queries()``. Rounds 1-5 windows cumulatively covered 199
-# of the 253 registered names; this round-6 window is the remaining 54 minus
-# four, i.e. every query that has NEVER produced a driver-side row: all 41
-# never-tested oracle-checked queries plus 9 of the 13 never-tested rows-only
-# queries (the driver records the weaker rows-only check for those — still
-# first driver evidence). Deliberately left out (4 names, fitting the 50-slot
-# budget): flows_preprocess_summary (rows-only by nature; the same ETL path is
-# driver-green via etl_end_to_end), stratified_sample_counts (rows-only; the
-# oracle-checked weighted_doc_sample / balanced_class_sample siblings ARE in
-# this window), audio_frame_energy (rows-only PCM decode with a numpy-
-# reference pytest), doc_pack_bins_ffd (rows-only FFD packing; invariant-
-# tested, and doc_token_packing is driver-green). Everything else keeps
-# definition order after the priority block; the local gate still checks all
-# registered queries every round. Queries added in round 6 register after the
-# block and are the round-7 rotation's first candidates.
+# of the registered names; the round-6 correctness window never materialized
+# (no CORRECTNESS_r06.json was recorded), so every name below is still
+# driver-unproven. Round-7 window = the 12 round-6 additions first (newest,
+# never sampled anywhere) + 38 of the 50 names the round-6 rotation targeted;
+# the 12 that fall past slot 50 stay queued for round 8. Deliberately out of
+# the rotation (4 names): flows_preprocess_summary (rows-only by nature; the
+# same ETL path is driver-green via etl_end_to_end), stratified_sample_counts
+# (rows-only; the oracle-checked weighted_doc_sample / balanced_class_sample
+# siblings are in-window), audio_frame_energy (rows-only PCM decode with a
+# numpy-reference pytest), doc_pack_bins_ffd (rows-only FFD packing;
+# invariant-tested, and doc_token_packing is driver-green). Everything else
+# keeps definition order after the priority block; the local gate still
+# checks all registered queries every round. Queries added in round 7
+# register after the block and are the round-8 rotation's first candidates.
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    # --- round-6 additions (12): never sampled by any driver window ---
+    "mlp_ae_training_curve",
+    "corpus_dedup_snapshot_pipeline",
+    "embedding_semdedup_kept",
+    "embedding_semdedup_threshold_sweep",
+    "tx_table_zorder_pruned_scan",
+    "pq_init_assignment_portable",
+    "embedding_pq_distortion_curve",
+    "embedding_pq_adc_topk",
+    "embedding_ivfpq_topk",
+    "dsir_importance_weights",
+    "dsir_selection_by_source",
+    "stream_pq_index_update",
     # --- never-driver-tested, oracle-checked (41) ---
     # OLAP / relational analogs
     "deterministic_split_counts",
@@ -138,19 +151,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "als_related_parts",
     "linear_ae_training_curve",
     "quality_classifier_training_curve",
-    # --- round-6 additions: past the 50-slot window, queued for round 7 ---
-    "mlp_ae_training_curve",
-    "corpus_dedup_snapshot_pipeline",
-    "embedding_semdedup_kept",
-    "embedding_semdedup_threshold_sweep",
-    "tx_table_zorder_pruned_scan",
-    "pq_init_assignment_portable",
-    "embedding_pq_distortion_curve",
-    "embedding_pq_adc_topk",
-    "embedding_ivfpq_topk",
-    "dsir_importance_weights",
-    "dsir_selection_by_source",
-    "stream_pq_index_update",
 )
 
 
