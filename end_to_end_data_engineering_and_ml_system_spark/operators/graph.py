@@ -256,3 +256,110 @@ def connected_components_stars(
         "comp", F.col("id")
     )
     return children.union(roots).distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    assume_distinct: bool = False,
+    reliable_checkpoints: bool | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an unweighted directed edge list,
+    returning ``(id, rank)`` for every node that appears in an edge.
+
+    The classic formulation (Page et al. 1999; the public Pregel/GraphX
+    shape re-expressed on the DataFrame API):
+
+        r_{t+1}(v) = (1-d)/N  +  d·(Σ_{u dangling} r_t(u))/N
+                              +  Σ_{u→v} d·r_t(u)/outdeg(u)
+
+    with dangling mass (nodes with no out-edges) redistributed uniformly,
+    so each iteration conserves total rank mass at exactly 1.
+
+    Determinism contract (the same device as ml/als.py's loss): every
+    per-edge contribution and every dangling term is quantized onto the
+    1e-12 integer grid as a LONG before the shuffle-sum, so the grouped
+    sums are order-free exact integers and the resulting ranks are
+    bit-identical across partitionings AND across engines — a DuckDB
+    oracle unrolling the same arithmetic hash-matches (see
+    plans/queries_graph_retrieval.py). Floating-point ops happen only
+    pointwise, in a fixed expression order mirrored by the oracle SQL.
+
+    Scale notes (100 TB):
+    - the edge list is repartitioned ONCE on the join key (``src``, the
+      side every iteration joins ranks onto) and persisted; only the
+      one-row-per-node rank table moves per iteration,
+    - per-iteration lineage cuts via :func:`_cut` (reliable checkpoints
+      auto-detected, as for connected components) keep the plan flat,
+    - the dangling aggregate is a 1-row DataFrame broadcast into the
+      update — never a driver round-trip inside the loop; the only
+      driver scalar is N, collected once before the loop.
+    """
+    reliable = _resolve_reliable(edges, reliable_checkpoints)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = nodes.count()  # the one driver scalar; O(1), before the loop
+    outd = (
+        e.groupBy("src")
+        .agg(F.count("*").cast("long").alias("outdeg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # dangling node set is static across iterations — compute it once
+    dangling = nodes.join(
+        outd.withColumnRenamed("src", "id"), "id", "left_anti"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    q_grid = F.lit(1e12)
+    d_lit = F.lit(damping)
+    nf = F.lit(float(n))
+    r = _cut(
+        nodes.select("id", (F.lit(1.0) / nf).alias("rank")), reliable
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(r.withColumnRenamed("id", "src"), "src")
+            .join(outd, "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.round(d_lit * F.col("rank") / F.col("outdeg") * q_grid)
+                .cast("long")
+                .alias("q"),
+            )
+        )
+        qs = contrib.groupBy("id").agg(F.sum("q").alias("qs"))
+        dq = dangling.join(r, "id").agg(
+            F.coalesce(
+                F.sum(F.round(d_lit * F.col("rank") * q_grid).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias("dq")
+        )
+        r = _cut(
+            nodes.join(qs, "id", "left")
+            .crossJoin(F.broadcast(dq))
+            .select(
+                "id",
+                (
+                    (F.lit(1.0) - d_lit) / nf
+                    + (F.col("dq").cast("double") / nf) / q_grid
+                    + F.coalesce(F.col("qs"), F.lit(0).cast("long")).cast(
+                        "double"
+                    )
+                    / q_grid
+                ).alias("rank"),
+            ),
+            reliable,
+        )
+    for cached in (e, nodes, outd, dangling):
+        cached.unpersist()
+    return r

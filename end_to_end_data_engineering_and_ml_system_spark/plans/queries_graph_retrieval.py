@@ -1,0 +1,593 @@
+"""Graph ranking, full-text retrieval, and column-profiling queries.
+
+Round-7 surface growth on top of the SURVEY.md §2 parity set — three
+capability families a 100 TB data platform is expected to carry that the
+reference (a flow-scoring pipeline; it has no graph, retrieval, or
+data-profiling surface at all) does not:
+
+- **PageRank** (Page et al. 1999) over graphs DERIVED from the relational
+  tables — the iterative-propagation workload class (GraphX/Pregel shape) the
+  connected-components dedup step opened, generalized to weighted importance.
+  Both queries are oracle-checked bit-exactly: every shuffle-summed term is
+  quantized onto an integer grid first (operators/graph.py:pagerank), so a
+  DuckDB oracle that unrolls the same arithmetic hash-matches.
+- **BM25 top-k retrieval** (Robertson & Zaragoza 2009; the Lucene-default
+  ranking function) — the lexical-retrieval sibling of the embedding-ANN
+  family, over the same `documents` table the inverted-index/posting-stats
+  queries already profile.
+- **Deequ-style column profiling** (Schelter et al., VLDB 2018: completeness
+  / distinctness / compliance / entropy as a declarative constraint suite) —
+  the data-quality metrics layer run before any corpus enters training.
+
+Determinism contract (NOTES.md rules): cross-engine-compared doubles are
+either bit-identical by construction (PageRank's quantized sums; single
+divisions of exact integers) or fixed-expression pointwise math rounded to 6
+decimals where a libm `ln` is involved (the established dsir/logprob
+convention; sub-ulp libm variation is absorbed by the rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.numeric import DEC
+from ..operators.graph import pagerank
+from ..sources.catalog import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# PageRank: oracle builder
+# ---------------------------------------------------------------------------
+
+_PR_DAMP = "CAST(0.85 AS DOUBLE)"
+_Q = "1e12"
+
+
+def _pagerank_oracle_ctes(edges_cte: str, iters: int) -> str:
+    """Unroll ``iters`` PageRank iterations as chained CTEs mirroring
+    operators/graph.py:pagerank term for term: per-edge contributions and
+    dangling mass are ROUND(x*1e12)::BIGINT quantized before the order-free
+    integer SUM, and every floating-point op appears in exactly the order
+    the Spark expression tree evaluates it — so final ranks are
+    bit-identical, not merely close."""
+    # AS MATERIALIZED everywhere a CTE is referenced more than once: each
+    # r{k} is read twice (contribution + dangling term), so inlining would
+    # re-evaluate the whole iteration chain — and the edge-building join
+    # under it — O(2^iters) times (measured: sf0.1 nation oracle went from
+    # minutes + a disk-spill blowup to milliseconds)
+    parts = [
+        f"edges AS MATERIALIZED ({edges_cte})",
+        "nodes AS MATERIALIZED"
+        " (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        "outd AS MATERIALIZED"
+        " (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg"
+        "  FROM edges GROUP BY 1)",
+        "r0 AS MATERIALIZED"
+        " (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS rank"
+        "  FROM nodes CROSS JOIN nn)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""c{k} AS (
+            SELECT e.dst AS id,
+                   SUM(CAST(ROUND({_PR_DAMP} * p.rank / o.outdeg * {_Q})
+                            AS BIGINT)) AS qs
+            FROM edges e
+            JOIN r{p} p ON e.src = p.id
+            JOIN outd o ON e.src = o.src
+            GROUP BY 1)"""
+        )
+        parts.append(
+            f"""g{k} AS (
+            SELECT COALESCE(SUM(CAST(ROUND({_PR_DAMP} * p.rank * {_Q})
+                                     AS BIGINT)), 0) AS dq
+            FROM r{p} p LEFT JOIN outd o ON p.id = o.src
+            WHERE o.src IS NULL)"""
+        )
+        parts.append(
+            f"""r{k} AS MATERIALIZED (
+            SELECT n.id,
+                   (CAST(1.0 AS DOUBLE) - {_PR_DAMP}) / nn.n
+                   + (CAST(g{k}.dq AS DOUBLE) / nn.n) / {_Q}
+                   + CAST(COALESCE(c{k}.qs, 0) AS DOUBLE) / {_Q} AS rank
+            FROM nodes n
+            LEFT JOIN c{k} ON c{k}.id = n.id
+            CROSS JOIN g{k} CROSS JOIN nn)"""
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+_NATION_EDGES_SQL = """
+    SELECT DISTINCT CAST(s.s_nationkey AS BIGINT) AS src,
+                    CAST(c.c_nationkey AS BIGINT) AS dst
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE s.s_nationkey <> c.c_nationkey
+"""
+
+
+@register(
+    "nation_trade_pagerank",
+    oracle=_pagerank_oracle_ctes(_NATION_EDGES_SQL, 3)
+    + """
+        SELECT r3.id AS nationkey, n.n_name AS nation, r3.rank AS pagerank
+        FROM r3 JOIN nation n ON n.n_nationkey = r3.id
+        ORDER BY pagerank DESC, nationkey
+    """,
+    description=(
+        "PageRank over the supplier-nation → customer-nation trade graph "
+        "(3 quantized-exact iterations, dangling mass redistributed)"
+    ),
+    tags=("graph", "pagerank", "join", "deterministic"),
+)
+def nation_trade_pagerank(spark, sf_dir):
+    """Which nations does trade flow INTO? Directed edges supplier-nation →
+    customer-nation (one per distinct trading pair), ranked by fixed-point
+    importance. The interesting part is the contract, not the 25-node graph:
+    the ranks coming back are bit-identical to the unrolled oracle because
+    the operator quantizes every shuffle-summed term (see
+    operators/graph.py:pagerank) — the same graph code runs unchanged on a
+    billion-edge web/link graph, where the edge list is the 100 TB side and
+    the rank table is the small per-node state."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    edges = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.col("s_nationkey").cast("long").alias("src"),
+            F.col("c_nationkey").cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    r = pagerank(edges, iters=3, damping=0.85, assume_distinct=True)
+    return (
+        r.join(
+            F.broadcast(nation),
+            r.id == nation.n_nationkey,
+        )
+        .select(
+            F.col("id").alias("nationkey"),
+            F.col("n_name").alias("nation"),
+            F.col("rank").alias("pagerank"),
+        )
+        .orderBy(F.col("pagerank").desc(), "nationkey")
+    )
+
+
+_COPURCHASE_EDGES_SQL = """
+    SELECT a.part AS src, b.part AS dst
+    FROM (SELECT DISTINCT l_orderkey AS okey, CAST(l_partkey AS BIGINT) AS part
+          FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey AS okey, CAST(l_partkey AS BIGINT) AS part
+          FROM lineitem) b
+      ON a.okey = b.okey AND a.part <> b.part
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+"""
+
+
+@register(
+    "part_copurchase_pagerank_topk",
+    oracle=_pagerank_oracle_ctes(_COPURCHASE_EDGES_SQL, 3)
+    + """
+        SELECT id AS partkey, rank AS pagerank
+        FROM r3
+        ORDER BY pagerank DESC, partkey
+        LIMIT 20
+    """,
+    bench=True,
+    description=(
+        "top-20 parts by PageRank over the co-purchase graph (symmetric "
+        "support≥2 edges; 3 quantized-exact iterations)"
+    ),
+    tags=("graph", "pagerank", "analytics", "association", "deterministic"),
+)
+def part_copurchase_pagerank_topk(spark, sf_dir):
+    """Item-importance ranking over the co-purchase graph — the
+    market-basket lift query's global sibling (lift scores PAIRS, PageRank
+    scores NODES through the whole graph's structure). Edges are symmetric
+    (both directions survive the support floor together), so the graph has
+    no dangling nodes; the operator still carries the dangling term because
+    the oracle unrolls it too. One distinct-basket self-join builds the edge
+    list; pagerank() then touches only (edge ⋈ rank) per iteration with the
+    edge list hash-partitioned once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_partkey").cast("long").alias("part"),
+    ).distinct()
+    a = po.alias("a")
+    b = po.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.part") != F.col("b.part")),
+        )
+        .groupBy(
+            F.col("a.part").alias("src"), F.col("b.part").alias("dst")
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    r = pagerank(edges, iters=3, damping=0.85, assume_distinct=True)
+    return (
+        r.select(F.col("id").alias("partkey"), F.col("rank").alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), "partkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "merge", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _eq_term(t: str):
+    """Single-argument element predicate for F.filter (arity matters: a
+    two-arg lambda would be called with (element, index))."""
+    return lambda w: w == F.lit(t)
+
+_BM25_TF_COLS_SQL = ",\n               ".join(
+    f"len(list_filter(toks, w -> w = '{t}')) AS tf{i}"
+    for i, t in enumerate(_BM25_TERMS)
+)
+_BM25_DF_COLS_SQL = ",\n               ".join(
+    f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+    for i in range(len(_BM25_TERMS))
+)
+# one score term per query term, mirrored exactly by the Spark expression
+# tree below: idf uses the engine's own ln over identical double inputs and
+# the final fixed-order 3-term sum is rounded to 6 decimals (the dsir/libm
+# convention), everything else is pointwise double math over exact integers
+_BM25_TERM_SQL = " + ".join(
+    f"""(ln(CAST(1.0 AS DOUBLE)
+            + (CAST(s.n AS DOUBLE) - s.df{i} + CAST(0.5 AS DOUBLE))
+              / (s.df{i} + CAST(0.5 AS DOUBLE)))
+        * (d.tf{i} * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        / (d.tf{i} + CAST(1.2 AS DOUBLE)
+                     * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                        + CAST(0.75 AS DOUBLE) * d.dl
+                          / (CAST(s.sdl AS DOUBLE) / s.n))))"""
+    for i in range(len(_BM25_TERMS))
+)
+
+
+@register(
+    "bm25_topk_docs",
+    oracle=rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               tk -> tk <> '') AS toks
+            FROM documents
+        ),
+        d AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               {_BM25_TF_COLS_SQL}
+            FROM t
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(dl) AS BIGINT) AS sdl,
+               {_BM25_DF_COLS_SQL}
+            FROM d
+        )
+        SELECT d.doc_id, d.dl AS n_tokens,
+               ROUND({_BM25_TERM_SQL}, 6) AS bm25
+        FROM d CROSS JOIN s
+        WHERE d.tf0 + d.tf1 + d.tf2 > 0
+        ORDER BY bm25 DESC, d.doc_id
+        LIMIT 10
+    """,
+    bench=True,
+    description=(
+        "BM25 top-10 document retrieval for a fixed 3-term query "
+        "(Lucene-default k1=1.2 b=0.75; corpus stats from one pass)"
+    ),
+    tags=("text", "retrieval", "llm-data", "deterministic"),
+)
+def bm25_topk_docs(spark, sf_dir):
+    """Lexical retrieval over the corpus: BM25(doc, q) for a fixed query,
+    top-10. Term frequencies come from an array filter inside ONE projection
+    (no explode, no shuffle — the per-doc token array is walked once per
+    term inside codegen); the corpus statistics (N, Σdl, per-term document
+    frequencies) are ONE aggregate collected to literals (the documented
+    scalar-stats pattern), so the scoring pass is a pure projection over a
+    single scan and the only wide op is the global top-10. At 100 TB the
+    same plan holds: stats are a byte-sized broadcast, scoring is
+    embarrassingly parallel, and TakeOrdered keeps the top-k without a full
+    sort."""
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    d = docs.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        # NB: a two-parameter lambda would make F.filter pass the array
+        # INDEX as the second argument — the closure must capture the term
+        # via an outer factory, not a default parameter
+        *[
+            F.size(F.filter("toks", _eq_term(t))).cast("long").alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = d.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("sdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    ).first()
+    n, sdl = int(stats["n"]), int(stats["sdl"])
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        df = int(stats[f"df{i}"])
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(float(n)) - F.lit(float(df)) + F.lit(0.5))
+            / (F.lit(float(df)) + F.lit(0.5))
+        )
+        term = (
+            idf
+            * (F.col(f"tf{i}") * (F.lit(1.2) + F.lit(1.0)))
+            / (
+                F.col(f"tf{i}")
+                + F.lit(1.2)
+                * (
+                    (F.lit(1.0) - F.lit(0.75))
+                    + F.lit(0.75) * F.col("dl") / F.lit(sdl / n)
+                )
+            )
+        )
+        score = term if score is None else score + term
+    return (
+        d.filter(F.col("tf0") + F.col("tf1") + F.col("tf2") > 0)
+        .select(
+            "doc_id",
+            F.col("dl").alias("n_tokens"),
+            F.round(score, 6).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deequ-style column profiling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_column_profile",
+    oracle="""
+        WITH base AS (
+            SELECT
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(COUNT(user_id) AS BIGINT) AS nn_user,
+                CAST(COUNT(value) AS BIGINT) AS nn_value,
+                CAST(COUNT(DISTINCT event_type) AS BIGINT) AS d_type,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS d_user,
+                CAST(SUM(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_nonneg,
+                MIN(value) AS min_v,
+                MAX(value) AS max_v,
+                CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                    / COUNT(value) AS mean_v
+            FROM events
+        ),
+        ent AS (
+            SELECT ROUND(-CAST(SUM(CAST(
+                       (CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+                       AS DECIMAL(28,10))) AS DOUBLE), 6) AS h
+            FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c,
+                         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n
+                  FROM events WHERE event_type IS NOT NULL GROUP BY 1)
+        )
+        SELECT metric, value FROM (
+            SELECT 'size' AS metric, CAST(n AS DOUBLE) AS value FROM base
+            UNION ALL SELECT 'completeness_user_id',
+                CAST(nn_user AS DOUBLE) / n FROM base
+            UNION ALL SELECT 'completeness_value',
+                CAST(nn_value AS DOUBLE) / n FROM base
+            UNION ALL SELECT 'distinctness_event_type',
+                CAST(d_type AS DOUBLE) / n FROM base
+            UNION ALL SELECT 'distinctness_user_id',
+                CAST(d_user AS DOUBLE) / n FROM base
+            UNION ALL SELECT 'compliance_value_nonneg',
+                CAST(n_nonneg AS DOUBLE) / n FROM base
+            UNION ALL SELECT 'min_value', min_v FROM base
+            UNION ALL SELECT 'max_value', max_v FROM base
+            UNION ALL SELECT 'mean_value', mean_v FROM base
+            UNION ALL SELECT 'entropy_event_type', h FROM ent
+        )
+    """,
+    description=(
+        "Deequ-style declarative column profile of events: completeness, "
+        "distinctness, compliance, min/max/mean, category entropy"
+    ),
+    tags=("quality", "monitoring", "profiling", "deterministic"),
+)
+def events_column_profile(spark, sf_dir):
+    """The constraint-suite metrics layer (the public AWS Deequ idea,
+    Schelter et al. VLDB 2018) as ONE tall (metric, value) frame: the
+    scalar block is a single full-scan aggregate unpivoted in-plan (no
+    per-metric rescans — Deequ's own core trick), and the category entropy
+    adds one grouped aggregate whose per-category p·ln p terms go through
+    the decimal-exact sum so the result is accumulation-order independent.
+    Feed the output to the txlog metrics table and the MAD-outlier monitor
+    for Deequ's anomaly-detection-on-metric-history loop (both already in
+    the registry: stream_merge_into_tx_table, events_mad_outlier_hours)."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.agg(
+        F.count("*").cast("long").alias("n"),
+        F.count("user_id").cast("long").alias("nn_user"),
+        F.count("value").cast("long").alias("nn_value"),
+        F.countDistinct("event_type").cast("long").alias("d_type"),
+        F.countDistinct("user_id").cast("long").alias("d_user"),
+        F.sum((F.col("value") >= 0).cast("long")).alias("n_nonneg"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+        (
+            F.sum(F.col("value").cast(DEC)).cast("double")
+            / F.count("value")
+        ).alias("mean_v"),
+    )
+    tall = base.select(
+        F.expr(
+            """stack(9,
+              'size', CAST(n AS DOUBLE),
+              'completeness_user_id', CAST(nn_user AS DOUBLE) / n,
+              'completeness_value', CAST(nn_value AS DOUBLE) / n,
+              'distinctness_event_type', CAST(d_type AS DOUBLE) / n,
+              'distinctness_user_id', CAST(d_user AS DOUBLE) / n,
+              'compliance_value_nonneg', CAST(n_nonneg AS DOUBLE) / n,
+              'min_value', min_v,
+              'max_value', max_v,
+              'mean_value', mean_v) AS (metric, value)"""
+        )
+    )
+    from pyspark.sql.window import Window
+
+    cat = (
+        events.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("c"))
+        .withColumn(
+            "n",
+            F.sum("c").over(Window.partitionBy()).cast("long"),
+        )
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    ent = cat.agg(
+        F.round(
+            -F.sum((p * F.log(p)).cast(DEC)).cast("double"), 6
+        ).alias("value")
+    ).select(F.lit("entropy_event_type").alias("metric"), "value")
+    return tall.unionByName(ent)
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity proxy
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_bigram_logprob",
+    oracle=r"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               tk -> tk <> '') AS toks
+            FROM documents
+        ),
+        v AS (
+            SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+            FROM (SELECT unnest(toks) AS tok FROM t)
+        ),
+        bi AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i])) AS w1,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i+1])) AS w2
+            FROM t WHERE len(toks) >= 2
+        ),
+        g AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS m
+              FROM bi GROUP BY 1, 2, 3),
+        w AS (
+            SELECT doc_id, m,
+                   CAST(SUM(m) OVER (PARTITION BY w1, w2) AS BIGINT) AS c2,
+                   CAST(SUM(m) OVER (PARTITION BY w1) AS BIGINT) AS c1
+            FROM g
+        )
+        SELECT doc_id,
+               CAST(SUM(m) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(m AS DECIMAL(9,0))
+                        * CAST(ln(CAST(c1 + v.v AS DOUBLE))
+                               - ln(CAST(c2 + 1 AS DOUBLE))
+                               AS DECIMAL(28,10))) AS DOUBLE)
+                   / SUM(m) AS avg_neg_logprob
+        FROM w CROSS JOIN v
+        GROUP BY doc_id
+    """,
+    description=(
+        "perplexity-proxy under the corpus's own add-one-smoothed bigram "
+        "LM: per-doc mean -ln p(w2|w1), decimal-exact accumulation"
+    ),
+    tags=("text", "quality", "corpus", "llm-data"),
+)
+def doc_bigram_logprob(spark, sf_dir):
+    """The CCNet-style LM quality filter one order up from
+    doc_unigram_logprob: score each doc by mean -ln p(w2|w1) under the
+    corpus's own add-one-smoothed bigram model (low = predictable
+    boilerplate, high = incoherent token soup — both tails get cut in a
+    real corpus pipeline).
+
+    Plan shape mirrors the unigram query's single-scan trick: the
+    (doc, w1, w2)-grain reduce collapses repeats map-side, then TWO count
+    windows over the same grain turn it into the conditional-probability
+    table in place (c2 over the bigram key, c1 over the context key — no
+    self-joins, no second corpus scan); the vocabulary size is a 1-row
+    aggregate collected to a literal. The per-doc mean uses the
+    decimal-exact sum, so the score is accumulation-order independent."""
+    from pyspark.sql.window import Window
+
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    vocab = int(
+        toks.select(F.explode("toks").alias("tok"))
+        .agg(F.countDistinct("tok"))
+        .first()[0]
+    )
+    sz = F.size("toks")
+    pairs = (
+        toks.filter(sz >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, sz - 1).alias("w1"),
+                    F.slice("toks", 2, sz - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    g = pairs.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").cast("long").alias("m")
+    )
+    c2 = F.sum("m").over(Window.partitionBy("w1", "w2")).cast("long")
+    c1 = F.sum("m").over(Window.partitionBy("w1")).cast("long")
+    term = F.log((c1 + F.lit(vocab)).cast("double")) - F.log(
+        (c2 + F.lit(1)).cast("double")
+    )
+    flagged = g.select(
+        "doc_id",
+        "m",
+        (F.col("m").cast("decimal(9,0)") * term.cast(DEC)).alias("__t"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.sum("m").alias("n_bigrams"),
+        (F.sum("__t").cast("double") / F.sum("m")).alias("avg_neg_logprob"),
+    )

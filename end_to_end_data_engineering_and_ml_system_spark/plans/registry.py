@@ -151,6 +151,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "als_related_parts",
     "linear_ae_training_curve",
     "quality_classifier_training_curve",
+    # --- round-7 additions: past the 50-slot window, queued for round 8 ---
+    "nation_trade_pagerank",
+    "part_copurchase_pagerank_topk",
+    "bm25_topk_docs",
+    "events_column_profile",
+    "doc_bigram_logprob",
 )
 
 
@@ -180,3 +186,4 @@ def _ensure_loaded() -> None:
     _loaded = True
     from . import queries  # noqa: F401  (registers on import)
     from . import queries_quality  # noqa: F401
+    from . import queries_graph_retrieval  # noqa: F401

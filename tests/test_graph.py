@@ -211,3 +211,109 @@ def test_snapshot_pipeline_matches_standalone_queries(spark):
         assert composed[("cluster_size", str(r["cluster_size"]))] == r[
             "n_clusters"
         ]
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_numpy(edges, iters=3, damping=0.85):
+    """Reference implementation mirroring the operator's quantized
+    arithmetic (1e-12 grid on every shuffle-summed term). Rounding must be
+    HALF_UP like Spark's F.round / DuckDB's ROUND — Python's builtin
+    round() is half-to-even and diverges by one grid unit on boundaries."""
+    import math
+
+    import numpy as np
+
+    def _round_half_up(x):
+        return int(math.floor(x + 0.5))
+
+    nodes = sorted({u for e in edges for u in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = {v: 0 for v in nodes}
+    for s, _ in edges:
+        out[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        q = np.zeros(n, dtype=np.int64)
+        for s, d in edges:
+            q[idx[d]] += _round_half_up(damping * r[idx[s]] / out[s] * 1e12)
+        dq = sum(
+            _round_half_up(damping * r[idx[v]] * 1e12)
+            for v in nodes
+            if out[v] == 0
+        )
+        r = (1.0 - damping) / n + (float(dq) / n) / 1e12 + q / 1e12
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_numpy_with_dangling(spark):
+    """Graph with a dangling node (4 has no out-edges) — exercises the
+    redistribution term against an independent reference."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (2, 4)]
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(_edges(spark, edges)).collect()
+    }
+    want = _pagerank_numpy(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == want[v], (v, got[v], want[v])  # bit-identical
+
+
+def test_pagerank_mass_conserved(spark):
+    """Each iteration redistributes all rank mass: Σrank == 1 up to the
+    quantization grid (5 nodes × 3 iterations × 1e-12)."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 5), (5, 9)]
+    total = (
+        pagerank(_edges(spark, edges))
+        .agg(F.sum("rank").alias("s"))
+        .first()["s"]
+    )
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    """A directed cycle is perfectly symmetric — every node must hold
+    exactly 1/n after any number of iterations."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.graph import pagerank
+
+    n = 6
+    cyc = [(i, (i + 1) % n) for i in range(n)]
+    ranks = {
+        r["id"]: r["rank"] for r in pagerank(_edges(spark, cyc)).collect()
+    }
+    assert len(set(ranks.values())) == 1
+    assert abs(next(iter(ranks.values())) - 1.0 / n) < 1e-9
+
+
+def test_pagerank_partitioning_invariant(spark):
+    """The quantized-sum contract: bit-identical ranks at 1 and 16 shuffle
+    partitions (the cross-partitioning determinism rule every trainer in
+    ml/ also satisfies)."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.graph import pagerank
+
+    edges = [(i, (i * 7) % 23) for i in range(1, 40)] + [(2, 9), (9, 2)]
+    base = None
+    for parts in ("1", "16"):
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try:
+            got = sorted(
+                map(
+                    tuple,
+                    pagerank(_edges(spark, edges)).collect(),
+                )
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        if base is None:
+            base = got
+        else:
+            assert got == base

@@ -35,6 +35,12 @@ EXTRA_SNAPSHOTS = (
     # round 6: the materialize-once dedup pipeline — the snapshot shows the
     # derived consumers are plain rollups over one committed parquet read
     "corpus_dedup_snapshot_pipeline",
+    # round 7: iterative PageRank (plan shows the final update over
+    # checkpointed rank state), the profiling single-scan unpivot, and the
+    # bigram-LM double-window single-scan shape
+    "nation_trade_pagerank",
+    "events_column_profile",
+    "doc_bigram_logprob",
 )
 
 
