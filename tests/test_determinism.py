@@ -67,6 +67,12 @@ SAMPLE = [
     "embedding_semdedup_kept",    # decimal-exact cosines, md5 centroids
     "embedding_semdedup_threshold_sweep",  # re-thresholded pairwise maxima
     "tx_table_zorder_pruned_scan",  # pruning is I/O-only, results exact
+    # round-7 additions
+    "nation_trade_pagerank",      # 1e-12-quantized iteration sums
+    "part_copurchase_pagerank_topk",  # same contract, tie-broken topk
+    "bm25_topk_docs",             # scalar-stats literals + rounded scores
+    "events_column_profile",      # single-scan unpivot + decimal entropy
+    "doc_bigram_logprob",         # decimal-exact mean over two windows
 ]
 
 
