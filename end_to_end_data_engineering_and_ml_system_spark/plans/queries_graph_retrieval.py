@@ -268,51 +268,11 @@ _BM25_TERM_SQL = " + ".join(
 )
 
 
-@register(
-    "bm25_topk_docs",
-    oracle=rf"""
-        WITH t AS (
-            SELECT doc_id,
-                   list_filter(regexp_split_to_array(trim(text), '\s+'),
-                               tk -> tk <> '') AS toks
-            FROM documents
-        ),
-        d AS (
-            SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-               {_BM25_TF_COLS_SQL}
-            FROM t
-        ),
-        s AS (
-            SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(dl) AS BIGINT) AS sdl,
-               {_BM25_DF_COLS_SQL}
-            FROM d
-        )
-        SELECT d.doc_id, d.dl AS n_tokens,
-               ROUND({_BM25_TERM_SQL}, 6) AS bm25
-        FROM d CROSS JOIN s
-        WHERE d.tf0 + d.tf1 + d.tf2 > 0
-        ORDER BY bm25 DESC, d.doc_id
-        LIMIT 10
-    """,
-    bench=True,
-    description=(
-        "BM25 top-10 document retrieval for a fixed 3-term query "
-        "(Lucene-default k1=1.2 b=0.75; corpus stats from one pass)"
-    ),
-    tags=("text", "retrieval", "llm-data", "deterministic"),
-)
-def bm25_topk_docs(spark, sf_dir):
-    """Lexical retrieval over the corpus: BM25(doc, q) for a fixed query,
-    top-10. Term frequencies come from an array filter inside ONE projection
-    (no explode, no shuffle — the per-doc token array is walked once per
-    term inside codegen); the corpus statistics (N, Σdl, per-term document
-    frequencies) are ONE aggregate collected to literals (the documented
-    scalar-stats pattern), so the scoring pass is a pure projection over a
-    single scan and the only wide op is the global top-10. At 100 TB the
-    same plan holds: stats are a byte-sized broadcast, scoring is
-    embarrassingly parallel, and TakeOrdered keeps the top-k without a full
-    sort."""
+def _bm25_scored(spark, sf_dir):
+    """Shared scoring pass for the BM25 queries: one projection computes
+    per-doc length and per-term tf (array filter — no explode), one
+    aggregate collects the corpus stats to literals, and the returned frame
+    carries a rounded ``bm25`` column over the docs matching ≥1 term."""
     from ..operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -359,13 +319,59 @@ def bm25_topk_docs(spark, sf_dir):
             )
         )
         score = term if score is None else score + term
-    return (
-        d.filter(F.col("tf0") + F.col("tf1") + F.col("tf2") > 0)
-        .select(
-            "doc_id",
-            F.col("dl").alias("n_tokens"),
-            F.round(score, 6).alias("bm25"),
+    return d.filter(
+        F.col("tf0") + F.col("tf1") + F.col("tf2") > 0
+    ).select("doc_id", "dl", F.round(score, 6).alias("bm25"))
+
+
+@register(
+    "bm25_topk_docs",
+    oracle=rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               tk -> tk <> '') AS toks
+            FROM documents
+        ),
+        d AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               {_BM25_TF_COLS_SQL}
+            FROM t
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(dl) AS BIGINT) AS sdl,
+               {_BM25_DF_COLS_SQL}
+            FROM d
         )
+        SELECT d.doc_id, d.dl AS n_tokens,
+               ROUND({_BM25_TERM_SQL}, 6) AS bm25
+        FROM d CROSS JOIN s
+        WHERE d.tf0 + d.tf1 + d.tf2 > 0
+        ORDER BY bm25 DESC, d.doc_id
+        LIMIT 10
+    """,
+    bench=True,
+    description=(
+        "BM25 top-10 document retrieval for a fixed 3-term query "
+        "(Lucene-default k1=1.2 b=0.75; corpus stats from one pass)"
+    ),
+    tags=("text", "retrieval", "llm-data", "deterministic"),
+)
+def bm25_topk_docs(spark, sf_dir):
+    """Lexical retrieval over the corpus: BM25(doc, q) for a fixed query,
+    top-10. Term frequencies come from an array filter inside ONE projection
+    (no explode, no shuffle — the per-doc token array is walked once per
+    term inside codegen); the corpus statistics (N, Σdl, per-term document
+    frequencies) are ONE aggregate collected to literals (the documented
+    scalar-stats pattern), so the scoring pass is a pure projection over a
+    single scan and the only wide op is the global top-10. At 100 TB the
+    same plan holds: stats are a byte-sized broadcast, scoring is
+    embarrassingly parallel, and TakeOrdered keeps the top-k without a full
+    sort."""
+    return (
+        _bm25_scored(spark, sf_dir)
+        .select("doc_id", F.col("dl").alias("n_tokens"), "bm25")
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
@@ -590,4 +596,187 @@ def doc_bigram_logprob(spark, sf_dir):
     return flagged.groupBy("doc_id").agg(
         F.sum("m").alias("n_bigrams"),
         (F.sum("__t").cast("double") / F.sum("m")).alias("avg_neg_logprob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 ∪ dense-cosine, fused with RRF
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
+_RRF_QUERY_VEC = 0  # vec_id whose embedding plays the dense query
+_RRF_DEPTH = 50  # per-ranker candidate-list depth
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    oracle=rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               tk -> tk <> '') AS toks
+            FROM documents
+        ),
+        d AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               {_BM25_TF_COLS_SQL}
+            FROM t
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(dl) AS BIGINT) AS sdl,
+               {_BM25_DF_COLS_SQL}
+            FROM d
+        ),
+        lex AS (
+            SELECT doc_id, ROUND({_BM25_TERM_SQL}, 6) AS bm25
+            FROM d CROSS JOIN s
+            WHERE d.tf0 + d.tf1 + d.tf2 > 0
+        ),
+        lexrank AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                        AS BIGINT) AS r
+            FROM lex QUALIFY r <= {_RRF_DEPTH}
+        ),
+        ex AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ),
+        norms AS (
+            SELECT vec_id,
+                   CAST(SUM(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS nrm
+            FROM ex GROUP BY 1
+        ),
+        dots AS (
+            SELECT c.vec_id AS cand_id,
+                   CAST(SUM(CAST(q.x * c.x AS DECIMAL(28,10))) AS DOUBLE)
+                       AS dot
+            FROM ex q
+            JOIN ex c ON q.pos = c.pos
+                      AND q.vec_id = {_RRF_QUERY_VEC}
+                      AND c.vec_id <> {_RRF_QUERY_VEC}
+            GROUP BY 1
+        ),
+        denserank AS (
+            SELECT cand_id AS doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY d.dot / (sqrt(nq.nrm) * sqrt(nc.nrm)) DESC,
+                                cand_id) AS BIGINT) AS r
+            FROM dots d
+            JOIN norms nq ON nq.vec_id = {_RRF_QUERY_VEC}
+            JOIN norms nc ON nc.vec_id = d.cand_id
+            QUALIFY r <= {_RRF_DEPTH}
+        )
+        SELECT COALESCE(l.doc_id, e.doc_id) AS doc_id,
+               COALESCE(l.r, 0) AS lex_rank,
+               COALESCE(e.r, 0) AS dense_rank,
+               COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + l.r),
+                        CAST(0.0 AS DOUBLE))
+               + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + e.r),
+                          CAST(0.0 AS DOUBLE)) AS rrf
+        FROM lexrank l FULL OUTER JOIN denserank e ON l.doc_id = e.doc_id
+        ORDER BY rrf DESC, doc_id
+        LIMIT 10
+    """,
+    description=(
+        "hybrid search: BM25 lexical ∪ exact-cosine dense candidates "
+        "fused by reciprocal-rank fusion (k=60), top-10"
+    ),
+    tags=("text", "retrieval", "similarity", "llm-data", "deterministic"),
+)
+def hybrid_rrf_retrieval(spark, sf_dir):
+    """The two retrieval families this engine carries — BM25 over tokens
+    and cosine over embeddings (documents.doc_id ≡ embeddings.vec_id on
+    the fixtures) — fused the way production search stacks do it:
+    reciprocal-rank fusion, score = Σ 1/(60+rank) over the rankers that
+    surfaced the doc (Cormack et al. 2009, the standard hybrid-search
+    combiner). Ranks are exact integers (each ranker's ties broken by
+    doc_id), so the fused score is a fixed-order sum of two exact
+    divisions — cross-engine bit-identical with no rounding.
+
+    Scale shape: the lexical side is the BM25 single-scan projection; the
+    dense side is the decimal-exact cosine against ONE query vector (a
+    broadcast 64-row dimension join — no pairwise blowup; the ANN/IVF/PQ
+    family is the recall path when the query set is large). Missing-from-
+    a-list is encoded as rank 0 (never NULL: a half-empty int column would
+    come back as float64 on one engine and int64 on the other)."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    norms = ex.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast(DEC))
+        .cast("double")
+        .alias("nrm")
+    )
+    q = ex.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
+        "pos", F.col("x").alias("qx")
+    )
+    dots = (
+        ex.filter(F.col("vec_id") != _RRF_QUERY_VEC)
+        .join(F.broadcast(q), "pos")
+        .groupBy(F.col("vec_id").alias("cand_id"))
+        .agg(
+            F.sum((F.col("qx") * F.col("x")).cast(DEC))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    nq = norms.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
+        F.col("nrm").alias("qnrm")
+    )
+    cos = (
+        dots.join(
+            norms.withColumnRenamed("vec_id", "cand_id"), "cand_id"
+        )
+        .crossJoin(F.broadcast(nq))
+        .select(
+            F.col("cand_id").alias("doc_id"),
+            (
+                F.col("dot")
+                / (F.sqrt(F.col("qnrm")) * F.sqrt(F.col("nrm")))
+            ).alias("cosine"),
+        )
+    )
+    dense = (
+        cos.withColumn(
+            "r",
+            F.row_number()
+            .over(Window.orderBy(F.col("cosine").desc(), "doc_id"))
+            .cast("long"),
+        )
+        .filter(F.col("r") <= _RRF_DEPTH)
+        .select("doc_id", "r")
+    )
+    lex = (
+        _bm25_scored(spark, sf_dir)
+        .withColumn(
+            "r",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+            .cast("long"),
+        )
+        .filter(F.col("r") <= _RRF_DEPTH)
+        .select("doc_id", "r")
+    )
+    l, e = lex.alias("l"), dense.alias("e")
+    rrf_term = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(_RRF_K) + c), F.lit(0.0)
+    )
+    return (
+        l.join(e, F.col("l.doc_id") == F.col("e.doc_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("l.doc_id"), F.col("e.doc_id")).alias("doc_id"),
+            F.coalesce(F.col("l.r"), F.lit(0).cast("long")).alias("lex_rank"),
+            F.coalesce(F.col("e.r"), F.lit(0).cast("long")).alias(
+                "dense_rank"
+            ),
+            (rrf_term(F.col("l.r")) + rrf_term(F.col("e.r"))).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
     )

@@ -157,6 +157,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bm25_topk_docs",
     "events_column_profile",
     "doc_bigram_logprob",
+    "hybrid_rrf_retrieval",
 )
 
 

@@ -73,6 +73,7 @@ SAMPLE = [
     "bm25_topk_docs",             # scalar-stats literals + rounded scores
     "events_column_profile",      # single-scan unpivot + decimal entropy
     "doc_bigram_logprob",         # decimal-exact mean over two windows
+    "hybrid_rrf_retrieval",       # integer ranks -> exact 1/(60+r) sums
 ]
 
 

@@ -277,6 +277,81 @@ def pq_dsir(n: int, sf_dir: str) -> None:
         d.unpersist()
 
 
+def graph_rank(n: int, sf_dir: str) -> None:
+    """PageRank scale probe: per-iteration wall at 1x and Nx edge lists.
+
+    Replication shifts BOTH endpoints by a stride, so the Nx graph is n
+    disjoint copies — nodes, edges, and rank-table size all grow n-fold
+    while structure (degree distribution, diameter) is preserved. The
+    probe checks the scale contract of operators/graph.py:pagerank: wall
+    per iteration bound by the edge⋈rank join (≈linear in edges), driver
+    resident memory flat (the only driver scalar is N; rank state never
+    leaves the executors)."""
+    import resource
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.graph import (
+        pagerank,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.session import get_spark
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    spark = get_spark(app_name="scale-probe-graph", cpus=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_partkey").cast("long").alias("part"),
+    ).distinct()
+    a, b = po.alias("a"), po.alias("b")
+    base = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.part") != F.col("b.part")),
+        )
+        .groupBy(F.col("a.part").alias("src"), F.col("b.part").alias("dst"))
+        .agg(F.count("*").alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("src", "dst")
+    )
+
+    def rss_mb() -> float:
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+    for mult in (1, n):
+        e = base
+        if mult != 1:
+            stride = 10_000_000
+            parts = [
+                base.select(
+                    (F.col("src") + F.lit(i * stride)).alias("src"),
+                    (F.col("dst") + F.lit(i * stride)).alias("dst"),
+                )
+                for i in range(mult)
+            ]
+            e = parts[0]
+            for pdf in parts[1:]:
+                e = e.unionByName(pdf)
+        e = e.persist()
+        n_edges = e.count()
+        before = rss_mb()
+        t0 = time.perf_counter()
+        r = pagerank(e, iters=3, assume_distinct=True)
+        total = r.agg(F.sum("rank")).first()[0]
+        wall = time.perf_counter() - t0
+        n_nodes = r.count()
+        print(
+            f"pagerank {mult}x: edges={n_edges} nodes={n_nodes} "
+            f"wall={wall:.2f}s per_iter={wall / 3:.2f}s "
+            f"mass={total:.6f} (expect 1.0; N spans all copies) "
+            f"driver_maxrss_delta={rss_mb() - before:.0f}MB"
+        )
+        e.unpersist()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--pathological":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 100
@@ -287,6 +362,11 @@ def main() -> None:
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
         sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
         pq_dsir(n, sf_dir)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--graph":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+        graph_rank(n, sf_dir)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--trainers":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
