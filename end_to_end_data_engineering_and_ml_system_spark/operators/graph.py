@@ -382,3 +382,67 @@ def pagerank(
     for cached in (e, nodes, ew, dangling):
         cached.unpersist()
     return r
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+    assume_distinct: bool = False,
+    reliable_checkpoints: bool | None = None,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) for community
+    detection, returning ``(id, lbl)`` after ``iters`` rounds.
+
+    Where connected components answers "what is REACHABLE" (any path merges
+    groups), LPA answers "where is the DENSITY": each round every node
+    adopts the most frequent label among its in-neighbors, so thin bridges
+    between dense regions do not merge them. The classic algorithm breaks
+    ties randomly and iterates to (unstable) convergence; this variant is
+    the deterministic formulation suited to a reproducible pipeline — a
+    FIXED iteration count with ties broken by the smallest label, making
+    the result pure integer arithmetic: exactly portable across engines
+    (the oracle unrolls the same rounds) and partitionings.
+
+    Scale notes: same contract as :func:`pagerank` — the edge list is
+    hash-partitioned once and persisted; per round only the one-row-per-
+    node label table moves (join → per-(node,label) count → top-1 window
+    keyed BY NODE, never global); lineage cut per round."""
+    reliable = _resolve_reliable(edges, reliable_checkpoints)
+    from pyspark.sql.window import Window
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.repartition("dst").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = _cut(nodes.select("id", F.col("id").alias("lbl")), reliable)
+    w = Window.partitionBy("id").orderBy(
+        F.col("c").desc(), F.col("lbl").asc()
+    )
+    for _ in range(iters):
+        counts = (
+            e.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        top = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("lbl").alias("new_lbl"))
+        )
+        labels = _cut(
+            nodes.join(top, "id", "left").select(
+                "id", F.coalesce("new_lbl", F.col("id")).alias("lbl")
+            ),
+            reliable,
+        )
+    for cached in (e, nodes):
+        cached.unpersist()
+    return labels

@@ -780,3 +780,97 @@ def hybrid_rrf_retrieval(spark, sf_dir):
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities
+# ---------------------------------------------------------------------------
+
+
+def _lpa_oracle_ctes(edges_cte: str, iters: int) -> str:
+    """Unroll ``iters`` synchronous LPA rounds mirroring
+    operators/graph.py:label_propagation — pure integer arithmetic (counts
+    + smallest-label tie-break), so no rounding conventions are needed at
+    all. Label tables are MATERIALIZED (each is read twice: next round's
+    count join + the carry-forward COALESCE)."""
+    parts = [
+        f"edges AS MATERIALIZED ({edges_cte})",
+        "nodes AS MATERIALIZED"
+        " (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "l0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""n{k} AS (
+            SELECT e.src AS id, l.lbl, COUNT(*) AS c
+            FROM edges e JOIN l{p} l ON e.dst = l.id
+            GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""p{k} AS (
+            SELECT id, lbl FROM (
+                SELECT id, lbl, ROW_NUMBER() OVER (
+                    PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn
+                FROM n{k})
+            WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""l{k} AS MATERIALIZED (
+            SELECT n.id, COALESCE(p.lbl, n.id) AS lbl
+            FROM nodes n LEFT JOIN p{k} p ON p.id = n.id)"""
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+@register(
+    "copurchase_label_communities",
+    oracle=_lpa_oracle_ctes(_COPURCHASE_EDGES_SQL, 2)
+    + """
+        SELECT lbl AS community_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM l2
+        GROUP BY 1
+        HAVING COUNT(*) >= 2
+        ORDER BY n_members DESC, community_id
+        LIMIT 20
+    """,
+    description=(
+        "top-20 co-purchase communities by synchronous label propagation "
+        "(2 rounds, smallest-label ties — pure integer determinism)"
+    ),
+    tags=("graph", "community", "analytics", "deterministic"),
+)
+def copurchase_label_communities(spark, sf_dir):
+    """Density-based item communities over the same co-purchase graph the
+    PageRank query ranks: LPA keeps dense clusters separate even when a
+    thin bridge connects them (where connected components would merge —
+    the two queries together cover both graph-clustering semantics this
+    engine offers). Two synchronous rounds, deterministic tie-break; the
+    result is the size histogram of non-singleton communities."""
+    from ..operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_partkey").cast("long").alias("part"),
+    ).distinct()
+    a, b = po.alias("a"), po.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.part") != F.col("b.part")),
+        )
+        .groupBy(F.col("a.part").alias("src"), F.col("b.part").alias("dst"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    lbl = label_propagation(edges, iters=2, assume_distinct=True)
+    return (
+        lbl.groupBy(F.col("lbl").alias("community_id"))
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+        .orderBy(F.col("n_members").desc(), "community_id")
+        .limit(20)
+    )

@@ -158,6 +158,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_column_profile",
     "doc_bigram_logprob",
     "hybrid_rrf_retrieval",
+    "copurchase_label_communities",
 )
 
 

@@ -74,6 +74,7 @@ SAMPLE = [
     "events_column_profile",      # single-scan unpivot + decimal entropy
     "doc_bigram_logprob",         # decimal-exact mean over two windows
     "hybrid_rrf_retrieval",       # integer ranks -> exact 1/(60+r) sums
+    "copurchase_label_communities",  # pure integer LPA rounds
 ]
 
 

@@ -317,3 +317,45 @@ def test_pagerank_partitioning_invariant(spark):
             base = got
         else:
             assert got == base
+
+
+def test_label_propagation_keeps_bridged_cliques_apart(spark):
+    """Two 4-cliques joined by one bridge edge: connected components merges
+    them into one group; LPA must keep two dense communities."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a != b]
+
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10), (10, 4)]
+    e = _edges(spark, edges)
+    cc = {r["id"]: r["comp"] for r in connected_components(e).collect()}
+    assert len(set(cc.values())) == 1  # reachability merges everything
+    lpa = {r["id"]: r["lbl"] for r in label_propagation(e, iters=2).collect()}
+    low = {lpa[i] for i in (1, 2, 3)}
+    high = {lpa[i] for i in (11, 12, 13)}
+    assert low.isdisjoint(high)  # density keeps the cliques apart
+
+
+def test_label_propagation_partitioning_invariant(spark):
+    from end_to_end_data_engineering_and_ml_system_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = [(i, (i * 5) % 17) for i in range(1, 30)] + [(3, 8), (8, 3)]
+    base = None
+    for parts in ("1", "16"):
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try:
+            got = sorted(
+                map(tuple, label_propagation(_edges(spark, edges)).collect())
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        if base is None:
+            base = got
+        else:
+            assert got == base
