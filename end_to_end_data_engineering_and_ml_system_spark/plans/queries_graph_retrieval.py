@@ -43,36 +43,75 @@ _PR_DAMP = "CAST(0.85 AS DOUBLE)"
 _Q = "1e12"
 
 
-def _pagerank_oracle_ctes(edges_cte: str, iters: int) -> str:
+def _pagerank_oracle_ctes(
+    edges_cte: str,
+    iters: int,
+    weighted: bool = False,
+    ppr_top_degree_seed: bool = False,
+) -> str:
     """Unroll ``iters`` PageRank iterations as chained CTEs mirroring
     operators/graph.py:pagerank term for term: per-edge contributions and
     dangling mass are ROUND(x*1e12)::BIGINT quantized before the order-free
     integer SUM, and every floating-point op appears in exactly the order
     the Spark expression tree evaluates it — so final ranks are
-    bit-identical, not merely close."""
+    bit-identical, not merely close.
+
+    ``weighted``: the edge CTE exposes an integer ``w`` column; the
+    out-normalizer becomes SUM(w) and contributions d·r·w/W_out.
+    ``ppr_top_degree_seed``: personalized variant with a single seed — the
+    highest-out-degree node (ties → smallest id); restart and dangling
+    mass land on the seed only, matching pagerank(teleport=[seed])."""
     # AS MATERIALIZED everywhere a CTE is referenced more than once: each
     # r{k} is read twice (contribution + dangling term), so inlining would
     # re-evaluate the whole iteration chain — and the edge-building join
     # under it — O(2^iters) times (measured: sf0.1 nation oracle went from
     # minutes + a disk-spill blowup to milliseconds)
+    outd_expr = (
+        "CAST(SUM(w) AS BIGINT)" if weighted else "CAST(COUNT(*) AS BIGINT)"
+    )
     parts = [
         f"edges AS MATERIALIZED ({edges_cte})",
         "nodes AS MATERIALIZED"
         " (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
         "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
         "outd AS MATERIALIZED"
-        " (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg"
+        f" (SELECT src, {outd_expr} AS outdeg"
         "  FROM edges GROUP BY 1)",
-        "r0 AS MATERIALIZED"
-        " (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS rank"
-        "  FROM nodes CROSS JOIN nn)",
     ]
+    num = (
+        f"{_PR_DAMP} * p.rank * e.w" if weighted else f"{_PR_DAMP} * p.rank"
+    )
+    if ppr_top_degree_seed:
+        parts.append(
+            "seed AS MATERIALIZED"
+            " (SELECT src AS sid FROM outd ORDER BY outdeg DESC, src"
+            "  LIMIT 1)"
+        )
+
+        def ind(alias: str) -> str:
+            return (
+                f"(CASE WHEN {alias}.id = seed.sid THEN CAST(1.0 AS DOUBLE)"
+                " ELSE CAST(0.0 AS DOUBLE) END)"
+            )
+
+        parts.append(
+            "r0 AS MATERIALIZED"
+            " (SELECT id,"
+            f" (CAST(1.0 AS DOUBLE) / 1) * {ind('nodes')} AS rank"
+            "  FROM nodes CROSS JOIN seed)"
+        )
+    else:
+        parts.append(
+            "r0 AS MATERIALIZED"
+            " (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS rank"
+            "  FROM nodes CROSS JOIN nn)"
+        )
     for k in range(1, iters + 1):
         p = k - 1
         parts.append(
             f"""c{k} AS (
             SELECT e.dst AS id,
-                   SUM(CAST(ROUND({_PR_DAMP} * p.rank / o.outdeg * {_Q})
+                   SUM(CAST(ROUND({num} / o.outdeg * {_Q})
                             AS BIGINT)) AS qs
             FROM edges e
             JOIN r{p} p ON e.src = p.id
@@ -86,8 +125,20 @@ def _pagerank_oracle_ctes(edges_cte: str, iters: int) -> str:
             FROM r{p} p LEFT JOIN outd o ON p.id = o.src
             WHERE o.src IS NULL)"""
         )
-        parts.append(
-            f"""r{k} AS MATERIALIZED (
+        if ppr_top_degree_seed:
+            parts.append(
+                f"""r{k} AS MATERIALIZED (
+            SELECT n.id,
+                   ((CAST(1.0 AS DOUBLE) - {_PR_DAMP}) / 1) * {ind('n')}
+                   + ((CAST(g{k}.dq AS DOUBLE) / 1) / {_Q}) * {ind('n')}
+                   + CAST(COALESCE(c{k}.qs, 0) AS DOUBLE) / {_Q} AS rank
+            FROM nodes n
+            LEFT JOIN c{k} ON c{k}.id = n.id
+            CROSS JOIN g{k} CROSS JOIN nn CROSS JOIN seed)"""
+            )
+        else:
+            parts.append(
+                f"""r{k} AS MATERIALIZED (
             SELECT n.id,
                    (CAST(1.0 AS DOUBLE) - {_PR_DAMP}) / nn.n
                    + (CAST(g{k}.dq AS DOUBLE) / nn.n) / {_Q}
@@ -95,7 +146,7 @@ def _pagerank_oracle_ctes(edges_cte: str, iters: int) -> str:
             FROM nodes n
             LEFT JOIN c{k} ON c{k}.id = n.id
             CROSS JOIN g{k} CROSS JOIN nn)"""
-        )
+            )
     return "WITH " + ",\n".join(parts)
 
 
@@ -873,4 +924,119 @@ def copurchase_label_communities(spark, sf_dir):
         .filter(F.col("n_members") >= 2)
         .orderBy(F.col("n_members").desc(), "community_id")
         .limit(20)
+    )
+
+
+_COPURCHASE_WEDGES_SQL = """
+    SELECT a.part AS src, b.part AS dst, CAST(COUNT(*) AS BIGINT) AS w
+    FROM (SELECT DISTINCT l_orderkey AS okey, CAST(l_partkey AS BIGINT) AS part
+          FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey AS okey, CAST(l_partkey AS BIGINT) AS part
+          FROM lineitem) b
+      ON a.okey = b.okey AND a.part <> b.part
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+"""
+
+
+def _copurchase_edges(spark, sf_dir, keep_weight: bool):
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_partkey").cast("long").alias("part"),
+    ).distinct()
+    a, b = po.alias("a"), po.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.part") != F.col("b.part")),
+        )
+        .groupBy(F.col("a.part").alias("src"), F.col("b.part").alias("dst"))
+        .agg(F.count("*").cast("long").alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    return e if keep_weight else e.select("src", "dst")
+
+
+@register(
+    "part_copurchase_pagerank_weighted",
+    oracle=_pagerank_oracle_ctes(_COPURCHASE_WEDGES_SQL, 3, weighted=True)
+    + """
+        SELECT id AS partkey, rank AS pagerank
+        FROM r3
+        ORDER BY pagerank DESC, partkey
+        LIMIT 20
+    """,
+    description=(
+        "top-20 parts by WEIGHTED PageRank (edge weight = co-purchase "
+        "support; contributions d·r·w/W_out, exact-integer normalizers)"
+    ),
+    tags=("graph", "pagerank", "analytics", "deterministic"),
+)
+def part_copurchase_pagerank_weighted(spark, sf_dir):
+    """The weighted sibling of part_copurchase_pagerank_topk: a pair
+    bought together in 10 baskets should pull 5x the rank mass of a pair
+    bought together in 2, so the edge weight is the co-purchase support
+    and each node's contribution is split w/W_out instead of 1/outdeg.
+    Weights stay exact integers end to end (W_out is an exact shuffle
+    sum), so the quantized-iteration determinism contract is unchanged."""
+    from ..operators.graph import pagerank
+
+    edges = _copurchase_edges(spark, sf_dir, keep_weight=True)
+    r = pagerank(edges, iters=3, weight="w", assume_distinct=True)
+    return (
+        r.select(F.col("id").alias("partkey"), F.col("rank").alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), "partkey")
+        .limit(20)
+    )
+
+
+@register(
+    "related_parts_ppr",
+    oracle=_pagerank_oracle_ctes(
+        _COPURCHASE_EDGES_SQL, 3, ppr_top_degree_seed=True
+    )
+    + """
+        SELECT seed.sid AS seed_part, r3.id AS partkey, r3.rank AS ppr
+        FROM r3 CROSS JOIN seed
+        WHERE r3.rank > 0
+        ORDER BY ppr DESC, partkey
+        LIMIT 10
+    """,
+    description=(
+        "related parts by personalized PageRank from the busiest part "
+        "(random-walk-with-restart over the co-purchase graph)"
+    ),
+    tags=("graph", "pagerank", "recommendation", "deterministic"),
+)
+def related_parts_ppr(spark, sf_dir):
+    """Recommendation by graph proximity — the third 'related items'
+    mechanism in the registry, next to als_related_parts (latent factors)
+    and part_copurchase_lift (direct pair statistics): personalized
+    PageRank restarts every walk at the seed part, so rank measures
+    multi-hop closeness in the co-purchase graph, surfacing items related
+    THROUGH shared neighbors even when never co-bought directly. Seed =
+    the highest-out-degree part (deterministic: ties break to the
+    smallest id), the busiest item in the catalog."""
+    from ..operators.graph import pagerank
+
+    edges = _copurchase_edges(spark, sf_dir, keep_weight=False)
+    seed_row = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("outdeg"))
+        .orderBy(F.col("outdeg").desc(), "src")
+        .first()
+    )
+    seed = int(seed_row["src"])
+    r = pagerank(edges, iters=3, teleport=[seed], assume_distinct=True)
+    return (
+        r.filter(F.col("rank") > 0)
+        .select(
+            F.lit(seed).cast("long").alias("seed_part"),
+            F.col("id").alias("partkey"),
+            F.col("rank").alias("ppr"),
+        )
+        .orderBy(F.col("ppr").desc(), "partkey")
+        .limit(10)
     )

@@ -159,6 +159,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_bigram_logprob",
     "hybrid_rrf_retrieval",
     "copurchase_label_communities",
+    "part_copurchase_pagerank_weighted",
+    "related_parts_ppr",
 )
 
 

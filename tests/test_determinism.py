@@ -75,6 +75,8 @@ SAMPLE = [
     "doc_bigram_logprob",         # decimal-exact mean over two windows
     "hybrid_rrf_retrieval",       # integer ranks -> exact 1/(60+r) sums
     "copurchase_label_communities",  # pure integer LPA rounds
+    "part_copurchase_pagerank_weighted",  # integer weight normalizers
+    "related_parts_ppr",          # seeded restart, quantized iterations
 ]
 
 

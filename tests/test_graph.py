@@ -359,3 +359,50 @@ def test_label_propagation_partitioning_invariant(spark):
             base = got
         else:
             assert got == base
+
+
+def test_pagerank_weighted_vs_uniform(spark):
+    """With all weights equal, weighted PageRank must equal the uniform
+    variant bit for bit; with skewed weights the heavier target gains."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1)]
+    e_u = _edges(spark, edges)
+    e_w1 = spark.createDataFrame(
+        [(s, d, 7) for s, d in edges], ["src", "dst", "w"]
+    )
+    uni = sorted(map(tuple, pagerank(e_u, assume_distinct=True).collect()))
+    w1 = sorted(
+        map(
+            tuple,
+            pagerank(e_w1, weight="w", assume_distinct=True).collect(),
+        )
+    )
+    assert uni == w1  # equal weights: w/W_out == 1/outdeg exactly
+    e_skew = spark.createDataFrame(
+        [(1, 2, 9), (1, 3, 1), (2, 3, 1), (3, 1, 1)], ["src", "dst", "w"]
+    )
+    skew = {
+        r["id"]: r["rank"]
+        for r in pagerank(e_skew, weight="w", assume_distinct=True).collect()
+    }
+    uni_d = dict((i, r) for i, r in uni)
+    assert skew[2] > uni_d[2]  # node 2 receives 9/10 of node 1's mass
+
+
+def test_pagerank_personalized_teleport(spark):
+    """PPR from a seed: restart mass lands only on the seed; nodes
+    unreachable from the seed hold rank exactly 0."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.graph import pagerank
+
+    # two components; seed is in the first
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (10, 11), (11, 10)]
+    ranks = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            _edges(spark, edges), teleport=[1], assume_distinct=True
+        ).collect()
+    }
+    assert ranks[10] == 0.0 and ranks[11] == 0.0
+    assert ranks[1] > ranks[3] > 0.0
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9  # mass still conserved
