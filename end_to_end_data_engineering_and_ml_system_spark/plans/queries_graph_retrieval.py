@@ -1040,3 +1040,83 @@ def related_parts_ppr(spark, sf_dir):
         .orderBy(F.col("ppr").desc(), "partkey")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Phrase search (positional matching)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_phrase_docs",
+    oracle=r"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               tk -> tk <> '') AS toks
+            FROM documents
+        ),
+        tri AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(toks) - 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                       AS tg
+            FROM t WHERE len(toks) >= 3
+        ),
+        top1 AS (
+            SELECT tg3 AS phrase FROM (
+                SELECT unnest(tg) AS tg3 FROM tri
+            ) GROUP BY 1
+            ORDER BY COUNT(*) DESC, tg3 ASC
+            LIMIT 1
+        )
+        SELECT tri.doc_id, top1.phrase,
+               CAST(len(list_filter(tri.tg, g -> g = top1.phrase))
+                    AS BIGINT) AS n_occurrences
+        FROM tri CROSS JOIN top1
+        WHERE len(list_filter(tri.tg, g -> g = top1.phrase)) > 0
+        ORDER BY n_occurrences DESC, tri.doc_id
+        LIMIT 10
+    """,
+    description=(
+        "positional phrase search: docs ranked by occurrences of the "
+        "corpus's most frequent word trigram (exact adjacency, not bag)"
+    ),
+    tags=("text", "retrieval", "deterministic"),
+)
+def top_phrase_docs(spark, sf_dir):
+    """Exact-adjacency phrase matching — the capability a bag-of-words
+    index (term_posting_stats, bm25) cannot express: occurrences of a
+    3-token phrase, counted positionally. The phrase is data-driven (the
+    corpus's most frequent trigram, ties lexicographic) so the query works
+    at every scale factor; it is collected once as a scalar (the
+    documented scalar-stats pattern) and the per-doc occurrence count is
+    then an array filter inside one projection — same explode-free shape
+    as the BM25 tf computation, so the matching pass is a single scan."""
+    from ..operators.text import ngrams, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tri = docs.select(
+        "doc_id", tokens("text").alias("toks")
+    ).filter(F.size("toks") >= 3).select(
+        "doc_id", ngrams(F.col("toks"), 3).alias("tg")
+    )
+    top = (
+        tri.select(F.explode("tg").alias("tg3"))
+        .groupBy("tg3")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tg3").asc())
+        .first()
+    )
+    phrase = top["tg3"]
+    occ = F.size(F.filter("tg", _eq_term(phrase)))
+    return (
+        tri.select(
+            "doc_id",
+            F.lit(phrase).alias("phrase"),
+            occ.cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") > 0)
+        .orderBy(F.col("n_occurrences").desc(), "doc_id")
+        .limit(10)
+    )

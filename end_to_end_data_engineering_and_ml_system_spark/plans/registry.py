@@ -161,6 +161,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "copurchase_label_communities",
     "part_copurchase_pagerank_weighted",
     "related_parts_ppr",
+    "top_phrase_docs",
 )
 
 

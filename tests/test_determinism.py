@@ -77,6 +77,7 @@ SAMPLE = [
     "copurchase_label_communities",  # pure integer LPA rounds
     "part_copurchase_pagerank_weighted",  # integer weight normalizers
     "related_parts_ppr",          # seeded restart, quantized iterations
+    "top_phrase_docs",            # integer trigram counts, tie-broken
 ]
 
 
