@@ -1120,3 +1120,190 @@ def top_phrase_docs(spark, sf_dir):
         .orderBy(F.col("n_occurrences").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Directed-graph structure stats + metric-history drift
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_trade_graph_stats",
+    oracle="WITH edges AS MATERIALIZED ("
+    + _NATION_EDGES_SQL
+    + """),
+        nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        base AS (
+            SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
+                   CAST(COUNT(*) AS BIGINT) AS n_edges,
+                   CAST(SUM(CASE WHEN EXISTS (
+                       SELECT 1 FROM edges r
+                       WHERE r.src = e.dst AND r.dst = e.src)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_recip
+            FROM edges e
+        ),
+        degs AS (
+            SELECT CAST(MAX(od) AS BIGINT) AS max_outdeg
+            FROM (SELECT src, COUNT(*) AS od FROM edges GROUP BY 1)
+        ),
+        degi AS (
+            SELECT CAST(MAX(idg) AS BIGINT) AS max_indeg
+            FROM (SELECT dst, COUNT(*) AS idg FROM edges GROUP BY 1)
+        )
+        SELECT metric, value FROM (
+            SELECT 'n_nodes' AS metric, CAST(n_nodes AS DOUBLE) AS value
+            FROM base
+            UNION ALL SELECT 'n_edges', CAST(n_edges AS DOUBLE) FROM base
+            UNION ALL SELECT 'density',
+                CAST(n_edges AS DOUBLE) / (n_nodes * (n_nodes - 1))
+            FROM base
+            UNION ALL SELECT 'reciprocity',
+                CAST(n_recip AS DOUBLE) / n_edges FROM base
+            UNION ALL SELECT 'avg_outdeg',
+                CAST(n_edges AS DOUBLE) / n_nodes FROM base
+            UNION ALL SELECT 'max_outdeg', CAST(max_outdeg AS DOUBLE)
+            FROM degs
+            UNION ALL SELECT 'max_indeg', CAST(max_indeg AS DOUBLE)
+            FROM degi
+        )
+    """,
+    description=(
+        "directed-graph structure profile of the trade graph: density, "
+        "reciprocity, degree extremes (exact counts, single divisions)"
+    ),
+    tags=("graph", "analytics", "profiling", "deterministic"),
+)
+def nation_trade_graph_stats(spark, sf_dir):
+    """The graph-shape profile that decides which algorithm variant to run
+    before an iterative job is launched at scale (dense → fewer rounds,
+    reciprocal → symmetric fast paths, skewed degrees → salting): node and
+    edge counts, density, reciprocity (share of edges whose reverse
+    exists — a semi-join, not a full pairwise pass), degree extremes.
+    Every value is an exact count or a single double division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    edges = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.col("s_nationkey").cast("long").alias("src"),
+            F.col("c_nationkey").cast("long").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    n_nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .count()
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    n_recip = edges.join(rev, ["src", "dst"], "left_semi").count()
+    n_edges = edges.count()
+    max_out = (
+        edges.groupBy("src").count().agg(F.max("count")).first()[0]
+    )
+    max_in = edges.groupBy("dst").count().agg(F.max("count")).first()[0]
+    edges.unpersist()
+    rows = [
+        ("n_nodes", float(n_nodes)),
+        ("n_edges", float(n_edges)),
+        ("density", n_edges / (n_nodes * (n_nodes - 1))),
+        ("reciprocity", n_recip / n_edges),
+        ("avg_outdeg", n_edges / n_nodes),
+        ("max_outdeg", float(max_out)),
+        ("max_indeg", float(max_in)),
+    ]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
+@register(
+    "events_daily_quality_drift",
+    oracle="""
+        WITH d AS (
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) - COUNT(user_id) AS BIGINT) AS n_null_user
+            FROM events
+            GROUP BY 1
+        ),
+        p AS (
+            SELECT day, n_events, n_null_user,
+                   CAST(FLOOR(CAST(n_null_user AS DOUBLE) * 1000000
+                              / n_events) AS BIGINT) AS null_ppm
+            FROM d
+        ),
+        s1 AS (SELECT CAST(2.0 * median(null_ppm) AS BIGINT) AS med2 FROM p),
+        dd AS (
+            SELECT p.*, med2, abs(2 * null_ppm - med2) AS d2
+            FROM p, s1
+        ),
+        s2 AS (SELECT CAST(2.0 * median(d2) AS BIGINT) AS m4 FROM dd)
+        SELECT day, n_events, null_ppm,
+               CAST(med2 AS DOUBLE) / 2.0 AS median_ppm,
+               CAST(m4 AS DOUBLE) / 4.0 AS mad_ppm,
+               CAST(CASE WHEN 10000 * d2 > 22239 * m4 THEN 1 ELSE 0 END
+                    AS INT) AS is_drifted
+        FROM dd, s2
+    """,
+    description=(
+        "Deequ-style anomaly detection on a metric HISTORY: daily "
+        "user_id-completeness (ppm) vs median/MAD of all days"
+    ),
+    tags=("quality", "monitoring", "profiling", "timeseries", "deterministic"),
+)
+def events_daily_quality_drift(spark, sf_dir):
+    """The anomaly-detection-on-metric-history loop Deequ runs on its
+    metrics repository, inlined over the event log: the daily completeness
+    of user_id (as an exact parts-per-million integer — FLOOR on both
+    engines, the CBO-audit floor-semantics rule) compared against the
+    robust center of its own history; a day drifts when
+    |x−med| > 3·1.4826·MAD. Medians ride the dyadic trick from
+    events_mad_outlier_hours (2·median of integers is an exact integer),
+    so the flag is an exact integer comparison — no float thresholds."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    p = (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (F.count("*") - F.count("user_id"))
+            .cast("long")
+            .alias("n_null_user"),
+        )
+        .withColumn(
+            "null_ppm",
+            F.floor(
+                F.col("n_null_user").cast("double")
+                * F.lit(1000000.0)
+                / F.col("n_events")
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy()
+    dd = p.withColumn(
+        "med2",
+        (F.lit(2.0) * F.expr("median(null_ppm)").over(w)).cast("long"),
+    ).withColumn("d2", F.abs(2 * F.col("null_ppm") - F.col("med2")))
+    out = dd.withColumn(
+        "m4", (F.lit(2.0) * F.expr("median(d2)").over(w)).cast("long")
+    )
+    return out.select(
+        "day",
+        "n_events",
+        "null_ppm",
+        (F.col("med2").cast("double") / F.lit(2.0)).alias("median_ppm"),
+        (F.col("m4").cast("double") / F.lit(4.0)).alias("mad_ppm"),
+        F.when(10000 * F.col("d2") > 22239 * F.col("m4"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_drifted"),
+    )

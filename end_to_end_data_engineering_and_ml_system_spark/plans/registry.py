@@ -162,6 +162,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "part_copurchase_pagerank_weighted",
     "related_parts_ppr",
     "top_phrase_docs",
+    "nation_trade_graph_stats",
+    "events_daily_quality_drift",
 )
 
 

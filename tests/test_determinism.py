@@ -78,6 +78,8 @@ SAMPLE = [
     "part_copurchase_pagerank_weighted",  # integer weight normalizers
     "related_parts_ppr",          # seeded restart, quantized iterations
     "top_phrase_docs",            # integer trigram counts, tie-broken
+    "nation_trade_graph_stats",   # exact counts, single divisions
+    "events_daily_quality_drift", # ppm floor + dyadic median/MAD
 ]
 
 
