@@ -420,7 +420,10 @@ def pagerank(
         # the chain is LINEAR over persisted inputs, so a cut every 4th
         # iteration bounds plan depth while skipping the per-iteration
         # materialization job (measured ~2x on the 3-iteration bench query).
-        if has_dangling or (it + 1) % 4 == 0:
+        # The LAST iteration always cuts: callers run several actions over
+        # the returned table (top-k, mass checks), which must not re-run
+        # the whole chain.
+        if has_dangling or (it + 1) % 4 == 0 or it == iters - 1:
             r = _cut(r, reliable)
     for cached in (e, nodes, ew, dangling):
         cached.unpersist()
