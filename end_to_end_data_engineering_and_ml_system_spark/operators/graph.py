@@ -492,3 +492,45 @@ def label_propagation(
     for cached in (e, nodes):
         cached.unpersist()
     return labels
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+    assume_distinct: bool = False,
+    reliable_checkpoints: bool | None = None,
+) -> DataFrame:
+    """Multi-source BFS: ``(id, hop)`` = minimum number of edges from any
+    seed, for every node within ``max_hops`` (unreached nodes are absent —
+    callers left-join if they want them). Pure integer min-propagation
+    (the CC loop with +1), so the result is exactly portable; a fixed
+    ``max_hops`` keeps it oracle-unrollable and bounds the rounds the way
+    a production "k-hop neighborhood" query does."""
+    reliable = _resolve_reliable(edges, reliable_checkpoints)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    spark = edges.sparkSession
+    dist = _cut(
+        spark.createDataFrame(
+            [(int(s), 0) for s in sorted(set(seeds))], "id long, hop int"
+        ),
+        reliable,
+    )
+    for _ in range(max_hops):
+        nxt = (
+            e.join(dist.withColumnRenamed("id", "src"), "src")
+            .select(
+                F.col("dst").alias("id"), (F.col("hop") + 1).alias("hop")
+            )
+        )
+        dist = _cut(
+            dist.union(nxt).groupBy("id").agg(F.min("hop").alias("hop")),
+            reliable,
+        )
+    e.unpersist()
+    return dist

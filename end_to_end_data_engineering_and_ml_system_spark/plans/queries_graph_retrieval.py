@@ -1307,3 +1307,70 @@ def events_daily_quality_drift(spark, sf_dir):
         .cast("int")
         .alias("is_drifted"),
     )
+
+
+def _bfs_oracle_ctes(edges_cte: str, max_hops: int) -> str:
+    """Unroll multi-source BFS from the top-out-degree seed (ties →
+    smallest id) — integer min-propagation, mirrored round for round."""
+    parts = [
+        f"edges AS MATERIALIZED ({edges_cte})",
+        "outd AS MATERIALIZED"
+        " (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg"
+        "  FROM edges GROUP BY 1)",
+        "seed AS MATERIALIZED"
+        " (SELECT src AS sid FROM outd ORDER BY outdeg DESC, src LIMIT 1)",
+        "d0 AS MATERIALIZED"
+        " (SELECT sid AS id, 0 AS hop FROM seed)",
+    ]
+    for k in range(1, max_hops + 1):
+        p = k - 1
+        parts.append(
+            f"""d{k} AS MATERIALIZED (
+            SELECT id, CAST(MIN(hop) AS INT) AS hop FROM (
+                SELECT id, hop FROM d{p}
+                UNION ALL
+                SELECT e.dst AS id, d.hop + 1 AS hop
+                FROM edges e JOIN d{p} d ON e.src = d.id
+            ) GROUP BY 1)"""
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+@register(
+    "copurchase_bfs_hop_histogram",
+    oracle=_bfs_oracle_ctes(_COPURCHASE_EDGES_SQL, 3)
+    + """
+        SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM d3
+        GROUP BY 1
+        ORDER BY hop
+    """,
+    description=(
+        "k-hop neighborhood size: parts by BFS distance (≤3) from the "
+        "busiest part in the co-purchase graph"
+    ),
+    tags=("graph", "traversal", "analytics", "deterministic"),
+)
+def copurchase_bfs_hop_histogram(spark, sf_dir):
+    """How far does influence reach from the busiest item? Multi-round
+    BFS (operators/graph.py:bfs_levels — the CC propagation loop with +1)
+    from the top-out-degree part, histogrammed by hop. The 3-hop cap is
+    the production 'k-hop neighborhood' shape: bounded rounds, bounded
+    frontier, oracle-unrollable."""
+    from ..operators.graph import bfs_levels
+
+    edges = _copurchase_edges(spark, sf_dir, keep_weight=False)
+    seed_row = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("outdeg"))
+        .orderBy(F.col("outdeg").desc(), "src")
+        .first()
+    )
+    dist = bfs_levels(
+        edges, [int(seed_row["src"])], max_hops=3, assume_distinct=True
+    )
+    return (
+        dist.groupBy("hop")
+        .agg(F.count("*").alias("n_parts"))
+        .orderBy("hop")
+    )

@@ -164,6 +164,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "top_phrase_docs",
     "nation_trade_graph_stats",
     "events_daily_quality_drift",
+    "copurchase_bfs_hop_histogram",
 )
 
 

@@ -80,6 +80,7 @@ SAMPLE = [
     "top_phrase_docs",            # integer trigram counts, tie-broken
     "nation_trade_graph_stats",   # exact counts, single divisions
     "events_daily_quality_drift", # ppm floor + dyadic median/MAD
+    "copurchase_bfs_hop_histogram",  # integer min-propagation rounds
 ]
 
 

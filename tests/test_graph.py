@@ -406,3 +406,17 @@ def test_pagerank_personalized_teleport(spark):
     assert ranks[10] == 0.0 and ranks[11] == 0.0
     assert ranks[1] > ranks[3] > 0.0
     assert abs(sum(ranks.values()) - 1.0) < 1e-9  # mass still conserved
+
+
+def test_bfs_levels_chain_and_multisource(spark):
+    from end_to_end_data_engineering_and_ml_system_spark.operators.graph import bfs_levels
+
+    chain = _edges(spark, [(i, i + 1) for i in range(6)])
+    got = {r["id"]: r["hop"] for r in bfs_levels(chain, [0], max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # nodes beyond 3 hops absent
+    # multi-source: min distance over both seeds
+    got2 = {
+        r["id"]: r["hop"]
+        for r in bfs_levels(chain, [0, 4], max_hops=2).collect()
+    }
+    assert got2 == {0: 0, 4: 0, 1: 1, 5: 1, 2: 2, 6: 2}
