@@ -165,6 +165,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "nation_trade_graph_stats",
     "events_daily_quality_drift",
     "copurchase_bfs_hop_histogram",
+    "gbdt_best_first_stump",
+    "gbdt_training_curve",
 )
 
 

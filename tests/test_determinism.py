@@ -81,6 +81,7 @@ SAMPLE = [
     "nation_trade_graph_stats",   # exact counts, single divisions
     "events_daily_quality_drift", # ppm floor + dyadic median/MAD
     "copurchase_bfs_hop_histogram",  # integer min-propagation rounds
+    "gbdt_best_first_stump",      # decimal histogram + fixed-order gains
 ]
 
 

@@ -215,3 +215,86 @@ def test_detect_path_on_reference_traffic_csv(spark):
     scored = serialized_model_inference(aligned, model, "rid").toPandas()
     assert len(scored) == raw.count() == 16
     assert ((scored["model_score"] > 0) & (scored["model_score"] <= 1)).all()
+
+
+# ---------------------------------------------------------------------------
+# Gradient-boosted stumps (ml/boosting.py)
+# ---------------------------------------------------------------------------
+
+
+def _gbdt_frame(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        a, b = rng.randrange(0, 50), rng.randrange(0, 20)
+        y = 1000 * a - 300 * b + rng.randrange(-50, 50)
+        rows.append((i, a, b, y))
+    return spark.createDataFrame(rows, "id long, fa long, fb long, y long")
+
+
+def test_gbdt_sse_monotone_and_first_split_sensible(spark):
+    from end_to_end_data_engineering_and_ml_system_spark.ml.boosting import (
+        fit_gbdt_stumps,
+    )
+
+    fit = fit_gbdt_stumps(_gbdt_frame(spark), ["fa", "fb"], "y", rounds=4)
+    assert len(fit.sses) == 4 and len(fit.stumps) == 4
+    for a, b in zip(fit.sses, fit.sses[1:]):
+        assert b <= a + 1e-6, fit.sses  # non-increasing by construction
+    # y is dominated by fa — the first stump must split on it
+    assert fit.stumps[0].feature == "fa"
+    assert fit.stumps[0].gamma_l < fit.stumps[0].gamma_r
+
+
+def test_gbdt_partitioning_determinism(spark):
+    from end_to_end_data_engineering_and_ml_system_spark.ml.boosting import (
+        fit_gbdt_stumps,
+    )
+
+    frame = _gbdt_frame(spark)
+    runs = []
+    for parts in ("3", "16"):
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try:
+            fit = fit_gbdt_stumps(
+                frame.repartition(int(parts)), ["fa", "fb"], "y", rounds=3
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        runs.append(
+            (
+                fit.f0,
+                tuple(fit.sses),
+                tuple(
+                    (s.feature, s.threshold_bucket, s.gamma_l, s.gamma_r)
+                    for s in fit.stumps
+                ),
+            )
+        )
+    assert runs[0] == runs[1]  # bit-identical across partitionings
+
+
+def test_gbdt_prediction_expr_reduces_error(spark):
+    """Scoring is in-plan: applying the fitted expression must cut SSE vs
+    the constant f0 baseline on the training frame."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_and_ml_system_spark.ml.boosting import (
+        fit_gbdt_stumps,
+    )
+
+    frame = _gbdt_frame(spark)
+    fit = fit_gbdt_stumps(frame, ["fa", "fb"], "y", rounds=4)
+    err = frame.select(
+        F.sum(
+            (F.col("y").cast("double") - fit.prediction_expr())
+            * (F.col("y").cast("double") - fit.prediction_expr())
+        ).alias("sse"),
+        F.sum(
+            (F.col("y").cast("double") - F.lit(fit.f0))
+            * (F.col("y").cast("double") - F.lit(fit.f0))
+        ).alias("sse0"),
+    ).first()
+    assert err["sse"] < err["sse0"] * 0.5
