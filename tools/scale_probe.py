@@ -178,6 +178,49 @@ def trainers(n: int, sf_dir: str) -> None:
         fit.unpersist()
         r.unpersist()
 
+    # gbdt: per-round wall bound by the histogram aggregation (linear in
+    # rows); driver state O(rounds) stumps regardless of data size
+    from end_to_end_data_engineering_and_ml_system_spark.ml.boosting import (
+        fit_gbdt_stumps,
+    )
+
+    li2 = load_table(spark, sf_dir, "lineitem")
+    orders2 = load_table(spark, sf_dir, "orders")
+    gb_base = (
+        li2.groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+            F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        )
+        .join(
+            orders2.select(
+                F.col("o_orderkey").alias("okey"),
+                F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+            ),
+            "okey",
+        )
+    )
+    for mult in (1, n):
+        d = gb_base if mult == 1 else replicate(gb_base, "okey", mult)
+        d = d.persist()
+        rows = d.count()
+        before = rss_mb()
+        t0 = time.perf_counter()
+        fit = fit_gbdt_stumps(
+            d, ["n_items", "sum_qty", "n_parts"], "y", rounds=3
+        )
+        wall = time.perf_counter() - t0
+        mono = all(
+            b <= a + 1e-6 for a, b in zip(fit.sses, fit.sses[1:])
+        )
+        print(
+            f"gbdt {mult}x: rows={rows} wall={wall:.2f}s "
+            f"per_round={wall / 3:.2f}s monotone={mono} "
+            f"driver_maxrss_delta={rss_mb() - before:.0f}MB"
+        )
+        d.unpersist()
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda v: v.cast("double")).alias(
