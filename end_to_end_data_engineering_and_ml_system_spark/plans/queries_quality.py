@@ -2925,3 +2925,78 @@ def gbdt_training_curve(spark, sf_dir):
         "round int, sse double, feature string, threshold_bucket long, "
         "gain double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Differential-privacy release (completes the k/l/t/DP privacy quartet)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_dp_noisy_counts",
+    oracle="""
+        WITH c AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true
+            FROM events
+            WHERE event_type IS NOT NULL
+            GROUP BY 1
+        ),
+        u AS (
+            SELECT event_type, n_true,
+                   CAST(concat('0x',
+                        substr(md5(concat('dp-v1|', event_type)), 1, 8))
+                        AS BIGINT) / 4294967296.0 AS uni
+            FROM c
+        )
+        SELECT event_type, n_true,
+               ROUND(n_true
+                     + (CASE WHEN uni < CAST(0.5 AS DOUBLE)
+                             THEN CAST(1.0 AS DOUBLE)
+                             ELSE CAST(-1.0 AS DOUBLE) END)
+                       * (CAST(1.0 AS DOUBLE) / CAST(0.5 AS DOUBLE))
+                       * ln(CAST(1.0 AS DOUBLE)
+                            - CAST(2.0 AS DOUBLE)
+                              * abs(uni - CAST(0.5 AS DOUBLE))),
+                     6) AS n_released
+        FROM u
+        ORDER BY event_type
+    """,
+    description=(
+        "ε-DP histogram release (ε=0.5): Laplace(1/ε) noise via the "
+        "inverse CDF over the engine-portable md5 uniform — the SEEDED "
+        "form, so the release is reproducible and oracle-checkable"
+    ),
+    tags=("privacy", "governance", "aggregate", "deterministic"),
+)
+def events_dp_noisy_counts(spark, sf_dir):
+    """The release step after the k-anonymity / l-diversity / t-closeness
+    audits pass: per-category counts with Laplace(Δf/ε) noise (Δf = 1 for
+    a disjoint histogram, ε = 0.5). Production DP uses fresh randomness;
+    a REPRODUCIBLE pipeline wants the seeded form — noise derived from
+    the engine-portable md5 uniform (operators/relational.py::
+    hash_uniform) through the Laplace inverse CDF, so reruns, engine
+    migrations, and the DuckDB oracle all release the identical values
+    (the privacy accounting is the same; the seed is the secret). Noise
+    is pointwise double math rounded at 6 decimals (the libm-ln
+    convention)."""
+    from ..operators.relational import hash_uniform
+
+    events = load_table(spark, sf_dir, "events")
+    c = (
+        events.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_true"))
+    )
+    uni = hash_uniform(F.col("event_type"), "dp-v1|")
+    sign = F.when(uni < F.lit(0.5), F.lit(1.0)).otherwise(F.lit(-1.0))
+    scale = F.lit(1.0) / F.lit(0.5)  # Δf/ε with Δf=1, ε=0.5
+    noise = (
+        sign
+        * scale
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(uni - F.lit(0.5)))
+    )
+    return c.select(
+        "event_type",
+        "n_true",
+        F.round(F.col("n_true") + noise, 6).alias("n_released"),
+    ).orderBy("event_type")

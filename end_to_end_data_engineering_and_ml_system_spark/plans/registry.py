@@ -167,6 +167,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "copurchase_bfs_hop_histogram",
     "gbdt_best_first_stump",
     "gbdt_training_curve",
+    "events_dp_noisy_counts",
 )
 
 

@@ -82,6 +82,7 @@ SAMPLE = [
     "events_daily_quality_drift", # ppm floor + dyadic median/MAD
     "copurchase_bfs_hop_histogram",  # integer min-propagation rounds
     "gbdt_best_first_stump",      # decimal histogram + fixed-order gains
+    "events_dp_noisy_counts",     # md5-uniform seeded Laplace noise
 ]
 
 
