@@ -1374,3 +1374,66 @@ def copurchase_bfs_hop_histogram(spark, sf_dir):
         .agg(F.count("*").alias("n_parts"))
         .orderBy("hop")
     )
+
+
+@register(
+    "stream_copurchase_pagerank",
+    oracle=_pagerank_oracle_ctes(_COPURCHASE_EDGES_SQL, 3)
+    + """
+        SELECT id AS partkey, rank AS pagerank
+        FROM r3
+        ORDER BY pagerank DESC, partkey
+        LIMIT 20
+    """,
+    description=(
+        "streaming graph accumulation → committed snapshot → PageRank: "
+        "basket pairs arrive as micro-batches, MERGE into the txlog "
+        "table, final ranks equal the batch computation (full oracle)"
+    ),
+    tags=("streaming", "graph", "pagerank", "table-format", "deterministic"),
+)
+def stream_copurchase_pagerank(spark, sf_dir):
+    """The streaming shape of the graph family: (order, part) pairs
+    arrive as micro-batches and MERGE into a transaction-log table (one
+    auditable version per batch; the pair key dedups re-deliveries), and
+    PageRank runs over the COMMITTED snapshot — so edges whose two
+    endpoints arrived in different micro-batches are still discovered,
+    because the self-join happens on the accumulated table, not inside a
+    batch. Final top-20 is batch-split independent and shares the batch
+    query's oracle verbatim — the stream == batch contract every
+    streaming query in this registry keeps."""
+    from ..operators.graph import pagerank
+    from ..scratch import scratch_unique
+    from ..sources.txlog import TxTable
+    from ..streaming.pipeline import (
+        lineitem_pairs_stream,
+        run_merge_into_table,
+    )
+
+    table = TxTable(spark, scratch_unique(spark, "txcopurchase"))
+    stream = lineitem_pairs_stream(spark, sf_dir).withColumn(
+        "pair_key",
+        F.concat_ws("|", F.col("okey").cast("string"), F.col("part")),
+    )
+    snap = run_merge_into_table(stream, table, "pair_key", ["okey", "part"])
+    po = snap.select("okey", "part")
+    a, b = po.alias("a"), po.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.part") != F.col("b.part")),
+        )
+        .groupBy(F.col("a.part").alias("src"), F.col("b.part").alias("dst"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    r = pagerank(edges, iters=3, damping=0.85, assume_distinct=True)
+    return (
+        r.select(
+            F.col("id").alias("partkey"), F.col("rank").alias("pagerank")
+        )
+        .orderBy(F.col("pagerank").desc(), "partkey")
+        .limit(20)
+    )

@@ -168,6 +168,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "gbdt_best_first_stump",
     "gbdt_training_curve",
     "events_dp_noisy_counts",
+    "stream_copurchase_pagerank",
 )
 
 
