@@ -3000,3 +3000,111 @@ def events_dp_noisy_counts(spark, sf_dir):
         "n_true",
         F.round(F.col("n_true") + noise, 6).alias("n_released"),
     ).orderBy("event_type")
+
+
+@register(
+    "tx_table_point_lookup_bloom",
+    oracle="""
+        WITH pick AS (
+            SELECT user_id FROM events
+            WHERE user_id IS NOT NULL
+            GROUP BY 1
+            ORDER BY COUNT(*) DESC, user_id
+            LIMIT 1
+        )
+        SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT e.event_type) AS BIGINT) AS n_types
+        FROM events e JOIN pick USING (user_id)
+        GROUP BY 1
+    """,
+    description=(
+        "Bloom-sidecar point lookup on the txlog table: the busiest "
+        "user's rows fetched via per-dir bloom pruning (full oracle)"
+    ),
+    tags=("table-format", "index", "deterministic"),
+)
+def tx_table_point_lookup_bloom(spark, sf_dir):
+    """The needle-in-100TB read path: events land in the table as four
+    hash-bucketed appends (each dir spans the whole user_id range, so
+    min/max skipping prunes NOTHING — exactly the case bloom sidecars
+    exist for), then the busiest user is fetched through
+    ``point_lookup``, which consults only the per-dir bloom bitmaps
+    before touching parquet. The row filter still applies, so bloom
+    false positives cost I/O, never correctness — the returned counts
+    equal the plain batch scan (the oracle)."""
+    from ..scratch import scratch_unique
+    from ..sources.txlog import TxTable
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    t = TxTable(
+        spark, scratch_unique(spark, "txbloom"), bloom_cols=("user_id",)
+    )
+    for i in range(4):
+        t.append(ev.filter(F.pmod(F.xxhash64("event_id"), F.lit(4)) == i))
+    busiest = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "user_id")
+        .first()["user_id"]
+    )
+    return (
+        t.point_lookup("user_id", int(busiest))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("event_type").cast("long").alias("n_types"),
+        )
+    )
+
+
+@register(
+    "tx_table_delete_counts",
+    oracle="""
+        -- SQL DELETE semantics: removed only where the predicate is
+        -- TRUE, so NULL-valued rows survive
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        WHERE value IS NULL OR value < 100 OR value > 400
+        GROUP BY 1
+        ORDER BY event_type
+    """,
+    description=(
+        "DELETE WHERE on the txlog table: range delete with disjoint "
+        "dirs carried over unrewritten; remaining counts (full oracle)"
+    ),
+    tags=("table-format", "cdc", "deterministic"),
+)
+def tx_table_delete_counts(spark, sf_dir):
+    """GDPR-shaped DML: events land as four VALUE-RANGE-bucketed appends
+    (so the delete range misses some dirs entirely), then
+    ``delete_range(value, 100, 400)`` commits a new version rewriting
+    only the overlapping dirs — the carried dirs are byte-identical
+    paths, asserted in tests/test_txlog.py. The surviving per-type
+    counts equal the batch complement filter (the oracle); time travel
+    still reads the pre-delete version."""
+    from ..scratch import scratch_unique
+    from ..sources.txlog import TxTable
+
+    ev = load_table(spark, sf_dir, "events")
+    t = TxTable(spark, scratch_unique(spark, "txdelete"), stats_cols=("value",))
+    splits = [(None, 0.0), (0.0, 100.0), (100.0, 400.0), (400.0, None)]
+    for lo, hi in splits:
+        part = ev
+        if lo is not None:
+            part = part.filter(F.col("value") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("value") < hi)
+        if lo is None:
+            part = ev.filter(
+                F.col("value").isNull() | (F.col("value") < 0.0)
+            )
+        t.append(part)
+    t.delete_range("value", 100.0, 400.0)
+    return (
+        t.snapshot()
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .orderBy("event_type")
+    )

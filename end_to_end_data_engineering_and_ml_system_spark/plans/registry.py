@@ -169,6 +169,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "gbdt_training_curve",
     "events_dp_noisy_counts",
     "stream_copurchase_pagerank",
+    "tx_table_point_lookup_bloom",
+    "tx_table_delete_counts",
 )
 
 

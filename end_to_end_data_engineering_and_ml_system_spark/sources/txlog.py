@@ -48,6 +48,23 @@ def _stat_json(v):
     return v
 
 
+_BLOOM_M = 8192  # bits per dir per column
+_BLOOM_K = 4  # hash functions
+
+
+def _bloom_positions(value) -> list[int]:
+    """Driver-side mirror of the executor-side position expression:
+    ``conv(substr(md5(concat('{i}|', CAST(v AS STRING))), 1, 8), 16, 10)
+    % m`` — md5 of the same bytes, same 32-bit prefix, same modulus."""
+    import hashlib
+
+    out = []
+    for i in range(_BLOOM_K):
+        h = hashlib.md5(f"{i}|{value}".encode()).hexdigest()
+        out.append(int(h[:8], 16) % _BLOOM_M)
+    return out
+
+
 def _atomic_write_json(path: str, obj: dict) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -64,15 +81,24 @@ class TxTable:
         spark: SparkSession,
         root: str,
         stats_cols: tuple = (),
+        bloom_cols: tuple = (),
     ):
         """``stats_cols`` enables manifest-level data skipping: each data
         dir's min/max for those columns is computed at WRITE time (one
         tiny aggregate per commit) and stored beside the dir, so
         ``snapshot_pruned`` can skip whole file sets from metadata alone —
-        the public data-skipping idea, at directory granularity."""
+        the public data-skipping idea, at directory granularity.
+
+        ``bloom_cols`` adds per-dir Bloom sidecars for POINT lookups on
+        high-cardinality columns where min/max ranges prune nothing (the
+        public Delta bloom-filter-index idea). Hashing is md5-based and
+        string-keyed so the DRIVER can recompute positions without a
+        Spark job at query time; restrict to integer/string columns
+        (float formatting differs between engines)."""
         self.spark = spark
         self.root = root
         self.stats_cols = tuple(stats_cols)
+        self.bloom_cols = tuple(bloom_cols)
         self._log_dir = os.path.join(root, "_log")
         self._data_dir = os.path.join(root, "data")
 
@@ -138,6 +164,41 @@ class TxTable:
                 for c in self.stats_cols
             }
             _atomic_write_json(f"{part}.stats.json", stats)
+        if self.bloom_cols:
+            from pyspark.sql import functions as F
+
+            for c in self.bloom_cols:
+                pos_exprs = [
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.lit(f"{i}|"),
+                                        F.col(c).cast("string"),
+                                    )
+                                ),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("bigint")
+                        % _BLOOM_M
+                    ).cast("int")
+                    for i in range(_BLOOM_K)
+                ]
+                rows = (
+                    df.filter(F.col(c).isNotNull())
+                    .select(F.explode(F.array(*pos_exprs)).alias("p"))
+                    .distinct()
+                    .collect()
+                )
+                _atomic_write_json(
+                    f"{part}.bloom.{c}.json",
+                    {"m": _BLOOM_M, "k": _BLOOM_K,
+                     "bits": sorted(r["p"] for r in rows)},
+                )
         return part
 
     def _dir_stats(self, d: str) -> dict | None:
@@ -401,6 +462,84 @@ class TxTable:
         return self.spark.read.parquet(*keep).filter(
             (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
         )
+
+    def _bloom_keep_dirs(self, col: str, value, version: int) -> tuple[list, int]:
+        """Dirs that might contain ``value`` (bloom maybe / no sidecar),
+        plus the total dir count — split out for testability."""
+        dirs = self._manifest(version)["data_dirs"]
+        pos = _bloom_positions(value)
+        keep = []
+        for d in dirs:
+            p = f"{d}.bloom.{col}.json"
+            if not os.path.exists(p):
+                keep.append(d)  # no sidecar: cannot prune, must read
+                continue
+            with open(p) as f:
+                side = json.load(f)
+            bits = set(side["bits"])
+            if all(b in bits for b in pos):
+                keep.append(d)
+        return keep, len(dirs)
+
+    def point_lookup(
+        self, col: str, value, version: int | None = None
+    ) -> DataFrame | None:
+        """Snapshot restricted to ``col = value``, skipping every dir
+        whose Bloom sidecar proves the value absent — metadata-only
+        planning for the needle-in-100TB lookup where min/max skipping
+        (``snapshot_pruned``) prunes nothing because every file's range
+        spans the key space. False positives only cost I/O (the row
+        filter still applies); false negatives cannot happen."""
+        from pyspark.sql import functions as F
+
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return None
+        keep, _total = self._bloom_keep_dirs(col, value, v)
+        if not keep:
+            return self.snapshot(v).limit(0)
+        return self.spark.read.parquet(*keep).filter(
+            F.col(col) == F.lit(value)
+        )
+
+    def delete_range(self, col: str, lo, hi) -> int:
+        """DELETE WHERE lo <= col <= hi as a new version — completing the
+        DML set (overwrite / append / merge / delete). The Delta-shaped
+        optimization: dirs whose recorded [min, max] cannot overlap the
+        range are CARRIED OVER untouched (no rewrite, no read); only
+        overlapping dirs — or dirs without stats — are rewritten with the
+        complement filter. Old versions still see the deleted rows (time
+        travel)."""
+        from pyspark.sql import functions as F
+
+        v = self.latest_version()
+        if v is None:
+            raise ValueError("cannot delete from an empty table")
+        lo_j, hi_j = _stat_json(lo), _stat_json(hi)
+        carried, rewritten = [], []
+        for d in self._manifest(v)["data_dirs"]:
+            st = (self._dir_stats(d) or {}).get(col)
+            overlap = (
+                st is None
+                or st["min"] is None
+                or st["max"] is None
+                or not (st["max"] < lo_j or st["min"] > hi_j)
+            )
+            if not overlap:
+                carried.append(d)
+                continue
+            # SQL DELETE semantics: a row is removed only when the
+            # predicate is TRUE — NULL-valued rows are KEPT (a bare
+            # ~cond filter would silently delete them)
+            remain = self.spark.read.parquet(d).filter(
+                F.col(col).isNull()
+                | (F.col(col) < F.lit(lo))
+                | (F.col(col) > F.lit(hi))
+            )
+            if remain.isEmpty():
+                continue  # whole dir deleted
+            rewritten.append(self._write_data(remain))
+        return self._commit(carried + rewritten, "delete")
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Rows added between ``from_version`` (exclusive) and

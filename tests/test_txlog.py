@@ -307,3 +307,54 @@ def test_optimize_empty_and_bad_args(spark, tmp_path):
         t.optimize([])
     with pytest.raises(ValueError):
         t.optimize(["no_such_col"])
+
+
+# ---------------------------------------------------------------------------
+# Bloom point-lookup sidecars + DELETE WHERE (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_point_lookup_prunes_and_finds(spark, tmp_path):
+    from end_to_end_data_engineering_and_ml_system_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "tb"), bloom_cols=("k",))
+    t.append(spark.createDataFrame([(i, f"v{i}") for i in range(0, 50)], "k long, val string"))
+    t.append(spark.createDataFrame([(i, f"v{i}") for i in range(1000, 1050)], "k long, val string"))
+    v = t.latest_version()
+    # a key in the second dir: the first dir must be bloom-pruned
+    keep, total = t._bloom_keep_dirs("k", 1010, v)
+    assert total == 2 and len(keep) == 1
+    got = t.point_lookup("k", 1010).collect()
+    assert [(r["k"], r["val"]) for r in got] == [(1010, "v1010")]
+    # a key in no dir: with overwhelming probability both dirs prune
+    keep2, _ = t._bloom_keep_dirs("k", 999_999_937, v)
+    assert len(keep2) <= 1  # bloom false positives allowed, not misses
+    assert t.point_lookup("k", 999_999_937).count() == 0
+
+
+def test_delete_range_carries_disjoint_dirs(spark, tmp_path):
+    import os
+
+    from end_to_end_data_engineering_and_ml_system_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "td"), stats_cols=("k",))
+    t.append(spark.createDataFrame([(i,) for i in range(0, 100)], "k long"))
+    t.append(spark.createDataFrame([(i,) for i in range(1000, 1100)], "k long"))
+    before_dirs = set(t._manifest(t.latest_version())["data_dirs"])
+    v = t.delete_range("k", 20, 29)
+    snap = t.snapshot(v)
+    assert snap.count() == 190
+    assert snap.filter("k >= 20 and k <= 29").isEmpty()
+    after_dirs = set(t._manifest(v)["data_dirs"])
+    # the disjoint 1000-range dir is carried over verbatim (same path)
+    carried = before_dirs & after_dirs
+    assert len(carried) == 1
+    # time travel still sees the deleted rows
+    assert t.snapshot(v - 1).count() == 200
+    # deleting everything in a dir drops the dir instead of writing empty
+    v2 = t.delete_range("k", 1000, 1099)
+    assert t.snapshot(v2).count() == 90  # the 0-99 dir already lost 20-29
+    assert len(t._manifest(v2)["data_dirs"]) == 1
+    # history records the delete op
+    assert t._manifest(v)["op"] == "delete"
+    assert os.path.isdir(list(carried)[0])
