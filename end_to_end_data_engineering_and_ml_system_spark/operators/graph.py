@@ -1,10 +1,17 @@
-"""Connected components over an edge list — pairs → dedup groups.
+"""Distributed graph algorithms over DataFrame edge lists.
 
-The near-dup operators (operators/dedup.py, operators/similarity.py) stop at
-verified PAIRS; an actual corpus dedup needs the transitive closure so each
-group of mutual near-duplicates keeps exactly one canonical document. The
-reference has no graph step at all (its dedup surface is pairwise only), so
-this is part of the LLM-data extension surface, not reference parity.
+The family: connected components (two formulations) for the dedup
+transitive closure, PageRank (uniform / weighted / personalized) for
+importance and random-walk-with-restart recommendations, synchronous
+label propagation for density-based communities, and multi-source BFS
+for k-hop neighborhoods. The reference has no graph step at all (its
+dedup surface is pairwise only), so this module is part of the LLM-data
+extension surface, not reference parity. Shared contracts: the edge list
+is hash-partitioned once and persisted (only per-node state moves per
+round), per-round lineage cuts with reliable-checkpoint auto-detect, and
+every cross-engine-compared number is either a pure integer (CC / LPA /
+BFS) or a 1e-12-grid quantized sum (PageRank) — bit-identical across
+partitionings and engines.
 
 Algorithm: iterative min-label propagation ("hash-to-min", Rastogi et al.,
 "Finding Connected Components in Map-Reduce in Logarithmic Rounds", ICDE'13
