@@ -3108,3 +3108,169 @@ def tx_table_delete_counts(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n_events"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "corpus_pipeline_v3_perplexity",
+    oracle=f"""
+        -- v3 capstone: learned gate -> bigram-LM perplexity BAND (cut the
+        -- extreme deciles: low = boilerplate, high = gibberish — the
+        -- CCNet shape) -> exact dedup -> per-language accounting
+        WITH c AS ({_SQL_QCOUNTS}),
+        scored AS (
+            SELECT doc_id, lang, toks, {_SQL_Z} AS z FROM c
+        ),
+        gate AS (
+            SELECT doc_id, lang, toks FROM scored WHERE z >= 0.0
+        ),
+        t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               tk -> tk <> '') AS tk
+            FROM documents
+        ),
+        v AS (
+            SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+            FROM (SELECT unnest(tk) AS tok FROM t)
+        ),
+        bi AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(tk)),
+                                         i -> tk[i])) AS w1,
+                   unnest(list_transform(range(1, len(tk)),
+                                         i -> tk[i+1])) AS w2
+            FROM t WHERE len(tk) >= 2
+        ),
+        g AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS m
+              FROM bi GROUP BY 1, 2, 3),
+        w AS (
+            SELECT doc_id, m,
+                   CAST(SUM(m) OVER (PARTITION BY w1, w2) AS BIGINT) AS c2,
+                   CAST(SUM(m) OVER (PARTITION BY w1) AS BIGINT) AS c1
+            FROM g
+        ),
+        ppl AS (
+            SELECT doc_id,
+                   ROUND(CAST(SUM(CAST(m AS DECIMAL(9,0))
+                            * CAST(ln(CAST(c1 + v.v AS DOUBLE))
+                                   - ln(CAST(c2 + 1 AS DOUBLE))
+                                   AS DECIMAL(28,10))) AS DOUBLE)
+                       / SUM(m), 6) AS nlp
+            FROM w CROSS JOIN v
+            GROUP BY doc_id
+        ),
+        banded AS (
+            SELECT gate.doc_id, gate.lang, gate.toks
+            FROM gate JOIN (
+                SELECT doc_id,
+                       NTILE(10) OVER (ORDER BY nlp, doc_id) AS dec
+                FROM ppl
+            ) d ON d.doc_id = gate.doc_id
+            WHERE d.dec BETWEEN 2 AND 9
+        ),
+        fp AS (
+            SELECT b.doc_id, b.lang, b.toks,
+                   md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'))
+                       AS fp
+            FROM banded b JOIN documents d USING (doc_id)
+        ),
+        dedup AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM fp
+            ) WHERE rn = 1
+        )
+        SELECT lang,
+               COUNT(*) AS kept_docs,
+               CAST(SUM(toks) AS BIGINT) AS kept_tokens
+        FROM dedup
+        GROUP BY 1
+    """,
+    description=(
+        "corpus pipeline v3: learned gate -> bigram-perplexity decile "
+        "band (CCNet shape) -> exact dedup -> per-language accounting"
+    ),
+    tags=("llm-data", "ml", "text", "dedup", "quality", "deterministic"),
+)
+def corpus_pipeline_v3_perplexity(spark, sf_dir):
+    """The capstone composition grows an LM stage: after the learned
+    gate, every doc is scored by the corpus's own add-one bigram LM
+    (doc_bigram_logprob's single-scan double-window shape) and the
+    extreme DECILES are cut — decile 1 is boilerplate (too predictable),
+    decile 10 is gibberish (too surprising): the CCNet perplexity-band
+    idea with the band defined by ranks, not absolute thresholds, so the
+    same query works at every corpus size. Scores are rounded to 6
+    decimals BEFORE the NTILE ordering (ties then break on doc_id), so
+    decile membership is cross-engine deterministic. The global NTILE is
+    the exact-eval shape; at 100 TB the band becomes two approx-quantile
+    cuts broadcast into the filter — same result set up to quantile
+    error, no global sort."""
+    from pyspark.sql.window import Window as W
+
+    from ..operators.text import fingerprint, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = quality_feature_counts(docs)
+    gate = counted.where(quality_logit() >= 0.0).select(
+        "doc_id", "lang", F.col("n_toks_q").alias("toks")
+    )
+    toks = docs.select("doc_id", tokens("text").alias("tk"))
+    vocab = int(
+        toks.select(F.explode("tk").alias("tok"))
+        .agg(F.countDistinct("tok"))
+        .first()[0]
+    )
+    sz = F.size("tk")
+    pairs = (
+        toks.filter(sz >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("tk", 1, sz - 1).alias("w1"),
+                    F.slice("tk", 2, sz - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    g = pairs.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").cast("long").alias("m")
+    )
+    c2 = F.sum("m").over(W.partitionBy("w1", "w2")).cast("long")
+    c1 = F.sum("m").over(W.partitionBy("w1")).cast("long")
+    term = F.log((c1 + F.lit(vocab)).cast("double")) - F.log(
+        (c2 + F.lit(1)).cast("double")
+    )
+    ppl = (
+        g.select(
+            "doc_id",
+            "m",
+            (F.col("m").cast("decimal(9,0)") * term.cast("decimal(28,10)")).alias("__t"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum("__t").cast("double") / F.sum("m"), 6
+            ).alias("nlp")
+        )
+    )
+    deciles = ppl.select(
+        "doc_id",
+        F.ntile(10).over(W.orderBy("nlp", "doc_id")).alias("dec"),
+    )
+    banded = gate.join(
+        deciles.filter(F.col("dec").between(2, 9)), "doc_id"
+    )
+    fp = banded.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", "lang", "toks", fingerprint("text").alias("fp")
+    )
+    w = W.partitionBy("fp").orderBy("doc_id")
+    dedup = fp.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return dedup.groupBy("lang").agg(
+        F.count("*").alias("kept_docs"),
+        F.sum("toks").cast("long").alias("kept_tokens"),
+    )

@@ -171,6 +171,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_copurchase_pagerank",
     "tx_table_point_lookup_bloom",
     "tx_table_delete_counts",
+    "corpus_pipeline_v3_perplexity",
 )
 
 

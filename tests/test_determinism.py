@@ -83,6 +83,7 @@ SAMPLE = [
     "copurchase_bfs_hop_histogram",  # integer min-propagation rounds
     "gbdt_best_first_stump",      # decimal histogram + fixed-order gains
     "events_dp_noisy_counts",     # md5-uniform seeded Laplace noise
+    "corpus_pipeline_v3_perplexity",  # rounded-score NTILE band + dedup
 ]
 
 
