@@ -274,6 +274,7 @@ def pagerank(
     weight: str | None = None,
     teleport: list[int] | None = None,
     assume_distinct: bool = False,
+    assume_symmetric: bool = False,
     reliable_checkpoints: bool | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list, returning
@@ -327,12 +328,24 @@ def pagerank(
     # plain persist: the src-keyed repartition happens once on `ew` below
     # (the table the loop actually joins), not on this intermediate
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
-    nodes = (
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # assume_symmetric: caller guarantees every dst also appears as a src
+    # (undirected graphs built as both-direction edges — the co-purchase
+    # family). Then the node set is the src set (skips the union+distinct
+    # over 2x the edges) and no dangling node can exist (skips the
+    # anti-join probe AND the per-iteration redistribution machinery).
+    if assume_symmetric:
+        nodes = (
+            e.select(F.col("src").alias("id"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    else:
+        nodes = (
+            e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id")))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     n = nodes.count()  # the one driver scalar; O(1), before the loop
     # out-normalizer: edge count (uniform) or exact integer weight sum
     outd = e.groupBy("src").agg(
@@ -354,10 +367,14 @@ def pagerank(
     # whole redistribution term is exactly 0.0 every iteration (the oracle
     # agrees: COALESCE(SUM over empty), 0) — skip its per-iteration
     # aggregate + broadcast entirely
-    dangling = nodes.join(
-        outd.withColumnRenamed("src", "id"), "id", "left_anti"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    has_dangling = not dangling.isEmpty()
+    if assume_symmetric:
+        dangling = None
+        has_dangling = False
+    else:
+        dangling = nodes.join(
+            outd.withColumnRenamed("src", "id"), "id", "left_anti"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        has_dangling = not dangling.isEmpty()
 
     q_grid = F.lit(1e12)
     d_lit = F.lit(damping)
@@ -433,7 +450,8 @@ def pagerank(
         if has_dangling or (it + 1) % 4 == 0 or it == iters - 1:
             r = _cut(r, reliable)
     for cached in (e, nodes, ew, dangling):
-        cached.unpersist()
+        if cached is not None:
+            cached.unpersist()
     return r
 
 

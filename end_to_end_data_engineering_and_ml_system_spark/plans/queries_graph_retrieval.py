@@ -272,7 +272,13 @@ def part_copurchase_pagerank_topk(spark, sf_dir):
         .filter(F.col("n") >= 2)
         .select("src", "dst")
     )
-    r = pagerank(edges, iters=3, damping=0.85, assume_distinct=True)
+    r = pagerank(
+        edges,
+        iters=3,
+        damping=0.85,
+        assume_distinct=True,
+        assume_symmetric=True,
+    )
     return (
         r.select(F.col("id").alias("partkey"), F.col("rank").alias("pagerank"))
         .orderBy(F.col("pagerank").desc(), "partkey")
@@ -984,7 +990,10 @@ def part_copurchase_pagerank_weighted(spark, sf_dir):
     from ..operators.graph import pagerank
 
     edges = _copurchase_edges(spark, sf_dir, keep_weight=True)
-    r = pagerank(edges, iters=3, weight="w", assume_distinct=True)
+    r = pagerank(
+        edges, iters=3, weight="w", assume_distinct=True,
+        assume_symmetric=True,
+    )
     return (
         r.select(F.col("id").alias("partkey"), F.col("rank").alias("pagerank"))
         .orderBy(F.col("pagerank").desc(), "partkey")
@@ -1029,7 +1038,10 @@ def related_parts_ppr(spark, sf_dir):
         .first()
     )
     seed = int(seed_row["src"])
-    r = pagerank(edges, iters=3, teleport=[seed], assume_distinct=True)
+    r = pagerank(
+        edges, iters=3, teleport=[seed], assume_distinct=True,
+        assume_symmetric=True,
+    )
     return (
         r.filter(F.col("rank") > 0)
         .select(
@@ -1429,7 +1441,13 @@ def stream_copurchase_pagerank(spark, sf_dir):
         .filter(F.col("n") >= 2)
         .select("src", "dst")
     )
-    r = pagerank(edges, iters=3, damping=0.85, assume_distinct=True)
+    r = pagerank(
+        edges,
+        iters=3,
+        damping=0.85,
+        assume_distinct=True,
+        assume_symmetric=True,
+    )
     return (
         r.select(
             F.col("id").alias("partkey"), F.col("rank").alias("pagerank")
