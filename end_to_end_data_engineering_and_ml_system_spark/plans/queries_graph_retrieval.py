@@ -1455,3 +1455,262 @@ def stream_copurchase_pagerank(spark, sf_dir):
         .orderBy(F.col("pagerank").desc(), "partkey")
         .limit(20)
     )
+
+
+@register(
+    "copurchase_community_modularity",
+    oracle=_lpa_oracle_ctes(_COPURCHASE_EDGES_SQL, 2)
+    + """,
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+        labeled AS (
+            SELECT ls.lbl AS c_src, ld.lbl AS c_dst
+            FROM edges e
+            JOIN l2 ls ON ls.id = e.src
+            JOIN l2 ld ON ld.id = e.dst
+        ),
+        per AS (
+            SELECT c_src AS community_id,
+                   CAST(SUM(CASE WHEN c_src = c_dst THEN 1 ELSE 0 END)
+                        AS BIGINT) AS e_within,
+                   CAST(COUNT(*) AS BIGINT) AS e_out
+            FROM labeled
+            GROUP BY 1
+        ),
+        e_in AS (
+            SELECT c_dst AS community_id, CAST(COUNT(*) AS BIGINT) AS e_in
+            FROM labeled GROUP BY 1
+        )
+        SELECT p.community_id, p.e_within, p.e_out,
+               COALESCE(i.e_in, 0) AS e_in,
+               CAST(p.e_within AS DOUBLE) / m.m
+               - (CAST(p.e_out AS DOUBLE) / m.m)
+                 * (CAST(COALESCE(i.e_in, 0) AS DOUBLE) / m.m)
+                   AS modularity_term
+        FROM per p
+        LEFT JOIN e_in i ON i.community_id = p.community_id
+        CROSS JOIN m
+        ORDER BY e_within DESC, p.community_id
+        LIMIT 20
+    """,
+    description=(
+        "directed modularity terms of the LPA communities: within-edges "
+        "vs degree-product expectation per community (exact counts)"
+    ),
+    tags=("graph", "community", "analytics", "deterministic"),
+)
+def copurchase_community_modularity(spark, sf_dir):
+    """Did label propagation find real structure? The directed-modularity
+    decomposition (Leicht & Newman 2008): each community contributes
+    e_within/m − (out/m)·(in/m) — observed internal edges minus the
+    random-graph expectation at the same degrees. Every input is an
+    exact integer count over the labeled edge list (edges ⋈ labels on
+    both endpoints — two hash joins against the small label table), so
+    the terms are single fixed-order double expressions. Top-20 by
+    internal mass."""
+    from ..operators.graph import label_propagation
+
+    edges = _copurchase_edges(spark, sf_dir, keep_weight=False).persist()
+    lbl = label_propagation(edges, iters=2, assume_distinct=True)
+    m = edges.count()
+    ls = lbl.withColumnRenamed("id", "src").withColumnRenamed("lbl", "c_src")
+    ld = lbl.withColumnRenamed("id", "dst").withColumnRenamed("lbl", "c_dst")
+    labeled = edges.join(ls, "src").join(ld, "dst").select("c_src", "c_dst")
+    per = labeled.groupBy(F.col("c_src").alias("community_id")).agg(
+        F.sum((F.col("c_src") == F.col("c_dst")).cast("long"))
+        .cast("long")
+        .alias("e_within"),
+        F.count("*").cast("long").alias("e_out"),
+    )
+    e_in = labeled.groupBy(F.col("c_dst").alias("community_id")).agg(
+        F.count("*").cast("long").alias("e_in")
+    )
+    out = (
+        per.join(e_in, "community_id", "left")
+        .select(
+            "community_id",
+            "e_within",
+            "e_out",
+            F.coalesce("e_in", F.lit(0).cast("long")).alias("e_in"),
+            (
+                F.col("e_within").cast("double") / F.lit(float(m))
+                - (F.col("e_out").cast("double") / F.lit(float(m)))
+                * (
+                    F.coalesce("e_in", F.lit(0).cast("long")).cast("double")
+                    / F.lit(float(m))
+                )
+            ).alias("modularity_term"),
+        )
+        .orderBy(F.col("e_within").desc(), "community_id")
+        .limit(20)
+    )
+    edges.unpersist()
+    return out
+
+
+@register(
+    "dense_retrieval_ndcg",
+    oracle=f"""
+        WITH ex AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ),
+        norms AS (
+            SELECT vec_id,
+                   CAST(SUM(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS nrm
+            FROM ex GROUP BY 1
+        ),
+        dots AS (
+            SELECT c.vec_id AS cand_id,
+                   CAST(SUM(CAST(q.x * c.x AS DECIMAL(28,10))) AS DOUBLE)
+                       AS dot
+            FROM ex q
+            JOIN ex c ON q.pos = c.pos
+                      AND q.vec_id = {_RRF_QUERY_VEC}
+                      AND c.vec_id <> {_RRF_QUERY_VEC}
+            GROUP BY 1
+        ),
+        qlab AS (SELECT label FROM embeddings
+                 WHERE vec_id = {_RRF_QUERY_VEC}),
+        ranked AS (
+            SELECT d.cand_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY d.dot / (sqrt(nq.nrm) * sqrt(nc.nrm)) DESC,
+                                d.cand_id) AS BIGINT) AS rn,
+                   CASE WHEN e.label = qlab.label THEN 1 ELSE 0 END AS rel
+            FROM dots d
+            JOIN norms nq ON nq.vec_id = {_RRF_QUERY_VEC}
+            JOIN norms nc ON nc.vec_id = d.cand_id
+            JOIN embeddings e ON e.vec_id = d.cand_id
+            CROSS JOIN qlab
+        ),
+        nrel AS (
+            SELECT CAST(SUM(rel) AS BIGINT) AS n_rel FROM ranked
+        ),
+        dcg AS (
+            SELECT CAST(SUM(CAST(
+                       rel / (ln(CAST(rn + 1 AS DOUBLE))
+                              / ln(CAST(2.0 AS DOUBLE)))
+                       AS DECIMAL(28,10))) AS DOUBLE) AS dcg
+            FROM ranked WHERE rn <= 10
+        ),
+        idcg AS (
+            SELECT CAST(SUM(CAST(
+                       CAST(1.0 AS DOUBLE)
+                       / (ln(CAST(i + 1 AS DOUBLE))
+                          / ln(CAST(2.0 AS DOUBLE)))
+                       AS DECIMAL(28,10))) AS DOUBLE) AS idcg
+            FROM generate_series(1, 10) AS g(i) CROSS JOIN nrel
+            WHERE g.i <= LEAST(10, nrel.n_rel)
+        )
+        SELECT CAST({_RRF_QUERY_VEC} AS BIGINT) AS query_vec,
+               nrel.n_rel,
+               ROUND(dcg.dcg, 6) AS dcg_at10,
+               ROUND(idcg.idcg, 6) AS idcg_at10,
+               ROUND(dcg.dcg / idcg.idcg, 6) AS ndcg_at10
+        FROM dcg CROSS JOIN idcg CROSS JOIN nrel
+    """,
+    description=(
+        "retrieval evaluation: nDCG@10 of the exact-cosine dense ranking "
+        "against label-match relevance (decimal-exact DCG terms)"
+    ),
+    tags=("retrieval", "similarity", "ml", "evaluation", "deterministic"),
+)
+def dense_retrieval_ndcg(spark, sf_dir):
+    """Closing the retrieval loop with an EVALUATION: does the dense
+    ranking put same-label vectors first? Relevance = label match against
+    the query vector's label (the fixtures' embeddings carry a 10-class
+    label), metric = nDCG@10 — DCG terms are rel/log2(rank+1) quantized
+    to decimal before the sum (order-free), the ideal DCG normalizes by
+    the best achievable ordering. The ranking reuses the decimal-exact
+    cosine shape shared by the ANN family; the whole query touches one
+    64-dim query row broadcast against the corpus — no pairwise pass."""
+    import math
+
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    norms = ex.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("nrm")
+    )
+    q = ex.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
+        "pos", F.col("x").alias("qx")
+    )
+    dots = (
+        ex.filter(F.col("vec_id") != _RRF_QUERY_VEC)
+        .join(F.broadcast(q), "pos")
+        .groupBy(F.col("vec_id").alias("cand_id"))
+        .agg(
+            F.sum((F.col("qx") * F.col("x")).cast(DEC))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    nq = norms.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
+        F.col("nrm").alias("qnrm")
+    )
+    qlab = int(
+        emb.filter(F.col("vec_id") == _RRF_QUERY_VEC).first()["label"]
+    )
+    ranked = (
+        dots.join(norms.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .crossJoin(F.broadcast(nq))
+        .join(
+            emb.select(F.col("vec_id").alias("cand_id"), "label"),
+            "cand_id",
+        )
+        .select(
+            "cand_id",
+            (
+                F.col("dot")
+                / (F.sqrt(F.col("qnrm")) * F.sqrt(F.col("nrm")))
+            ).alias("cosine"),
+            F.when(F.col("label") == F.lit(qlab), 1).otherwise(0).alias(
+                "rel"
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number()
+            .over(Window.orderBy(F.col("cosine").desc(), "cand_id"))
+            .cast("long"),
+        )
+    )
+    agg = ranked.agg(
+        F.sum("rel").cast("long").alias("n_rel"),
+        F.sum(
+            F.when(
+                F.col("rn") <= 10,
+                (
+                    F.col("rel")
+                    / (
+                        F.log((F.col("rn") + 1).cast("double"))
+                        / F.log(F.lit(2.0))
+                    )
+                ).cast(DEC),
+            ).otherwise(F.lit(0).cast(DEC))
+        )
+        .cast("double")
+        .alias("dcg"),
+    ).first()
+    n_rel, dcg = int(agg["n_rel"]), float(agg["dcg"])
+    idcg = sum(
+        1.0 / (math.log(i + 1) / math.log(2.0))
+        for i in range(1, min(10, n_rel) + 1)
+    )
+    return spark.createDataFrame(
+        [
+            (
+                _RRF_QUERY_VEC,
+                n_rel,
+                round(dcg, 6),
+                round(idcg, 6),
+                round(dcg / idcg, 6),
+            )
+        ],
+        "query_vec long, n_rel long, dcg_at10 double, idcg_at10 double, "
+        "ndcg_at10 double",
+    )

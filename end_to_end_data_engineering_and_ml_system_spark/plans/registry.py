@@ -172,6 +172,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tx_table_point_lookup_bloom",
     "tx_table_delete_counts",
     "corpus_pipeline_v3_perplexity",
+    "copurchase_community_modularity",
+    "dense_retrieval_ndcg",
 )
 
 

@@ -84,6 +84,8 @@ SAMPLE = [
     "gbdt_best_first_stump",      # decimal histogram + fixed-order gains
     "events_dp_noisy_counts",     # md5-uniform seeded Laplace noise
     "corpus_pipeline_v3_perplexity",  # rounded-score NTILE band + dedup
+    "copurchase_community_modularity",  # integer edge counts per label
+    "dense_retrieval_ndcg",       # decimal DCG terms, rounded output
 ]
 
 
