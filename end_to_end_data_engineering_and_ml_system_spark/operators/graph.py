@@ -347,6 +347,8 @@ def pagerank(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
     n = nodes.count()  # the one driver scalar; O(1), before the loop
+    if n == 0:
+        raise ValueError("pagerank: empty edge list (no nodes)")
     # out-normalizer: edge count (uniform) or exact integer weight sum
     outd = e.groupBy("src").agg(
         (F.sum("w") if weight else F.count("*"))

@@ -420,3 +420,34 @@ def test_bfs_levels_chain_and_multisource(spark):
         for r in bfs_levels(chain, [0, 4], max_hops=2).collect()
     }
     assert got2 == {0: 0, 4: 0, 1: 1, 5: 1, 2: 2, 6: 2}
+
+
+def test_pagerank_weighted_personalized_combined(spark):
+    """Weights and teleport compose: restart mass on the seed, heavy edge
+    pulls proportionally more of the seed's walk mass."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(1, 2, 9), (1, 3, 1), (2, 1, 1), (3, 1, 1)], ["src", "dst", "w"]
+    )
+    ranks = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            e, weight="w", teleport=[1], assume_distinct=True
+        ).collect()
+    }
+    assert ranks[2] > ranks[3]  # 9x edge weight from the seed
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_empty_edges_raises(spark):
+    import pytest
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField("src", LongType()), StructField("dst", LongType())])
+    )
+    with pytest.raises(ValueError, match="empty edge list"):
+        pagerank(empty)
