@@ -3274,3 +3274,60 @@ def corpus_pipeline_v3_perplexity(spark, sf_dir):
         F.count("*").alias("kept_docs"),
         F.sum("toks").cast("long").alias("kept_tokens"),
     )
+
+
+@register(
+    "tx_table_schema_evolution_counts",
+    oracle="""
+        -- rows ingested BEFORE the ADD COLUMN read back NULL; rows after
+        -- carry the computed tier — membership via the md5-range split
+        WITH tagged AS (
+            SELECT CASE
+                WHEN CAST(concat('0x',
+                     substr(md5(concat('evo|', CAST(event_id AS VARCHAR))),
+                            1, 8)) AS BIGINT) / 4294967296.0 < 0.5
+                THEN NULL
+                ELSE CASE WHEN value >= 200 THEN 'high' ELSE 'low' END
+            END AS tier
+            FROM events
+        )
+        SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM tagged
+        GROUP BY 1
+        ORDER BY tier NULLS FIRST
+    """,
+    description=(
+        "ALTER TABLE ADD COLUMN on the txlog table: metadata-only "
+        "evolution, old rows NULL through the mergeSchema read (oracle)"
+    ),
+    tags=("table-format", "schema-evolution", "deterministic"),
+)
+def tx_table_schema_evolution_counts(spark, sf_dir):
+    """Schema evolution end to end: half the events land before the
+    ``add_column('tier')`` evolution (they read back NULL — the commit
+    touches no data file), the other half lands after, carrying the
+    widened schema; committed-schema enforcement applies to the evolved
+    shape from the moment of the ALTER. Membership in the two eras is
+    the engine-portable md5-range split, so the per-tier counts have a
+    full batch oracle."""
+    from ..operators.relational import hash_uniform
+    from ..scratch import scratch_unique
+    from ..sources.txlog import TxTable
+
+    ev = load_table(spark, sf_dir, "events")
+    u = hash_uniform(F.col("event_id"), "evo|")
+    t = TxTable(spark, scratch_unique(spark, "txevolve"))
+    t.append(ev.filter(u < 0.5))
+    t.add_column("tier", "string")
+    t.append(
+        ev.filter(~(u < 0.5)).withColumn(
+            "tier",
+            F.when(F.col("value") >= 200, "high").otherwise("low"),
+        )
+    )
+    return (
+        t.snapshot()
+        .groupBy("tier")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .orderBy(F.col("tier").asc_nulls_first())
+    )

@@ -174,6 +174,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_pipeline_v3_perplexity",
     "copurchase_community_modularity",
     "dense_retrieval_ndcg",
+    "tx_table_schema_evolution_counts",
 )
 
 

@@ -48,6 +48,29 @@ def _stat_json(v):
     return v
 
 
+def _normalized_schema(schema_json: str) -> str:
+    """Schema JSON with every nullable flag (and field metadata) forced to
+    a canonical value, recursively — so schema equality means names +
+    order + types, not writer-side nullability inference."""
+
+    def norm(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k == "nullable":
+                    out[k] = True
+                elif k == "metadata":
+                    out[k] = {}
+                else:
+                    out[k] = norm(v)
+            return out
+        if isinstance(node, list):
+            return [norm(x) for x in node]
+        return node
+
+    return json.dumps(norm(json.loads(schema_json)), sort_keys=True)
+
+
 _BLOOM_M = 8192  # bits per dir per column
 _BLOOM_K = 4  # hash functions
 
@@ -130,14 +153,20 @@ class TxTable:
     # -- writes ------------------------------------------------------------
 
     def _check_schema(self, df: DataFrame, op: str) -> None:
-        """Appends/merges must match the table's committed schema exactly
-        (a silently widened parquet union corrupts every downstream
-        reader); overwrite MAY change schema — it defines a new one."""
+        """Appends/merges must match the table's committed schema in
+        names, order, and types (a silently widened parquet union
+        corrupts every downstream reader); overwrite MAY change schema —
+        it defines a new one. Nullability is normalized before the
+        compare: writing non-null values into a nullable column is valid
+        (the standard lakehouse write contract — otherwise every
+        ``withColumn`` literal would be rejected after ``add_column``)."""
         prev = self.latest_version()
         if prev is None or op == "overwrite":
             return
         committed = self._manifest(prev).get("schema")
-        if committed is not None and committed != df.schema.json():
+        if committed is not None and _normalized_schema(
+            committed
+        ) != _normalized_schema(df.schema.json()):
             raise ValueError(
                 f"{op} schema does not match the committed table schema; "
                 "use overwrite to change schemas"
@@ -208,12 +237,26 @@ class TxTable:
         with open(p) as f:
             return json.load(f)
 
-    def _commit(self, dirs: list[str], op: str, schema_json: str | None = None) -> int:
+    def _commit(
+        self,
+        dirs: list[str],
+        op: str,
+        schema_json: str | None = None,
+        evolved: bool | None = None,
+    ) -> int:
         os.makedirs(self._log_dir, exist_ok=True)
         prev = self.latest_version()
         version = 0 if prev is None else prev + 1
         if schema_json is None and prev is not None:
             schema_json = self._manifest(prev).get("schema")
+        if evolved is None:
+            # the evolved marker is sticky: once a table has mixed-schema
+            # data dirs, every later version reads through mergeSchema —
+            # until an op that rewrites ALL dirs (overwrite/compact/
+            # optimize) passes evolved=False to reset it
+            evolved = bool(
+                prev is not None and self._manifest(prev).get("evolved")
+            )
         _atomic_write_json(
             os.path.join(self._log_dir, f"{version}.json"),
             {
@@ -222,6 +265,7 @@ class TxTable:
                 "data_dirs": sorted(dirs),
                 "parent": prev,
                 "schema": schema_json,
+                "evolved": evolved,
                 "committed_at": time.time(),
             },
         )
@@ -232,7 +276,8 @@ class TxTable:
         schema — overwrite defines a new one). Old versions stay readable
         (time travel) until vacuumed."""
         return self._commit(
-            [self._write_data(df)], "overwrite", df.schema.json()
+            [self._write_data(df)], "overwrite", df.schema.json(),
+            evolved=False,
         )
 
     def append(self, df: DataFrame) -> int:
@@ -246,6 +291,32 @@ class TxTable:
         # or _check_schema never activates for any later writer.
         return self._commit(
             dirs, "append", df.schema.json() if prev is None else None
+        )
+
+    def add_column(self, name: str, dtype: str) -> int:
+        """ALTER TABLE ADD COLUMN (nullable) as a METADATA-ONLY commit —
+        no data dir is touched; rows written before the evolution read
+        back NULL for the new column (snapshot aligns through
+        mergeSchema). Appends/merges after this must carry the evolved
+        schema — committed-schema enforcement keeps applying, now to the
+        widened schema."""
+        from pyspark.sql.types import StructType, _parse_datatype_string
+
+        v = self.latest_version()
+        if v is None:
+            raise ValueError("cannot evolve an empty table")
+        committed_json = self._manifest(v).get("schema")
+        if committed_json is None:
+            raise ValueError("table has no committed schema to evolve")
+        schema = StructType.fromJson(json.loads(committed_json))
+        if name in schema.fieldNames():
+            raise ValueError(f"column {name!r} already exists")
+        schema = schema.add(name, _parse_datatype_string(dtype), True)
+        return self._commit(
+            list(self._manifest(v)["data_dirs"]),
+            "add_column",
+            schema.json(),
+            evolved=True,
         )
 
     def merge(self, source: DataFrame, key_col: str, order_cols: list[str]) -> int:
@@ -289,8 +360,12 @@ class TxTable:
         snap = self.snapshot()
         if snap is None:
             raise ValueError("cannot compact an empty table")
+        # the rewrite materializes the committed schema into every file,
+        # so the mergeSchema read path is no longer needed
         return self._commit(
-            [self._write_data(snap.coalesce(target_partitions))], "compact"
+            [self._write_data(snap.coalesce(target_partitions))],
+            "compact",
+            evolved=False,
         )
 
     def optimize(
@@ -417,7 +492,7 @@ class TxTable:
                     for e in os.listdir(part_root)
                     if e.startswith("__zb=")
                 ]
-            return self._commit(dirs, "optimize")
+            return self._commit(dirs, "optimize", evolved=False)
         finally:
             zdf.unpersist()
 
@@ -426,12 +501,32 @@ class TxTable:
     def snapshot(self, version: int | None = None) -> DataFrame | None:
         """The table at ``version`` (default: latest); None if empty.
         A plain parquet read of the manifest's files — pushdown, pruning,
-        and AQE apply as for any parquet scan."""
+        and AQE apply as for any parquet scan. After ``add_column``, data
+        dirs written before the evolution lack the new columns: the read
+        goes through mergeSchema and aligns to the committed schema (the
+        missing columns come back NULL — the public schema-evolution
+        read contract)."""
         v = self.latest_version() if version is None else version
         if v is None:
             return None
-        dirs = self._manifest(v)["data_dirs"]
-        return self.spark.read.parquet(*dirs)
+        man = self._manifest(v)
+        dirs = man["data_dirs"]
+        if not man.get("evolved"):
+            return self.spark.read.parquet(*dirs)
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        committed = StructType.fromJson(json.loads(man["schema"]))
+        df = self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in committed.fields
+            ]
+        )
 
     def snapshot_pruned(
         self, col: str, lo, hi, version: int | None = None

@@ -358,3 +358,41 @@ def test_delete_range_carries_disjoint_dirs(spark, tmp_path):
     # history records the delete op
     assert t._manifest(v)["op"] == "delete"
     assert os.path.isdir(list(carried)[0])
+
+
+def test_add_column_schema_evolution(spark, tmp_path):
+    import pytest
+
+    from end_to_end_data_engineering_and_ml_system_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "te"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, val string"))
+    v0 = t.latest_version()
+    v1 = t.add_column("tier", "string")
+    # metadata-only: same data dirs, evolved marker set
+    assert t._manifest(v1)["data_dirs"] == t._manifest(v0)["data_dirs"]
+    assert t._manifest(v1)["evolved"] is True
+    # old rows read back NULL for the new column, in committed order
+    snap = t.snapshot()
+    assert snap.columns == ["k", "val", "tier"]
+    assert snap.filter("tier IS NULL").count() == 2
+    # pre-evolution appends now fail schema enforcement...
+    with pytest.raises(ValueError, match="schema"):
+        t.append(spark.createDataFrame([(3, "c")], "k long, val string"))
+    # ...and evolved-schema appends land; mixed dirs read consistently
+    t.append(
+        spark.createDataFrame([(3, "c", "gold")], "k long, val string, tier string")
+    )
+    snap2 = t.snapshot()
+    assert snap2.count() == 3
+    assert snap2.filter("tier = 'gold'").count() == 1
+    assert snap2.filter("tier IS NULL").count() == 2
+    # time travel: the pre-evolution version still has the narrow schema
+    assert t.snapshot(v0).columns == ["k", "val"]
+    # duplicate column refused
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("tier", "string")
+    # compact rewrites every dir with the full schema and resets evolved
+    vc = t.compact()
+    assert t._manifest(vc)["evolved"] is False
+    assert t.snapshot(vc).count() == 3
