@@ -257,6 +257,10 @@ class TxTable:
             evolved = bool(
                 prev is not None and self._manifest(prev).get("evolved")
             )
+        # CHECK constraints are sticky too: carried forward verbatim
+        checks = (
+            self._manifest(prev).get("checks") if prev is not None else None
+        )
         _atomic_write_json(
             os.path.join(self._log_dir, f"{version}.json"),
             {
@@ -266,6 +270,7 @@ class TxTable:
                 "parent": prev,
                 "schema": schema_json,
                 "evolved": evolved,
+                "checks": checks or {},
                 "committed_at": time.time(),
             },
         )
@@ -284,6 +289,7 @@ class TxTable:
         """New version = previous version's files + ``df``'s new files —
         the data files themselves are never rewritten."""
         self._check_schema(df, "append")
+        self._enforce_checks(df, "append")
         prev = self.latest_version()
         dirs = [] if prev is None else list(self._manifest(prev)["data_dirs"])
         dirs.append(self._write_data(df))
@@ -319,6 +325,90 @@ class TxTable:
             evolved=True,
         )
 
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN as a metadata-only commit: the column
+        vanishes from the committed schema; data files keep the bytes
+        (time travel still reads them) and the aligned snapshot simply
+        stops projecting them. Compact/optimize physically remove the
+        bytes on their next rewrite."""
+        from pyspark.sql.types import StructType
+
+        v = self.latest_version()
+        if v is None:
+            raise ValueError("cannot evolve an empty table")
+        committed_json = self._manifest(v).get("schema")
+        if committed_json is None:
+            raise ValueError("table has no committed schema to evolve")
+        schema = StructType.fromJson(json.loads(committed_json))
+        if name not in schema.fieldNames():
+            raise ValueError(f"column {name!r} does not exist")
+        fields = [f for f in schema.fields if f.name != name]
+        if not fields:
+            raise ValueError("cannot drop the last column")
+        return self._commit(
+            list(self._manifest(v)["data_dirs"]),
+            "drop_column",
+            StructType(fields).json(),
+            evolved=True,
+        )
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE TO VERSION AS OF — a NEW commit whose content
+        (data dirs, schema, evolved marker) is exactly ``version``'s, so
+        the rollback itself is audited in the history and later vacuums
+        keep the restored files live."""
+        man = self._manifest(version)  # raises if the version is unknown
+        return self._commit(
+            list(man["data_dirs"]),
+            f"restore({version})",
+            man.get("schema"),
+            evolved=bool(man.get("evolved")),
+        )
+
+    def add_check(self, name: str, sql_predicate: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT ... CHECK: the predicate (a SQL
+        boolean expression over the table's columns) is recorded in the
+        manifest and every later append/merge REJECTS batches holding a
+        violating row — the write-side contract gate (the public Delta
+        constraints idea). NULL predicate values count as violations
+        (write-side strictness: a constraint that cannot be proven to
+        hold must not admit the row)."""
+        v = self.latest_version()
+        if v is None:
+            raise ValueError("cannot constrain an empty table")
+        checks = dict(self._manifest(v).get("checks") or {})
+        if name in checks:
+            raise ValueError(f"constraint {name!r} already exists")
+        checks[name] = sql_predicate
+        nv = self._commit(
+            list(self._manifest(v)["data_dirs"]),
+            f"add_check({name})",
+            self._manifest(v).get("schema"),
+        )
+        # _commit doesn't know about checks; patch the manifest atomically
+        man = self._manifest(nv)
+        man["checks"] = checks
+        _atomic_write_json(
+            os.path.join(self._log_dir, f"{nv}.json"), man
+        )
+        return nv
+
+    def _enforce_checks(self, df: DataFrame, op: str) -> None:
+        from pyspark.sql import functions as F
+
+        prev = self.latest_version()
+        if prev is None:
+            return
+        checks = self._manifest(prev).get("checks") or {}
+        for cname, pred in checks.items():
+            bad = df.filter(
+                ~F.coalesce(F.expr(pred), F.lit(False))
+            )
+            if not bad.isEmpty():
+                raise ValueError(
+                    f"{op} violates CHECK constraint {cname!r}: {pred}"
+                )
+
     def merge(self, source: DataFrame, key_col: str, order_cols: list[str]) -> int:
         """MERGE INTO as a new version: latest-per-key over (snapshot ∪
         source), source winning ties — the batch form of the streaming
@@ -327,6 +417,7 @@ class TxTable:
         from pyspark.sql.window import Window
 
         self._check_schema(source, "merge")
+        self._enforce_checks(source, "merge")
         snap = self.snapshot()
         # Tag provenance BEFORE the union so that when a snapshot row and a
         # source row tie on every order col, the source row deterministically

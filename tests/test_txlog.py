@@ -396,3 +396,57 @@ def test_add_column_schema_evolution(spark, tmp_path):
     vc = t.compact()
     assert t._manifest(vc)["evolved"] is False
     assert t.snapshot(vc).count() == 3
+
+
+def test_drop_column_and_restore(spark, tmp_path):
+    import pytest
+
+    from end_to_end_data_engineering_and_ml_system_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "tdrop"))
+    t.append(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "k long, val string, extra long")
+    )
+    v0 = t.latest_version()
+    v1 = t.drop_column("extra")
+    snap = t.snapshot()
+    assert snap.columns == ["k", "val"]  # projected away, data untouched
+    assert t._manifest(v1)["data_dirs"] == t._manifest(v0)["data_dirs"]
+    # appends must now use the narrow schema
+    t.append(spark.createDataFrame([(3, "c")], "k long, val string"))
+    assert t.snapshot().count() == 3
+    # time travel still sees the dropped column
+    assert t.snapshot(v0).columns == ["k", "val", "extra"]
+    with pytest.raises(ValueError, match="does not exist"):
+        t.drop_column("extra")
+    # RESTORE: back to v0's content as a NEW audited version
+    v3 = t.restore(v0)
+    assert v3 > v1
+    assert t.snapshot().columns == ["k", "val", "extra"]
+    assert t.snapshot().count() == 2
+    assert t._manifest(v3)["op"] == f"restore({v0})"
+
+
+def test_check_constraints_gate_writes(spark, tmp_path):
+    import pytest
+
+    from end_to_end_data_engineering_and_ml_system_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "tcheck"))
+    t.append(spark.createDataFrame([(1, 5.0)], "k long, v double"))
+    t.add_check("v_nonneg", "v >= 0")
+    # conforming append lands
+    t.append(spark.createDataFrame([(2, 7.5)], "k long, v double"))
+    # violating append rejected, table unchanged
+    with pytest.raises(ValueError, match="v_nonneg"):
+        t.append(spark.createDataFrame([(3, -1.0)], "k long, v double"))
+    # NULL predicate counts as a violation (write-side strictness)
+    with pytest.raises(ValueError, match="v_nonneg"):
+        t.append(spark.createDataFrame([(4, None)], "k long, v double"))
+    assert t.snapshot().count() == 2
+    # constraints survive later commits (sticky through _commit)
+    t.compact()
+    with pytest.raises(ValueError, match="v_nonneg"):
+        t.append(spark.createDataFrame([(5, -2.0)], "k long, v double"))
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_check("v_nonneg", "v >= 0")
