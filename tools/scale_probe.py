@@ -392,6 +392,32 @@ def graph_rank(n: int, sf_dir: str) -> None:
             f"mass={total:.6f} (expect 1.0; N spans all copies) "
             f"driver_maxrss_delta={rss_mb() - before:.0f}MB"
         )
+
+        from end_to_end_data_engineering_and_ml_system_spark.operators.graph import (
+            bfs_levels,
+            label_propagation,
+        )
+
+        t0 = time.perf_counter()
+        n_comm = (
+            label_propagation(e, iters=2, assume_distinct=True)
+            .select("lbl")
+            .distinct()
+            .count()
+        )
+        t_lpa = time.perf_counter() - t0
+        seed = e.groupBy("src").count().orderBy(
+            F.col("count").desc(), "src"
+        ).first()["src"]
+        t0 = time.perf_counter()
+        n_reached = bfs_levels(
+            e, [int(seed)], max_hops=3, assume_distinct=True
+        ).count()
+        t_bfs = time.perf_counter() - t0
+        print(
+            f"lpa {mult}x: communities={n_comm} wall={t_lpa:.2f}s | "
+            f"bfs {mult}x: reached_3hops={n_reached} wall={t_bfs:.2f}s"
+        )
         e.unpersist()
 
 
