@@ -409,10 +409,41 @@ class TxTable:
                     f"{op} violates CHECK constraint {cname!r}: {pred}"
                 )
 
-    def merge(self, source: DataFrame, key_col: str, order_cols: list[str]) -> int:
+    def txn_seen(self, app: str, batch_id: int) -> bool:
+        """Has ``(app, batch_id)`` already committed? Walks manifests
+        newest-first for the app's latest recorded batch — the public
+        Delta ``txnAppId``/``txnVersion`` idempotent-writer contract that
+        makes foreachBatch exactly-once under re-delivery."""
+        for v in reversed(self.versions()):
+            txn = self._manifest(v).get("txn")
+            if txn and txn.get("app") == app:
+                return int(txn["batch"]) >= batch_id
+        return False
+
+    def _record_txn(self, version: int, app: str, batch_id: int) -> None:
+        man = self._manifest(version)
+        man["txn"] = {"app": app, "batch": int(batch_id)}
+        _atomic_write_json(
+            os.path.join(self._log_dir, f"{version}.json"), man
+        )
+
+    def merge(
+        self,
+        source: DataFrame,
+        key_col: str,
+        order_cols: list[str],
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         """MERGE INTO as a new version: latest-per-key over (snapshot ∪
         source), source winning ties — the batch form of the streaming
-        latest-state loop, committed atomically."""
+        latest-state loop, committed atomically.
+
+        ``txn=(app, batch_id)`` makes the merge IDEMPOTENT: if the app
+        already committed this (or a later) batch — a foreachBatch
+        re-delivery after a sink-side failure — the call is a no-op
+        returning the current version instead of double-applying."""
+        if txn is not None and self.txn_seen(*txn):
+            return self.latest_version()
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window
 
@@ -440,9 +471,10 @@ class TxTable:
         schema_json = (
             source.schema.json() if self.latest_version() is None else None
         )
-        return self._commit(
-            [self._write_data(merged)], "merge", schema_json
-        )
+        v = self._commit([self._write_data(merged)], "merge", schema_json)
+        if txn is not None:
+            self._record_txn(v, *txn)
+        return v
 
     def compact(self, target_partitions: int = 1) -> int:
         """Small-file maintenance: rewrite the current snapshot into

@@ -884,12 +884,21 @@ def run_merge_into_table(
             .drop("__rn")
         )
 
+    ck = scratch_unique(spark, "txmerge_ck")
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        table.merge(latest(batch_df), key_col, list(order_cols))
+        # txn keyed on the checkpoint identity: a re-delivered batch_id
+        # (sink failure after commit, source replay) is a no-op instead
+        # of a duplicate MERGE version — the exactly-once contract
+        table.merge(
+            latest(batch_df),
+            key_col,
+            list(order_cols),
+            txn=(ck, batch_id),
+        )
 
-    ck = scratch_unique(spark, "txmerge_ck")
     with _replay_shuffle_partitions(spark):
         q = (
             stream_df.writeStream.foreachBatch(process)

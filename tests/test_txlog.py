@@ -450,3 +450,23 @@ def test_check_constraints_gate_writes(spark, tmp_path):
         t.append(spark.createDataFrame([(5, -2.0)], "k long, v double"))
     with pytest.raises(ValueError, match="already exists"):
         t.add_check("v_nonneg", "v >= 0")
+
+
+def test_merge_txn_idempotent_on_redelivery(spark, tmp_path):
+    from end_to_end_data_engineering_and_ml_system_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "ttxn"))
+    b0 = spark.createDataFrame([(1, 10), (2, 20)], "k long, ver long")
+    b1 = spark.createDataFrame([(1, 11)], "k long, ver long")
+    v0 = t.merge(b0, "k", ["ver"], txn=("app", 0))
+    v1 = t.merge(b1, "k", ["ver"], txn=("app", 1))
+    assert v1 == v0 + 1
+    # re-delivery of batch 1 (and a late replay of batch 0): no-ops
+    assert t.merge(b1, "k", ["ver"], txn=("app", 1)) == v1
+    assert t.merge(b0, "k", ["ver"], txn=("app", 0)) == v1
+    assert t.latest_version() == v1
+    assert t.snapshot().count() == 2
+    assert t.snapshot().filter("k = 1").first()["ver"] == 11
+    # a different app's batch numbering is independent
+    v2 = t.merge(b0, "k", ["ver"], txn=("other", 0))
+    assert v2 == v1 + 1
