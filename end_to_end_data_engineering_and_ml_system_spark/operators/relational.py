@@ -63,6 +63,124 @@ def top_n_per_key(
     )
 
 
+OrderSpec = Sequence[tuple[str, str]]  # [(column_name, "asc"|"desc"), ...]
+
+
+def _sort_cols(order_specs: OrderSpec) -> list[Column]:
+    return [
+        F.col(name).desc() if direction == "desc" else F.col(name).asc()
+        for name, direction in order_specs
+    ]
+
+
+def _global_rank(
+    df: DataFrame, order_specs: OrderSpec, out: str
+) -> tuple[DataFrame, int]:
+    """Exact global ``row_number`` WITHOUT a single-partition window.
+
+    Plan: range-repartition on the order keys (each partition holds a
+    disjoint key range), rank locally within each range partition (a
+    partitionBy window — fully parallel), then add per-partition prefix
+    offsets. The offsets come from one O(num_partitions)-row collect —
+    bounded by cluster width, never by data size — and join back as a
+    broadcast. The input is persisted so the collect job and the output
+    job see identical range boundaries.
+
+    ``order_specs`` must form a TOTAL order (include a unique tiebreak
+    column); ranks are then row_number-identical under any partitioning.
+    Returns ``(ranked_df, total_row_count)``.
+    """
+    spark = df.sparkSession
+    cols = _sort_cols(order_specs)
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = df.repartitionByRange(p, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ranged.persist()
+    counts = sorted(
+        ranged.groupBy("__pid").count().collect(), key=lambda r: r["__pid"]
+    )
+    offs, acc = [], 0
+    for r in counts:
+        offs.append((int(r["__pid"]), acc))
+        acc += int(r["count"])
+    off_df = spark.createDataFrame(offs or [], "__pid int, __off long")
+    local = Window.partitionBy("__pid").orderBy(*cols)
+    ranked = (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            out, F.row_number().over(local).cast("long") + F.col("__off")
+        )
+        .drop("__pid", "__off")
+    )
+    return ranked, acc
+
+
+def global_row_number(
+    df: DataFrame, order_specs: OrderSpec, out: str = "rn"
+) -> DataFrame:
+    """Distributed replacement for ``row_number() OVER (ORDER BY ...)``:
+    identical values, no WindowExec single-partition stage (see
+    ``_global_rank``). Use whenever the ranked input scales with the data;
+    a bare global window moves the ENTIRE input through one reducer and
+    dies at 100x."""
+    ranked, _ = _global_rank(df, order_specs, out)
+    return ranked
+
+
+def global_ntile(
+    df: DataFrame, n_buckets: int, order_specs: OrderSpec, out: str = "bucket"
+) -> DataFrame:
+    """Distributed replacement for ``NTILE(n) OVER (ORDER BY ...)`` —
+    exact NTILE semantics (first ``total mod n`` buckets get the extra
+    row) computed from the distributed global rank with pure integer
+    arithmetic (``DIV``), so bucket membership is bit-identical to the
+    single-window form on any engine and any partitioning."""
+    ranked, total = _global_rank(df, order_specs, "__grn")
+    q, r = divmod(total, n_buckets)
+    qq = max(q, 1)  # guard the unused branch when total < n_buckets
+    thresh = r * (q + 1)
+    bucket = F.when(
+        F.col("__grn") <= F.lit(thresh),
+        F.expr(f"(__grn + {q}) DIV {q + 1}"),
+    ).otherwise(F.lit(r) + F.expr(f"(__grn - {thresh} + {qq - 1}) DIV {qq}"))
+    return ranked.withColumn(out, bucket.cast("int")).drop("__grn")
+
+
+def bounded_ranked_topk(
+    df: DataFrame, order_specs: OrderSpec, k: int, out: str = "rn"
+) -> DataFrame:
+    """Top-``k`` rows with exact global rank values 1..k, warning-free.
+
+    ``orderBy().limit(k)`` compiles to a distributed
+    TakeOrderedAndProject, so only ``k`` rows ever leave the scan; ranks
+    over those survivors are then recovered by a broadcast self-join
+    inequality count (rank = 1 + |rows strictly ahead|) — O(k^2) pairs
+    with constant k, no WindowExec at all. ``order_specs`` must be a
+    total order over NON-NULL columns (the lexicographic strictly-before
+    predicate treats NULL comparisons as false); ranks then equal
+    ``row_number`` over the same global order."""
+    top = df.orderBy(*_sort_cols(order_specs)).limit(k)
+    a, b = top.alias("__rk_a"), top.alias("__rk_b")
+    before = F.lit(False)
+    eqs = F.lit(True)
+    for name, direction in order_specs:
+        av, bv = F.col(f"__rk_a.{name}"), F.col(f"__rk_b.{name}")
+        lt = (bv > av) if direction == "desc" else (bv < av)
+        before = before | (eqs & lt)
+        eqs = eqs & (bv == av)
+    first_key = order_specs[0][0]
+    return (
+        a.join(F.broadcast(b), before, "left")
+        .groupBy(*[F.col(f"__rk_a.{c}").alias(c) for c in top.columns])
+        .agg(
+            (F.count(F.col(f"__rk_b.{first_key}")) + F.lit(1))
+            .cast("long")
+            .alias(out)
+        )
+    )
+
+
 def seeded_split(
     df: DataFrame, weights: Sequence[float], seed: int = 42
 ) -> list[DataFrame]:

@@ -4855,12 +4855,14 @@ def event_type_cooccurrence(spark, sf_dir):
     tags=("aggregation", "window", "olap"),
 )
 def revenue_pareto_deciles(spark, sf_dir):
-    """The who-carries-the-revenue curve: the global-order NTILE runs over
-    the per-customer aggregate (|customers| rows), never the order facts —
-    the single-partition window cost is bounded by the dimension size at
-    any fact volume. Decimal-exact sums; ties broken by custkey so the
-    tiling is deterministic."""
-    from pyspark.sql import Window
+    """The who-carries-the-revenue curve: the NTILE runs over the
+    per-customer aggregate (|customers| rows), never the order facts, and
+    uses the DISTRIBUTED exact tiling (relational.global_ntile:
+    range-repartition + local rank + broadcast prefix offsets) — the
+    dimension itself scales with SF, so even the aggregate must never
+    funnel through one reducer. Decimal-exact sums; ties broken by
+    custkey so the tiling is deterministic."""
+    from ..operators.relational import global_ntile
 
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
@@ -4868,8 +4870,12 @@ def revenue_pareto_deciles(spark, sf_dir):
         .cast("double")
         .alias("spend")
     )
-    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
-    tiled = spend.withColumn("decile", F.ntile(10).over(w))
+    tiled = global_ntile(
+        spend,
+        10,
+        [("spend", "desc"), ("o_custkey", "asc")],
+        out="decile",
+    )
     tot = spend.agg(
         F.sum(F.col("spend").cast("decimal(28,10)")).cast("double").alias("t")
     )
@@ -5293,12 +5299,13 @@ def events_hourly_seasonality(spark, sf_dir):
 )
 def customer_tier_migration(spark, sf_dir):
     """Who moved up, who churned: tier each customer within each era by
-    total spend (NTILE over the per-customer aggregate — dimension-sized,
-    deterministic custkey tie-break), then full-outer join the two tier
-    tables; era-absent customers surface as tier 0. At any fact volume the
-    expensive work is the two grouped sums; everything after is
-    dimension-scale."""
-    from pyspark.sql import Window
+    total spend (distributed exact NTILE over the per-customer aggregate
+    — relational.global_ntile, deterministic custkey tie-break; the
+    customer dimension scales with SF, so no single-reducer tiling), then
+    full-outer join the two tier tables; era-absent customers surface as
+    tier 0. At any fact volume the expensive work is the two grouped
+    sums; everything after is dimension-scale."""
+    from ..operators.relational import global_ntile
 
     orders = load_table(spark, sf_dir, "orders")
     cutoff = F.lit("1998-01-01").cast("timestamp_ntz")
@@ -5309,8 +5316,9 @@ def customer_tier_migration(spark, sf_dir):
             .cast("double")
             .alias("spend")
         )
-        w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
-        return spend.select("o_custkey", F.ntile(3).over(w).alias("tier"))
+        return global_ntile(
+            spend, 3, [("spend", "desc"), ("o_custkey", "asc")], out="tier"
+        ).select("o_custkey", "tier")
 
     te = tiers(orders.where(F.col("o_orderdate") < cutoff)).withColumnsRenamed(
         {"o_custkey": "ck_e", "tier": "tier_e"}

@@ -759,7 +759,6 @@ def hybrid_rrf_retrieval(spark, sf_dir):
     family is the recall path when the query set is large). Missing-from-
     a-list is encoded as rank 0 (never NULL: a half-empty int column would
     come back as float64 on one engine and int64 on the other)."""
-    from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
     ex = emb.select(
@@ -799,27 +798,20 @@ def hybrid_rrf_retrieval(spark, sf_dir):
             ).alias("cosine"),
         )
     )
-    dense = (
-        cos.withColumn(
-            "r",
-            F.row_number()
-            .over(Window.orderBy(F.col("cosine").desc(), "doc_id"))
-            .cast("long"),
-        )
-        .filter(F.col("r") <= _RRF_DEPTH)
-        .select("doc_id", "r")
-    )
-    lex = (
-        _bm25_scored(spark, sf_dir)
-        .withColumn(
-            "r",
-            F.row_number()
-            .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
-            .cast("long"),
-        )
-        .filter(F.col("r") <= _RRF_DEPTH)
-        .select("doc_id", "r")
-    )
+    # rank lists via distributed TakeOrdered top-k + bounded self-join
+    # rank recovery (operators/relational.py::bounded_ranked_topk) — the
+    # scored corpus never funnels through a single-partition window
+    from ..operators.relational import bounded_ranked_topk
+
+    dense = bounded_ranked_topk(
+        cos, [("cosine", "desc"), ("doc_id", "asc")], _RRF_DEPTH, out="r"
+    ).select("doc_id", "r")
+    lex = bounded_ranked_topk(
+        _bm25_scored(spark, sf_dir),
+        [("bm25", "desc"), ("doc_id", "asc")],
+        _RRF_DEPTH,
+        out="r",
+    ).select("doc_id", "r")
     l, e = lex.alias("l"), dense.alias("e")
     rrf_term = lambda c: F.coalesce(  # noqa: E731
         F.lit(1.0) / (F.lit(_RRF_K) + c), F.lit(0.0)
@@ -1627,8 +1619,6 @@ def dense_retrieval_ndcg(spark, sf_dir):
     64-dim query row broadcast against the corpus — no pairwise pass."""
     import math
 
-    from pyspark.sql.window import Window
-
     emb = load_table(spark, sf_dir, "embeddings")
     ex = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "xf")
@@ -1655,7 +1645,7 @@ def dense_retrieval_ndcg(spark, sf_dir):
     qlab = int(
         emb.filter(F.col("vec_id") == _RRF_QUERY_VEC).first()["label"]
     )
-    ranked = (
+    scored = (
         dots.join(norms.withColumnRenamed("vec_id", "cand_id"), "cand_id")
         .crossJoin(F.broadcast(nq))
         .join(
@@ -1672,31 +1662,33 @@ def dense_retrieval_ndcg(spark, sf_dir):
                 "rel"
             ),
         )
-        .withColumn(
-            "rn",
-            F.row_number()
-            .over(Window.orderBy(F.col("cosine").desc(), "cand_id"))
-            .cast("long"),
-        )
     )
-    agg = ranked.agg(
-        F.sum("rel").cast("long").alias("n_rel"),
-        F.sum(
-            F.when(
-                F.col("rn") <= 10,
+    # n_rel is a plain distributed aggregate; the global rank is only
+    # needed at depth 10, so rank the distributed top-10 (TakeOrdered +
+    # bounded self-join rank) instead of windowing the whole corpus
+    from ..operators.relational import bounded_ranked_topk
+
+    n_rel = int(
+        scored.agg(F.sum("rel").cast("long").alias("n_rel")).first()["n_rel"]
+    )
+    top10 = bounded_ranked_topk(
+        scored, [("cosine", "desc"), ("cand_id", "asc")], 10, out="rn"
+    )
+    dcg = float(
+        top10.agg(
+            F.sum(
                 (
                     F.col("rel")
                     / (
                         F.log((F.col("rn") + 1).cast("double"))
                         / F.log(F.lit(2.0))
                     )
-                ).cast(DEC),
-            ).otherwise(F.lit(0).cast(DEC))
-        )
-        .cast("double")
-        .alias("dcg"),
-    ).first()
-    n_rel, dcg = int(agg["n_rel"]), float(agg["dcg"])
+                ).cast(DEC)
+            )
+            .cast("double")
+            .alias("dcg")
+        ).first()["dcg"]
+    )
     idcg = sum(
         1.0 / (math.log(i + 1) / math.log(2.0))
         for i in range(1, min(10, n_rel) + 1)

@@ -1114,16 +1114,13 @@ def bpe_initial_pair_counts(spark, sf_dir):
         _pair_counts,
         word_frequency_table,
     )
-    from pyspark.sql.window import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
     counts = _pair_counts(_initial_symbols(word_frequency_table(docs)))
-    w = W.orderBy(
-        F.desc("pair_count"), F.asc("left"), F.asc("right")
-    )
+    # top-10 via distributed TakeOrderedAndProject, not a global window
     return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 10)
+        counts.orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+        .limit(10)
         .select(
             F.col("left").alias("left_sym"),
             F.col("right").alias("right_sym"),
@@ -1695,21 +1692,21 @@ def kmeans_init_assignment_portable(spark, sf_dir):
     floats and stay rows-only by necessity."""
     from pyspark.sql.window import Window as W
 
+    from ..operators.relational import bounded_ranked_topk
+
     emb = load_table(spark, sf_dir, "embeddings")
-    m = (
+    # top-8 medoids by md5 order via distributed TakeOrdered + bounded
+    # self-join rank — no global-window single reducer on the corpus
+    m = bounded_ranked_topk(
         emb.select(
             F.col("vec_id").alias("medoid_id"),
-            (
-                F.row_number().over(
-                    W.orderBy(
-                        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
-                    )
-                )
-                - 1
-            ).alias("cluster_rank"),
-        )
-        .orderBy("cluster_rank")
-        .limit(8)
+            F.md5(F.col("vec_id").cast("string")).alias("__h"),
+        ),
+        [("__h", "asc"), ("medoid_id", "asc")],
+        8,
+        out="__rk",
+    ).select(
+        "medoid_id", (F.col("__rk") - 1).cast("int").alias("cluster_rank")
     )
     ex = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "xf")
@@ -1943,7 +1940,6 @@ def term_posting_stats(spark, sf_dir):
     health stats. Deterministic: integer counts, lexicographic
     tie-break."""
     from ..operators.text import tokens
-    from pyspark.sql.window import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
@@ -1955,14 +1951,8 @@ def term_posting_stats(spark, sf_dir):
         F.sum("tf").cast("bigint").alias("total_occurrences"),
         F.min("doc_id").cast("bigint").alias("first_doc_id"),
     )
-    return (
-        stats.withColumn(
-            "rn",
-            F.row_number().over(W.orderBy(F.desc("df"), F.asc("term"))),
-        )
-        .where(F.col("rn") <= 25)
-        .drop("rn")
-    )
+    # distributed TakeOrderedAndProject — no global-window single reducer
+    return stats.orderBy(F.desc("df"), F.asc("term")).limit(25)
 
 
 @register(
@@ -2085,18 +2075,20 @@ def join_cardinality_estimate_vs_actual(spark, sf_dir):
 def order_price_equidepth_histogram(spark, sf_dir):
     """Equal-count buckets expose the distribution's shape where
     equal-width buckets pile everything into two bars — and equi-depth
-    edges are exactly what CBO histograms store. NTILE over a global
-    order is the one single-reducer step (same caveat as any exact
-    ranking; range-partitioned sort at cluster scale); everything
-    downstream is a tiny grouped pass over exact integers."""
-    from pyspark.sql.window import Window as W
+    edges are exactly what CBO histograms store. The tiling is the
+    DISTRIBUTED exact NTILE (operators/relational.py::global_ntile):
+    range-repartition on (cents, key), rank within each range partition,
+    add broadcast prefix offsets — bit-identical to the single-window
+    NTILE with no single-reducer stage, so the plan survives 100x."""
+    from ..operators.relational import global_ntile
 
     orders = load_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
-    b = orders.select(
-        cents.alias("cents"), F.col("o_orderkey")
-    ).withColumn(
-        "bucket", F.ntile(10).over(W.orderBy("cents", "o_orderkey"))
+    b = global_ntile(
+        orders.select(cents.alias("cents"), F.col("o_orderkey")),
+        10,
+        [("cents", "asc"), ("o_orderkey", "asc")],
+        out="bucket",
     )
     return b.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
         F.count("*").cast("bigint").alias("n_orders"),
@@ -2159,14 +2151,11 @@ def weighted_doc_sample(spark, sf_dir):
         F.col("n_chars").cast("bigint").alias("n_chars"),
         (F.log(uni) / F.col("n_chars").cast("double")).alias("skey"),
     ).where((uni > 0) & (F.col("n_chars") > 0))
-    from pyspark.sql.window import Window as W
-
+    # top-50 by key IS the sample: orderBy().limit() compiles to a
+    # distributed TakeOrderedAndProject — no global-window single reducer
     return (
-        k.withColumn(
-            "rn",
-            F.row_number().over(W.orderBy(F.desc("skey"), F.asc("doc_id"))),
-        )
-        .where(F.col("rn") <= 50)
+        k.orderBy(F.desc("skey"), F.asc("doc_id"))
+        .limit(50)
         .select("doc_id", "lang", "n_chars")
     )
 
@@ -2948,7 +2937,7 @@ def gbdt_training_curve(spark, sf_dir):
                         AS BIGINT) / 4294967296.0 AS uni
             FROM c
         )
-        SELECT event_type, n_true,
+        SELECT event_type,
                ROUND(n_true
                      + (CASE WHEN uni < CAST(0.5 AS DOUBLE)
                              THEN CAST(1.0 AS DOUBLE)
@@ -2975,9 +2964,12 @@ def events_dp_noisy_counts(spark, sf_dir):
     a REPRODUCIBLE pipeline wants the seeded form — noise derived from
     the engine-portable md5 uniform (operators/relational.py::
     hash_uniform) through the Laplace inverse CDF, so reruns, engine
-    migrations, and the DuckDB oracle all release the identical values
-    (the privacy accounting is the same; the seed is the secret). Noise
-    is pointwise double math rounded at 6 decimals (the libm-ln
+    migrations, and the DuckDB oracle all release the identical values.
+    The RELEASE carries only the noised counts — publishing n_true
+    alongside would void the privacy guarantee entirely — and the seed
+    string ('dp-v1|') must be treated as a secret and excluded from any
+    real release: anyone holding it can invert the noise. Noise is
+    pointwise double math rounded at 6 decimals (the libm-ln
     convention)."""
     from ..operators.relational import hash_uniform
 
@@ -2997,7 +2989,6 @@ def events_dp_noisy_counts(spark, sf_dir):
     )
     return c.select(
         "event_type",
-        "n_true",
         F.round(F.col("n_true") + noise, 6).alias("n_released"),
     ).orderBy("event_type")
 
@@ -3202,10 +3193,11 @@ def corpus_pipeline_v3_perplexity(spark, sf_dir):
     idea with the band defined by ranks, not absolute thresholds, so the
     same query works at every corpus size. Scores are rounded to 6
     decimals BEFORE the NTILE ordering (ties then break on doc_id), so
-    decile membership is cross-engine deterministic. The global NTILE is
-    the exact-eval shape; at 100 TB the band becomes two approx-quantile
-    cuts broadcast into the filter — same result set up to quantile
-    error, no global sort."""
+    decile membership is cross-engine deterministic. The tiling is the
+    distributed exact NTILE (relational.global_ntile: range-repartition +
+    local rank + broadcast prefix offsets — no single-reducer stage); at
+    100 TB a cheaper variant is two approx-quantile cuts broadcast into
+    the filter, same result set up to quantile error."""
     from pyspark.sql.window import Window as W
 
     from ..operators.text import fingerprint, tokens
@@ -3256,10 +3248,13 @@ def corpus_pipeline_v3_perplexity(spark, sf_dir):
             ).alias("nlp")
         )
     )
-    deciles = ppl.select(
-        "doc_id",
-        F.ntile(10).over(W.orderBy("nlp", "doc_id")).alias("dec"),
-    )
+    # exact deciles WITHOUT a global-window single reducer: distributed
+    # NTILE (range-repartition + local rank + broadcast prefix offsets)
+    from ..operators.relational import global_ntile
+
+    deciles = global_ntile(
+        ppl, 10, [("nlp", "asc"), ("doc_id", "asc")], out="dec"
+    ).select("doc_id", "dec")
     banded = gate.join(
         deciles.filter(F.col("dec").between(2, 9)), "doc_id"
     )

@@ -266,3 +266,77 @@ def test_merge_upsert_source_nulls_fall_back_to_target(spark):
     source = spark.createDataFrame([(1, None)], "k int, v double")
     row = merge_upsert(target, source, ["k"]).first()
     assert row["action"] == "update" and row["v"] == 10.0
+
+
+def test_global_row_number_matches_window(spark):
+    # the distributed rank (range-repartition + local rank + broadcast
+    # prefix offsets) must be row_number-identical under any partitioning
+    from pyspark.sql import Window
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        global_row_number,
+    )
+
+    df = spark.range(997).select(
+        (F.col("id") % 89).alias("v"), F.col("id").alias("k")
+    )
+    exp = sorted(
+        df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("v"), "k")).cast("long")
+        ).collect()
+    )
+    got = sorted(
+        global_row_number(df, [("v", "desc"), ("k", "asc")])
+        .select("v", "k", "rn")
+        .collect()
+    )
+    assert got == exp
+
+
+def test_global_ntile_matches_window(spark):
+    from pyspark.sql import Window
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        global_ntile,
+    )
+
+    for n_rows, n_buckets in [(1003, 10), (7, 10), (1003, 3)]:
+        df = spark.range(n_rows).select(
+            (F.col("id") % 97).alias("v"), F.col("id").alias("k")
+        )
+        exp = sorted(
+            df.withColumn(
+                "bucket", F.ntile(n_buckets).over(Window.orderBy("v", "k"))
+            ).collect()
+        )
+        got = sorted(
+            global_ntile(df, n_buckets, [("v", "asc"), ("k", "asc")])
+            .select("v", "k", F.col("bucket"))
+            .collect()
+        )
+        assert got == exp, (n_rows, n_buckets)
+
+
+def test_bounded_ranked_topk_matches_window(spark):
+    from pyspark.sql import Window
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        bounded_ranked_topk,
+    )
+
+    df = spark.range(500).select(
+        (F.col("id") % 41).alias("v"), F.col("id").alias("k")
+    )
+    exp = sorted(
+        df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("v"), "k")).cast("long")
+        )
+        .filter(F.col("rn") <= 25)
+        .collect()
+    )
+    got = sorted(
+        bounded_ranked_topk(df, [("v", "desc"), ("k", "asc")], 25)
+        .select("v", "k", "rn")
+        .collect()
+    )
+    assert got == exp
