@@ -470,8 +470,13 @@ def label_propagation(
 
     Where connected components answers "what is REACHABLE" (any path merges
     groups), LPA answers "where is the DENSITY": each round every node
-    adopts the most frequent label among its in-neighbors, so thin bridges
-    between dense regions do not merge them. The classic algorithm breaks
+    adopts the most frequent label among its OUT-neighbors (labels are
+    joined on ``dst`` and grouped by ``src``), so thin bridges between
+    dense regions do not merge them. On a directed edge list the in- and
+    out-neighbor formulations differ — callers wanting the classic
+    undirected semantics must pass a SYMMETRIC edge list (both (u,v) and
+    (v,u)), as the registered co-purchase queries do; the two formulations
+    then coincide. The classic algorithm breaks
     ties randomly and iterates to (unstable) convergence; this variant is
     the deterministic formulation suited to a reproducible pipeline — a
     FIXED iteration count with ties broken by the smallest label, making

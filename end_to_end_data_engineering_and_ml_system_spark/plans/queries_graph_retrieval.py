@@ -215,13 +215,24 @@ def nation_trade_pagerank(spark, sf_dir):
     )
 
 
-_COPURCHASE_EDGES_SQL = """
+# Max distinct parts per basket admitted to the co-purchase self-join: the
+# pair count is quadratic in basket size, so one pathological 100k-part
+# basket would emit 10^10 pairs — the same k^2 flood dedup.py caps with
+# cap_bucket_size. TPC-H baskets hold <= 7 parts, so the guard is inert on
+# the fixtures (results identical, oracle carries the same predicate); at
+# 100 TB it bounds the edge build at |basket| <= MAX * MAX pairs per order.
+_MAX_BASKET = 64
+
+_COPURCHASE_EDGES_SQL = f"""
+    WITH po AS (SELECT DISTINCT l_orderkey AS okey,
+                       CAST(l_partkey AS BIGINT) AS part
+                FROM lineitem),
+         ok AS (SELECT okey FROM po
+                GROUP BY 1 HAVING COUNT(*) <= {_MAX_BASKET})
     SELECT a.part AS src, b.part AS dst
-    FROM (SELECT DISTINCT l_orderkey AS okey, CAST(l_partkey AS BIGINT) AS part
-          FROM lineitem) a
-    JOIN (SELECT DISTINCT l_orderkey AS okey, CAST(l_partkey AS BIGINT) AS part
-          FROM lineitem) b
-      ON a.okey = b.okey AND a.part <> b.part
+    FROM po a
+    JOIN ok ON a.okey = ok.okey
+    JOIN po b ON a.okey = b.okey AND a.part <> b.part
     GROUP BY 1, 2
     HAVING COUNT(*) >= 2
 """
@@ -250,28 +261,17 @@ def part_copurchase_pagerank_topk(spark, sf_dir):
     (both directions survive the support floor together), so the graph has
     no dangling nodes; the operator still carries the dangling term because
     the oracle unrolls it too. One distinct-basket self-join builds the edge
-    list; pagerank() then touches only (edge ⋈ rank) per iteration with the
+    list — guarded by the max-basket cap (copurchase_edges_from_baskets:
+    baskets over 64 distinct parts are dropped before the join, bounding
+    the quadratic pair blowup; inert on TPC-H's <= 7-part baskets) —
+    then pagerank() touches only (edge ⋈ rank) per iteration with the
     edge list hash-partitioned once."""
     li = load_table(spark, sf_dir, "lineitem")
     po = li.select(
         F.col("l_orderkey").alias("okey"),
         F.col("l_partkey").cast("long").alias("part"),
     ).distinct()
-    a = po.alias("a")
-    b = po.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.part") != F.col("b.part")),
-        )
-        .groupBy(
-            F.col("a.part").alias("src"), F.col("b.part").alias("dst")
-        )
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("src", "dst")
-    )
+    edges = copurchase_edges_from_baskets(po, keep_weight=False)
     r = pagerank(
         edges,
         iters=3,
@@ -903,18 +903,7 @@ def copurchase_label_communities(spark, sf_dir):
         F.col("l_orderkey").alias("okey"),
         F.col("l_partkey").cast("long").alias("part"),
     ).distinct()
-    a, b = po.alias("a"), po.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.part") != F.col("b.part")),
-        )
-        .groupBy(F.col("a.part").alias("src"), F.col("b.part").alias("dst"))
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("src", "dst")
-    )
+    edges = copurchase_edges_from_baskets(po, keep_weight=False)
     lbl = label_propagation(edges, iters=2, assume_distinct=True)
     return (
         lbl.groupBy(F.col("lbl").alias("community_id"))
@@ -925,25 +914,39 @@ def copurchase_label_communities(spark, sf_dir):
     )
 
 
-_COPURCHASE_WEDGES_SQL = """
+_COPURCHASE_WEDGES_SQL = f"""
+    WITH po AS (SELECT DISTINCT l_orderkey AS okey,
+                       CAST(l_partkey AS BIGINT) AS part
+                FROM lineitem),
+         ok AS (SELECT okey FROM po
+                GROUP BY 1 HAVING COUNT(*) <= {_MAX_BASKET})
     SELECT a.part AS src, b.part AS dst, CAST(COUNT(*) AS BIGINT) AS w
-    FROM (SELECT DISTINCT l_orderkey AS okey, CAST(l_partkey AS BIGINT) AS part
-          FROM lineitem) a
-    JOIN (SELECT DISTINCT l_orderkey AS okey, CAST(l_partkey AS BIGINT) AS part
-          FROM lineitem) b
-      ON a.okey = b.okey AND a.part <> b.part
+    FROM po a
+    JOIN ok ON a.okey = ok.okey
+    JOIN po b ON a.okey = b.okey AND a.part <> b.part
     GROUP BY 1, 2
     HAVING COUNT(*) >= 2
 """
 
 
-def _copurchase_edges(spark, sf_dir, keep_weight: bool):
-    li = load_table(spark, sf_dir, "lineitem")
-    po = li.select(
-        F.col("l_orderkey").alias("okey"),
-        F.col("l_partkey").cast("long").alias("part"),
-    ).distinct()
-    a, b = po.alias("a"), po.alias("b")
+def copurchase_edges_from_baskets(
+    po, keep_weight: bool, max_basket: int = _MAX_BASKET
+):
+    """Support>=2 co-purchase edges from a distinct ``(okey, part)`` basket
+    table, with the k^2 guard: baskets holding more than ``max_basket``
+    distinct parts are DROPPED before the self-join (a semi-join against
+    the size-filtered basket list — one extra grouped count, no extra
+    scan). Pair output per order is then bounded by max_basket^2 at any
+    data scale; the unguarded self-join is quadratic in basket size and a
+    single viral basket would dominate the whole job."""
+    sized = (
+        po.groupBy("okey")
+        .agg(F.count("*").alias("__bs"))
+        .filter(F.col("__bs") <= max_basket)
+        .select("okey")
+    )
+    capped = po.join(sized, "okey", "left_semi")
+    a, b = capped.alias("a"), capped.alias("b")
     e = (
         a.join(
             b,
@@ -955,6 +958,15 @@ def _copurchase_edges(spark, sf_dir, keep_weight: bool):
         .filter(F.col("w") >= 2)
     )
     return e if keep_weight else e.select("src", "dst")
+
+
+def _copurchase_edges(spark, sf_dir, keep_weight: bool):
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_partkey").cast("long").alias("part"),
+    ).distinct()
+    return copurchase_edges_from_baskets(po, keep_weight)
 
 
 @register(
@@ -1421,18 +1433,7 @@ def stream_copurchase_pagerank(spark, sf_dir):
     )
     snap = run_merge_into_table(stream, table, "pair_key", ["okey", "part"])
     po = snap.select("okey", "part")
-    a, b = po.alias("a"), po.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.part") != F.col("b.part")),
-        )
-        .groupBy(F.col("a.part").alias("src"), F.col("b.part").alias("dst"))
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("src", "dst")
-    )
+    edges = copurchase_edges_from_baskets(po, keep_weight=False)
     r = pagerank(
         edges,
         iters=3,

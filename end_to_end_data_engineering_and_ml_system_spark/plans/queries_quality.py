@@ -2362,10 +2362,14 @@ def als_training_curve(spark, sf_dir):
         -- association mining on the order basket: top part pairs by lift
         -- = P(a,b) / (P(a)·P(b)) over orders, all from exact integer
         -- counts (support floor 3 kills noise pairs)
-        WITH po AS (
+        WITH po0 AS (
             SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
             FROM lineitem
         ),
+        -- k^2 guard: baskets over 64 distinct parts are dropped from the
+        -- analysis entirely (inert on TPC-H: baskets hold <= 7 parts)
+        ok AS (SELECT okey FROM po0 GROUP BY 1 HAVING COUNT(*) <= 64),
+        po AS (SELECT po0.* FROM po0 JOIN ok ON po0.okey = ok.okey),
         n AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders
               FROM po),
         pc AS (
@@ -2400,14 +2404,23 @@ def als_training_curve(spark, sf_dir):
 def part_copurchase_lift(spark, sf_dir):
     """The classic basket analysis on the relational side (the events
     bigram-lift query's heavyweight sibling): distinct (order, part) pairs
-    self-join within the basket — baskets are small so the pair blowup is
-    per-order quadratic in a tiny constant, never corpus-quadratic — then
-    lift from exact integer counts with a fixed multiply/divide order.
-    Deterministic top-20 with lexicographic tie-breaks."""
+    self-join within the basket, guarded by the max-basket cap (baskets
+    over 64 distinct parts are dropped before the self-join — the pair
+    blowup is quadratic in basket size, and one viral basket would emit
+    k^2 pairs; inert on TPC-H where baskets hold <= 7). Lift from exact
+    integer counts with a fixed multiply/divide order; deterministic
+    top-20 with lexicographic tie-breaks."""
     li = load_table(spark, sf_dir, "lineitem")
-    po = li.select(
+    po0 = li.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
     ).distinct()
+    sized = (
+        po0.groupBy("okey")
+        .agg(F.count("*").alias("__bs"))
+        .filter(F.col("__bs") <= 64)
+        .select("okey")
+    )
+    po = po0.join(sized, "okey", "left_semi")
     n_orders = po.select("okey").distinct().count()
     pc = po.groupBy("part").agg(F.count("*").cast("bigint").alias("n_part"))
     a = po.alias("a")

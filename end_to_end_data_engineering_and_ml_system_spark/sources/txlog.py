@@ -243,6 +243,8 @@ class TxTable:
         op: str,
         schema_json: str | None = None,
         evolved: bool | None = None,
+        checks: dict | None = None,
+        txn: dict | None = None,
     ) -> int:
         os.makedirs(self._log_dir, exist_ok=True)
         prev = self.latest_version()
@@ -257,29 +259,41 @@ class TxTable:
             evolved = bool(
                 prev is not None and self._manifest(prev).get("evolved")
             )
-        # CHECK constraints are sticky too: carried forward verbatim
-        checks = (
-            self._manifest(prev).get("checks") if prev is not None else None
-        )
+        # CHECK constraints are sticky: carried forward verbatim unless the
+        # commit itself changes them (add_check). txn markers and checks
+        # land in the SAME atomic manifest write as the data-dir list — a
+        # crash can never commit a merge without its idempotency marker or
+        # a constraint without its version.
+        if checks is None:
+            checks = (
+                self._manifest(prev).get("checks") if prev is not None else None
+            )
+        manifest = {
+            "version": version,
+            "op": op,
+            "data_dirs": sorted(dirs),
+            "parent": prev,
+            "schema": schema_json,
+            "evolved": evolved,
+            "checks": checks or {},
+            "committed_at": time.time(),
+        }
+        if txn is not None:
+            manifest["txn"] = txn
         _atomic_write_json(
-            os.path.join(self._log_dir, f"{version}.json"),
-            {
-                "version": version,
-                "op": op,
-                "data_dirs": sorted(dirs),
-                "parent": prev,
-                "schema": schema_json,
-                "evolved": evolved,
-                "checks": checks or {},
-                "committed_at": time.time(),
-            },
+            os.path.join(self._log_dir, f"{version}.json"), manifest
         )
         return version
 
     def overwrite(self, df: DataFrame) -> int:
         """New version containing exactly ``df`` (may change the table
         schema — overwrite defines a new one). Old versions stay readable
-        (time travel) until vacuumed."""
+        (time travel) until vacuumed. Recorded CHECK constraints carry
+        forward and are ENFORCED here too — an overwrite must not store
+        violating rows under a live constraint (if the new schema makes a
+        constraint unevaluable, the overwrite fails loudly: drop the
+        constraint first)."""
+        self._enforce_checks(df, "overwrite")
         return self._commit(
             [self._write_data(df)], "overwrite", df.schema.json(),
             evolved=False,
@@ -380,18 +394,15 @@ class TxTable:
         if name in checks:
             raise ValueError(f"constraint {name!r} already exists")
         checks[name] = sql_predicate
-        nv = self._commit(
+        # the constraint lands in the same atomic manifest write as the
+        # commit itself — no patch-after window where a crash could commit
+        # the version without its constraint
+        return self._commit(
             list(self._manifest(v)["data_dirs"]),
             f"add_check({name})",
             self._manifest(v).get("schema"),
+            checks=checks,
         )
-        # _commit doesn't know about checks; patch the manifest atomically
-        man = self._manifest(nv)
-        man["checks"] = checks
-        _atomic_write_json(
-            os.path.join(self._log_dir, f"{nv}.json"), man
-        )
-        return nv
 
     def _enforce_checks(self, df: DataFrame, op: str) -> None:
         from pyspark.sql import functions as F
@@ -420,12 +431,6 @@ class TxTable:
                 return int(txn["batch"]) >= batch_id
         return False
 
-    def _record_txn(self, version: int, app: str, batch_id: int) -> None:
-        man = self._manifest(version)
-        man["txn"] = {"app": app, "batch": int(batch_id)}
-        _atomic_write_json(
-            os.path.join(self._log_dir, f"{version}.json"), man
-        )
 
     def merge(
         self,
@@ -471,10 +476,19 @@ class TxTable:
         schema_json = (
             source.schema.json() if self.latest_version() is None else None
         )
-        v = self._commit([self._write_data(merged)], "merge", schema_json)
-        if txn is not None:
-            self._record_txn(v, *txn)
-        return v
+        # the txn marker rides the same atomic manifest write as the merge
+        # commit — a crash between two writes could otherwise let a
+        # re-delivered batch re-apply the merge (broken exactly-once)
+        return self._commit(
+            [self._write_data(merged)],
+            "merge",
+            schema_json,
+            txn=(
+                {"app": txn[0], "batch": int(txn[1])}
+                if txn is not None
+                else None
+            ),
+        )
 
     def compact(self, target_partitions: int = 1) -> int:
         """Small-file maintenance: rewrite the current snapshot into
@@ -621,25 +635,30 @@ class TxTable:
 
     # -- reads -------------------------------------------------------------
 
-    def snapshot(self, version: int | None = None) -> DataFrame | None:
-        """The table at ``version`` (default: latest); None if empty.
-        A plain parquet read of the manifest's files — pushdown, pruning,
-        and AQE apply as for any parquet scan. After ``add_column``, data
-        dirs written before the evolution lack the new columns: the read
-        goes through mergeSchema and aligns to the committed schema (the
-        missing columns come back NULL — the public schema-evolution
-        read contract)."""
-        v = self.latest_version() if version is None else version
-        if v is None:
-            return None
-        man = self._manifest(v)
-        dirs = man["data_dirs"]
-        if not man.get("evolved"):
-            return self.spark.read.parquet(*dirs)
+    def _read_dirs(self, man: dict, dirs: list[str]) -> DataFrame:
+        """Read a subset of a version's data dirs honoring the committed
+        schema. On an evolved table the read goes through mergeSchema and
+        projects to the committed schema exactly as ``snapshot`` does —
+        WHICH dirs survive pruning must never change the result schema
+        (and dropped columns must never reappear). An empty subset — e.g.
+        a version whose DELETE removed every row, or a prune that skipped
+        every dir — returns an empty DataFrame of the committed schema
+        instead of an unreadable UNABLE_TO_INFER_SCHEMA read."""
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
-        committed = StructType.fromJson(json.loads(man["schema"]))
+        schema_json = man.get("schema")
+        if not dirs:
+            if schema_json is None:
+                raise ValueError(
+                    "version has no data dirs and no committed schema"
+                )
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json))
+            )
+        if not man.get("evolved"):
+            return self.spark.read.parquet(*dirs)
+        committed = StructType.fromJson(json.loads(schema_json))
         df = self.spark.read.option("mergeSchema", "true").parquet(*dirs)
         have = set(df.columns)
         return df.select(
@@ -650,6 +669,22 @@ class TxTable:
                 for f in committed.fields
             ]
         )
+
+    def snapshot(self, version: int | None = None) -> DataFrame | None:
+        """The table at ``version`` (default: latest); None if the table
+        has no versions at all (a version that deleted every row reads
+        back as an EMPTY DataFrame of the committed schema, not None).
+        A plain parquet read of the manifest's files — pushdown, pruning,
+        and AQE apply as for any parquet scan. After ``add_column``, data
+        dirs written before the evolution lack the new columns: the read
+        goes through mergeSchema and aligns to the committed schema (the
+        missing columns come back NULL — the public schema-evolution
+        read contract)."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return None
+        man = self._manifest(v)
+        return self._read_dirs(man, man["data_dirs"])
 
     def snapshot_pruned(
         self, col: str, lo, hi, version: int | None = None
@@ -665,8 +700,9 @@ class TxTable:
         if v is None:
             return None
         lo_j, hi_j = _stat_json(lo), _stat_json(hi)
+        man = self._manifest(v)
         keep = []
-        for d in self._manifest(v)["data_dirs"]:
+        for d in man["data_dirs"]:
             s = (self._dir_stats(d) or {}).get(col)
             if (
                 s is None
@@ -675,9 +711,9 @@ class TxTable:
                 or not (s["max"] < lo_j or s["min"] > hi_j)
             ):
                 keep.append(d)
-        if not keep:
-            return self.snapshot(v).limit(0).filter(F.col(col).isNull())
-        return self.spark.read.parquet(*keep).filter(
+        # committed-schema-honoring read: on an evolved table the result
+        # schema must not depend on WHICH dirs survive pruning
+        return self._read_dirs(man, keep).filter(
             (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
         )
 
@@ -714,9 +750,9 @@ class TxTable:
         if v is None:
             return None
         keep, _total = self._bloom_keep_dirs(col, value, v)
-        if not keep:
-            return self.snapshot(v).limit(0)
-        return self.spark.read.parquet(*keep).filter(
+        # committed-schema-honoring read (mergeSchema + projection on an
+        # evolved table): bloom pruning must never change the result schema
+        return self._read_dirs(self._manifest(v), keep).filter(
             F.col(col) == F.lit(value)
         )
 

@@ -470,3 +470,79 @@ def test_merge_txn_idempotent_on_redelivery(spark, tmp_path):
     # a different app's batch numbering is independent
     v2 = t.merge(b0, "k", ["ver"], txn=("other", 0))
     assert v2 == v1 + 1
+
+
+def test_delete_all_rows_leaves_table_readable(spark, tmp_path):
+    # a DELETE that removes every row commits an empty data_dirs list; the
+    # snapshot at that version must read back as an EMPTY DataFrame of the
+    # committed schema, not raise UNABLE_TO_INFER_SCHEMA
+    t = TxTable(spark, str(tmp_path / "tdelall"))
+    t.append(spark.createDataFrame([(1, 5.0), (2, 7.0)], "k long, v double"))
+    v = t.delete_range("k", 0, 100)
+    snap = t.snapshot()
+    assert snap.count() == 0
+    assert [f.name for f in snap.schema.fields] == ["k", "v"]
+    assert snap.schema["k"].dataType.typeName() == "long"
+    # pruned/point reads on the empty version hold the schema too
+    assert t.snapshot_pruned("k", 0, 10).count() == 0
+    assert t.point_lookup("k", 1).count() == 0
+    # the table stays writable: a later append revives it
+    t.append(spark.createDataFrame([(3, 9.0)], "k long, v double"))
+    assert t.snapshot().count() == 1
+    # time travel still sees the pre-delete rows
+    assert t.snapshot(v - 1).count() == 2
+
+
+def test_pruned_reads_honor_evolved_schema(spark, tmp_path):
+    # which dirs survive pruning must never change the result schema:
+    # point_lookup / snapshot_pruned on an evolved table must align to the
+    # committed schema exactly as snapshot() does
+    t = TxTable(spark, str(tmp_path / "tevoread"), bloom_cols=("k",))
+    t.append(spark.createDataFrame([(1, 5.0)], "k long, v double"))
+    t.add_column("extra", "string")
+    t.append(
+        spark.createDataFrame([(100, 7.0, "x")], "k long, v double, extra string")
+    )
+    want = ["extra", "k", "v"]
+    # lookups landing in pre-evolution dirs, post-evolution dirs, and both
+    for key in (1, 100):
+        got = t.point_lookup("k", key)
+        assert sorted(got.columns) == want, key
+        assert got.count() == 1
+    old = t.point_lookup("k", 1).first()
+    assert old["extra"] is None  # pre-evolution row reads back NULL
+    for lo, hi in ((0, 10), (50, 200), (0, 200)):
+        got = t.snapshot_pruned("k", lo, hi)
+        assert sorted(got.columns) == want, (lo, hi)
+    # dropped columns must not reappear through a pruned read
+    t.drop_column("extra")
+    assert sorted(t.point_lookup("k", 100).columns) == ["k", "v"]
+    assert sorted(t.snapshot_pruned("k", 50, 200).columns) == ["k", "v"]
+
+
+def test_txn_and_checks_land_in_one_atomic_manifest_write(spark, tmp_path):
+    import json
+
+    t = TxTable(spark, str(tmp_path / "tatomic"))
+    v0 = t.merge(
+        spark.createDataFrame([(1, 10)], "k long, ver long"),
+        "k",
+        ["ver"],
+        txn=("app", 0),
+    )
+    man = json.load(open(os.path.join(str(tmp_path / "tatomic"), "_log", f"{v0}.json")))
+    assert man["txn"] == {"app": "app", "batch": 0}
+    v1 = t.add_check("ver_nonneg", "ver >= 0")
+    man1 = json.load(open(os.path.join(str(tmp_path / "tatomic"), "_log", f"{v1}.json")))
+    assert man1["checks"] == {"ver_nonneg": "ver >= 0"}
+
+
+def test_overwrite_enforces_carried_checks(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "tovrchk"))
+    t.append(spark.createDataFrame([(1, 5.0)], "k long, v double"))
+    t.add_check("v_nonneg", "v >= 0")
+    with pytest.raises(ValueError, match="v_nonneg"):
+        t.overwrite(spark.createDataFrame([(2, -1.0)], "k long, v double"))
+    assert t.snapshot().count() == 1  # violating overwrite never committed
+    t.overwrite(spark.createDataFrame([(2, 3.0)], "k long, v double"))
+    assert t.snapshot().first()["k"] == 2

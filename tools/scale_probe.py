@@ -421,7 +421,78 @@ def graph_rank(n: int, sf_dir: str) -> None:
         e.unpersist()
 
 
+def baskets(n: int, sf_dir: str) -> None:
+    """Basket-cap probe: edge-build wall under a skewed basket flood.
+
+    The co-purchase self-join emits k(k-1) pairs per k-part basket — a
+    handful of viral baskets (carts scraped by a bot, a catalog-wide test
+    order) would dominate the whole job. This probe plants ``n`` synthetic
+    baskets of 100x the fixture's max size on top of the real (okey, part)
+    table and measures the edge build with and without the max-basket
+    guard (copurchase_edges_from_baskets). Expected: capped wall stays at
+    the clean-table level (the guard drops the floods before the join);
+    uncapped wall and output blow up quadratically with basket size."""
+    from end_to_end_data_engineering_and_ml_system_spark.plans.queries_graph_retrieval import (  # noqa: E501
+        copurchase_edges_from_baskets,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.session import get_spark
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    spark = get_spark(app_name="scale-probe-baskets", cpus=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_partkey").cast("long").alias("part"),
+    ).distinct()
+    max_clean = (
+        po.groupBy("okey").count().agg(F.max("count")).first()[0]
+    )
+    flood_size = int(max_clean) * 100  # the skewed 100x-basket fixture
+    # each flood basket gets its own part range so the pair sets don't
+    # collapse in the aggregate — the honest worst case: uncapped output
+    # grows as n * flood_size^2
+    flood = (
+        spark.range(n)
+        .select(F.col("id").alias("b"))
+        .crossJoin(spark.range(flood_size).select(F.col("id").alias("p")))
+        .select(
+            (F.col("b") + 900_000_000).alias("okey"),
+            (
+                F.col("b") * (flood_size * 2) + F.col("p") + 800_000_000
+            ).alias("part"),
+        )
+    )
+    dirty = po.unionByName(flood).persist()
+    dirty.count()
+    print(
+        f"clean max basket = {max_clean}; planted {n} baskets of "
+        f"{flood_size} parts"
+    )
+
+    def timed(name, df):
+        t0 = time.perf_counter()
+        cnt = df.count()
+        print(f"{name}: {time.perf_counter() - t0:.2f}s, {cnt} edges")
+
+    timed("edge build, clean table, capped", copurchase_edges_from_baskets(po, False))
+    timed("edge build, flooded, capped", copurchase_edges_from_baskets(dirty, False))
+    timed(
+        "edge build, flooded, UNCAPPED",
+        copurchase_edges_from_baskets(dirty, False, max_basket=1 << 62),
+    )
+    dirty.unpersist()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--baskets":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+        sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+        baskets(n, sf_dir)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--pathological":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 100
         sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
