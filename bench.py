@@ -29,27 +29,36 @@ def main() -> None:
 
     qs = bench_queries()
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     # full warm pass first (JIT, codegen cache, parquet footers, streaming
-    # staging), then two timed passes per query taking the MIN: steady-state
-    # plan cost, not first-touch warmup or ambient-load noise (the round-2
-    # driver run measured one query 2.7x its reproducible idle wall because
-    # the bench shares the container with the correctness sweep) — applied
-    # uniformly to every query
+    # staging), then three timed passes per query recording BOTH the min
+    # (the reproducible steady-state floor) and the median (the noise-aware
+    # band) — cross-round comparisons should use the band, not the
+    # best-of-session minimum: rounds 5->7 showed uniform ~1.25x per-query
+    # ratios on identical snapshot-pinned plans (machine drift, not engine
+    # regressions), which a min-only series misreads as a regression.
     for name, q in qs.items():
         try:
             q.build(spark, sf_dir).count()
         except Exception as e:  # noqa: BLE001 — warm failures surface in the timed pass
             print(f"# warm {name} failed: {e}", file=sys.stderr)
 
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     for name, q in qs.items():
-        best, n = float("inf"), 0
-        for _ in range(2):
+        walls, n = [], 0
+        for _ in range(passes):
             t0 = time.perf_counter()
             df = q.build(spark, sf_dir)
             n = df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+            walls.append(time.perf_counter() - t0)
+        walls.sort()
+        timings[name] = round(walls[0], 4)
+        medians[name] = round(walls[len(walls) // 2], 4)
+        print(
+            f"# {name}: min {timings[name]:.3f}s / med {medians[name]:.3f}s"
+            f" ({n} rows)",
+            file=sys.stderr,
+        )
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     out = {
@@ -57,12 +66,15 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "value_median": round(sum(medians.values()), 4),
+        "queries_median": medians,
         "sf": float(sf) if sf else None,
         # methodology marker: rounds 1-2 timed a single cold-ish pass;
-        # round 3 onward reports min-of-two after a warm pass (systematically
-        # lower floor). Cross-round comparisons are valid from r3 forward;
-        # r1/r2 numbers are NOT directly comparable to this series.
-        "methodology": "warm+min-of-2 (since r3)",
+        # round 3 onward reports min-of-N after a warm pass; round 8 onward
+        # also reports the per-query MEDIAN of N=3 ("value_median") — the
+        # band future rounds should compare against (machine drift shows up
+        # as a uniform ratio on the min series; see NOTES.md r7/r8).
+        "methodology": "warm + min&median-of-3 (since r8; min-of-2 r3-r7)",
     }
     print(json.dumps(out))
     spark.stop()

@@ -556,3 +556,41 @@ def mlp_reconstruction_mse_stats(features: DataFrame, fit: MlpFitResult) -> dict
         "mse_min": row["mn"],
         "mse_max": row["mx"],
     }
+
+
+def mlp_reconstruction_scores(
+    df: DataFrame, fit: MlpFitResult, id_col: str
+) -> DataFrame:
+    """Per-row reconstruction MSE under a fitted MLP AE — the M2-shape
+    batch-inference scorer for the exact reference architecture
+    (stream_anomaly_detector.py:278-302 scores each flow with
+    model.predict then row-wise mse). One ``mapInPandas`` pass, the ~10k
+    parameters serialized into the closure (per-partition model, no
+    driver round-trip, no collect); batched numpy forward only — no
+    per-row Python. Returns ``(id_col, recon_mse)``."""
+    shapes = _mlp_shapes(fit.dim, fit.hidden, fit.code)
+    theta = fit.theta
+
+    def gen(batches):
+        import pandas as pd
+
+        p = _mlp_unpack(theta, shapes)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["features"].to_numpy())
+            _, _, _, out = _mlp_forward(x, p)
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"].to_numpy(),
+                    "recon_mse": ((out - x) ** 2).mean(axis=1),
+                }
+            )
+
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(F.col(id_col).alias("__id"), "features")
+        .mapInPandas(gen, "__id long, recon_mse double")
+        .withColumnRenamed("__id", id_col)
+    )

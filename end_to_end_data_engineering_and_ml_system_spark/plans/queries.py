@@ -11490,3 +11490,59 @@ def stream_pq_index_update(spark, sf_dir):
     return snap.groupBy("sub", "code").agg(
         F.count("*").cast("bigint").alias("n_vectors")
     )
+
+
+@register(
+    "mlp_ae_detect_loop",
+    oracle=None,  # the scores come from the iterative nonlinear fit — not
+    # SQL-expressible; the routing invariants (counts partition-stable,
+    # partitions disjoint+exhaustive, threshold from the M8 calibration)
+    # are pinned by tests/test_training.py
+    description=(
+        "the reference's FULL detect loop with the exact architecture: "
+        "MLP-AE fit -> per-row reconstruction scores -> mean+2σ threshold "
+        "calibration (M8) -> score_and_route partition counts"
+    ),
+    tags=("ml", "scoring", "calibration", "rows-only"),
+)
+def mlp_ae_detect_loop(spark, sf_dir):
+    """End-to-end parity with the reference's detect pipeline
+    (train_autoencoder.py fit -> stream_anomaly_detector.py:278-302 score/
+    threshold/route), every stage on the exact 64-64-16-64-64 architecture:
+    the fit is the parameter-server loop (one aggregation per epoch), the
+    per-row scores are one mapInPandas inference pass (M2 — model
+    serialized to executors, no collect), the threshold is the M8
+    calibration (mean + 2·stddev of the score distribution, one
+    distributed aggregate), and the routing uses the same
+    classify_by_threshold/confidence scalars as the streaming scorer.
+    Output: per-route counts + order-free score extrema."""
+    from ..functions.scalars import classify_by_threshold
+    from ..ml.training import fit_mlp_autoencoder, mlp_reconstruction_scores
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias(
+            "features"
+        ),
+    )
+    fit = fit_mlp_autoencoder(feats, dim=64, epochs=6, lr=1e-3)
+    scores = mlp_reconstruction_scores(feats, fit, "vec_id")
+    st = scores.agg(
+        F.avg("recon_mse").alias("mu"),
+        F.stddev_pop("recon_mse").alias("sd"),
+    ).first()
+    threshold = float(st["mu"]) + 2.0 * float(st["sd"])
+    routed = scores.withColumn(
+        "prediction", classify_by_threshold("recon_mse", threshold)
+    )
+    return (
+        routed.groupBy("prediction")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("recon_mse").alias("min_score"),
+            F.max("recon_mse").alias("max_score"),
+        )
+        .withColumn("threshold", F.lit(threshold))
+        .orderBy("prediction")
+    )

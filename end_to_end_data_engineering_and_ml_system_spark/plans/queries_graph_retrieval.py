@@ -1707,3 +1707,425 @@ def dense_retrieval_ndcg(spark, sf_dir):
         "query_vec long, n_rel long, dcg_at10 double, idcg_at10 double, "
         "ndcg_at10 double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: retrieval quality under dimension truncation, item-item basket
+# similarity, and pseudo-relevance-feedback query expansion
+# ---------------------------------------------------------------------------
+
+_MRL_PREFIXES = (8, 16, 32)  # truncated dims evaluated against full 64
+
+
+@register(
+    "embedding_matryoshka_prefix_recall",
+    oracle=f"""
+        -- Matryoshka-style evaluation (Kusupati et al. 2022): how much of
+        -- the full-dimension exact-cosine top-10 survives when vectors are
+        -- truncated to a PREFIX of 8/16/32 dims? The production question
+        -- behind dimension-reduced ANN indexes: serve the short prefix,
+        -- keep most of the recall. All sums decimal-exact.
+        WITH ex AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ),
+        q AS (
+            SELECT pos, x AS qx FROM ex WHERE vec_id = {_RRF_QUERY_VEC}
+        ),
+        cs AS (
+            SELECT e.vec_id AS cand_id, m.m,
+                   CAST(SUM(CAST(e.x * q.qx AS DECIMAL(28,10))) AS DOUBLE)
+                       AS dot,
+                   CAST(SUM(CAST(e.x * e.x AS DECIMAL(28,10))) AS DOUBLE)
+                       AS n2,
+                   CAST(SUM(CAST(q.qx * q.qx AS DECIMAL(28,10))) AS DOUBLE)
+                       AS q2
+            FROM ex e
+            JOIN q ON q.pos = e.pos
+            CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS m) m
+            WHERE e.vec_id <> {_RRF_QUERY_VEC} AND e.pos <= m.m
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT cand_id, m,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY m
+                       ORDER BY dot / (sqrt(q2) * sqrt(n2)) DESC, cand_id
+                   ) AS rn
+            FROM cs
+        ),
+        base AS (SELECT cand_id FROM ranked WHERE m = 64 AND rn <= 10)
+        SELECT CAST(r.m AS INT) AS prefix_dim,
+               CAST(SUM(CASE WHEN b.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS overlap_at_10,
+               CAST(SUM(CASE WHEN b.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / 10.0 AS recall_at_10
+        FROM ranked r LEFT JOIN base b ON r.cand_id = b.cand_id
+        WHERE r.m <> 64 AND r.rn <= 10
+        GROUP BY 1
+    """,
+    description=(
+        "Matryoshka evaluation: exact-cosine top-10 recall of 8/16/32-dim "
+        "PREFIX embeddings against the full 64-dim ranking"
+    ),
+    tags=("similarity", "embedding", "evaluation", "llm-data", "deterministic"),
+)
+def embedding_matryoshka_prefix_recall(spark, sf_dir):
+    """Dimension-truncated retrieval quality, measured not assumed: score
+    every candidate against the query vector at each prefix length in ONE
+    grouped decimal aggregate (the conditional prefix sums share the single
+    exploded exchange), take each prefix's exact top-10 as a distributed
+    TakeOrdered + bounded rank (no corpus-wide window), and count overlap
+    with the full-dimension top-10. This is the measurement that justifies
+    serving a short-prefix ANN index at 100 TB — recall lost to truncation
+    is read off a table instead of discovered in production."""
+    from ..operators.relational import bounded_ranked_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    q = ex.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
+        "pos", F.col("x").alias("qx")
+    )
+    dims = list(_MRL_PREFIXES) + [64]
+
+    def psum(expr, m):
+        return (
+            F.sum(
+                F.when(F.col("pos") < m, expr.cast(DEC)).otherwise(
+                    F.lit(0).cast(DEC)
+                )
+            )
+            .cast("double")
+        )
+
+    scored = (
+        ex.filter(F.col("vec_id") != _RRF_QUERY_VEC)
+        .join(F.broadcast(q), "pos")
+        .groupBy(F.col("vec_id").alias("cand_id"))
+        .agg(
+            *[
+                psum(F.col("x") * F.col("qx"), m).alias(f"dot{m}")
+                for m in dims
+            ],
+            *[psum(F.col("x") * F.col("x"), m).alias(f"n2_{m}") for m in dims],
+            *[
+                psum(F.col("qx") * F.col("qx"), m).alias(f"q2_{m}")
+                for m in dims
+            ],
+        )
+    )
+    cos = scored.select(
+        "cand_id",
+        *[
+            (
+                F.col(f"dot{m}")
+                / (F.sqrt(F.col(f"q2_{m}")) * F.sqrt(F.col(f"n2_{m}")))
+            ).alias(f"c{m}")
+            for m in dims
+        ],
+    )
+    base = (
+        cos.orderBy(F.col("c64").desc(), "cand_id")
+        .limit(10)
+        .select("cand_id", F.lit(1).alias("__hit"))
+    )
+    tops = None
+    for m in _MRL_PREFIXES:
+        t = bounded_ranked_topk(
+            cos.select("cand_id", f"c{m}"),
+            [(f"c{m}", "desc"), ("cand_id", "asc")],
+            10,
+        ).select(F.lit(m).alias("prefix_dim"), "cand_id")
+        tops = t if tops is None else tops.unionByName(t)
+    return (
+        tops.join(F.broadcast(base), "cand_id", "left")
+        .groupBy(F.col("prefix_dim").cast("int").alias("prefix_dim"))
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("overlap_at_10"),
+            (
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+                / F.lit(10.0)
+            ).alias("recall_at_10"),
+        )
+    )
+
+
+@register(
+    "part_jaccard_copurchase_similarity",
+    oracle=f"""
+        -- item-item similarity the way recommender co-occurrence models
+        -- compute it: Jaccard over basket SETS (|A∩B| / |A∪B|), support
+        -- floor 3, top-20 — the set-overlap sibling of the lift query
+        -- (lift normalizes by popularity product, Jaccard by union size).
+        -- Baskets over {_MAX_BASKET} parts are dropped (the k^2 guard).
+        WITH po0 AS (
+            SELECT DISTINCT l_orderkey AS okey,
+                   CAST(l_partkey AS BIGINT) AS part
+            FROM lineitem
+        ),
+        ok AS (SELECT okey FROM po0
+               GROUP BY 1 HAVING COUNT(*) <= {_MAX_BASKET}),
+        po AS (SELECT po0.* FROM po0 JOIN ok ON po0.okey = ok.okey),
+        pc AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS n_part
+               FROM po GROUP BY 1),
+        pairs AS (
+            SELECT a.part AS part_a, b.part AS part_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_both
+            FROM po a JOIN po b
+              ON a.okey = b.okey AND a.part < b.part
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 3
+        )
+        SELECT part_a, part_b, n_both,
+               CAST(n_both AS DOUBLE)
+                   / CAST(ca.n_part + cb.n_part - n_both AS DOUBLE)
+                   AS jaccard
+        FROM pairs
+        JOIN pc ca ON ca.part = pairs.part_a
+        JOIN pc cb ON cb.part = pairs.part_b
+        ORDER BY jaccard DESC, part_a, part_b
+        LIMIT 20
+    """,
+    description=(
+        "item-item basket-set Jaccard similarity: top-20 part pairs by "
+        "|A∩B|/|A∪B| over orders (support floor 3, max-basket guard)"
+    ),
+    tags=("analytics", "association", "similarity", "deterministic"),
+)
+def part_jaccard_copurchase_similarity(spark, sf_dir):
+    """The co-occurrence similarity a 'customers also bought' model serves:
+    each part's basket set, pairwise intersection from the capped
+    within-basket self-join (max-basket guard bounds the quadratic pair
+    emission), Jaccard as ONE double division of exact integers — so the
+    ordering is cross-engine stable. Same scan layout as the lift query;
+    the two scores answer different questions (lift: dependence beyond
+    popularity; Jaccard: set overlap) off one posting shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    po0 = li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_partkey").cast("long").alias("part"),
+    ).distinct()
+    sized = (
+        po0.groupBy("okey")
+        .agg(F.count("*").alias("__bs"))
+        .filter(F.col("__bs") <= _MAX_BASKET)
+        .select("okey")
+    )
+    po = po0.join(sized, "okey", "left_semi")
+    pc = po.groupBy("part").agg(F.count("*").cast("bigint").alias("n_part"))
+    a, b = po.alias("a"), po.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .groupBy(
+            F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+        .where(F.col("n_both") >= 3)
+    )
+    ca = pc.select(F.col("part").alias("part_a"), F.col("n_part").alias("na"))
+    cb = pc.select(F.col("part").alias("part_b"), F.col("n_part").alias("nb"))
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_both")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
+_PRF_FEEDBACK_DEPTH = 3  # pseudo-relevant docs taken from the seed ranking
+_PRF_EXPANSION_TERMS = 5  # expansion terms mined from the feedback docs
+_PRF_SEED_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "query_expansion_prf_retrieval",
+    oracle=rf"""
+        -- pseudo-relevance feedback (Rocchio/RM shape): run the seed BM25
+        -- query, mine the top feedback docs for expansion terms (highest
+        -- total tf, excluding seeds and terms in over half the corpus),
+        -- re-score with the expanded term set at the posting grain.
+        -- Per-(doc,term) contributions are decimal-quantized before the
+        -- per-doc sum (order-free), final score rounded at 6.
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               tk -> tk <> '') AS toks
+            FROM documents
+        ),
+        d AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               {_BM25_TF_COLS_SQL}
+            FROM t
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(dl) AS BIGINT) AS sdl,
+               {_BM25_DF_COLS_SQL}
+            FROM d
+        ),
+        fb AS (
+            SELECT d.doc_id
+            FROM d CROSS JOIN s
+            WHERE d.tf0 + d.tf1 + d.tf2 > 0
+            ORDER BY ROUND({_BM25_TERM_SQL}, 6) DESC, d.doc_id
+            LIMIT {_PRF_FEEDBACK_DEPTH}
+        ),
+        post AS (
+            SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+            GROUP BY 1, 2
+        ),
+        tstat AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM post GROUP BY 1
+        ),
+        expn AS (
+            SELECT p.term
+            FROM post p
+            JOIN fb ON fb.doc_id = p.doc_id
+            JOIN tstat ts ON ts.term = p.term
+            CROSS JOIN s
+            WHERE p.term NOT IN ({_PRF_SEED_SQL}) AND ts.df * 2 <= s.n
+            GROUP BY p.term
+            ORDER BY SUM(p.tf) DESC, p.term
+            LIMIT {_PRF_EXPANSION_TERMS}
+        ),
+        qterms AS (
+            SELECT unnest([{_PRF_SEED_SQL}]) AS term
+            UNION ALL SELECT term FROM expn
+        ),
+        scored AS (
+            SELECT p.doc_id,
+                   ROUND(CAST(SUM(CAST(
+                       ln(CAST(1.0 AS DOUBLE)
+                          + (CAST(s.n AS DOUBLE) - ts.df
+                             + CAST(0.5 AS DOUBLE))
+                            / (ts.df + CAST(0.5 AS DOUBLE)))
+                       * (p.tf * (CAST(1.2 AS DOUBLE)
+                                  + CAST(1.0 AS DOUBLE)))
+                       / (p.tf + CAST(1.2 AS DOUBLE)
+                                 * ((CAST(1.0 AS DOUBLE)
+                                     - CAST(0.75 AS DOUBLE))
+                                    + CAST(0.75 AS DOUBLE) * dd.dl
+                                      / (CAST(s.sdl AS DOUBLE) / s.n)))
+                       AS DECIMAL(28,10))) AS DOUBLE), 6) AS bm25_expanded
+            FROM post p
+            JOIN qterms q ON q.term = p.term
+            JOIN tstat ts ON ts.term = p.term
+            JOIN (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t) dd
+              ON dd.doc_id = p.doc_id
+            CROSS JOIN s
+            GROUP BY 1
+        )
+        SELECT doc_id, bm25_expanded
+        FROM scored
+        ORDER BY bm25_expanded DESC, doc_id
+        LIMIT 10
+    """,
+    description=(
+        "pseudo-relevance-feedback retrieval: seed BM25 top-3 mines 5 "
+        "expansion terms, expanded query re-scored at the posting grain"
+    ),
+    tags=("text", "retrieval", "llm-data", "deterministic"),
+)
+def query_expansion_prf_retrieval(spark, sf_dir):
+    """The second-pass retrieval production search runs when the seed
+    query is short: take the seed ranking's top docs as pseudo-relevant,
+    mine them for the highest-mass terms the corpus doesn't consider
+    boilerplate (df <= n/2, seeds excluded — exact integer rules), and
+    re-score with the expanded query. Scoring moves to the POSTING grain
+    — (doc, term, tf) with per-term idf joined in — because the expanded
+    term set is data-dependent, unlike the fixed-column seed scorer; the
+    variable-size per-doc sum is decimal-quantized per contribution, so
+    the fold order never matters. Feedback docs and expansion terms are
+    bounded collects (3 ids + 5 strings); everything heavy stays
+    distributed."""
+    from ..operators.text import tokens as tok_fn
+
+    fb = [
+        r["doc_id"]
+        for r in _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_PRF_FEEDBACK_DEPTH)
+        .collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tok_fn("text").alias("toks")
+    )
+    dl = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    post = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    tstat = post.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    cs = dl.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("sdl"),
+    ).first()
+    n, sdl = int(cs["n"]), int(cs["sdl"])
+    expansion = [
+        r["term"]
+        for r in post.filter(
+            F.col("doc_id").isin(fb)
+            & ~F.col("term").isin(list(_BM25_TERMS))
+        )
+        .groupBy("term")
+        .agg(F.sum("tf").alias("stf"))
+        .join(tstat, "term")
+        .filter(F.col("df") * 2 <= F.lit(n))
+        .orderBy(F.desc("stf"), F.asc("term"))
+        .limit(_PRF_EXPANSION_TERMS)
+        .collect()
+    ]
+    terms = list(_BM25_TERMS) + expansion
+    dfd = F.col("df").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n)) - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * (F.lit(1.2) + F.lit(1.0)))
+        / (
+            F.col("tf")
+            + F.lit(1.2)
+            * (
+                (F.lit(1.0) - F.lit(0.75))
+                + F.lit(0.75) * F.col("dl") / F.lit(sdl / n)
+            )
+        )
+    )
+    return (
+        post.filter(F.col("term").isin(terms))
+        .join(F.broadcast(tstat.filter(F.col("term").isin(terms))), "term")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(contrib.cast(DEC)).cast("double"), 6).alias(
+                "bm25_expanded"
+            )
+        )
+        .orderBy(F.desc("bm25_expanded"), F.asc("doc_id"))
+        .limit(10)
+    )

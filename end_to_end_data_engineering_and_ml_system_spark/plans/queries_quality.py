@@ -3339,3 +3339,324 @@ def tx_table_schema_evolution_counts(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n_events"))
         .orderBy(F.col("tier").asc_nulls_first())
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: per-language weighted sampling, vocabulary coverage, classifier
+# calibration, corpus-mix divergence, txlog delete-all/restore
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weighted_doc_sample_by_lang",
+    oracle="""
+        -- the PARTITIONED form of weighted_doc_sample: Efraimidis-
+        -- Spirakis keys ranked within each language — the shape that
+        -- scales (per-group window, no global order anywhere), and the
+        -- sampler a multilingual corpus actually needs (quotas per lang)
+        WITH u AS (
+            SELECT doc_id, lang, n_chars,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                        1, 8)) AS BIGINT) / 4294967296.0 AS uni
+            FROM documents
+        ),
+        k AS (
+            SELECT doc_id, lang, n_chars,
+                   ln(uni) / CAST(n_chars AS DOUBLE) AS skey
+            FROM u
+            WHERE uni > 0 AND n_chars > 0
+        )
+        SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY lang ORDER BY skey DESC, doc_id) AS rn
+            FROM k
+        )
+        WHERE rn <= 10
+    """,
+    description=(
+        "per-language weighted sampling without replacement: top-10 "
+        "Efraimidis-Spirakis keys within each lang (partitioned window)"
+    ),
+    tags=("sampling", "llm-data", "deterministic"),
+)
+def weighted_doc_sample_by_lang(spark, sf_dir):
+    """weighted_doc_sample's scalable sibling: the same deterministic
+    md5-uniform E-S keys, ranked WITHIN each language by a partitioned
+    window — every language's quota computes in parallel with no global
+    order anywhere, which is both the plan you want at 100 TB and the
+    sampler a multilingual pretraining mix actually runs (per-language
+    quotas, longer docs proportionally likelier)."""
+    from ..operators.relational import hash_uniform, top_n_per_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    uni = hash_uniform(F.col("doc_id"))
+    k = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        (F.log(uni) / F.col("n_chars").cast("double")).alias("skey"),
+    ).where((uni > 0) & (F.col("n_chars") > 0))
+    return top_n_per_key(
+        k, ["lang"], [F.desc("skey"), F.asc("doc_id")], 10
+    ).select("lang", "doc_id", "n_chars")
+
+
+@register(
+    "token_coverage_curve",
+    oracle="""
+        -- Zipf in actionable form: what share of the corpus's token MASS
+        -- do the top 10 / 100 / 1000 vocabulary types cover? The number
+        -- that sizes stopword lists, cache tiers, and softmax shortlists.
+        WITH freq AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(trim(text), '\\s+'),
+                    tk -> tk <> '')) AS tok
+                FROM documents
+            )
+            GROUP BY 1
+        ),
+        ranked AS (
+            SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk
+            FROM freq
+        ),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
+                       CAST(COUNT(*) AS BIGINT) AS v
+                FROM freq)
+        SELECT c.cutoff,
+               CAST(SUM(CASE WHEN rk <= c.cutoff THEN n ELSE 0 END)
+                    AS BIGINT) AS tokens_covered,
+               CAST(SUM(CASE WHEN rk <= c.cutoff THEN n ELSE 0 END)
+                    AS DOUBLE) / tot.t AS coverage,
+               CAST(LEAST(c.cutoff, tot.v) AS BIGINT) AS types_used
+        FROM ranked
+        CROSS JOIN (SELECT unnest([10, 100, 1000]) AS cutoff) c
+        CROSS JOIN tot
+        GROUP BY c.cutoff, tot.t, tot.v
+    """,
+    description=(
+        "vocabulary coverage curve: share of total token mass covered by "
+        "the top 10/100/1000 types (distributed global rank)"
+    ),
+    tags=("text", "llm-data", "aggregate", "deterministic"),
+)
+def token_coverage_curve(spark, sf_dir):
+    """How head-heavy is the corpus? Frequency table (map-side combined),
+    then the DISTRIBUTED global rank over the whole vocabulary
+    (relational.global_row_number — the vocab scales with the corpus, so
+    no single-reducer window), then one grouped conditional sum per
+    cutoff. Coverage is one double division of exact integers."""
+    from ..operators.relational import global_row_number
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    ranked = global_row_number(
+        freq, [("n", "desc"), ("tok", "asc")], out="rk"
+    )
+    tot = freq.agg(
+        F.sum("n").cast("long").alias("t"),
+        F.count("*").cast("long").alias("v"),
+    )
+    cuts = spark.createDataFrame([(10,), (100,), (1000,)], "cutoff int")
+    return (
+        ranked.crossJoin(F.broadcast(cuts))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("cutoff", "t", "v")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("cutoff"), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_covered")
+        )
+        .select(
+            "cutoff",
+            "tokens_covered",
+            (F.col("tokens_covered").cast("double") / F.col("t")).alias(
+                "coverage"
+            ),
+            F.least(F.col("cutoff").cast("bigint"), F.col("v"))
+            .cast("bigint")
+            .alias("types_used"),
+        )
+    )
+
+
+@register(
+    "quality_classifier_reliability_bins",
+    oracle=f"""
+        -- calibration (reliability diagram): per predicted-probability
+        -- decile, the mean prediction vs the observed weak-positive rate.
+        -- Mean prediction via an order-free quantized sum (floor(p*1e10
+        -- + 0.5) summed as DECIMAL(38,0) — the Brier-score convention);
+        -- both rates are single double divisions of exact integers.
+        WITH c AS ({_SQL_QCOUNTS}),
+        z AS (
+            SELECT {_SQL_WL} AS wl,
+                   1.0 / (1.0 + exp(-({_SQL_Z}))) AS p
+            FROM c
+        ),
+        b AS (
+            SELECT CAST(floor(p * 10.0) AS BIGINT) AS bin, wl,
+                   CAST(floor(p * 1e10 + 0.5) AS BIGINT) AS pq
+            FROM z
+        )
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(wl) AS BIGINT) AS n_weak_pos,
+               CAST(SUM(CAST(pq AS DECIMAL(38,0))) AS DOUBLE)
+                   / (1e10 * COUNT(*)) AS mean_pred,
+               CAST(SUM(wl) AS DOUBLE) / COUNT(*) AS frac_pos
+        FROM b
+        GROUP BY 1
+    """,
+    description=(
+        "reliability diagram of the frozen quality filter: mean predicted "
+        "probability vs observed weak-positive rate per decile bin"
+    ),
+    tags=("ml", "evaluation", "calibration", "deterministic"),
+)
+def quality_classifier_reliability_bins(spark, sf_dir):
+    """The eval the deciles/PR/AUC/Brier suite still lacked: CALIBRATION.
+    A filter whose scores are used as sampling weights or thresholds must
+    mean what it says — bin predictions into deciles and compare the mean
+    predicted probability with the observed positive rate. Mean-of-doubles
+    is order-dependent, so the mean comes from the established quantized
+    integer sum (floor(p*1e10 + 0.5) into DECIMAL(38,0) — exact under any
+    partitioning; sigmoid outputs are transcendental, so the quantization
+    is tie-safe)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = quality_feature_counts(docs)
+    p = quality_probability()
+    b = counted.select(
+        F.floor(p * 10.0).cast("bigint").alias("bin"),
+        weak_label().alias("wl"),
+        F.floor(p * F.lit(1e10) + F.lit(0.5))
+        .cast("bigint")
+        .alias("pq"),
+    )
+    return b.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("wl").cast("bigint").alias("n_weak_pos"),
+        (
+            F.sum(F.col("pq").cast("decimal(38,0)")).cast("double")
+            / (F.lit(1e10) * F.count("*"))
+        ).alias("mean_pred"),
+        (F.sum("wl").cast("double") / F.count("*")).alias("frac_pos"),
+    )
+
+
+@register(
+    "source_mix_kl_divergence",
+    oracle="""
+        -- how far is the corpus's source mix from the uniform target?
+        -- per-source KL terms p*ln(p*S) (the mixture-rebalancing signal
+        -- corpus_temperature_mix acts on), shares as single divisions,
+        -- ln-domain doubles rounded at 6 (libm convention)
+        WITH c AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents
+            GROUP BY 1
+        ),
+        t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+                     CAST(COUNT(*) AS BIGINT) AS s
+              FROM c)
+        SELECT source, n_docs,
+               CAST(n_docs AS DOUBLE) / t.total AS share,
+               ROUND((CAST(n_docs AS DOUBLE) / t.total)
+                     * ln((CAST(n_docs AS DOUBLE) / t.total) * t.s),
+                     6) AS kl_term
+        FROM c CROSS JOIN t
+        ORDER BY source
+    """,
+    description=(
+        "corpus source-mix divergence: per-source share and KL term vs "
+        "the uniform target mix"
+    ),
+    tags=("llm-data", "aggregate", "monitoring", "deterministic"),
+)
+def source_mix_kl_divergence(spark, sf_dir):
+    """The drift number a curation pipeline watches between crawl
+    snapshots: KL(observed source mix ‖ uniform). Per-source terms are
+    returned (not just the scalar) because the ACTION is per-source —
+    which source to up/down-weight — and the temperature-mix query
+    consumes exactly these shares. One grouped count, one broadcast
+    1-row total; shares are single divisions, the ln rounded at 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    t = c.agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        F.count("*").cast("long").alias("s"),
+    )
+    share = F.col("n_docs").cast("double") / F.col("total")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_docs",
+            share.alias("share"),
+            F.round(
+                share * F.log(share * F.col("s").cast("double")), 6
+            ).alias("kl_term"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "tx_table_delete_all_restore_counts",
+    oracle="""
+        -- DELETE-everything then RESTORE: the final snapshot equals the
+        -- original table (the oracle), and the empty intermediate version
+        -- must read back as a schema-stable EMPTY frame (its count rides
+        -- along as a constant column — if the empty read raised, the
+        -- query itself would fail)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(0 AS BIGINT) AS n_at_empty_version
+        FROM events
+        WHERE event_type IS NOT NULL
+        GROUP BY 1
+    """,
+    description=(
+        "txlog DELETE removing every row leaves the table readable "
+        "(empty snapshot of the committed schema); RESTORE recovers it"
+    ),
+    tags=("table-format", "deterministic"),
+)
+def tx_table_delete_all_restore_counts(spark, sf_dir):
+    """The failure mode the empty-commit fix closed, as driver evidence:
+    a DELETE WHERE that matches every row commits a version with NO data
+    dirs — snapshot() must return an empty DataFrame of the committed
+    schema (not an unreadable UNABLE_TO_INFER_SCHEMA error), and RESTORE
+    must bring the full table back as a new audited commit. The final
+    per-type counts equal the plain batch scan; the empty version's
+    count (necessarily 0) is carried as a column so the read path is
+    exercised inside the checked result."""
+    from ..scratch import scratch_unique
+    from ..sources.txlog import TxTable
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    t = TxTable(spark, scratch_unique(spark, "txdelall"))
+    v_data = t.append(ev)
+    t.delete_range("event_id", 0, 1 << 62)  # removes every row
+    n_empty = t.snapshot().count()  # readable, schema-stable, 0 rows
+    t.restore(v_data)
+    return (
+        t.snapshot()
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .withColumn(
+            "n_at_empty_version", F.lit(n_empty).cast("bigint")
+        )
+    )

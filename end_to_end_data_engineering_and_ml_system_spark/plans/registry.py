@@ -62,86 +62,34 @@ def register(
 
 
 # The correctness driver samples the FIRST 50 names in the dict returned by
-# ``__spark_entry__.queries()``. Rounds 1-5 windows cumulatively covered 199
-# of the registered names; the round-6 correctness window never materialized
-# (no CORRECTNESS_r06.json was recorded), so every name below is still
-# driver-unproven. Round-7 window = the 12 round-6 additions first (newest,
-# never sampled anywhere) + 38 of the 50 names the round-6 rotation targeted;
-# the 12 that fall past slot 50 stay queued for round 8. Deliberately out of
-# the rotation (4 names): flows_preprocess_summary (rows-only by nature; the
-# same ETL path is driver-green via etl_end_to_end), stratified_sample_counts
-# (rows-only; the oracle-checked weighted_doc_sample / balanced_class_sample
-# siblings are in-window), audio_frame_energy (rows-only PCM decode with a
-# numpy-reference pytest), doc_pack_bins_ffd (rows-only FFD packing;
-# invariant-tested, and doc_token_packing is driver-green). Everything else
-# keeps definition order after the priority block; the local gate still
-# checks all registered queries every round. Queries added in round 7
-# register after the block and are the round-8 rotation's first candidates.
+# ``__spark_entry__.queries()``. Rounds 1-5 + 7 windows cumulatively covered
+# 249 of the registered names (0 failures ever); the round-8 window closes
+# the evidence gap completely: the 9 round-8 additions (never sampled
+# anywhere), then ALL 39 names that have never produced a driver CORRECTNESS
+# row — including the 4 formerly-excluded rows-only names
+# (flows_preprocess_summary, stratified_sample_counts, audio_frame_energy,
+# doc_pack_bins_ffd), which now rotate through for the weaker rows-only
+# driver check on top of their pytest invariants — and 2 RECONFIRMATION
+# slots for queries whose implementation changed this round
+# (revenue_pareto_deciles / customer_tier_migration moved from a
+# single-reducer NTILE to the distributed global_ntile; their r1-r5 driver
+# rows predate the new plan). 9 + 39 + 2 = exactly the 50-slot window;
+# after this round every registered query has driver evidence.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- round-6 additions (12): never sampled by any driver window ---
-    "mlp_ae_training_curve",
-    "corpus_dedup_snapshot_pipeline",
-    "embedding_semdedup_kept",
-    "embedding_semdedup_threshold_sweep",
-    "tx_table_zorder_pruned_scan",
-    "pq_init_assignment_portable",
-    "embedding_pq_distortion_curve",
-    "embedding_pq_adc_topk",
-    "embedding_ivfpq_topk",
-    "dsir_importance_weights",
-    "dsir_selection_by_source",
-    "stream_pq_index_update",
-    # --- never-driver-tested, oracle-checked (41) ---
-    # OLAP / relational analogs
-    "deterministic_split_counts",
-    "large_quantity_orders",
-    "orders_priority_summary_sql",
-    "nation_trade_volume",
-    "discount_band_revenue",
-    "monthly_revenue_naive_forecast",
-    "customer_repeat_purchase_rate",
-    "signup_to_purchase_latency_quantiles",
-    "sessions_per_user_histogram",
-    "order_price_equidepth_histogram",
-    "value_trimmed_mean_by_type",
-    "hourly_seasonal_naive_mase",
-    "part_copurchase_lift",
-    "join_cardinality_estimate_vs_actual",
-    "event_series_correlation_matrix",
-    # learned quality filter + eval suite
-    "quality_classifier_score_deciles",
-    "quality_classifier_confusion",
-    "quality_classifier_pr_curve",
-    "quality_classifier_auc",
-    "quality_classifier_brier",
-    "corpus_pipeline_v2_learned",
-    # RLHF preference data
-    "preference_pairs",
-    "preference_pairs_split_counts",
-    "reward_margin_stats",
-    # privacy / governance triple + monitors
-    "events_l_diversity_audit",
-    "events_t_closeness_audit",
-    "events_mad_outlier_hours",
-    "events_data_contract_report",
-    "user_rate_limit_violations",
-    # streaming additions
-    "stream_doc_quality_deciles",
-    "stream_embedding_topk",
-    "stream_contract_split_counts",
-    "stream_merge_into_tx_table",
-    "watermark_tolerance_curve",
-    # txlog table format
-    "tx_table_time_travel_counts",
-    # dedup / text internals
-    "cross_source_duplicate_matrix",
-    "near_dup_triangle_census",
-    "term_posting_stats",
+    # --- round-8 additions (9): never sampled by any driver window ---
+    "embedding_matryoshka_prefix_recall",
+    "part_jaccard_copurchase_similarity",
+    "query_expansion_prf_retrieval",
+    "weighted_doc_sample_by_lang",
+    "token_coverage_curve",
+    "quality_classifier_reliability_bins",
+    "source_mix_kl_divergence",
+    "tx_table_delete_all_restore_counts",
+    "mlp_ae_detect_loop",
+    # --- the 39 never-driver-tested names (NOTES.md round-8 queue) ---
     "weighted_doc_sample",
-    # trainers (oracle-checked cores)
     "kmeans_init_assignment_portable",
     "bpe_initial_pair_counts",
-    # --- never-driver-tested, rows-only by necessity (9) ---
     "bpe_learned_merges",
     "doc_bpe_learned_token_counts",
     "bpe_fertility_by_lang",
@@ -151,7 +99,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "als_related_parts",
     "linear_ae_training_curve",
     "quality_classifier_training_curve",
-    # --- round-7 additions: past the 50-slot window, queued for round 8 ---
     "nation_trade_pagerank",
     "part_copurchase_pagerank_topk",
     "bm25_topk_docs",
@@ -175,6 +122,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "copurchase_community_modularity",
     "dense_retrieval_ndcg",
     "tx_table_schema_evolution_counts",
+    "flows_preprocess_summary",
+    "stratified_sample_counts",
+    "audio_frame_energy",
+    "doc_pack_bins_ffd",
+    # --- reconfirmation (2): implementation changed this round ---
+    "revenue_pareto_deciles",
+    "customer_tier_migration",
 )
 
 

@@ -54,7 +54,7 @@ def _shipped_driver_tested() -> set[str]:
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0[12345].json")))
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")))
     tested: set[str] = set()
     for f in files:
         with open(f) as fh:
@@ -62,28 +62,39 @@ def _shipped_driver_tested() -> set[str]:
     return tested
 
 
+# Already-driver-tested names ALLOWED back into the window because their
+# implementation materially changed this round and the old driver row
+# predates the new plan (rationale in the _DRIVER_PRIORITY comment). A name
+# may live here ONLY with that justification — anything else in the window
+# that already has a driver row is a wasted slot.
+RECONFIRMATION_SLOTS = {
+    "revenue_pareto_deciles",  # r8: single-reducer NTILE -> global_ntile
+    "customer_tier_migration",  # r8: single-reducer NTILE -> global_ntile
+}
+
+
 def test_current_window_is_never_driver_tested():
     """The rotation window exists to close the driver-evidence gap: every
     name in it must be absent from all committed CORRECTNESS_r0*.json files
-    (i.e. genuinely never driver-tested before this round)."""
+    (i.e. genuinely never driver-tested before this round), except the
+    documented reconfirmation slots for changed implementations."""
     tested = _shipped_driver_tested()
     if not tested:  # fresh clone without round artifacts
         return
-    overlap = [n for n in _DRIVER_PRIORITY if n in tested]
+    overlap = [
+        n
+        for n in _DRIVER_PRIORITY
+        if n in tested and n not in RECONFIRMATION_SLOTS
+    ]
     assert not overlap, f"window wastes slots on already-proven queries: {overlap}"
 
 
-# Rows-only queries deliberately excluded from the round-6 window (each has
-# an invariant test and/or a driver-green oracle-checked sibling — rationale
-# in the _DRIVER_PRIORITY comment in plans/registry.py). A query may live
-# here ONLY with that justification; everything else must eventually rotate
-# through the driver window.
-DOCUMENTED_EXCLUSIONS = {
-    "flows_preprocess_summary",
-    "stratified_sample_counts",
-    "audio_frame_energy",
-    "doc_pack_bins_ffd",
-}
+# Rows-only queries deliberately excluded from the driver window (each needs
+# an invariant test and/or a driver-green oracle-checked sibling — see the
+# _DRIVER_PRIORITY comment in plans/registry.py). Round 8 rotates the four
+# formerly-excluded names through the window, so the set is empty; it stays
+# as the documented mechanism should a future query ever need it.
+DOCUMENTED_EXCLUSIONS: set[str] = set()
 
 
 def test_every_query_has_driver_evidence_path():

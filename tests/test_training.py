@@ -178,3 +178,71 @@ def test_mlp_ae_forward_matches_local_numpy(features):
     mse = ((out - x) ** 2).mean(axis=1)
     assert abs(stats["mse_mean"] - mse.mean()) < 1e-9
     assert abs(stats["mse_max"] - mse.max()) < 1e-12
+
+
+def test_mlp_detect_loop_routing_partition_invariant(spark, sf_dir):
+    """The M8 handoff: per-row MLP scores -> mean+2σ threshold -> routed
+    counts. Routing must be a pure function of the data — identical
+    partition counts under any repartitioning, partitions disjoint and
+    exhaustive, and the per-row scorer must agree with a local numpy
+    forward pass."""
+    import numpy as np
+
+    from end_to_end_data_engineering_and_ml_system_spark.ml.training import (
+        _mlp_forward,
+        _mlp_shapes,
+        _mlp_unpack,
+        fit_mlp_autoencoder,
+        mlp_reconstruction_scores,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias(
+            "features"
+        ),
+    )
+    fit = fit_mlp_autoencoder(feats, dim=64, epochs=3, lr=1e-3)
+    scores = mlp_reconstruction_scores(feats, fit, "vec_id").cache()
+    n_total = feats.count()
+    assert scores.count() == n_total
+
+    # scorer parity vs a local numpy forward on 5 sampled rows
+    local = {
+        r["vec_id"]: np.asarray(r["features"])
+        for r in feats.orderBy("vec_id").limit(5).collect()
+    }
+    p = _mlp_unpack(fit.theta, _mlp_shapes(64, 64, 16))
+    got = {
+        r["vec_id"]: r["recon_mse"]
+        for r in scores.filter(F.col("vec_id") < 5).collect()
+    }
+    for vid, x in local.items():
+        _, _, _, out = _mlp_forward(x[None, :], p)
+        assert got[vid] == pytest.approx(float(((out - x) ** 2).mean()), rel=1e-9)
+
+    st = scores.agg(
+        F.avg("recon_mse").alias("mu"), F.stddev_pop("recon_mse").alias("sd")
+    ).first()
+    thr = float(st["mu"]) + 2.0 * float(st["sd"])
+
+    def routed_counts(df):
+        return {
+            r["prediction"]: r["n"]
+            for r in df.withColumn(
+                "prediction",
+                F.when(F.col("recon_mse") > thr, "anomaly").otherwise(
+                    "normal"
+                ),
+            )
+            .groupBy("prediction")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
+    c1 = routed_counts(scores.repartition(3))
+    c2 = routed_counts(scores.repartition(13))
+    assert c1 == c2  # partition-invariant routing
+    assert sum(c1.values()) == n_total  # disjoint + exhaustive
+    assert c1.get("anomaly", 0) > 0  # mean+2σ tags a nonempty tail here
