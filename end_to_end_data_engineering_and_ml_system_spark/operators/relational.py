@@ -147,6 +147,54 @@ def global_ntile(
     return ranked.withColumn(out, bucket.cast("int")).drop("__grn")
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_specs: OrderSpec,
+    value_col: str,
+    out: str = "running_sum",
+) -> DataFrame:
+    """Distributed cumulative sum over a global order — the prefix-offset
+    construction of ``_global_rank`` applied to value sums instead of row
+    counts: range-repartition on the order keys, per-partition running sum
+    (a partitionBy window), plus the broadcast sum of all earlier
+    partitions. ``value_col`` must be integer-typed (exact, order-free
+    sums; float cumsums are not cross-engine deterministic — NOTES rule 3).
+    Replaces ``SUM(...) OVER (ORDER BY ...)`` when the input scales with
+    the data."""
+    spark = df.sparkSession
+    cols = _sort_cols(order_specs)
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = df.repartitionByRange(p, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ranged.persist()
+    sums = sorted(
+        ranged.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__s"))
+        .collect(),
+        key=lambda r: r["__pid"],
+    )
+    offs, acc = [], 0
+    for r in sums:
+        offs.append((int(r["__pid"]), acc))
+        acc += int(r["__s"] or 0)
+    off_df = spark.createDataFrame(offs or [], "__pid int, __off long")
+    local = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            out,
+            F.sum(F.col(value_col)).over(local).cast("long")
+            + F.col("__off"),
+        )
+        .drop("__pid", "__off")
+    )
+
+
 def bounded_ranked_topk(
     df: DataFrame, order_specs: OrderSpec, k: int, out: str = "rn"
 ) -> DataFrame:

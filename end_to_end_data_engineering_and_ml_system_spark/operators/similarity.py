@@ -512,15 +512,22 @@ def semdedup_portable(
         .cast("double")
         .alias("nrm")
     )
-    rank_w = Window.orderBy("__r", "cent_vid")
-    cent = (
+    # distributed TakeOrdered(k) + bounded self-join rank — no
+    # single-partition WindowExec in the centroid pick
+    from .relational import bounded_ranked_topk
+
+    cent = bounded_ranked_topk(
         corpus.select(
             F.col(id_col).alias("cent_vid"),
             F.md5(F.col(id_col).cast("string")).alias("__r"),
-        )
-        .orderBy("__r", "cent_vid")
-        .limit(k)
-        .withColumn("cluster_id", F.row_number().over(rank_w) - F.lit(1))
+        ),
+        [("__r", "asc"), ("cent_vid", "asc")],
+        k,
+        out="__rk",
+    ).select(
+        "cent_vid",
+        "__r",
+        (F.col("__rk") - 1).cast("int").alias("cluster_id"),
     )
     cex = cent.join(ex, cent.cent_vid == ex.__id).select(
         "cluster_id", "pos", F.col("x").alias("cx")

@@ -10111,13 +10111,12 @@ def token_zipf_fit(spark, sf_dir):
         .groupBy("tok")
         .agg(F.count("*").alias("n"))
     )
-    top = freq.orderBy(F.col("n").desc(), "tok").limit(200)
-    ranked = top.select(
-        F.log(
-            F.row_number()
-            .over(Window.orderBy(F.col("n").desc(), "tok"))
-            .cast("double")
-        ).alias("lx"),
+    from ..operators.relational import bounded_ranked_topk
+
+    ranked = bounded_ranked_topk(
+        freq, [("n", "desc"), ("tok", "asc")], 200, out="r"
+    ).select(
+        F.log(F.col("r").cast("double")).alias("lx"),
         F.log(F.col("n").cast("double")).alias("ly"),
     )
     s = ranked.agg(
@@ -10195,13 +10194,17 @@ def vocab_growth_heaps(spark, sf_dir):
     buckets = firsts.groupBy(
         F.floor(F.col("first_doc") / 50).cast("bigint").alias("bucket")
     ).agg(F.count("*").alias("new_tokens"))
-    w = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return buckets.select(
+    # the bucket table scales with the corpus (one row per 50 docs), so
+    # the running vocab total uses the DISTRIBUTED cumulative sum
+    # (relational.global_running_sum) instead of a single-reducer window
+    from ..operators.relational import global_running_sum
+
+    return global_running_sum(
+        buckets, [("bucket", "asc")], "new_tokens", out="vocab_size"
+    ).select(
         ((F.col("bucket") + 1) * 50).alias("docs_seen"),
         "new_tokens",
-        F.sum("new_tokens").over(w).cast("bigint").alias("vocab_size"),
+        F.col("vocab_size").cast("bigint").alias("vocab_size"),
     )
 
 
@@ -11157,24 +11160,20 @@ def pq_init_assignment_portable(spark, sf_dir):
     stay rows-only by necessity (embedding_pq_distortion_curve)."""
     from pyspark.sql.window import Window as W
 
+    from ..operators.relational import bounded_ranked_topk
+
     emb = load_table(spark, sf_dir, "embeddings")
-    # rank AFTER the limit: the scan becomes TakeOrderedAndProject(16)
-    # and the unpartitioned window only ever sees 16 rows — no global
-    # single-partition sort at scale
-    cw = (
+    # distributed TakeOrdered(16) + bounded self-join rank — no
+    # single-partition WindowExec anywhere in the codeword pick
+    cw = bounded_ranked_topk(
         emb.select(
             F.col("vec_id").alias("cw_id"),
             F.md5(F.col("vec_id").cast("string")).alias("h"),
-        )
-        .orderBy("h", "cw_id")
-        .limit(16)
-        .select(
-            "cw_id",
-            (F.row_number().over(W.orderBy("h", "cw_id")) - 1).alias(
-                "code_rank"
-            ),
-        )
-    )
+        ),
+        [("h", "asc"), ("cw_id", "asc")],
+        16,
+        out="__rk",
+    ).select("cw_id", (F.col("__rk") - 1).cast("int").alias("code_rank"))
     ex = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "xf")
     ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))

@@ -340,3 +340,28 @@ def test_bounded_ranked_topk_matches_window(spark):
         .collect()
     )
     assert got == exp
+
+
+def test_global_running_sum_matches_window(spark):
+    from pyspark.sql import Window
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        global_running_sum,
+    )
+
+    df = spark.range(731).select(
+        (F.col("id") % 53).alias("v"), F.col("id").alias("k"),
+        ((F.col("id") % 7) - 3).alias("d"),
+    )
+    w = Window.orderBy("v", "k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    exp = sorted(
+        df.withColumn("rs", F.sum("d").over(w).cast("long")).collect()
+    )
+    got = sorted(
+        global_running_sum(df, [("v", "asc"), ("k", "asc")], "d", out="rs")
+        .select("v", "k", "d", "rs")
+        .collect()
+    )
+    assert got == exp
