@@ -41,6 +41,13 @@ EXTRA_SNAPSHOTS = (
     "nation_trade_pagerank",
     "events_column_profile",
     "doc_bigram_logprob",
+    # round 8: the distributed-rank shapes — equi-depth NTILE via
+    # range-repartition + prefix offsets (no single-partition Exchange),
+    # vocabulary-coverage global rank, and the bounded top-k-then-rank
+    # RRF fusion (TakeOrderedAndProject feeding an O(k^2) broadcast rank)
+    "order_price_equidepth_histogram",
+    "token_coverage_curve",
+    "hybrid_rrf_retrieval",
 )
 
 
