@@ -254,3 +254,34 @@ def test_rate_limit_audit_single_user_shuffle(spark, sf_dir):
     # three columns read, nothing else
     m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and all(len(s.split(",")) <= 3 for s in m), m
+
+
+def test_distributed_rank_queries_have_no_single_partition_exchange(
+    spark, sf_dir
+):
+    """The round-8 scale fix, asserted at the plan level: the queries that
+    moved from single-reducer global windows to global_ntile /
+    global_row_number / bounded_ranked_topk must never feed a Window from
+    a SinglePartition exchange — every Window sits over a hashpartitioning
+    exchange (the __pid-keyed local rank) or none. A 1-row global
+    aggregate's final merge exchange is SinglePartition by nature (it
+    merges #partitions partial rows, bounded by cluster width) and is NOT
+    the anti-pattern."""
+    names = (
+        "order_price_equidepth_histogram",
+        "token_coverage_curve",
+        "revenue_pareto_deciles",
+        "weighted_doc_sample",
+        "term_posting_stats",
+        "vocab_growth_heaps",
+    )
+    # the anti-pattern prints as Window -> Sort -> Exchange SinglePartition
+    # (children below parents in explain output)
+    anti = re.compile(
+        r"Window \[[^\n]*\]\n\s*(?:\+|:)- Sort [^\n]*\n\s*"
+        r"(?:\+|:)- Exchange SinglePartition"
+    )
+    qs = all_queries()
+    for name in names:
+        p = _plan(qs[name].build(spark, sf_dir))
+        assert not anti.search(p), (name, "single-reducer global window")

@@ -343,23 +343,16 @@ def graph_rank(n: int, sf_dir: str) -> None:
     spark = get_spark(app_name="scale-probe-graph", cpus=32)
     spark.sparkContext.setLogLevel("ERROR")
 
+    from end_to_end_data_engineering_and_ml_system_spark.plans.queries_graph_retrieval import (  # noqa: E501
+        copurchase_edges_from_baskets,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     po = li.select(
         F.col("l_orderkey").alias("okey"),
         F.col("l_partkey").cast("long").alias("part"),
     ).distinct()
-    a, b = po.alias("a"), po.alias("b")
-    base = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.part") != F.col("b.part")),
-        )
-        .groupBy(F.col("a.part").alias("src"), F.col("b.part").alias("dst"))
-        .agg(F.count("*").alias("m"))
-        .filter(F.col("m") >= 2)
-        .select("src", "dst")
-    )
+    base = copurchase_edges_from_baskets(po, keep_weight=False)
 
     def rss_mb() -> float:
         return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
