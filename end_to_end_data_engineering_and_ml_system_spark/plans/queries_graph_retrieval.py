@@ -1957,6 +1957,7 @@ _PRF_SEED_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
 @register(
     "query_expansion_prf_retrieval",
+    bench=True,
     oracle=rf"""
         -- pseudo-relevance feedback (Rocchio/RM shape): run the seed BM25
         -- query, mine the top feedback docs for expansion terms (highest

@@ -2042,6 +2042,7 @@ def join_cardinality_estimate_vs_actual(spark, sf_dir):
 
 @register(
     "order_price_equidepth_histogram",
+    bench=True,
     oracle="""
         -- equi-DEPTH histogram (equal counts per bucket, data-driven
         -- edges) — the histogram an optimizer actually wants, vs the
