@@ -492,20 +492,26 @@ def bm25_topk_docs(spark, sf_dir):
 def events_column_profile(spark, sf_dir):
     """The constraint-suite metrics layer (the public AWS Deequ idea,
     Schelter et al. VLDB 2018) as ONE tall (metric, value) frame: the
-    scalar block is a single full-scan aggregate unpivoted in-plan (no
-    per-metric rescans — Deequ's own core trick), and the category entropy
+    scalar block is one full-scan aggregate unpivoted in-plan (no
+    per-metric rescans — Deequ's own core trick; the two exact distinct
+    counts run as separate single-distinct aggregates, see the inline
+    note), and the category entropy
     adds one grouped aggregate whose per-category p·ln p terms go through
     the decimal-exact sum so the result is accumulation-order independent.
     Feed the output to the txlog metrics table and the MAD-outlier monitor
     for Deequ's anomaly-detection-on-metric-history loop (both already in
     the registry: stream_merge_into_tx_table, events_mad_outlier_hours)."""
     events = load_table(spark, sf_dir, "events")
-    base = events.agg(
+    # the two distinct counts run as separate single-distinct aggregates:
+    # two countDistincts in ONE agg compile to an Expand whose branch
+    # order follows JVM-global expression ids (nondeterministic plan TEXT
+    # across session histories — a snapshot flake), and the Expand
+    # triples the scanned rows anyway; two shuffle-on-one-column aggs are
+    # both deterministic and cheaper
+    base0 = events.agg(
         F.count("*").cast("long").alias("n"),
         F.count("user_id").cast("long").alias("nn_user"),
         F.count("value").cast("long").alias("nn_value"),
-        F.countDistinct("event_type").cast("long").alias("d_type"),
-        F.countDistinct("user_id").cast("long").alias("d_user"),
         F.sum((F.col("value") >= 0).cast("long")).alias("n_nonneg"),
         F.min("value").alias("min_v"),
         F.max("value").alias("max_v"),
@@ -514,6 +520,11 @@ def events_column_profile(spark, sf_dir):
             / F.count("value")
         ).alias("mean_v"),
     )
+    dt = events.agg(
+        F.countDistinct("event_type").cast("long").alias("d_type")
+    )
+    du = events.agg(F.countDistinct("user_id").cast("long").alias("d_user"))
+    base = base0.crossJoin(F.broadcast(dt)).crossJoin(F.broadcast(du))
     tall = base.select(
         F.expr(
             """stack(9,

@@ -67,6 +67,14 @@ def normalize(plan: str) -> str:
         "at checkpoint at <site>",
         plan,
     )
+    # createDataFrame scans print a JVM call site that flips between
+    # NativeMethodAccessorImpl.java:0 and <unknown>:0 with method-accessor
+    # JIT inflation (depends on how much ran before in the JVM)
+    plan = re.sub(
+        r"at applySchemaToPythonRDD at [^,]*",
+        "at applySchemaToPythonRDD at <site>",
+        plan,
+    )
     plan = re.sub(r"Statistics\([^)]*\)", "Statistics(x)", plan)
     plan = re.sub(r"\[id=#x\]", "", plan)
     plan = re.sub(r"file:[^,\]\s]+", "file:<path>", plan)
