@@ -86,6 +86,18 @@ SAMPLE = [
     "corpus_pipeline_v3_perplexity",  # rounded-score NTILE band + dedup
     "copurchase_community_modularity",  # integer edge counts per label
     "dense_retrieval_ndcg",       # decimal DCG terms, rounded output
+    # round-8 additions — the distributed-rank machinery uses
+    # spark_partition_id over a range repartition, exactly the kind of
+    # construction this suite exists to pin across shuffle widths
+    "embedding_matryoshka_prefix_recall",  # prefix decimal sums + topk
+    "part_jaccard_copurchase_similarity",  # capped pairs, one division
+    "query_expansion_prf_retrieval",  # posting-grain decimal BM25 sums
+    "weighted_doc_sample_by_lang",    # partitioned E-S keys
+    "token_coverage_curve",           # global_row_number over the vocab
+    "quality_classifier_reliability_bins",  # quantized mean prediction
+    "source_mix_kl_divergence",       # shares + rounded ln terms
+    "revenue_pareto_deciles",         # global_ntile over the aggregate
+    "vocab_growth_heaps",             # global_running_sum prefix offsets
 ]
 
 
