@@ -43,7 +43,9 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — warm failures surface in the timed pass
             print(f"# warm {name} failed: {e}", file=sys.stderr)
 
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    import statistics
+
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     for name, q in qs.items():
         walls, n = [], 0
         for _ in range(passes):
@@ -51,9 +53,8 @@ def main() -> None:
             df = q.build(spark, sf_dir)
             n = df.count()
             walls.append(time.perf_counter() - t0)
-        walls.sort()
-        timings[name] = round(walls[0], 4)
-        medians[name] = round(walls[len(walls) // 2], 4)
+        timings[name] = round(min(walls), 4)
+        medians[name] = round(statistics.median(walls), 4)
         print(
             f"# {name}: min {timings[name]:.3f}s / med {medians[name]:.3f}s"
             f" ({n} rows)",
@@ -71,10 +72,12 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         # methodology marker: rounds 1-2 timed a single cold-ish pass;
         # round 3 onward reports min-of-N after a warm pass; round 8 onward
-        # also reports the per-query MEDIAN of N=3 ("value_median") — the
-        # band future rounds should compare against (machine drift shows up
-        # as a uniform ratio on the min series; see NOTES.md r7/r8).
-        "methodology": "warm + min&median-of-3 (since r8; min-of-2 r3-r7)",
+        # also reports the per-query MEDIAN ("value_median") — the band
+        # future rounds should compare against (machine drift shows up as
+        # a uniform ratio on the min series; see NOTES.md r7/r8).
+        "methodology": (
+            f"warm + min&median-of-{passes} (since r8; min-of-2 r3-r7)"
+        ),
     }
     print(json.dumps(out))
     spark.stop()

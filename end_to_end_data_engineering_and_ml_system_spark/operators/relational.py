@@ -73,30 +73,39 @@ def _sort_cols(order_specs: OrderSpec) -> list[Column]:
     ]
 
 
+def _ranged_by(df: DataFrame, order_specs: OrderSpec) -> DataFrame:
+    """Shared first stage of the distributed rank / running-sum family:
+    range-repartition on the order keys (each partition holds a disjoint
+    key range) and tag rows with their partition id. The result is
+    PERSISTED (MEMORY_AND_DISK) so the bounded offsets-collect job and
+    the output job see identical range boundaries; the cached copy lives
+    until Spark's LRU eviction or session end — storage memory is
+    evictable, so this is pressure, not a leak."""
+    spark = df.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = df.repartitionByRange(p, *_sort_cols(order_specs)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ranged.persist()
+    return ranged
+
+
 def _global_rank(
     df: DataFrame, order_specs: OrderSpec, out: str
 ) -> tuple[DataFrame, int]:
     """Exact global ``row_number`` WITHOUT a single-partition window.
 
-    Plan: range-repartition on the order keys (each partition holds a
-    disjoint key range), rank locally within each range partition (a
-    partitionBy window — fully parallel), then add per-partition prefix
-    offsets. The offsets come from one O(num_partitions)-row collect —
-    bounded by cluster width, never by data size — and join back as a
-    broadcast. The input is persisted so the collect job and the output
-    job see identical range boundaries.
+    Plan: range-repartition on the order keys (``_ranged_by``), rank
+    locally within each range partition (a partitionBy window — fully
+    parallel), then add per-partition prefix offsets from one
+    O(num_partitions)-row collect — bounded by cluster width, never by
+    data size — joined back as a broadcast.
 
     ``order_specs`` must form a TOTAL order (include a unique tiebreak
     column); ranks are then row_number-identical under any partitioning.
     Returns ``(ranked_df, total_row_count)``.
     """
-    spark = df.sparkSession
-    cols = _sort_cols(order_specs)
-    p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    ranged = df.repartitionByRange(p, *cols).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    ranged.persist()
+    ranged = _ranged_by(df, order_specs)
     counts = sorted(
         ranged.groupBy("__pid").count().collect(), key=lambda r: r["__pid"]
     )
@@ -104,8 +113,10 @@ def _global_rank(
     for r in counts:
         offs.append((int(r["__pid"]), acc))
         acc += int(r["count"])
-    off_df = spark.createDataFrame(offs or [], "__pid int, __off long")
-    local = Window.partitionBy("__pid").orderBy(*cols)
+    off_df = ranged.sparkSession.createDataFrame(
+        offs or [], "__pid int, __off long"
+    )
+    local = Window.partitionBy("__pid").orderBy(*_sort_cols(order_specs))
     ranked = (
         ranged.join(F.broadcast(off_df), "__pid")
         .withColumn(
@@ -153,45 +164,55 @@ def global_running_sum(
     value_col: str,
     out: str = "running_sum",
 ) -> DataFrame:
-    """Distributed cumulative sum over a global order — the prefix-offset
-    construction of ``_global_rank`` applied to value sums instead of row
-    counts: range-repartition on the order keys, per-partition running sum
-    (a partitionBy window), plus the broadcast sum of all earlier
-    partitions. ``value_col`` must be integer-typed (exact, order-free
-    sums; float cumsums are not cross-engine deterministic — NOTES rule 3).
-    Replaces ``SUM(...) OVER (ORDER BY ...)`` when the input scales with
-    the data."""
-    spark = df.sparkSession
-    cols = _sort_cols(order_specs)
-    p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    ranged = df.repartitionByRange(p, *cols).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    ranged.persist()
-    sums = sorted(
+    """Distributed cumulative sum over a global order — the
+    ``_ranged_prefix`` construction with per-partition value sums as the
+    offsets. ``value_col`` must be integer-typed (exact, order-free sums;
+    float cumsums are not cross-engine deterministic — NOTES rule 3).
+    NULL semantics match ``SUM() OVER (ORDER BY ...)`` exactly: NULL
+    values are skipped, and a row with no non-NULL value at or before it
+    anywhere in the global order gets NULL (the per-partition offsets
+    collect carries a non-NULL count alongside the sum, so an all-NULL
+    or zero-sum prefix is never misread). Replaces the window form when
+    the input scales with the data."""
+    ranged = _ranged_by(df, order_specs)
+    parts = sorted(
         ranged.groupBy("__pid")
-        .agg(F.sum(value_col).alias("__s"))
+        .agg(
+            F.sum(F.col(value_col)).alias("__s"),
+            F.count(F.col(value_col)).alias("__c"),  # non-NULL count
+        )
         .collect(),
         key=lambda r: r["__pid"],
     )
-    offs, acc = [], 0
-    for r in sums:
-        offs.append((int(r["__pid"]), acc))
+    offs, acc, seen = [], 0, 0
+    for r in parts:
+        offs.append((int(r["__pid"]), acc, seen > 0))
         acc += int(r["__s"] or 0)
-    off_df = spark.createDataFrame(offs or [], "__pid int, __off long")
+        seen += int(r["__c"])
+    off_df = ranged.sparkSession.createDataFrame(
+        offs or [], "__pid int, __off long, __seen boolean"
+    )
     local = (
         Window.partitionBy("__pid")
-        .orderBy(*cols)
+        .orderBy(*_sort_cols(order_specs))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    lsum = F.sum(F.col(value_col)).over(local)
     return (
         ranged.join(F.broadcast(off_df), "__pid")
         .withColumn(
             out,
-            F.sum(F.col(value_col)).over(local).cast("long")
-            + F.col("__off"),
+            # NULL local prefix (no value yet in this partition): fall
+            # back to the prior partitions' sum — unless nothing before
+            # this partition held a value either, which the window form
+            # surfaces as NULL
+            F.when(
+                lsum.isNull() & ~F.col("__seen"), F.lit(None).cast("long")
+            ).otherwise(
+                F.coalesce(lsum.cast("long"), F.lit(0)) + F.col("__off")
+            ),
         )
-        .drop("__pid", "__off")
+        .drop("__pid", "__off", "__seen")
     )
 
 
@@ -207,8 +228,14 @@ def bounded_ranked_topk(
     with constant k, no WindowExec at all. ``order_specs`` must be a
     total order over NON-NULL columns (the lexicographic strictly-before
     predicate treats NULL comparisons as false); ranks then equal
-    ``row_number`` over the same global order."""
+    ``row_number`` over the same global order.
+
+    The k-row top set is PERSISTED before the self-join: both join
+    branches reference it, and without the cache each branch re-executes
+    the entire upstream plan (for callers like the RRF/nDCG rankers that
+    upstream is a full corpus scoring pass — measured 2x the query)."""
     top = df.orderBy(*_sort_cols(order_specs)).limit(k)
+    top.persist()
     a, b = top.alias("__rk_a"), top.alias("__rk_b")
     before = F.lit(False)
     eqs = F.lit(True)

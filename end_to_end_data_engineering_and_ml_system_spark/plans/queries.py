@@ -11526,7 +11526,11 @@ def mlp_ae_detect_loop(spark, sf_dir):
         ),
     )
     fit = fit_mlp_autoencoder(feats, dim=64, epochs=6, lr=1e-3)
+    # cache the scored frame: the threshold aggregate and the routing
+    # pass both consume it — without the cache the mapInPandas forward
+    # pass over the whole corpus runs twice
     scores = mlp_reconstruction_scores(feats, fit, "vec_id")
+    scores.persist()
     st = scores.agg(
         F.avg("recon_mse").alias("mu"),
         F.stddev_pop("recon_mse").alias("sd"),

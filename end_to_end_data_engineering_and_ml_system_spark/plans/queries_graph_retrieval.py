@@ -940,23 +940,30 @@ _COPURCHASE_WEDGES_SQL = f"""
 """
 
 
-def copurchase_edges_from_baskets(
-    po, keep_weight: bool, max_basket: int = _MAX_BASKET
-):
-    """Support>=2 co-purchase edges from a distinct ``(okey, part)`` basket
-    table, with the k^2 guard: baskets holding more than ``max_basket``
-    distinct parts are DROPPED before the self-join (a semi-join against
-    the size-filtered basket list — one extra grouped count, no extra
-    scan). Pair output per order is then bounded by max_basket^2 at any
-    data scale; the unguarded self-join is quadratic in basket size and a
-    single viral basket would dominate the whole job."""
+def cap_baskets(po, max_basket: int = _MAX_BASKET):
+    """The k^2 guard, shared by every within-basket self-join (edges,
+    lift, Jaccard): drop baskets holding more than ``max_basket``
+    distinct parts via a semi-join against the size-filtered basket list
+    — one extra grouped count on the narrow (okey, part) projection, no
+    extra scan of the fact table."""
     sized = (
         po.groupBy("okey")
         .agg(F.count("*").alias("__bs"))
         .filter(F.col("__bs") <= max_basket)
         .select("okey")
     )
-    capped = po.join(sized, "okey", "left_semi")
+    return po.join(sized, "okey", "left_semi")
+
+
+def copurchase_edges_from_baskets(
+    po, keep_weight: bool, max_basket: int = _MAX_BASKET
+):
+    """Support>=2 co-purchase edges from a distinct ``(okey, part)`` basket
+    table, with the k^2 guard (``cap_baskets``): pair output per order is
+    bounded by max_basket^2 at any data scale; the unguarded self-join is
+    quadratic in basket size and a single viral basket would dominate the
+    whole job."""
+    capped = cap_baskets(po, max_basket)
     a, b = capped.alias("a"), capped.alias("b")
     e = (
         a.join(
@@ -1917,17 +1924,12 @@ def part_jaccard_copurchase_similarity(spark, sf_dir):
     the two scores answer different questions (lift: dependence beyond
     popularity; Jaccard: set overlap) off one posting shape."""
     li = load_table(spark, sf_dir, "lineitem")
-    po0 = li.select(
-        F.col("l_orderkey").alias("okey"),
-        F.col("l_partkey").cast("long").alias("part"),
-    ).distinct()
-    sized = (
-        po0.groupBy("okey")
-        .agg(F.count("*").alias("__bs"))
-        .filter(F.col("__bs") <= _MAX_BASKET)
-        .select("okey")
+    po = cap_baskets(
+        li.select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_partkey").cast("long").alias("part"),
+        ).distinct()
     )
-    po = po0.join(sized, "okey", "left_semi")
     pc = po.groupBy("part").agg(F.count("*").cast("bigint").alias("n_part"))
     a, b = po.alias("a"), po.alias("b")
     pairs = (

@@ -34,6 +34,7 @@ from ..ml.quality import (
 )
 from ..sources.catalog import load_table
 from .queries import _SQL_SHINGLES, _SQL_VERIFIED_PAIRS
+from .queries_graph_retrieval import _MAX_BASKET as _MB
 from .registry import register
 
 # DuckDB mirror of ml.quality.quality_feature_counts: the exact integer
@@ -2359,7 +2360,7 @@ def als_training_curve(spark, sf_dir):
 
 @register(
     "part_copurchase_lift",
-    oracle="""
+    oracle=f"""
         -- association mining on the order basket: top part pairs by lift
         -- = P(a,b) / (P(a)·P(b)) over orders, all from exact integer
         -- counts (support floor 3 kills noise pairs)
@@ -2367,9 +2368,10 @@ def als_training_curve(spark, sf_dir):
             SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
             FROM lineitem
         ),
-        -- k^2 guard: baskets over 64 distinct parts are dropped from the
-        -- analysis entirely (inert on TPC-H: baskets hold <= 7 parts)
-        ok AS (SELECT okey FROM po0 GROUP BY 1 HAVING COUNT(*) <= 64),
+        -- k^2 guard (the shared cap_baskets constant): baskets over
+        -- {_MB} distinct parts are dropped from the analysis entirely
+        -- (inert on TPC-H: baskets hold <= 7 parts)
+        ok AS (SELECT okey FROM po0 GROUP BY 1 HAVING COUNT(*) <= {_MB}),
         po AS (SELECT po0.* FROM po0 JOIN ok ON po0.okey = ok.okey),
         n AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders
               FROM po),
@@ -2411,17 +2413,15 @@ def part_copurchase_lift(spark, sf_dir):
     k^2 pairs; inert on TPC-H where baskets hold <= 7). Lift from exact
     integer counts with a fixed multiply/divide order; deterministic
     top-20 with lexicographic tie-breaks."""
+    from .queries_graph_retrieval import cap_baskets
+
     li = load_table(spark, sf_dir, "lineitem")
-    po0 = li.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
-    ).distinct()
-    sized = (
-        po0.groupBy("okey")
-        .agg(F.count("*").alias("__bs"))
-        .filter(F.col("__bs") <= 64)
-        .select("okey")
+    po = cap_baskets(
+        li.select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_partkey").alias("part"),
+        ).distinct()
     )
-    po = po0.join(sized, "okey", "left_semi")
     n_orders = po.select("okey").distinct().count()
     pc = po.groupBy("part").agg(F.count("*").cast("bigint").alias("n_part"))
     a = po.alias("a")
@@ -3461,7 +3461,10 @@ def token_coverage_curve(spark, sf_dir):
     ranked = global_row_number(
         freq, [("n", "desc"), ("tok", "asc")], out="rk"
     )
-    tot = freq.agg(
+    # totals from the RANKED frame: it reads the helper's cached
+    # range-partitioned copy, so the tokenize+explode+groupBy pipeline
+    # is never executed a second time
+    tot = ranked.agg(
         F.sum("n").cast("long").alias("t"),
         F.count("*").cast("long").alias("v"),
     )

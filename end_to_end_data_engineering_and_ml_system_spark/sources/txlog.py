@@ -370,8 +370,19 @@ class TxTable:
         """RESTORE TABLE TO VERSION AS OF — a NEW commit whose content
         (data dirs, schema, evolved marker) is exactly ``version``'s, so
         the rollback itself is audited in the history and later vacuums
-        keep the restored files live."""
+        keep the restored files live.
+
+        Live CHECK constraints are ENFORCED against the restored content
+        (same write-side gate as append/merge/overwrite): a restore to a
+        state predating a constraint must not smuggle violating rows back
+        under it — drop the constraint first if the rollback is intended.
+        Costs one scan of the restored snapshot, paid only when
+        constraints exist."""
         man = self._manifest(version)  # raises if the version is unknown
+        cur = self.latest_version()
+        if cur is not None and (self._manifest(cur).get("checks") or {}):
+            restored = self._read_dirs(man, man["data_dirs"])
+            self._enforce_checks(restored, f"restore({version})")
         return self._commit(
             list(man["data_dirs"]),
             f"restore({version})",

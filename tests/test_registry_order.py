@@ -54,7 +54,8 @@ def _shipped_driver_tested() -> set[str]:
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")))
+    # r* (not r0*): must keep matching when round numbers reach 10+
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     tested: set[str] = set()
     for f in files:
         with open(f) as fh:

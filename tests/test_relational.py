@@ -365,3 +365,27 @@ def test_global_running_sum_matches_window(spark):
         .collect()
     )
     assert got == exp
+
+
+def test_global_running_sum_null_semantics_match_window(spark):
+    # NULL values are skipped; rows before any non-NULL value get NULL —
+    # exactly SUM() OVER (ORDER BY ...), even when a range partition
+    # holds only NULLs or a prefix sums to zero
+    from pyspark.sql import Window
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        global_running_sum,
+    )
+
+    rows = [(0, None), (1, None), (2, 5), (3, -5), (4, None), (5, 7)]
+    df = spark.createDataFrame(rows, "k long, d long").repartition(4)
+    w = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    exp = sorted(df.withColumn("rs", F.sum("d").over(w)).collect())
+    got = sorted(
+        global_running_sum(df, [("k", "asc")], "d", out="rs")
+        .select("k", "d", "rs")
+        .collect()
+    )
+    assert got == exp

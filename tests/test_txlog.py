@@ -546,3 +546,18 @@ def test_overwrite_enforces_carried_checks(spark, tmp_path):
     assert t.snapshot().count() == 1  # violating overwrite never committed
     t.overwrite(spark.createDataFrame([(2, 3.0)], "k long, v double"))
     assert t.snapshot().first()["k"] == 2
+
+
+def test_restore_enforces_live_checks(spark, tmp_path):
+    # a restore to a state predating a constraint must not smuggle
+    # violating rows back under it (same gate as append/merge/overwrite)
+    t = TxTable(spark, str(tmp_path / "trestchk"))
+    v0 = t.append(spark.createDataFrame([(1, -5.0)], "k long, v double"))
+    t.overwrite(spark.createDataFrame([(2, 3.0)], "k long, v double"))
+    t.add_check("v_nonneg", "v >= 0")
+    with pytest.raises(ValueError, match="v_nonneg"):
+        t.restore(v0)
+    # conforming restores still work
+    v_clean = t.latest_version() - 1  # the overwrite version
+    t.restore(v_clean)
+    assert t.snapshot().first()["k"] == 2
