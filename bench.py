@@ -37,11 +37,16 @@ def main() -> None:
     # best-of-session minimum: rounds 5->7 showed uniform ~1.25x per-query
     # ratios on identical snapshot-pinned plans (machine drift, not engine
     # regressions), which a min-only series misreads as a regression.
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        release_rank_caches,
+    )
+
     for name, q in qs.items():
         try:
             q.build(spark, sf_dir).count()
         except Exception as e:  # noqa: BLE001 — warm failures surface in the timed pass
             print(f"# warm {name} failed: {e}", file=sys.stderr)
+        release_rank_caches()  # free rank-family persists once materialized
 
     import statistics
 
@@ -53,6 +58,7 @@ def main() -> None:
             df = q.build(spark, sf_dir)
             n = df.count()
             walls.append(time.perf_counter() - t0)
+            release_rank_caches()  # each pass rebuilds; free the last one's
         timings[name] = round(min(walls), 4)
         medians[name] = round(statistics.median(walls), 4)
         print(

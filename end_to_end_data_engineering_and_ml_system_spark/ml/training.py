@@ -589,8 +589,11 @@ def mlp_reconstruction_scores(
 
     from pyspark.sql import functions as F
 
+    # the output schema carries the caller's actual id type — hardcoding
+    # "long" would break (or silently coerce) string/int/decimal ids
+    id_type = df.schema[id_col].dataType.simpleString()
     return (
         df.select(F.col(id_col).alias("__id"), "features")
-        .mapInPandas(gen, "__id long, recon_mse double")
+        .mapInPandas(gen, f"__id {id_type}, recon_mse double")
         .withColumnRenamed("__id", id_col)
     )

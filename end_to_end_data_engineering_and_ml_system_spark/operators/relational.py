@@ -73,21 +73,54 @@ def _sort_cols(order_specs: OrderSpec) -> list[Column]:
     ]
 
 
+# Persisted intermediates created by the distributed-rank family. The cache
+# is REQUIRED for correctness (the offsets-collect job and the later output
+# job must see identical range boundaries / identical top-k sets), but its
+# lifetime is the session unless someone frees it — disk blocks of a
+# MEMORY_AND_DISK handle are NOT reclaimed by memory-pressure eviction.
+# Harnesses that build many queries per session (bench.py, the gate tools,
+# the determinism suite) call ``release_rank_caches()`` between queries,
+# after each output has materialized.
+_PERSISTED_HANDLES: list[DataFrame] = []
+
+
+def _track_persist(df: DataFrame) -> DataFrame:
+    df.persist()
+    _PERSISTED_HANDLES.append(df)
+    return df
+
+
+def release_rank_caches() -> int:
+    """Unpersist every intermediate cached by ``_ranged_by`` /
+    ``bounded_ranked_topk`` since the last call. Safe only AFTER the
+    queries built from them have materialized their output (unpersisting
+    earlier forces the output job to recompute the range shuffle, whose
+    sampled boundaries are not guaranteed to reproduce). Returns the
+    number of handles released."""
+    n = 0
+    while _PERSISTED_HANDLES:
+        df = _PERSISTED_HANDLES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
+
+
 def _ranged_by(df: DataFrame, order_specs: OrderSpec) -> DataFrame:
     """Shared first stage of the distributed rank / running-sum family:
     range-repartition on the order keys (each partition holds a disjoint
     key range) and tag rows with their partition id. The result is
     PERSISTED (MEMORY_AND_DISK) so the bounded offsets-collect job and
-    the output job see identical range boundaries; the cached copy lives
-    until Spark's LRU eviction or session end — storage memory is
-    evictable, so this is pressure, not a leak."""
+    the output job see identical range boundaries; the handle is tracked
+    so harnesses can free it between queries (``release_rank_caches``)."""
     spark = df.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     ranged = df.repartitionByRange(p, *_sort_cols(order_specs)).withColumn(
         "__pid", F.spark_partition_id()
     )
-    ranged.persist()
-    return ranged
+    return _track_persist(ranged)
 
 
 def _global_rank(
@@ -216,6 +249,12 @@ def global_running_sum(
     )
 
 
+# Hard ceiling for bounded_ranked_topk: the rank recovery is an O(k^2)
+# broadcast self-join (k=5000 -> 25M comparisons, probed fine; k=10^6 would
+# be 10^12 — use global_row_number for large k, it is O(n log n) + O(P)).
+BOUNDED_TOPK_MAX_K = 10_000
+
+
 def bounded_ranked_topk(
     df: DataFrame, order_specs: OrderSpec, k: int, out: str = "rn"
 ) -> DataFrame:
@@ -225,17 +264,32 @@ def bounded_ranked_topk(
     TakeOrderedAndProject, so only ``k`` rows ever leave the scan; ranks
     over those survivors are then recovered by a broadcast self-join
     inequality count (rank = 1 + |rows strictly ahead|) — O(k^2) pairs
-    with constant k, no WindowExec at all. ``order_specs`` must be a
-    total order over NON-NULL columns (the lexicographic strictly-before
-    predicate treats NULL comparisons as false); ranks then equal
-    ``row_number`` over the same global order.
+    with constant k, no WindowExec at all. ``k`` is capped at
+    ``BOUNDED_TOPK_MAX_K`` (the recovery is quadratic in k; callers that
+    need a large-k global rank want ``global_row_number`` instead).
+
+    ``order_specs`` must form a total order; rows holding NULL in ANY
+    order column are EXCLUDED before ranking (the lexicographic
+    strictly-before predicate is NULL-unsafe — a NULL key would silently
+    take rank 1). On NULL-free keys ranks equal ``row_number`` over the
+    same global order.
 
     The k-row top set is PERSISTED before the self-join: both join
     branches reference it, and without the cache each branch re-executes
     the entire upstream plan (for callers like the RRF/nDCG rankers that
-    upstream is a full corpus scoring pass — measured 2x the query)."""
-    top = df.orderBy(*_sort_cols(order_specs)).limit(k)
-    top.persist()
+    upstream is a full corpus scoring pass — measured 2x the query).
+    The handle is tracked for ``release_rank_caches``."""
+    if k > BOUNDED_TOPK_MAX_K:
+        raise ValueError(
+            f"bounded_ranked_topk k={k} exceeds BOUNDED_TOPK_MAX_K="
+            f"{BOUNDED_TOPK_MAX_K} (O(k^2) rank recovery); use "
+            "global_row_number for large-k global ranks"
+        )
+    keys_non_null = F.lit(True)
+    for name, _ in order_specs:
+        keys_non_null = keys_non_null & F.col(name).isNotNull()
+    top = df.filter(keys_non_null).orderBy(*_sort_cols(order_specs)).limit(k)
+    _track_persist(top)
     a, b = top.alias("__rk_a"), top.alias("__rk_b")
     before = F.lit(False)
     eqs = F.lit(True)

@@ -1197,29 +1197,127 @@ def bpe_merges_by_lang(spark, sf_dir):
 )
 def quality_classifier_auc(spark, sf_dir):
     """Threshold-free model quality in one number: AUC as the normalized
-    Mann-Whitney U from a single global rank over (logit, doc_id).  Ranks
-    and their sums are exact integers; the only double is the final
-    division — so the statistic is bit-identical on any engine.  The
-    global rank is the one all-to-one-reducer step (same caveat as any
-    exact global order); at 100 TB use the grouped PR-curve sweep instead,
-    or rank within salted blocks and merge U statistics (U is associative
-    over disjoint score ranges)."""
+    Mann-Whitney U from a global rank over (logit, doc_id).  Ranks and
+    their sums are exact integers; the only double is the final division
+    — so the statistic is bit-identical on any engine.  The rank comes
+    from ``relational.global_row_number`` (range-repartition + broadcast
+    prefix offsets — rank-identical to the window form under the
+    ``(zz, doc_id)`` total order, with NO single-partition WindowExec),
+    so the query scales with cluster width; the even leaner
+    aggregation-only form is ``quality_classifier_auc_distributed``."""
     docs = load_table(spark, sf_dir, "documents")
     counted = quality_feature_counts(docs)
-    from pyspark.sql.window import Window as W
+    from ..operators.relational import global_row_number
 
-    ranked = counted.select(
+    z = counted.select(
         "doc_id", weak_label().alias("wl"), quality_logit().alias("zz")
-    ).select(
-        "wl",
-        F.row_number().over(W.orderBy("zz", "doc_id")).alias("rk"),
     )
+    ranked = global_row_number(
+        z, [("zz", "asc"), ("doc_id", "asc")], out="rk"
+    ).select("wl", "rk")
     s = ranked.agg(
         F.sum(F.when(F.col("wl") == 1, F.col("rk")).otherwise(0))
         .cast("bigint")
         .alias("pos_rank_sum"),
         F.sum("wl").cast("bigint").alias("n_pos"),
         F.sum(1 - F.col("wl")).cast("bigint").alias("n_neg"),
+    )
+    return s.select(
+        "n_pos",
+        "n_neg",
+        (
+            (
+                F.col("pos_rank_sum")
+                - F.col("n_pos") * (F.col("n_pos") + 1) / 2
+            ).cast("double")
+            / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+        ).alias("auc"),
+    )
+
+
+@register(
+    "quality_classifier_auc_distributed",
+    oracle=f"""
+        WITH c AS ({_SQL_QCOUNTS}),
+        z AS (
+            SELECT doc_id, {_SQL_WL} AS wl, {_SQL_Z} AS zz
+            FROM c
+        ),
+        ranked AS (
+            SELECT wl,
+                   ROW_NUMBER() OVER (ORDER BY zz, doc_id) AS rk
+            FROM z
+        ),
+        s AS (
+            SELECT
+                CAST(SUM(CASE WHEN wl = 1 THEN rk ELSE 0 END) AS BIGINT)
+                    AS pos_rank_sum,
+                CAST(SUM(wl) AS BIGINT) AS n_pos,
+                CAST(SUM(1 - wl) AS BIGINT) AS n_neg
+            FROM ranked
+        )
+        SELECT
+            n_pos, n_neg,
+            CAST(pos_rank_sum - n_pos * (n_pos + 1) / 2 AS DOUBLE)
+                / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+        FROM s
+    """,
+    description=(
+        "exact ROC-AUC via per-range-partition Mann-Whitney partials — "
+        "aggregation-only, no row-level global rank materialized"
+    ),
+    tags=("ml", "text", "aggregate", "deterministic"),
+)
+def quality_classifier_auc_distributed(spark, sf_dir):
+    """The 100-TB AUC plan: U is associative over disjoint score ranges,
+    so the exact statistic needs NO global rank column at all.  Rows are
+    range-partitioned on ``(zz, doc_id)`` (each partition owns a disjoint
+    slice of the global order); within each partition a partitionBy
+    window assigns LOCAL ranks (fully parallel, no single-reducer
+    stage), and one grouped pass reduces each partition to three
+    integers ``(n_rows, n_pos, pos_local_rank_sum)``.  The global
+    positive-rank sum is then
+
+        sum_i pos_local_rank_sum_i + n_pos_i * offset_i,
+        offset_i = sum over j<i of n_rows_j
+
+    — computed from an O(num_partitions)-row collect (bounded by cluster
+    width, never data size).  Every intermediate is an exact integer;
+    the final division runs in a Spark expression identical to
+    ``quality_classifier_auc``'s, so the double is bit-identical.  No
+    persist, no broadcast-back join: ONE materialization of the scored
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = quality_feature_counts(docs)
+    z = counted.select(
+        "doc_id", weak_label().alias("wl"), quality_logit().alias("zz")
+    )
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = z.repartitionByRange(
+        p, F.col("zz").asc(), F.col("doc_id").asc()
+    ).withColumn("__pid", F.spark_partition_id())
+    local = Window.partitionBy("__pid").orderBy("zz", "doc_id")
+    parts = sorted(
+        ranged.withColumn("__lrk", F.row_number().over(local).cast("long"))
+        .groupBy("__pid")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("wl").cast("long").alias("n_pos"),
+            F.sum(F.when(F.col("wl") == 1, F.col("__lrk")).otherwise(0))
+            .cast("long")
+            .alias("pos_lrk_sum"),
+        )
+        .collect(),
+        key=lambda r: r["__pid"],
+    )
+    pos_rank_sum, n_pos, n_rows = 0, 0, 0
+    for r in parts:  # exact integer merge of per-range U partials
+        pos_rank_sum += int(r["pos_lrk_sum"]) + int(r["n_pos"]) * n_rows
+        n_pos += int(r["n_pos"])
+        n_rows += int(r["n_rows"])
+    s = spark.createDataFrame(
+        [(pos_rank_sum, n_pos, n_rows - n_pos)],
+        "pos_rank_sum long, n_pos long, n_neg long",
     )
     return s.select(
         "n_pos",

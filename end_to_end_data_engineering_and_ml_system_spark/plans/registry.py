@@ -62,73 +62,79 @@ def register(
 
 
 # The correctness driver samples the FIRST 50 names in the dict returned by
-# ``__spark_entry__.queries()``. Rounds 1-5 + 7 windows cumulatively covered
-# 249 of the registered names (0 failures ever); the round-8 window closes
-# the evidence gap completely: the 9 round-8 additions (never sampled
-# anywhere), then ALL 39 names that have never produced a driver CORRECTNESS
-# row — including the 4 formerly-excluded rows-only names
-# (flows_preprocess_summary, stratified_sample_counts, audio_frame_energy,
-# doc_pack_bins_ffd), which now rotate through for the weaker rows-only
-# driver check on top of their pytest invariants — and 2 RECONFIRMATION
-# slots for queries whose implementation changed this round
-# (revenue_pareto_deciles / customer_tier_migration moved from a
-# single-reducer NTILE to the distributed global_ntile; their r1-r5 driver
-# rows predate the new plan). 9 + 39 + 2 = exactly the 50-slot window;
-# after this round every registered query has driver evidence.
+# ``__spark_entry__.queries()``. As of round 8 every registered name carries
+# driver evidence (297/297, zero unresolved failures across eight rounds), so
+# from round 9 on the window is pure RECONFIRMATION, filled by two documented
+# rules (each window name's reason lives in
+# tests/test_registry_order.py::RECONFIRMATION_SLOTS, which the guard test
+# enforces):
+#   1. changed-implementation — the name's driver row predates a material
+#      change to its plan (this round: the bounded_ranked_topk NULL-guard /
+#      persist-tracking / k-ceiling rework touches every caller, the AUC
+#      global-window retirement, the mlp id-type fix; plus the round-8-
+#      changed names that fell outside the round-8 window, per NOTES);
+#   2. evidence-freshness — with coverage complete, the window re-proves the
+#      STALEST evidence first: these names' latest driver row is round 2,
+#      the oldest tier in the ledger (49 names; bench headliners first).
+# New queries registered mid-round go at the TOP (never driver-tested, so a
+# slot is never wasted on them) displacing freshness slots to keep the
+# 50-name window exact.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- round-8 additions (9): never sampled by any driver window ---
-    "embedding_matryoshka_prefix_recall",
-    "part_jaccard_copurchase_similarity",
-    "query_expansion_prf_retrieval",
-    "weighted_doc_sample_by_lang",
-    "token_coverage_curve",
-    "quality_classifier_reliability_bins",
-    "source_mix_kl_divergence",
-    "tx_table_delete_all_restore_counts",
-    "mlp_ae_detect_loop",
-    # --- the 39 never-driver-tested names (NOTES.md round-8 queue) ---
-    "weighted_doc_sample",
+    # --- round-9 additions: never driver-tested ---
+    "quality_classifier_auc_distributed",
+    # --- changed-implementation reconfirmation (18) ---
+    "quality_classifier_auc",
+    "token_zipf_fit",
+    "pq_init_assignment_portable",
     "kmeans_init_assignment_portable",
-    "bpe_initial_pair_counts",
-    "bpe_learned_merges",
-    "doc_bpe_learned_token_counts",
-    "bpe_fertility_by_lang",
-    "bpe_merges_by_lang",
-    "kmeans_inertia_curve",
-    "als_training_curve",
-    "als_related_parts",
-    "linear_ae_training_curve",
-    "quality_classifier_training_curve",
-    "nation_trade_pagerank",
-    "part_copurchase_pagerank_topk",
-    "bm25_topk_docs",
-    "events_column_profile",
-    "doc_bigram_logprob",
     "hybrid_rrf_retrieval",
-    "copurchase_label_communities",
-    "part_copurchase_pagerank_weighted",
-    "related_parts_ppr",
-    "top_phrase_docs",
-    "nation_trade_graph_stats",
-    "events_daily_quality_drift",
-    "copurchase_bfs_hop_histogram",
-    "gbdt_best_first_stump",
-    "gbdt_training_curve",
-    "events_dp_noisy_counts",
-    "stream_copurchase_pagerank",
-    "tx_table_point_lookup_bloom",
-    "tx_table_delete_counts",
-    "corpus_pipeline_v3_perplexity",
-    "copurchase_community_modularity",
     "dense_retrieval_ndcg",
-    "tx_table_schema_evolution_counts",
-    "flows_preprocess_summary",
-    "stratified_sample_counts",
-    "audio_frame_energy",
-    "doc_pack_bins_ffd",
-    # --- reconfirmation (2): implementation changed this round ---
+    "embedding_matryoshka_prefix_recall",
+    "embedding_semdedup_kept",
+    "embedding_semdedup_threshold_sweep",
     "revenue_pareto_deciles",
     "customer_tier_migration",
+    "order_price_equidepth_histogram",
+    "corpus_pipeline_v3_perplexity",
+    "vocab_growth_heaps",
+    "token_coverage_curve",
+    "mlp_ae_detect_loop",
+    "part_copurchase_lift",
+    # --- evidence-freshness reconfirmation (31): latest row is round 2 ---
+    # bench headliners first
+    "anomaly_score_routing",
+    "doc_jaccard_near_dups",
+    "doc_lsh_candidates",
+    "doc_token_stats",
+    "documents_dedup_exact",
+    "embedding_ann_bruteforce",
+    "embedding_norms",
+    "events_window_counts",
+    "pricing_summary",
+    "revenue_by_nation",
+    "token_frequency_topk",
+    "top_orders_per_customer",
+    # then the rest of the round-2 tier
+    "anomaly_rate",
+    "approx_distinct_users",
+    "batched_model_inference",
+    "capped_sample_count",
+    "clean_null_counts",
+    "customer_order_gaps",
+    "customers_with_orders_semi",
+    "distinct_user_stats",
+    "doc_fingerprints",
+    "doc_language_id",
+    "doc_minhash_signatures",
+    "doc_quality_scores",
+    "doc_simhash",
+    "embedding_cosine_topk",
+    "embedding_lsh_candidates",
+    "event_type_label_map",
+    "event_type_pivot",
+    "events_clean_pipeline",
+    "events_enriched_by_customer",
+    "events_json_roundtrip",
 )
 
 

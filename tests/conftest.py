@@ -18,3 +18,16 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMOKE
+
+
+@pytest.fixture(autouse=True)
+def _free_rank_caches():
+    """Unpersist distributed-rank intermediates after every test — the
+    suite builds hundreds of registry queries per session and the cached
+    range-shuffles would otherwise accumulate for the session lifetime."""
+    yield
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        release_rank_caches,
+    )
+
+    release_rank_caches()

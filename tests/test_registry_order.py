@@ -63,31 +63,126 @@ def _shipped_driver_tested() -> set[str]:
     return tested
 
 
-# Already-driver-tested names ALLOWED back into the window because their
-# implementation materially changed this round and the old driver row
-# predates the new plan (rationale in the _DRIVER_PRIORITY comment). A name
-# may live here ONLY with that justification — anything else in the window
-# that already has a driver row is a wasted slot.
-RECONFIRMATION_SLOTS = {
-    "revenue_pareto_deciles",  # r8: single-reducer NTILE -> global_ntile
-    "customer_tier_migration",  # r8: single-reducer NTILE -> global_ntile
+# Already-driver-tested names ALLOWED into the window, each with its
+# documented reason. Two legal reason classes (see the _DRIVER_PRIORITY
+# comment in plans/registry.py):
+#   "changed:<what>"   — the name's driver row predates a material change
+#                        to its implementation this round;
+#   "freshness:<tier>" — registry coverage is complete (since r8) and this
+#                        name's LATEST driver row is the oldest tier in the
+#                        ledger, so it is re-proven on a rolling basis.
+# A tested name in the window with no entry here is a wasted slot and the
+# guard fails (negative control below keeps the guard itself honest).
+_R9_RANK_REWORK = (
+    "changed: r9 bounded_ranked_topk/_ranged_by rework "
+    "(NULL-key guard, k ceiling, tracked persist)"
+)
+RECONFIRMATION_SLOTS: dict[str, str] = {
+    "quality_classifier_auc": "changed: r9 global window -> global_row_number",
+    "token_zipf_fit": _R9_RANK_REWORK,
+    "pq_init_assignment_portable": _R9_RANK_REWORK,
+    "kmeans_init_assignment_portable": _R9_RANK_REWORK,
+    "hybrid_rrf_retrieval": _R9_RANK_REWORK,
+    "dense_retrieval_ndcg": _R9_RANK_REWORK,
+    "embedding_matryoshka_prefix_recall": _R9_RANK_REWORK,
+    "embedding_semdedup_kept": _R9_RANK_REWORK + " via semdedup_portable",
+    "embedding_semdedup_threshold_sweep": (
+        _R9_RANK_REWORK + " via semdedup_portable"
+    ),
+    "revenue_pareto_deciles": _R9_RANK_REWORK + " (global_ntile caller)",
+    "customer_tier_migration": _R9_RANK_REWORK + " (global_ntile caller)",
+    "order_price_equidepth_histogram": (
+        _R9_RANK_REWORK + " (global_ntile caller)"
+    ),
+    "corpus_pipeline_v3_perplexity": _R9_RANK_REWORK + " (global_ntile caller)",
+    "vocab_growth_heaps": _R9_RANK_REWORK + " (global_running_sum caller)",
+    "token_coverage_curve": _R9_RANK_REWORK + " (global_row_number caller)",
+    "mlp_ae_detect_loop": (
+        "changed: r9 mlp_reconstruction_scores derives id dtype from schema"
+    ),
+    "part_copurchase_lift": (
+        "changed: r8 basket-cap refactor landed after the r8 window was cut "
+        "(NOTES round-9 rotation candidates)"
+    ),
+    **{
+        n: "freshness: latest driver row is round 2 (oldest ledger tier)"
+        for n in (
+            "anomaly_score_routing",
+            "doc_jaccard_near_dups",
+            "doc_lsh_candidates",
+            "doc_token_stats",
+            "documents_dedup_exact",
+            "embedding_ann_bruteforce",
+            "embedding_norms",
+            "events_window_counts",
+            "pricing_summary",
+            "revenue_by_nation",
+            "token_frequency_topk",
+            "top_orders_per_customer",
+            "anomaly_rate",
+            "approx_distinct_users",
+            "batched_model_inference",
+            "capped_sample_count",
+            "clean_null_counts",
+            "customer_order_gaps",
+            "customers_with_orders_semi",
+            "distinct_user_stats",
+            "doc_fingerprints",
+            "doc_language_id",
+            "doc_minhash_signatures",
+            "doc_quality_scores",
+            "doc_simhash",
+            "embedding_cosine_topk",
+            "embedding_lsh_candidates",
+            "event_type_label_map",
+            "event_type_pivot",
+            "events_clean_pipeline",
+            "events_enriched_by_customer",
+            "events_json_roundtrip",
+        )
+    },
 }
 
 
-def test_current_window_is_never_driver_tested():
-    """The rotation window exists to close the driver-evidence gap: every
-    name in it must be absent from all committed CORRECTNESS_r0*.json files
-    (i.e. genuinely never driver-tested before this round), except the
-    documented reconfirmation slots for changed implementations."""
+def _wasted_slots(
+    window, slots: dict[str, str], tested: set[str]
+) -> list[str]:
+    """Window names that already have a driver row but no documented
+    reconfirmation reason — the condition the guard rejects."""
+    return [n for n in window if n in tested and n not in slots]
+
+
+def test_window_slots_all_documented():
+    """Every window slot is either never-driver-tested (a genuinely new
+    query) or carries a documented reconfirmation reason. This formulation
+    stays true when the CURRENT round's CORRECTNESS artifact lands (the
+    round-8 guard compared against ALL artifacts and self-invalidated the
+    moment the driver recorded the very window it was checking)."""
     tested = _shipped_driver_tested()
     if not tested:  # fresh clone without round artifacts
         return
-    overlap = [
-        n
-        for n in _DRIVER_PRIORITY
-        if n in tested and n not in RECONFIRMATION_SLOTS
-    ]
+    overlap = _wasted_slots(_DRIVER_PRIORITY, RECONFIRMATION_SLOTS, tested)
     assert not overlap, f"window wastes slots on already-proven queries: {overlap}"
+
+
+def test_window_guard_negative_control():
+    """The guard must still FAIL on a deliberately wasteful window: an
+    already-proven name squatting a slot with no documented reason."""
+    tested = _shipped_driver_tested()
+    if not tested:
+        return
+    proven_unslotted = sorted(tested - set(RECONFIRMATION_SLOTS))
+    assert proven_unslotted, "control needs a proven name outside the slots"
+    bad_window = list(_DRIVER_PRIORITY) + [proven_unslotted[0]]
+    assert _wasted_slots(bad_window, RECONFIRMATION_SLOTS, tested) == [
+        proven_unslotted[0]
+    ]
+
+
+def test_reconfirmation_slots_all_in_window():
+    """A slot entry for a name not in the window is stale bookkeeping."""
+    stale = sorted(set(RECONFIRMATION_SLOTS) - set(_DRIVER_PRIORITY))
+    assert not stale, f"RECONFIRMATION_SLOTS entries not in the window: {stale}"
 
 
 # Rows-only queries deliberately excluded from the driver window (each needs

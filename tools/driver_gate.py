@@ -104,10 +104,15 @@ def run_gate(sf_dir: str, only: list[str] | None = None) -> dict[str, dict]:
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        release_rank_caches,
+    )
+
     out: dict[str, dict] = {}
     for name, q in sorted(all_queries().items()):
         if only and name not in only:
             continue
+        release_rank_caches()  # previous query materialized; free its persists
         if q.oracle is None:
             # rows-only: still exercise the driver's canonicalizer (it
             # crashed on unhashable list cells in round 1)
