@@ -41,12 +41,19 @@ def main() -> None:
         release_rank_caches,
     )
 
-    for name, q in qs.items():
-        try:
-            q.build(spark, sf_dir).count()
-        except Exception as e:  # noqa: BLE001 — warm failures surface in the timed pass
-            print(f"# warm {name} failed: {e}", file=sys.stderr)
-        release_rank_caches()  # free rank-family persists once materialized
+    # TWO warm sweeps: pass 1 pays codegen compilation, but C2 JIT keeps
+    # deepening well past it (measured: 9.5 / 2.97 / 2.85 / 2.76 / 2.60s on
+    # the same LSH query — NOTES round 9). A second sweep moves the timed
+    # passes onto the flat part of that curve, shrinking the cross-session
+    # band that made r5-r8 comparisons need per-query ratios.
+    warm_sweeps = max(1, int(os.environ.get("SPARK_GRAFT_WARM_SWEEPS", "2")))
+    for _ in range(warm_sweeps):
+        for name, q in qs.items():
+            try:
+                q.build(spark, sf_dir).count()
+            except Exception as e:  # noqa: BLE001 — warm failures surface in the timed pass
+                print(f"# warm {name} failed: {e}", file=sys.stderr)
+            release_rank_caches()  # free rank-family persists once materialized
 
     import statistics
 

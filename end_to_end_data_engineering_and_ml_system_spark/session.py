@@ -37,6 +37,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Local-mode shuffle scratch on tmpfs when available: this container's
+    # /tmp sits on a virtio disk whose throughput wanders between sessions
+    # (measured 10-15% on the shuffle-heavy dedup family; NOTES round 9),
+    # while /dev/shm is RAM-backed. Real clusters manage spark.local.dir
+    # themselves — env/explicit conf always wins here.
+    if (
+        "SPARK_LOCAL_DIRS" not in os.environ
+        and os.access("/dev/shm", os.W_OK)
+        and "spark.local.dir" not in (extra_conf or {})
+    ):
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-scratch")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -274,6 +274,10 @@ def test_distributed_rank_queries_have_no_single_partition_exchange(
         "weighted_doc_sample",
         "term_posting_stats",
         "vocab_growth_heaps",
+        # r9: the last global-window site, retired (global_row_number) +
+        # the aggregation-only U-partials form
+        "quality_classifier_auc",
+        "quality_classifier_auc_distributed",
     )
     # the anti-pattern prints as Window -> Sort -> Exchange SinglePartition
     # (children below parents in explain output)

@@ -389,3 +389,57 @@ def test_global_running_sum_null_semantics_match_window(spark):
         .collect()
     )
     assert got == exp
+
+
+def test_bounded_ranked_topk_excludes_null_keys(spark):
+    # NULL order keys would satisfy no strictly-before comparison and
+    # silently take rank 1 — the operator excludes them instead (documented
+    # precondition; matches row_number over the NULL-free survivors)
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        bounded_ranked_topk,
+    )
+
+    rows = [(1, 0.9), (2, None), (3, 0.7), (4, None), (5, 0.8)]
+    df = spark.createDataFrame(rows, "id long, score double").repartition(3)
+    got = sorted(
+        bounded_ranked_topk(
+            df, [("score", "desc"), ("id", "asc")], 10, out="rn"
+        )
+        .select("id", "rn")
+        .collect()
+    )
+    assert got == [(1, 1), (3, 3), (5, 2)]
+
+
+def test_bounded_ranked_topk_k_ceiling(spark):
+    import pytest as _pytest
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        BOUNDED_TOPK_MAX_K,
+        bounded_ranked_topk,
+    )
+
+    df = spark.range(5).withColumn("v", F.col("id"))
+    with _pytest.raises(ValueError, match="BOUNDED_TOPK_MAX_K"):
+        bounded_ranked_topk(df, [("v", "asc")], BOUNDED_TOPK_MAX_K + 1)
+
+
+def test_release_rank_caches_frees_tracked_persists(spark):
+    from end_to_end_data_engineering_and_ml_system_spark.operators import (
+        relational as R,
+    )
+
+    R.release_rank_caches()  # start clean
+    df = spark.range(100).withColumn("v", F.col("id") % 7)
+    out = R.global_row_number(df, [("v", "asc"), ("id", "asc")])
+    out.count()  # materialize while the range cache is live
+    assert len(R._PERSISTED_HANDLES) >= 1
+    handles = list(R._PERSISTED_HANDLES)
+    assert all(h.storageLevel.useMemory or h.storageLevel.useDisk for h in handles)
+    freed = R.release_rank_caches()
+    assert freed == len(handles)
+    assert not R._PERSISTED_HANDLES
+    assert all(
+        not (h.storageLevel.useMemory or h.storageLevel.useDisk)
+        for h in handles
+    )
