@@ -15,6 +15,47 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+_SCRATCH = "/dev/shm/spark-scratch"
+_SCRATCH_MIN_FREE = 16 * 2**30  # below this, shuffle spill on RAM is a hazard
+
+
+def _jvm_alive() -> bool:
+    """Best-effort: is any java process running? (Linux /proc scan.)"""
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as fh:
+                    if fh.read().strip() == "java":
+                        return True
+            except OSError:
+                continue
+    except OSError:
+        return True  # can't tell — assume alive, skip cleanup
+    return False
+
+
+def _tmpfs_scratch() -> str | None:
+    """RAM-backed shuffle scratch dir, or None to keep Spark's default.
+    Reaps debris from killed sessions (only when no JVM could still own
+    it) and refuses tmpfs when free space is low — shuffle spill must
+    never exhaust RAM just to dodge a slow disk."""
+    try:
+        if not os.access("/dev/shm", os.W_OK):
+            return None
+        import shutil
+
+        if os.path.isdir(_SCRATCH) and not _jvm_alive():
+            for entry in os.listdir(_SCRATCH):
+                shutil.rmtree(os.path.join(_SCRATCH, entry), ignore_errors=True)
+        if shutil.disk_usage("/dev/shm").free < _SCRATCH_MIN_FREE:
+            return None
+        os.makedirs(_SCRATCH, exist_ok=True)
+        return _SCRATCH
+    except OSError:
+        return None
+
 
 def get_spark(
     app_name: str = "e2e-spark-engine",
@@ -41,13 +82,17 @@ def get_spark(
     # /tmp sits on a virtio disk whose throughput wanders between sessions
     # (measured 10-15% on the shuffle-heavy dedup family; NOTES round 9),
     # while /dev/shm is RAM-backed. Real clusters manage spark.local.dir
-    # themselves — env/explicit conf always wins here.
+    # themselves — env/explicit conf always wins here. Safety: a killed
+    # session can't clean its scratch, and tmpfs debris is RAM — so reap
+    # leftovers when no JVM is alive, and fall back to the disk default
+    # when tmpfs free space is low.
     if (
         "SPARK_LOCAL_DIRS" not in os.environ
-        and os.access("/dev/shm", os.W_OK)
         and "spark.local.dir" not in (extra_conf or {})
     ):
-        builder = builder.config("spark.local.dir", "/dev/shm/spark-scratch")
+        scratch = _tmpfs_scratch()
+        if scratch:
+            builder = builder.config("spark.local.dir", scratch)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

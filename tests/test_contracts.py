@@ -51,3 +51,22 @@ def test_identical_schemas_are_clean(spark, sf_dir):
     cur = load_table(spark, sf_dir, "events")
     assert schema_diff(cur, cur.select(*reversed(cur.columns))) == []
     assert diff_report(spark, cur, cur).count() == 0
+
+
+def test_tmpfs_scratch_guard():
+    """The tmpfs shuffle-scratch helper must refuse low-space tmpfs and
+    never crash; when it returns a path it must exist and be writable."""
+    from end_to_end_data_engineering_and_ml_system_spark import session as S
+
+    p = S._tmpfs_scratch()
+    if p is not None:
+        import os
+
+        assert os.path.isdir(p) and os.access(p, os.W_OK)
+    # low-space refusal: force the threshold above total RAM
+    orig = S._SCRATCH_MIN_FREE
+    try:
+        S._SCRATCH_MIN_FREE = 1 << 50
+        assert S._tmpfs_scratch() is None
+    finally:
+        S._SCRATCH_MIN_FREE = orig

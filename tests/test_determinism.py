@@ -98,6 +98,9 @@ SAMPLE = [
     "source_mix_kl_divergence",       # shares + rounded ln terms
     "revenue_pareto_deciles",         # global_ntile over the aggregate
     "vocab_growth_heaps",             # global_running_sum prefix offsets
+    # round-9 additions
+    "quality_classifier_auc_distributed",  # per-partition U partials: the
+    # merge MUST be partition-count-invariant (exact integer associativity)
 ]
 
 
