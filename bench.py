@@ -65,7 +65,9 @@ def main() -> None:
             df = q.build(spark, sf_dir)
             n = df.count()
             walls.append(time.perf_counter() - t0)
-            release_rank_caches()  # each pass rebuilds; free the last one's
+            # blocking: async block removal must not bleed into the next
+            # pass's timed window
+            release_rank_caches(blocking=True)
         timings[name] = round(min(walls), 4)
         medians[name] = round(statistics.median(walls), 4)
         print(

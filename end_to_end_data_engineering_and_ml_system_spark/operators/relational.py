@@ -90,18 +90,20 @@ def _track_persist(df: DataFrame) -> DataFrame:
     return df
 
 
-def release_rank_caches() -> int:
+def release_rank_caches(blocking: bool = False) -> int:
     """Unpersist every intermediate cached by ``_ranged_by`` /
     ``bounded_ranked_topk`` since the last call. Safe only AFTER the
     queries built from them have materialized their output (unpersisting
     earlier forces the output job to recompute the range shuffle, whose
     sampled boundaries are not guaranteed to reproduce). Returns the
-    number of handles released."""
+    number of handles released. ``blocking=True`` waits for the executor-
+    side block removal — use inside timing harnesses so async cleanup
+    from one pass can't bleed into the next pass's measured window."""
     n = 0
     while _PERSISTED_HANDLES:
         df = _PERSISTED_HANDLES.pop()
         try:
-            df.unpersist()
+            df.unpersist(blocking=blocking)
             n += 1
         except Exception:  # session already stopped — nothing to free
             pass
@@ -308,6 +310,26 @@ def bounded_ranked_topk(
             .alias(out)
         )
     )
+
+
+def ranked_topk(
+    df: DataFrame, order_specs: OrderSpec, k: int, out: str = "rn"
+) -> DataFrame:
+    """Exact global ranks 1..k for ANY k, choosing the strategy by k:
+    ``bounded_ranked_topk`` (TakeOrdered + O(k^2) broadcast recovery)
+    while k fits under its ceiling, else ``global_row_number`` + filter
+    (range-repartition + O(num_partitions) offsets — linear in the data,
+    no quadratic term). Both paths produce identical (row, rank) sets on
+    NULL-free keys; callers whose k scales with the data (SemDeDup's
+    cluster count, for one) must come through here, not the bounded
+    form."""
+    if k <= BOUNDED_TOPK_MAX_K:
+        return bounded_ranked_topk(df, order_specs, k, out=out)
+    keys_non_null = F.lit(True)
+    for name, _ in order_specs:
+        keys_non_null = keys_non_null & F.col(name).isNotNull()
+    ranked, _n = _global_rank(df.filter(keys_non_null), order_specs, out)
+    return ranked.filter(F.col(out) <= k)
 
 
 def seeded_split(

@@ -512,11 +512,14 @@ def semdedup_portable(
         .cast("double")
         .alias("nrm")
     )
-    # distributed TakeOrdered(k) + bounded self-join rank — no
-    # single-partition WindowExec in the centroid pick
-    from .relational import bounded_ranked_topk
+    # distributed rank for the centroid pick — no single-partition
+    # WindowExec either way: TakeOrdered + bounded self-join recovery for
+    # small k, global_row_number past the O(k^2) ceiling (k grows with
+    # the corpus here — 50k clusters for 5B LAION — so the bounded form's
+    # cap must never gate this operator)
+    from .relational import ranked_topk
 
-    cent = bounded_ranked_topk(
+    cent = ranked_topk(
         corpus.select(
             F.col(id_col).alias("cent_vid"),
             F.md5(F.col(id_col).cast("string")).alias("__r"),

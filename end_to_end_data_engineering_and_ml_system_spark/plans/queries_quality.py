@@ -1215,10 +1215,15 @@ def quality_classifier_auc(spark, sf_dir):
     ranked = global_row_number(
         z, [("zz", "asc"), ("doc_id", "asc")], out="rk"
     ).select("wl", "rk")
+    # rank sums in DECIMAL(38,0): a BIGINT rank sum wraps silently once
+    # n(n+1)/2 passes 2^63 (n ~ 4.3e9 rows — well inside 100-TB corpora);
+    # decimal stays exact to 1e38 and casts to the identical double below
     s = ranked.agg(
-        F.sum(F.when(F.col("wl") == 1, F.col("rk")).otherwise(0))
-        .cast("bigint")
-        .alias("pos_rank_sum"),
+        F.sum(
+            F.when(F.col("wl") == 1, F.col("rk"))
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        ).alias("pos_rank_sum"),
         F.sum("wl").cast("bigint").alias("n_pos"),
         F.sum(1 - F.col("wl")).cast("bigint").alias("n_neg"),
     )
@@ -1228,7 +1233,9 @@ def quality_classifier_auc(spark, sf_dir):
         (
             (
                 F.col("pos_rank_sum")
-                - F.col("n_pos") * (F.col("n_pos") + 1) / 2
+                - F.col("n_pos").cast("decimal(38,0)")
+                * (F.col("n_pos") + 1)
+                / 2
             ).cast("double")
             / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
         ).alias("auc"),
@@ -1286,7 +1293,17 @@ def quality_classifier_auc_distributed(spark, sf_dir):
     the final division runs in a Spark expression identical to
     ``quality_classifier_auc``'s, so the double is bit-identical.  No
     persist, no broadcast-back join: ONE materialization of the scored
-    corpus."""
+    corpus.
+
+    Overflow bounds: the global U is merged in arbitrary-precision Python
+    and shipped as DECIMAL(38,0) (exact past the BIGINT wrap at ~4.3e9
+    rows); the per-partition LONG partials are safe while
+    rows_per_partition * total_rows < 2^63 — size shuffle partitions
+    accordingly at extreme scale. Degenerate inputs: an empty corpus
+    returns the oracle's (NULL, NULL, NULL) row; a single-class corpus
+    divides by zero, which Spark surfaces as NULL auc (same behavior as
+    the sibling windowed-rank form; engines differ here — IEEE engines
+    return inf)."""
     docs = load_table(spark, sf_dir, "documents")
     counted = quality_feature_counts(docs)
     z = counted.select(
@@ -1310,23 +1327,32 @@ def quality_classifier_auc_distributed(spark, sf_dir):
         .collect(),
         key=lambda r: r["__pid"],
     )
+    if not parts:  # empty corpus: aggregates over zero rows are NULL —
+        # mirror the oracle's (NULL, NULL, NULL) row exactly
+        return spark.createDataFrame(
+            [(None, None, None)], "n_pos long, n_neg long, auc double"
+        )
     pos_rank_sum, n_pos, n_rows = 0, 0, 0
     for r in parts:  # exact integer merge of per-range U partials
         pos_rank_sum += int(r["pos_lrk_sum"]) + int(r["n_pos"]) * n_rows
         n_pos += int(r["n_pos"])
         n_rows += int(r["n_rows"])
+    # U computed in arbitrary-precision Python (the merge is driver-side
+    # anyway): a BIGINT U wraps at n ~ 4.3e9 rows; shipped to Spark as
+    # DECIMAL(38,0) so only the final double conversion rounds — the same
+    # one rounding CAST(... AS DOUBLE) performs in the oracle
+    from decimal import Decimal
+
+    u = pos_rank_sum - n_pos * (n_pos + 1) // 2
     s = spark.createDataFrame(
-        [(pos_rank_sum, n_pos, n_rows - n_pos)],
-        "pos_rank_sum long, n_pos long, n_neg long",
+        [(Decimal(u), n_pos, n_rows - n_pos)],
+        "u decimal(38,0), n_pos long, n_neg long",
     )
     return s.select(
         "n_pos",
         "n_neg",
         (
-            (
-                F.col("pos_rank_sum")
-                - F.col("n_pos") * (F.col("n_pos") + 1) / 2
-            ).cast("double")
+            F.col("u").cast("double")
             / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
         ).alias("auc"),
     )

@@ -82,7 +82,7 @@ def register(
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- round-9 additions: never driver-tested ---
     "quality_classifier_auc_distributed",
-    # --- changed-implementation reconfirmation (18) ---
+    # --- changed-implementation reconfirmation (17) ---
     "quality_classifier_auc",
     "token_zipf_fit",
     "pq_init_assignment_portable",
@@ -100,7 +100,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "token_coverage_curve",
     "mlp_ae_detect_loop",
     "part_copurchase_lift",
-    # --- evidence-freshness reconfirmation (31): latest row is round 2 ---
+    # --- evidence-freshness reconfirmation (32): latest row is round 2 ---
     # bench headliners first
     "anomaly_score_routing",
     "doc_jaccard_near_dups",

@@ -36,19 +36,47 @@ def _jvm_alive() -> bool:
     return False
 
 
+_SCRATCH_STALE_SECS = 24 * 3600  # no local session legitimately runs a day
+
+
+def _reap_scratch(now: float | None = None) -> None:
+    """Remove scratch debris left by killed sessions. Everything goes
+    when no JVM is alive; otherwise only entries untouched for
+    ``_SCRATCH_STALE_SECS`` (a live session's dirs are always younger).
+    Handles plain files too (``rmtree`` alone silently skips them).
+    Caveat: the liveness check scans THIS pid namespace — do not point
+    multiple containers at one shared /dev/shm scratch."""
+    import shutil
+    import time
+
+    if not os.path.isdir(_SCRATCH):
+        return
+    now = time.time() if now is None else now
+    reap_all = not _jvm_alive()
+    for entry in os.listdir(_SCRATCH):
+        path = os.path.join(_SCRATCH, entry)
+        try:
+            if not reap_all and now - os.path.getmtime(path) < _SCRATCH_STALE_SECS:
+                continue
+            if os.path.isdir(path) and not os.path.islink(path):
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                os.remove(path)
+        except OSError:
+            continue
+
+
 def _tmpfs_scratch() -> str | None:
     """RAM-backed shuffle scratch dir, or None to keep Spark's default.
-    Reaps debris from killed sessions (only when no JVM could still own
-    it) and refuses tmpfs when free space is low — shuffle spill must
-    never exhaust RAM just to dodge a slow disk."""
+    Reaps debris from killed sessions (see ``_reap_scratch``) and refuses
+    tmpfs when free space is low — shuffle spill must never exhaust RAM
+    just to dodge a slow disk."""
     try:
         if not os.access("/dev/shm", os.W_OK):
             return None
         import shutil
 
-        if os.path.isdir(_SCRATCH) and not _jvm_alive():
-            for entry in os.listdir(_SCRATCH):
-                shutil.rmtree(os.path.join(_SCRATCH, entry), ignore_errors=True)
+        _reap_scratch()
         if shutil.disk_usage("/dev/shm").free < _SCRATCH_MIN_FREE:
             return None
         os.makedirs(_SCRATCH, exist_ok=True)

@@ -70,3 +70,35 @@ def test_tmpfs_scratch_guard():
         assert S._tmpfs_scratch() is None
     finally:
         S._SCRATCH_MIN_FREE = orig
+
+
+def test_scratch_reaper_files_and_staleness(tmp_path, monkeypatch):
+    """The reaper must delete plain-file debris (rmtree alone skips it),
+    keep fresh entries while a JVM is alive, and reap stale ones."""
+    import os
+    import time
+
+    from end_to_end_data_engineering_and_ml_system_spark import session as S
+
+    scratch = tmp_path / "scratch"
+    scratch.mkdir()
+    monkeypatch.setattr(S, "_SCRATCH", str(scratch))
+    stale_dir = scratch / "blockmgr-dead"
+    stale_dir.mkdir()
+    (stale_dir / "shuffle.data").write_bytes(b"x")
+    stale_file = scratch / "stray.tmp"
+    stale_file.write_bytes(b"x")
+    fresh_dir = scratch / "blockmgr-live"
+    fresh_dir.mkdir()
+    old = time.time() - S._SCRATCH_STALE_SECS - 60
+    os.utime(stale_dir, (old, old))
+    os.utime(stale_file, (old, old))
+    # JVM alive: only stale entries go
+    monkeypatch.setattr(S, "_jvm_alive", lambda: True)
+    S._reap_scratch()
+    assert not stale_dir.exists() and not stale_file.exists()
+    assert fresh_dir.exists()
+    # no JVM: everything goes
+    monkeypatch.setattr(S, "_jvm_alive", lambda: False)
+    S._reap_scratch()
+    assert not fresh_dir.exists()

@@ -132,3 +132,39 @@ def test_mad_outlier_matches_numpy(spark):
     row = out[0]
     assert row["median_events"] == pytest.approx(med)
     assert row["mad"] == pytest.approx(mad)
+
+
+def test_auc_rank_sum_decimal_survives_long_overflow(spark):
+    """The AUC rank-sum aggregate must be exact past the BIGINT wrap
+    (n(n+1)/2 > 2^63 at n ~ 4.3e9 rows): DECIMAL(38,0) sums of two 2^62
+    ranks give exactly 2^63, where a long sum silently wraps negative."""
+    from pyspark.sql import functions as F
+
+    rows = [(1, 2**62), (1, 2**62), (0, 5)]
+    df = spark.createDataFrame(rows, "wl int, rk long")
+    dec = (
+        df.agg(
+            F.sum(
+                F.when(F.col("wl") == 1, F.col("rk"))
+                .otherwise(0)
+                .cast("decimal(38,0)")
+            ).alias("prs")
+        )
+        .collect()[0]["prs"]
+    )
+    assert int(dec) == 2**63
+    # the long path FAILS at this magnitude — ArithmeticException under
+    # ANSI (Spark 4 default), silent negative wrap otherwise; either way
+    # the decimal path is what makes the query survive ~4.3e9+ rows
+    try:
+        wrapped = (
+            df.agg(
+                F.sum(
+                    F.when(F.col("wl") == 1, F.col("rk")).otherwise(0)
+                ).alias("prs")
+            )
+            .collect()[0]["prs"]
+        )
+        assert wrapped < 0
+    except Exception:
+        pass  # overflow raised — the ANSI failure mode

@@ -443,3 +443,27 @@ def test_release_rank_caches_frees_tracked_persists(spark):
         not (h.storageLevel.useMemory or h.storageLevel.useDisk)
         for h in handles
     )
+
+
+def test_ranked_topk_paths_agree(spark, monkeypatch):
+    # the large-k path (global_row_number + filter) must produce the same
+    # (row, rank) set as the bounded O(k^2) path — forced by shrinking the
+    # ceiling so k=20 dispatches to the global-rank branch
+    from end_to_end_data_engineering_and_ml_system_spark.operators import (
+        relational as R,
+    )
+
+    df = (
+        spark.range(500)
+        .withColumn("v", (F.col("id") * 2654435761) % 997)
+        .repartition(5)
+    )
+    spec = [("v", "asc"), ("id", "asc")]
+    small = sorted(
+        R.ranked_topk(df, spec, 20, out="rn").select("id", "v", "rn").collect()
+    )
+    monkeypatch.setattr(R, "BOUNDED_TOPK_MAX_K", 10)
+    large = sorted(
+        R.ranked_topk(df, spec, 20, out="rn").select("id", "v", "rn").collect()
+    )
+    assert small == large and len(small) == 20

@@ -142,6 +142,13 @@ def build_snapshots() -> str:
             continue
         df = q.build(spark, SF_DIR)
         parts.append(f"## {name}\n\n```\n{normalize(formatted_plan(df))}```\n")
+        # build() eagerly materializes rank-family persists (offset
+        # collects); free them per query like every other harness
+        from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (  # noqa: E501
+            release_rank_caches,
+        )
+
+        release_rank_caches()
     # NOTE: the session is NOT stopped here — under pytest, getOrCreate
     # returns the suite's shared session and stopping it would kill it
     return "\n".join(parts)
