@@ -1242,8 +1242,33 @@ def quality_classifier_auc(spark, sf_dir):
     )
 
 
+_LONG_MAX = (1 << 63) - 1
+
+
+def _check_local_rank_partials(parts) -> None:
+    """Refuse partition sizes whose local-rank LONG sum could have wrapped.
+
+    ``pos_lrk_sum`` is a LONG sum of local ranks, bounded above by
+    n_i*(n_i+1)/2 for partition row count n_i. Counts are exact LONGs
+    (a COUNT cannot overflow below 2^63 rows per partition), so checking
+    them AFTER the collect soundly proves whether the already-computed
+    partial could have exceeded LONG range — non-ANSI Spark wraps
+    silently, and a wrapped partial would merge into a plausible-looking
+    but wrong AUC. Raises with sizing guidance instead."""
+    worst = max((int(r["n_rows"]) for r in parts), default=0)
+    if worst * (worst + 1) // 2 > _LONG_MAX:
+        raise ValueError(
+            "quality_classifier_auc_distributed: a range partition holds "
+            f"{worst} rows; its local rank sum can exceed LONG range "
+            "(n*(n+1)/2 >= 2^63) and may have silently wrapped. Raise "
+            "spark.sql.shuffle.partitions so every partition stays below "
+            "~4.29e9 rows."
+        )
+
+
 @register(
     "quality_classifier_auc_distributed",
+    bench=True,  # the 100-TB flagship statistic: exact AUC with no global rank
     oracle=f"""
         WITH c AS ({_SQL_QCOUNTS}),
         z AS (
@@ -1297,9 +1322,14 @@ def quality_classifier_auc_distributed(spark, sf_dir):
 
     Overflow bounds: the global U is merged in arbitrary-precision Python
     and shipped as DECIMAL(38,0) (exact past the BIGINT wrap at ~4.3e9
-    rows); the per-partition LONG partials are safe while
-    rows_per_partition * total_rows < 2^63 — size shuffle partitions
-    accordingly at extreme scale. Degenerate inputs: an empty corpus
+    rows); the per-partition LONG partial ``pos_lrk_sum`` is bounded by
+    n_i*(n_i+1)/2 for partition row count n_i, safe while n_i < ~4.29e9
+    rows per partition. That bound is ENFORCED after the partials
+    collect: partition counts (plain LONG counts, which cannot themselves
+    overflow) prove whether the summed partial could have wrapped, and
+    the merge raises with sizing guidance instead of returning a silently
+    wrong AUC (non-ANSI Spark wraps LONG sums without error).
+    Degenerate inputs: an empty corpus
     returns the oracle's (NULL, NULL, NULL) row; a single-class corpus
     divides by zero, which Spark surfaces as NULL auc (same behavior as
     the sibling windowed-rank form; engines differ here — IEEE engines
@@ -1332,6 +1362,7 @@ def quality_classifier_auc_distributed(spark, sf_dir):
         return spark.createDataFrame(
             [(None, None, None)], "n_pos long, n_neg long, auc double"
         )
+    _check_local_rank_partials(parts)
     pos_rank_sum, n_pos, n_rows = 0, 0, 0
     for r in parts:  # exact integer merge of per-range U partials
         pos_rank_sum += int(r["pos_lrk_sum"]) + int(r["n_pos"]) * n_rows

@@ -63,78 +63,77 @@ def register(
 
 # The correctness driver samples the FIRST 50 names in the dict returned by
 # ``__spark_entry__.queries()``. As of round 8 every registered name carries
-# driver evidence (297/297, zero unresolved failures across eight rounds), so
-# from round 9 on the window is pure RECONFIRMATION, filled by two documented
-# rules (each window name's reason lives in
+# driver evidence (298/298, zero unresolved failures across nine rounds), so
+# the window is pure RECONFIRMATION, filled by two documented rules (each
+# window name's reason lives in
 # tests/test_registry_order.py::RECONFIRMATION_SLOTS, which the guard test
 # enforces):
 #   1. changed-implementation — the name's driver row predates a material
-#      change to its plan (this round: the bounded_ranked_topk NULL-guard /
-#      persist-tracking / k-ceiling rework touches every caller, the AUC
-#      global-window retirement, the mlp id-type fix; plus the round-8-
-#      changed names that fell outside the round-8 window, per NOTES);
+#      change to its plan (this round: the distributed-AUC LONG-partial
+#      overflow guard);
 #   2. evidence-freshness — with coverage complete, the window re-proves the
-#      STALEST evidence first: these names' latest driver row is round 2,
-#      the oldest tier in the ledger (49 names; bench headliners first).
+#      STALEST evidence first: the 17 names whose latest driver row is
+#      round 2 (the tail of that tier left outside the round-9 window),
+#      then the round-3 tier (bench headliners first; the 18 round-3 names
+#      that don't fit are round-11's rotation candidates).
 # New queries registered mid-round go at the TOP (never driver-tested, so a
 # slot is never wasted on them) displacing freshness slots to keep the
 # 50-name window exact.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- round-9 additions: never driver-tested ---
+    # --- changed-implementation reconfirmation (1) ---
     "quality_classifier_auc_distributed",
-    # --- changed-implementation reconfirmation (17) ---
-    "quality_classifier_auc",
-    "token_zipf_fit",
-    "pq_init_assignment_portable",
-    "kmeans_init_assignment_portable",
-    "hybrid_rrf_retrieval",
-    "dense_retrieval_ndcg",
-    "embedding_matryoshka_prefix_recall",
-    "embedding_semdedup_kept",
-    "embedding_semdedup_threshold_sweep",
-    "revenue_pareto_deciles",
-    "customer_tier_migration",
-    "order_price_equidepth_histogram",
-    "corpus_pipeline_v3_perplexity",
-    "vocab_growth_heaps",
-    "token_coverage_curve",
-    "mlp_ae_detect_loop",
-    "part_copurchase_lift",
-    # --- evidence-freshness reconfirmation (32): latest row is round 2 ---
-    # bench headliners first
-    "anomaly_score_routing",
-    "doc_jaccard_near_dups",
-    "doc_lsh_candidates",
-    "doc_token_stats",
-    "documents_dedup_exact",
-    "embedding_ann_bruteforce",
-    "embedding_norms",
-    "events_window_counts",
-    "pricing_summary",
-    "revenue_by_nation",
-    "token_frequency_topk",
-    "top_orders_per_customer",
-    # then the rest of the round-2 tier
-    "anomaly_rate",
-    "approx_distinct_users",
-    "batched_model_inference",
-    "capped_sample_count",
-    "clean_null_counts",
-    "customer_order_gaps",
-    "customers_with_orders_semi",
-    "distinct_user_stats",
-    "doc_fingerprints",
-    "doc_language_id",
-    "doc_minhash_signatures",
-    "doc_quality_scores",
-    "doc_simhash",
-    "embedding_cosine_topk",
-    "embedding_lsh_candidates",
-    "event_type_label_map",
-    "event_type_pivot",
-    "events_clean_pipeline",
-    "events_enriched_by_customer",
-    "events_json_roundtrip",
+    # --- evidence-freshness (17): the rest of the round-2 tier ---
+    "events_props_extract",
+    "latest_events_topk",
+    "lineitem_cube",
+    "multimodal_payload_stats",
+    "orders_rollup_by_year",
+    "pca_reconstruction",
+    "scaler_fit_stats",
+    "score_stats",
+    "seeded_split_counts",
+    "serialized_model_scores",
+    "stream_dedup_within_watermark",
+    "stream_json_decode_counts",
+    "stream_window_counts",
+    "user_set_ops",
+    "value_histogram",
+    "value_percentiles_by_type",
+    "zscore_features_sample",
+    # --- evidence-freshness (32): round-3 tier, bench headliners first ---
+    "benchmark_contamination",
+    "cluster_aware_split_counts",
+    "corpus_pipeline_summary",
+    "doc_dedup_clusters",
+    "doc_lsh_verified_near_dups",
+    "etl_end_to_end",
+    "events_asof_latest_order",
+    "events_orders_range_join",
+    "stream_flow_scoring",
+    # then alphabetical through the rest of the round-3 tier
+    "corpus_near_dedup_kept",
+    "corpus_quality_filter",
+    "customer_spend_quartiles",
+    "customers_without_orders_anti",
+    "distinct_users_hll_rollup",
+    "doc_bpe_token_counts",
+    "doc_edit_distance_near_dups",
+    "doc_pii_redaction",
+    "doc_repetition_signals",
+    "doc_simhash_portable",
+    "doc_tfidf_topk",
+    "documents_dedup_keep_best",
+    "embedding_ivf_topk",
+    "embedding_ivf_topk_portable",
+    "embedding_label_centroids",
+    "embedding_near_dups",
+    "embedding_quantize_int8",
+    "embedding_random_projection_mse",
+    "event_funnel_counts",
+    "event_type_unpivot_roundtrip",
+    "events_dedup_time_window",
+    "events_resample_locf",
+    "events_sliding_window",
 )
 
 

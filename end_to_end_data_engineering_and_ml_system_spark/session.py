@@ -17,46 +17,46 @@ DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 _SCRATCH = "/dev/shm/spark-scratch"
 _SCRATCH_MIN_FREE = 16 * 2**30  # below this, shuffle spill on RAM is a hazard
+_OWNER_PREFIX = "owner-"  # per-session subdir: owner-<pid>
+_UNOWNED_GRACE_SECS = 3600  # unrecognized entries get an hour before reaping
 
 
-def _jvm_alive() -> bool:
-    """Best-effort: is any java process running? (Linux /proc scan.)"""
-    try:
-        for pid in os.listdir("/proc"):
-            if not pid.isdigit():
-                continue
-            try:
-                with open(f"/proc/{pid}/comm") as fh:
-                    if fh.read().strip() == "java":
-                        return True
-            except OSError:
-                continue
-    except OSError:
-        return True  # can't tell — assume alive, skip cleanup
-    return False
-
-
-_SCRATCH_STALE_SECS = 24 * 3600  # no local session legitimately runs a day
+def _pid_alive(pid: int) -> bool:
+    """Is ``pid`` a live process in THIS pid namespace? Existence of
+    /proc/<pid> is the test — conservative under pid reuse (a recycled
+    pid keeps a dead session's dir alive until the recycler exits; it is
+    reaped on the next session start after that, never prematurely)."""
+    return os.path.isdir(f"/proc/{pid}")
 
 
 def _reap_scratch(now: float | None = None) -> None:
-    """Remove scratch debris left by killed sessions. Everything goes
-    when no JVM is alive; otherwise only entries untouched for
-    ``_SCRATCH_STALE_SECS`` (a live session's dirs are always younger).
-    Handles plain files too (``rmtree`` alone silently skips them).
-    Caveat: the liveness check scans THIS pid namespace — do not point
-    multiple containers at one shared /dev/shm scratch."""
+    """Remove scratch debris left by killed sessions.
+
+    Ownership is by construction, not heuristics: every session writes
+    its shuffle data under ``owner-<pid>``, so an entry is reaped iff its
+    owner pid is provably dead (``/proc/<pid>`` gone). This replaces two
+    broken heuristics: a 24h top-level-mtime staleness test (Spark's
+    blockmgr subdirs stop touching the top-level mtime, so a >24h LIVE
+    session read as stale) and an any-java-process liveness scan (TOCTOU:
+    a concurrent session whose JVM hadn't exec'd yet read as "no JVM" and
+    its fresh scratch got wiped). Entries not matching the owner scheme
+    (stray files, pre-scheme debris) only fall after a one-hour grace so
+    a mid-creation race can never delete live data. Handles plain files
+    too (``rmtree`` alone silently skips them). Caveat: /proc is THIS pid
+    namespace — do not point multiple containers at one shared scratch."""
     import shutil
     import time
 
     if not os.path.isdir(_SCRATCH):
         return
     now = time.time() if now is None else now
-    reap_all = not _jvm_alive()
     for entry in os.listdir(_SCRATCH):
         path = os.path.join(_SCRATCH, entry)
         try:
-            if not reap_all and now - os.path.getmtime(path) < _SCRATCH_STALE_SECS:
+            if entry.startswith(_OWNER_PREFIX) and entry[len(_OWNER_PREFIX):].isdigit():
+                if _pid_alive(int(entry[len(_OWNER_PREFIX):])):
+                    continue
+            elif now - os.path.getmtime(path) < _UNOWNED_GRACE_SECS:
                 continue
             if os.path.isdir(path) and not os.path.islink(path):
                 shutil.rmtree(path, ignore_errors=True)
@@ -66,11 +66,27 @@ def _reap_scratch(now: float | None = None) -> None:
             continue
 
 
+def scratch_headroom_ok() -> bool:
+    """Runtime low-water check for the tmpfs scratch. Session creation
+    refuses tmpfs when /dev/shm free space is already low, but a long
+    shuffle-heavy run can cross the line mid-session — harnesses
+    (bench.py, the gate) call this between queries and flag the run when
+    it trips. True when tmpfs scratch is not in use or has headroom."""
+    try:
+        if not os.path.isdir(_SCRATCH):
+            return True
+        import shutil
+
+        return shutil.disk_usage("/dev/shm").free >= _SCRATCH_MIN_FREE
+    except OSError:
+        return True
+
+
 def _tmpfs_scratch() -> str | None:
-    """RAM-backed shuffle scratch dir, or None to keep Spark's default.
-    Reaps debris from killed sessions (see ``_reap_scratch``) and refuses
-    tmpfs when free space is low — shuffle spill must never exhaust RAM
-    just to dodge a slow disk."""
+    """Per-session RAM-backed shuffle scratch dir (``owner-<pid>``), or
+    None to keep Spark's default. Reaps dead sessions' debris (see
+    ``_reap_scratch``) and refuses tmpfs when free space is low — shuffle
+    spill must never exhaust RAM just to dodge a slow disk."""
     try:
         if not os.access("/dev/shm", os.W_OK):
             return None
@@ -79,8 +95,9 @@ def _tmpfs_scratch() -> str | None:
         _reap_scratch()
         if shutil.disk_usage("/dev/shm").free < _SCRATCH_MIN_FREE:
             return None
-        os.makedirs(_SCRATCH, exist_ok=True)
-        return _SCRATCH
+        mine = os.path.join(_SCRATCH, f"{_OWNER_PREFIX}{os.getpid()}")
+        os.makedirs(mine, exist_ok=True)
+        return mine
     except OSError:
         return None
 

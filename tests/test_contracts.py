@@ -72,9 +72,12 @@ def test_tmpfs_scratch_guard():
         S._SCRATCH_MIN_FREE = orig
 
 
-def test_scratch_reaper_files_and_staleness(tmp_path, monkeypatch):
-    """The reaper must delete plain-file debris (rmtree alone skips it),
-    keep fresh entries while a JVM is alive, and reap stale ones."""
+def test_scratch_reaper_pid_ownership(tmp_path, monkeypatch):
+    """Reaping is by owner-pid liveness, not mtime heuristics: a live
+    owner's dir survives regardless of age (a >24h session must never be
+    reaped mid-run); a dead owner's dir goes immediately even while other
+    JVMs run (no any-java liveness scan); unowned debris falls only after
+    the grace window (plain files too — rmtree alone skips them)."""
     import os
     import time
 
@@ -83,22 +86,44 @@ def test_scratch_reaper_files_and_staleness(tmp_path, monkeypatch):
     scratch = tmp_path / "scratch"
     scratch.mkdir()
     monkeypatch.setattr(S, "_SCRATCH", str(scratch))
-    stale_dir = scratch / "blockmgr-dead"
-    stale_dir.mkdir()
-    (stale_dir / "shuffle.data").write_bytes(b"x")
-    stale_file = scratch / "stray.tmp"
-    stale_file.write_bytes(b"x")
-    fresh_dir = scratch / "blockmgr-live"
-    fresh_dir.mkdir()
-    old = time.time() - S._SCRATCH_STALE_SECS - 60
-    os.utime(stale_dir, (old, old))
-    os.utime(stale_file, (old, old))
-    # JVM alive: only stale entries go
-    monkeypatch.setattr(S, "_jvm_alive", lambda: True)
+    ancient = time.time() - 8 * 24 * 3600  # one week stale by mtime
+
+    live = scratch / f"owner-{os.getpid()}"  # this test process = live owner
+    live.mkdir()
+    (live / "shuffle.data").write_bytes(b"x")
+    os.utime(live, (ancient, ancient))  # even a week-old LIVE session stays
+
+    dead_pid = 4_000_000  # beyond any default pid_max in this container
+    assert not os.path.isdir(f"/proc/{dead_pid}")
+    dead = scratch / f"owner-{dead_pid}"
+    dead.mkdir()
+    (dead / "shuffle.data").write_bytes(b"x")
+
+    old_file = scratch / "stray.tmp"
+    old_file.write_bytes(b"x")
+    os.utime(old_file, (ancient, ancient))
+    fresh_unowned = scratch / "mid-creation"  # a racing session's moment-old dir
+    fresh_unowned.mkdir()
+
     S._reap_scratch()
-    assert not stale_dir.exists() and not stale_file.exists()
-    assert fresh_dir.exists()
-    # no JVM: everything goes
-    monkeypatch.setattr(S, "_jvm_alive", lambda: False)
+    assert live.exists(), "live owner's scratch must never be reaped"
+    assert not dead.exists(), "dead owner's scratch goes immediately"
+    assert not old_file.exists(), "aged plain-file debris goes"
+    assert fresh_unowned.exists(), "grace window protects mid-creation races"
+    # after the grace window, unowned debris falls too
+    os.utime(fresh_unowned, (ancient, ancient))
     S._reap_scratch()
-    assert not fresh_dir.exists()
+    assert not fresh_unowned.exists()
+
+
+def test_tmpfs_scratch_is_per_pid_and_headroom_check():
+    """_tmpfs_scratch returns a per-session owner dir (ownership by
+    construction) and scratch_headroom_ok never raises."""
+    import os
+
+    from end_to_end_data_engineering_and_ml_system_spark import session as S
+
+    p = S._tmpfs_scratch()
+    if p is not None:
+        assert os.path.basename(p) == f"owner-{os.getpid()}"
+    assert S.scratch_headroom_ok() in (True, False)

@@ -155,7 +155,10 @@ def test_auc_rank_sum_decimal_survives_long_overflow(spark):
     assert int(dec) == 2**63
     # the long path FAILS at this magnitude — ArithmeticException under
     # ANSI (Spark 4 default), silent negative wrap otherwise; either way
-    # the decimal path is what makes the query survive ~4.3e9+ rows
+    # the decimal path is what makes the query survive ~4.3e9+ rows.
+    # Collect inside the try, assert OUTSIDE it: an except that swallowed
+    # the AssertionError made the wrap half of this test vacuous.
+    wrapped = None
     try:
         wrapped = (
             df.agg(
@@ -165,6 +168,24 @@ def test_auc_rank_sum_decimal_survives_long_overflow(spark):
             )
             .collect()[0]["prs"]
         )
-        assert wrapped < 0
     except Exception:
         pass  # overflow raised — the ANSI failure mode
+    if wrapped is not None:  # non-ANSI: must have wrapped negative
+        assert wrapped < 0
+
+
+def test_auc_distributed_partial_guard():
+    """_check_local_rank_partials raises once a partition's row count
+    could wrap the LONG local-rank sum, and stays silent below the bound
+    (the runtime guard behind queries_quality.quality_classifier_auc_
+    distributed's 100-TB claim)."""
+    from end_to_end_data_engineering_and_ml_system_spark.plans.queries_quality import (  # noqa: E501
+        _check_local_rank_partials,
+    )
+
+    ok = 4_294_967_294  # n(n+1)/2 just below 2^63
+    bad = 4_294_967_296  # n(n+1)/2 just above 2^63
+    _check_local_rank_partials([])  # empty corpus: no-op
+    _check_local_rank_partials([{"n_rows": 1000}, {"n_rows": ok}])
+    with pytest.raises(ValueError, match="shuffle.partitions"):
+        _check_local_rank_partials([{"n_rows": 1000}, {"n_rows": bad}])
