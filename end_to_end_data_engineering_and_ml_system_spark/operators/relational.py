@@ -18,6 +18,7 @@ sort+head (streamlit_dashboard.py:93-101,217-231).
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -81,27 +82,46 @@ def _sort_cols(order_specs: OrderSpec) -> list[Column]:
 # Harnesses that build many queries per session (bench.py, the gate tools,
 # the determinism suite) call ``release_rank_caches()`` between queries,
 # after each output has materialized.
-_PERSISTED_HANDLES: list[DataFrame] = []
+#
+# Tracking is PER THREAD behind a lock: the thread is the unit of query
+# interleaving, so a concurrent consumer (another harness thread building
+# query B while query A's output is not yet materialized) can no longer
+# have its range-shuffle cache flushed early by A's release — early
+# unpersist forces recomputation with re-sampled range boundaries, which
+# silently yields wrong ranks. Handles a thread abandons without releasing
+# are swept by ``release_rank_caches(all_threads=True)`` at session
+# teardown (the DataFrame handles themselves are tiny; the executor blocks
+# are what must be freed).
+_HANDLES_LOCK = threading.Lock()
+_PERSISTED_HANDLES: dict[int, list[DataFrame]] = {}
 
 
 def _track_persist(df: DataFrame) -> DataFrame:
     df.persist()
-    _PERSISTED_HANDLES.append(df)
+    with _HANDLES_LOCK:
+        _PERSISTED_HANDLES.setdefault(threading.get_ident(), []).append(df)
     return df
 
 
-def release_rank_caches(blocking: bool = False) -> int:
+def release_rank_caches(blocking: bool = False, all_threads: bool = False) -> int:
     """Unpersist every intermediate cached by ``_ranged_by`` /
-    ``bounded_ranked_topk`` since the last call. Safe only AFTER the
-    queries built from them have materialized their output (unpersisting
-    earlier forces the output job to recompute the range shuffle, whose
-    sampled boundaries are not guaranteed to reproduce). Returns the
-    number of handles released. ``blocking=True`` waits for the executor-
-    side block removal — use inside timing harnesses so async cleanup
-    from one pass can't bleed into the next pass's measured window."""
+    ``bounded_ranked_topk`` on THIS thread since the last call (pass
+    ``all_threads=True`` only at session teardown, when no query can
+    still be in flight anywhere). Safe only AFTER the queries built from
+    them have materialized their output (unpersisting earlier forces the
+    output job to recompute the range shuffle, whose sampled boundaries
+    are not guaranteed to reproduce). Returns the number of handles
+    released. ``blocking=True`` waits for the executor-side block
+    removal — use inside timing harnesses so async cleanup from one pass
+    can't bleed into the next pass's measured window."""
+    with _HANDLES_LOCK:
+        if all_threads:
+            drained = [d for lst in _PERSISTED_HANDLES.values() for d in lst]
+            _PERSISTED_HANDLES.clear()
+        else:
+            drained = _PERSISTED_HANDLES.pop(threading.get_ident(), [])
     n = 0
-    while _PERSISTED_HANDLES:
-        df = _PERSISTED_HANDLES.pop()
+    for df in drained:
         try:
             df.unpersist(blocking=blocking)
             n += 1
@@ -257,8 +277,42 @@ def global_running_sum(
 BOUNDED_TOPK_MAX_K = 10_000
 
 
+def _non_null_keys(order_specs: OrderSpec) -> Column:
+    cond = F.lit(True)
+    for name, _ in order_specs:
+        cond = cond & F.col(name).isNotNull()
+    return cond
+
+
+def _enforce_null_policy(
+    df: DataFrame, order_specs: OrderSpec, on_null: str, caller: str
+) -> DataFrame:
+    """Shared NULL-order-key policy for the rank family. ``"drop"``
+    silently excludes NULL-key rows (the documented default); ``"strict"``
+    spends one extra count job to RAISE when any exist, so a data-quality
+    problem upstream of rankers like RRF/nDCG can't shrink the result set
+    unnoticed. Returns the NULL-free frame."""
+    if on_null not in ("drop", "strict"):
+        raise ValueError(f"{caller}: on_null must be 'drop' or 'strict'")
+    if on_null == "strict":
+        n_bad = df.filter(~_non_null_keys(order_specs)).count()
+        if n_bad:
+            cols = [name for name, _ in order_specs]
+            raise ValueError(
+                f"{caller}: {n_bad} rows hold NULL in an order column "
+                f"{cols} and would be silently dropped from the ranking "
+                "(on_null='strict'); clean the keys upstream or rank with "
+                "on_null='drop'"
+            )
+    return df.filter(_non_null_keys(order_specs))
+
+
 def bounded_ranked_topk(
-    df: DataFrame, order_specs: OrderSpec, k: int, out: str = "rn"
+    df: DataFrame,
+    order_specs: OrderSpec,
+    k: int,
+    out: str = "rn",
+    on_null: str = "drop",
 ) -> DataFrame:
     """Top-``k`` rows with exact global rank values 1..k, warning-free.
 
@@ -274,7 +328,9 @@ def bounded_ranked_topk(
     order column are EXCLUDED before ranking (the lexicographic
     strictly-before predicate is NULL-unsafe — a NULL key would silently
     take rank 1). On NULL-free keys ranks equal ``row_number`` over the
-    same global order.
+    same global order. ``on_null="strict"`` raises instead of dropping
+    (one extra count job) — opt in where fewer-than-k results must mean
+    "small input", never "dirty keys".
 
     The k-row top set is PERSISTED before the self-join: both join
     branches reference it, and without the cache each branch re-executes
@@ -287,10 +343,8 @@ def bounded_ranked_topk(
             f"{BOUNDED_TOPK_MAX_K} (O(k^2) rank recovery); use "
             "global_row_number for large-k global ranks"
         )
-    keys_non_null = F.lit(True)
-    for name, _ in order_specs:
-        keys_non_null = keys_non_null & F.col(name).isNotNull()
-    top = df.filter(keys_non_null).orderBy(*_sort_cols(order_specs)).limit(k)
+    clean = _enforce_null_policy(df, order_specs, on_null, "bounded_ranked_topk")
+    top = clean.orderBy(*_sort_cols(order_specs)).limit(k)
     _track_persist(top)
     a, b = top.alias("__rk_a"), top.alias("__rk_b")
     before = F.lit(False)
@@ -313,7 +367,11 @@ def bounded_ranked_topk(
 
 
 def ranked_topk(
-    df: DataFrame, order_specs: OrderSpec, k: int, out: str = "rn"
+    df: DataFrame,
+    order_specs: OrderSpec,
+    k: int,
+    out: str = "rn",
+    on_null: str = "drop",
 ) -> DataFrame:
     """Exact global ranks 1..k for ANY k, choosing the strategy by k:
     ``bounded_ranked_topk`` (TakeOrdered + O(k^2) broadcast recovery)
@@ -322,13 +380,12 @@ def ranked_topk(
     no quadratic term). Both paths produce identical (row, rank) sets on
     NULL-free keys; callers whose k scales with the data (SemDeDup's
     cluster count, for one) must come through here, not the bounded
-    form."""
+    form. NULL-order-key rows are dropped (``on_null="strict"`` raises
+    instead — see ``bounded_ranked_topk``)."""
     if k <= BOUNDED_TOPK_MAX_K:
-        return bounded_ranked_topk(df, order_specs, k, out=out)
-    keys_non_null = F.lit(True)
-    for name, _ in order_specs:
-        keys_non_null = keys_non_null & F.col(name).isNotNull()
-    ranked, _n = _global_rank(df.filter(keys_non_null), order_specs, out)
+        return bounded_ranked_topk(df, order_specs, k, out=out, on_null=on_null)
+    clean = _enforce_null_policy(df, order_specs, on_null, "ranked_topk")
+    ranked, _n = _global_rank(clean, order_specs, out)
     return ranked.filter(F.col(out) <= k)
 
 

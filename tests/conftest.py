@@ -30,4 +30,7 @@ def _free_rank_caches():
         release_rank_caches,
     )
 
-    release_rank_caches()
+    # all_threads: tests that exercise rank builds on worker threads must
+    # not leak their handles past the test (no query is in flight between
+    # tests, so the teardown sweep is safe here)
+    release_rank_caches(all_threads=True)

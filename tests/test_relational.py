@@ -425,6 +425,8 @@ def test_bounded_ranked_topk_k_ceiling(spark):
 
 
 def test_release_rank_caches_frees_tracked_persists(spark):
+    import threading
+
     from end_to_end_data_engineering_and_ml_system_spark.operators import (
         relational as R,
     )
@@ -433,16 +435,85 @@ def test_release_rank_caches_frees_tracked_persists(spark):
     df = spark.range(100).withColumn("v", F.col("id") % 7)
     out = R.global_row_number(df, [("v", "asc"), ("id", "asc")])
     out.count()  # materialize while the range cache is live
-    assert len(R._PERSISTED_HANDLES) >= 1
-    handles = list(R._PERSISTED_HANDLES)
+    mine = R._PERSISTED_HANDLES.get(threading.get_ident(), [])
+    assert len(mine) >= 1
+    handles = list(mine)
     assert all(h.storageLevel.useMemory or h.storageLevel.useDisk for h in handles)
     freed = R.release_rank_caches()
     assert freed == len(handles)
-    assert not R._PERSISTED_HANDLES
+    assert threading.get_ident() not in R._PERSISTED_HANDLES
     assert all(
         not (h.storageLevel.useMemory or h.storageLevel.useDisk)
         for h in handles
     )
+
+
+def test_release_rank_caches_is_thread_scoped(spark):
+    """A release on one thread must not flush another thread's live
+    range-shuffle cache (early unpersist recomputes the range shuffle
+    with re-sampled boundaries → silently wrong ranks). all_threads=True
+    remains the teardown sweep."""
+    import threading
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators import (
+        relational as R,
+    )
+
+    R.release_rank_caches(all_threads=True)  # start clean
+    df = spark.range(50).withColumn("v", F.col("id") % 5)
+    other_handles = []
+
+    def build_on_other_thread():
+        out = R.global_row_number(df, [("v", "asc"), ("id", "asc")])
+        out.count()
+        other_handles.extend(
+            R._PERSISTED_HANDLES.get(threading.get_ident(), [])
+        )
+
+    t = threading.Thread(target=build_on_other_thread)
+    t.start()
+    t.join()
+    assert other_handles, "other thread tracked at least one handle"
+    # main thread's release must NOT touch the other thread's handles
+    assert R.release_rank_caches() == 0
+    assert all(
+        h.storageLevel.useMemory or h.storageLevel.useDisk
+        for h in other_handles
+    )
+    # the teardown sweep frees them
+    assert R.release_rank_caches(all_threads=True) == len(other_handles)
+    assert all(
+        not (h.storageLevel.useMemory or h.storageLevel.useDisk)
+        for h in other_handles
+    )
+
+
+def test_ranked_topk_strict_null_policy(spark):
+    """on_null='strict' raises (with the dropped-row count) instead of
+    silently shrinking the result set; the NULL-free case is unaffected;
+    both dispatch paths enforce it."""
+    import pytest as _pytest
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators import (
+        relational as R,
+    )
+
+    rows = [(1, 0.9), (2, None), (3, 0.7), (4, None), (5, 0.8)]
+    df = spark.createDataFrame(rows, "id long, score double")
+    spec = [("score", "desc"), ("id", "asc")]
+    with _pytest.raises(ValueError, match="2 rows hold NULL"):
+        R.bounded_ranked_topk(df, spec, 10, on_null="strict")
+    with _pytest.raises(ValueError, match="rows hold NULL"):
+        R.ranked_topk(df, spec, R.BOUNDED_TOPK_MAX_K + 5, on_null="strict")
+    with _pytest.raises(ValueError, match="on_null"):
+        R.bounded_ranked_topk(df, spec, 10, on_null="typo")
+    clean = df.filter(F.col("score").isNotNull())
+    got = sorted(
+        R.bounded_ranked_topk(clean, spec, 10, on_null="strict")
+        .select("id", "rn")
+        .collect()
+    )
+    assert got == [(1, 1), (3, 3), (5, 2)]
 
 
 def test_ranked_topk_paths_agree(spark, monkeypatch):
