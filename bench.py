@@ -94,7 +94,7 @@ def main() -> None:
             release_rank_caches(blocking=True)
         timings[name] = round(min(walls), 4)
         medians[name] = round(statistics.median(walls), 4)
-        if not scratch_low_water and not scratch_headroom_ok():
+        if not scratch_low_water and not scratch_headroom_ok(spark):
             scratch_low_water = True  # tmpfs shuffle scratch crossed low-water
             print(f"# scratch low-water tripped after {name}", file=sys.stderr)
         print(

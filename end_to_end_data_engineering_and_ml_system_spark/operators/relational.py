@@ -88,18 +88,22 @@ def _sort_cols(order_specs: OrderSpec) -> list[Column]:
 # query B while query A's output is not yet materialized) can no longer
 # have its range-shuffle cache flushed early by A's release — early
 # unpersist forces recomputation with re-sampled range boundaries, which
-# silently yields wrong ranks. Handles a thread abandons without releasing
-# are swept by ``release_rank_caches(all_threads=True)`` at session
-# teardown (the DataFrame handles themselves are tiny; the executor blocks
-# are what must be freed).
+# silently yields wrong ranks. Entries key on the Thread OBJECT, not
+# ``get_ident()`` — CPython recycles idents after a thread exits, and a
+# recycled ident would let a new worker drain a dead thread's entries
+# whose outputs another thread may not have materialized yet. Handles a
+# thread abandons without releasing are swept by
+# ``release_rank_caches(all_threads=True)`` at session teardown (the
+# DataFrame handles themselves are tiny; the executor blocks are what
+# must be freed).
 _HANDLES_LOCK = threading.Lock()
-_PERSISTED_HANDLES: dict[int, list[DataFrame]] = {}
+_PERSISTED_HANDLES: list[tuple[threading.Thread, DataFrame]] = []
 
 
 def _track_persist(df: DataFrame) -> DataFrame:
     df.persist()
     with _HANDLES_LOCK:
-        _PERSISTED_HANDLES.setdefault(threading.get_ident(), []).append(df)
+        _PERSISTED_HANDLES.append((threading.current_thread(), df))
     return df
 
 
@@ -114,12 +118,16 @@ def release_rank_caches(blocking: bool = False, all_threads: bool = False) -> in
     released. ``blocking=True`` waits for the executor-side block
     removal — use inside timing harnesses so async cleanup from one pass
     can't bleed into the next pass's measured window."""
+    me = threading.current_thread()
     with _HANDLES_LOCK:
         if all_threads:
-            drained = [d for lst in _PERSISTED_HANDLES.values() for d in lst]
+            drained = [df for _, df in _PERSISTED_HANDLES]
             _PERSISTED_HANDLES.clear()
         else:
-            drained = _PERSISTED_HANDLES.pop(threading.get_ident(), [])
+            drained = [df for t, df in _PERSISTED_HANDLES if t is me]
+            _PERSISTED_HANDLES[:] = [
+                e for e in _PERSISTED_HANDLES if e[0] is not me
+            ]
     n = 0
     for df in drained:
         try:

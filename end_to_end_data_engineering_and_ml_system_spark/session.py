@@ -29,6 +29,28 @@ def _pid_alive(pid: int) -> bool:
     return os.path.isdir(f"/proc/{pid}")
 
 
+def _any_java_alive() -> bool:
+    """Is any java process running? Used ONLY as a transitional extra
+    condition for UNOWNED scratch entries (written by pre-owner-scheme
+    sessions straight under the scratch root): such an entry could belong
+    to a still-live old session, so it is reaped only when aged past the
+    grace window AND no JVM exists that could own it. Owner-<pid> entries
+    never consult this — their liveness is exact."""
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as fh:
+                    if fh.read().strip() == "java":
+                        return True
+            except OSError:
+                continue
+    except OSError:
+        return True  # can't tell — assume alive, skip cleanup
+    return False
+
+
 def _reap_scratch(now: float | None = None) -> None:
     """Remove scratch debris left by killed sessions.
 
@@ -40,8 +62,10 @@ def _reap_scratch(now: float | None = None) -> None:
     session read as stale) and an any-java-process liveness scan (TOCTOU:
     a concurrent session whose JVM hadn't exec'd yet read as "no JVM" and
     its fresh scratch got wiped). Entries not matching the owner scheme
-    (stray files, pre-scheme debris) only fall after a one-hour grace so
-    a mid-creation race can never delete live data. Handles plain files
+    (stray files, pre-scheme debris — possibly a LIVE old-code session's
+    blockmgr dirs) fall only when BOTH aged past a one-hour grace AND no
+    java process exists that could own them, so neither a mid-creation
+    race nor a rolling upgrade can delete live data. Handles plain files
     too (``rmtree`` alone silently skips them). Caveat: /proc is THIS pid
     namespace — do not point multiple containers at one shared scratch."""
     import shutil
@@ -50,14 +74,22 @@ def _reap_scratch(now: float | None = None) -> None:
     if not os.path.isdir(_SCRATCH):
         return
     now = time.time() if now is None else now
+    java_alive: bool | None = None  # lazy: scan /proc at most once
     for entry in os.listdir(_SCRATCH):
         path = os.path.join(_SCRATCH, entry)
         try:
             if entry.startswith(_OWNER_PREFIX) and entry[len(_OWNER_PREFIX):].isdigit():
                 if _pid_alive(int(entry[len(_OWNER_PREFIX):])):
                     continue
-            elif now - os.path.getmtime(path) < _UNOWNED_GRACE_SECS:
-                continue
+            else:
+                # unowned: could be a LIVE pre-owner-scheme session's
+                # blockmgr dir — require age past grace AND no JVM at all
+                if now - os.path.getmtime(path) < _UNOWNED_GRACE_SECS:
+                    continue
+                if java_alive is None:
+                    java_alive = _any_java_alive()
+                if java_alive:
+                    continue
             if os.path.isdir(path) and not os.path.islink(path):
                 shutil.rmtree(path, ignore_errors=True)
             else:
@@ -66,14 +98,25 @@ def _reap_scratch(now: float | None = None) -> None:
             continue
 
 
-def scratch_headroom_ok() -> bool:
+def scratch_headroom_ok(spark: SparkSession | None = None) -> bool:
     """Runtime low-water check for the tmpfs scratch. Session creation
     refuses tmpfs when /dev/shm free space is already low, but a long
     shuffle-heavy run can cross the line mid-session — harnesses
     (bench.py, the gate) call this between queries and flag the run when
-    it trips. True when tmpfs scratch is not in use or has headroom."""
+    it trips. True when tmpfs scratch is not in use or has headroom.
+    Pass the session so the check is scoped to whether THAT session's
+    ``spark.local.dir`` actually sits on the tmpfs scratch — a session
+    that was refused tmpfs (or overrode spark.local.dir) shuffles on
+    disk, and a full /dev/shm then says nothing about its run."""
     try:
-        if not os.path.isdir(_SCRATCH):
+        if spark is not None:
+            try:
+                local_dir = spark.conf.get("spark.local.dir", "")
+            except Exception:
+                local_dir = ""
+            if not (local_dir or "").startswith(_SCRATCH):
+                return True
+        elif not os.path.isdir(_SCRATCH):
             return True
         import shutil
 
@@ -128,9 +171,10 @@ def get_spark(
     # (measured 10-15% on the shuffle-heavy dedup family; NOTES round 9),
     # while /dev/shm is RAM-backed. Real clusters manage spark.local.dir
     # themselves — env/explicit conf always wins here. Safety: a killed
-    # session can't clean its scratch, and tmpfs debris is RAM — so reap
-    # leftovers when no JVM is alive, and fall back to the disk default
-    # when tmpfs free space is low.
+    # session can't clean its scratch, and tmpfs debris is RAM — each
+    # session owns an owner-<pid> subdir whose liveness /proc proves
+    # (_reap_scratch reaps provably-dead owners' dirs on session start),
+    # and tmpfs is refused when free space is low.
     if (
         "SPARK_LOCAL_DIRS" not in os.environ
         and "spark.local.dir" not in (extra_conf or {})

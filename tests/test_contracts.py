@@ -93,7 +93,12 @@ def test_scratch_reaper_pid_ownership(tmp_path, monkeypatch):
     (live / "shuffle.data").write_bytes(b"x")
     os.utime(live, (ancient, ancient))  # even a week-old LIVE session stays
 
-    dead_pid = 4_000_000  # beyond any default pid_max in this container
+    # a provably-dead pid: fork a child, reap it (its /proc entry is gone;
+    # a hardcoded large pid is NOT beyond pid_max on 64-bit systemd hosts)
+    dead_pid = os.fork()
+    if dead_pid == 0:
+        os._exit(0)
+    os.waitpid(dead_pid, 0)
     assert not os.path.isdir(f"/proc/{dead_pid}")
     dead = scratch / f"owner-{dead_pid}"
     dead.mkdir()
@@ -105,9 +110,18 @@ def test_scratch_reaper_pid_ownership(tmp_path, monkeypatch):
     fresh_unowned = scratch / "mid-creation"  # a racing session's moment-old dir
     fresh_unowned.mkdir()
 
+    # while ANY JVM lives, unowned entries are kept regardless of age (a
+    # pre-owner-scheme session could still be using them) — but a dead
+    # OWNER's dir goes: its liveness is exact
+    monkeypatch.setattr(S, "_any_java_alive", lambda: True)
     S._reap_scratch()
     assert live.exists(), "live owner's scratch must never be reaped"
     assert not dead.exists(), "dead owner's scratch goes immediately"
+    assert old_file.exists(), "unowned survives while a JVM is alive"
+
+    monkeypatch.setattr(S, "_any_java_alive", lambda: False)
+    S._reap_scratch()
+    assert live.exists(), "owner liveness is exact, not JVM-scan-based"
     assert not old_file.exists(), "aged plain-file debris goes"
     assert fresh_unowned.exists(), "grace window protects mid-creation races"
     # after the grace window, unowned debris falls too

@@ -435,13 +435,13 @@ def test_release_rank_caches_frees_tracked_persists(spark):
     df = spark.range(100).withColumn("v", F.col("id") % 7)
     out = R.global_row_number(df, [("v", "asc"), ("id", "asc")])
     out.count()  # materialize while the range cache is live
-    mine = R._PERSISTED_HANDLES.get(threading.get_ident(), [])
-    assert len(mine) >= 1
-    handles = list(mine)
+    me = threading.current_thread()
+    handles = [h for t, h in R._PERSISTED_HANDLES if t is me]
+    assert len(handles) >= 1
     assert all(h.storageLevel.useMemory or h.storageLevel.useDisk for h in handles)
     freed = R.release_rank_caches()
     assert freed == len(handles)
-    assert threading.get_ident() not in R._PERSISTED_HANDLES
+    assert not any(t is me for t, _ in R._PERSISTED_HANDLES)
     assert all(
         not (h.storageLevel.useMemory or h.storageLevel.useDisk)
         for h in handles
@@ -466,8 +466,9 @@ def test_release_rank_caches_is_thread_scoped(spark):
     def build_on_other_thread():
         out = R.global_row_number(df, [("v", "asc"), ("id", "asc")])
         out.count()
+        me = threading.current_thread()
         other_handles.extend(
-            R._PERSISTED_HANDLES.get(threading.get_ident(), [])
+            h for t, h in R._PERSISTED_HANDLES if t is me
         )
 
     t = threading.Thread(target=build_on_other_thread)
@@ -476,6 +477,16 @@ def test_release_rank_caches_is_thread_scoped(spark):
     assert other_handles, "other thread tracked at least one handle"
     # main thread's release must NOT touch the other thread's handles
     assert R.release_rank_caches() == 0
+    # ident-recycling guard: a FRESH thread (which may be handed the dead
+    # thread's recycled ident) must not drain the dead thread's entries —
+    # tracking keys on the Thread object, not get_ident()
+    freed_on_new_thread = []
+    t2 = threading.Thread(
+        target=lambda: freed_on_new_thread.append(R.release_rank_caches())
+    )
+    t2.start()
+    t2.join()
+    assert freed_on_new_thread == [0]
     assert all(
         h.storageLevel.useMemory or h.storageLevel.useDisk
         for h in other_handles
