@@ -189,3 +189,34 @@ def test_auc_distributed_partial_guard():
     _check_local_rank_partials([{"n_rows": 1000}, {"n_rows": ok}])
     with pytest.raises(ValueError, match="shuffle.partitions"):
         _check_local_rank_partials([{"n_rows": 1000}, {"n_rows": bad}])
+
+
+def test_auc_distributed_partial_guard_property():
+    """Property form of the LONG-partial guard: raises iff SOME partition's
+    n(n+1)/2 exceeds LONG range — exact at the boundary for any mix of
+    partition sizes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from end_to_end_data_engineering_and_ml_system_spark.plans.queries_quality import (  # noqa: E501
+        _check_local_rank_partials,
+    )
+
+    LONG_MAX = (1 << 63) - 1
+
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=10_000_000_000), max_size=8
+        )
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(sizes):
+        parts = [{"n_rows": n} for n in sizes]
+        should_raise = any(n * (n + 1) // 2 > LONG_MAX for n in sizes)
+        if should_raise:
+            with pytest.raises(ValueError, match="shuffle.partitions"):
+                _check_local_rank_partials(parts)
+        else:
+            _check_local_rank_partials(parts)
+
+    check()

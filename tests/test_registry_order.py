@@ -262,3 +262,50 @@ def test_every_query_has_driver_evidence_path():
         "queries with no driver-evidence path (add to _DRIVER_PRIORITY or "
         f"document an exclusion): {unaccounted}"
     )
+
+
+# ---- property tests: the guard must hold for ANY artifact history ----
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _names = st.text(
+        alphabet="abcdefgh_", min_size=1, max_size=8
+    )
+    _artifact_histories = st.lists(
+        st.sets(_names, max_size=12), min_size=0, max_size=8
+    )
+
+    @given(_artifact_histories)
+    @settings(max_examples=200, deadline=None)
+    def test_window_time_proven_set_properties(history):
+        """For any artifact history: (1) the proven set is exactly the
+        union of all artifacts EXCEPT the newest (landing invariance);
+        (2) a new artifact landing only grows the proven set, by exactly
+        the old newest artifact's names (evidence monotonicity)."""
+        proven = _proven_at_window_time(history)
+        prefix = history[:-1]
+        assert proven == (set().union(*prefix) if prefix else set())
+        # landing simulation: the next round's artifact lands — the old
+        # newest becomes proven, nothing is ever un-proven
+        landed = _proven_at_window_time(history + [{"__new__"}])
+        assert proven <= landed
+        assert landed == (set().union(*history) if history else set())
+
+    @given(_artifact_histories, st.sets(_names, max_size=8))
+    @settings(max_examples=200, deadline=None)
+    def test_wasted_slots_never_flags_unproven_or_slotted(history, window_set):
+        """_wasted_slots flags a window name iff it is window-time proven
+        AND unslotted — no false positives on unproven names, and slotting
+        a name always legalizes it."""
+        tested = _proven_at_window_time(history)
+        window = sorted(window_set)
+        wasted = _wasted_slots(window, {}, tested)
+        assert set(wasted) == set(window) & tested
+        # full slotting always clears the guard
+        slots = {n: "freshness: property" for n in window}
+        assert _wasted_slots(window, slots, tested) == []
+
+except ImportError:  # pragma: no cover — hypothesis is baked in
+    pass
