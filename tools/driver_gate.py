@@ -97,10 +97,15 @@ def run_gate(sf_dir: str, only: list[str] | None = None) -> dict[str, dict]:
     )
     from tests.oracle import duckdb_run
 
+    # GATE_SHUFFLE_PARTITIONS: partition-count invariance sweeps — every
+    # oracle-checked result must be identical under ANY shuffle partition
+    # count (the driver's session is not ours to configure; a query whose
+    # answer depends on partitioning is a latent wrong-answer bug)
+    shuffle_p = os.environ.get("GATE_SHUFFLE_PARTITIONS", "8")
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("driver-gate-mirror")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", shuffle_p)
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
@@ -174,16 +179,22 @@ if __name__ == "__main__":
         )
     }
     # merge into the existing artifact so a targeted re-run refreshes only
-    # its own rows instead of clobbering the full-registry evidence
+    # its own rows instead of clobbering the full-registry evidence.
+    # Invariance sweeps at a non-default partition count go to their own
+    # artifact — GATE_LOCAL.json rows represent the standard config.
+    gate_file = "GATE_LOCAL.json"
+    shuffle_p = os.environ.get("GATE_SHUFFLE_PARTITIONS", "8")
+    if shuffle_p != "8":
+        gate_file = f"GATE_LOCAL_p{shuffle_p}.json"
     merged = {}
-    if os.path.exists("GATE_LOCAL.json"):
+    if os.path.exists(gate_file):
         try:
-            with open("GATE_LOCAL.json") as f:
+            with open(gate_file) as f:
                 merged = json.load(f)
         except (json.JSONDecodeError, OSError):
             merged = {}
     merged.update(results)
-    with open("GATE_LOCAL.json", "w") as f:
+    with open(gate_file, "w") as f:
         json.dump(merged, f, indent=1, default=str)
     print(f"\n{len(results) - len(bad)}/{len(results)} strict-green; failures: {sorted(bad)}")
     sys.exit(1 if bad else 0)
