@@ -102,13 +102,18 @@ def run_gate(sf_dir: str, only: list[str] | None = None) -> dict[str, dict]:
     # count (the driver's session is not ours to configure; a query whose
     # answer depends on partitioning is a latent wrong-answer bug)
     shuffle_p = os.environ.get("GATE_SHUFFLE_PARTITIONS", "8")
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .appName("driver-gate-mirror")
         .config("spark.sql.shuffle.partitions", shuffle_p)
         .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
     )
+    # GATE_EXTRA_CONF="k=v,k=v": robustness sweeps under session configs
+    # the driver might plausibly differ on (e.g. spark.sql.ansi.enabled)
+    for kv in filter(None, os.environ.get("GATE_EXTRA_CONF", "").split(",")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
+    spark = builder.getOrCreate()
     from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
         release_rank_caches,
     )
@@ -182,10 +187,23 @@ if __name__ == "__main__":
     # its own rows instead of clobbering the full-registry evidence.
     # Invariance sweeps at a non-default partition count go to their own
     # artifact — GATE_LOCAL.json rows represent the standard config.
+    # GATE_LOCAL.json rows represent the STANDARD config (sf0.01, 8
+    # shuffle partitions, default session confs); every other sweep gets
+    # its own artifact so robustness runs never clobber that evidence.
     gate_file = "GATE_LOCAL.json"
     shuffle_p = os.environ.get("GATE_SHUFFLE_PARTITIONS", "8")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
     if shuffle_p != "8":
         gate_file = f"GATE_LOCAL_p{shuffle_p}.json"
+    elif os.environ.get("GATE_EXTRA_CONF"):
+        import hashlib
+
+        tag = hashlib.md5(
+            os.environ["GATE_EXTRA_CONF"].encode()
+        ).hexdigest()[:8]
+        gate_file = f"GATE_LOCAL_conf_{tag}.json"
+    elif sf_tag != "sf0.01":
+        gate_file = f"GATE_LOCAL_{sf_tag}.json"
     merged = {}
     if os.path.exists(gate_file):
         try:
