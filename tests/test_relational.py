@@ -549,3 +549,62 @@ def test_ranked_topk_paths_agree(spark, monkeypatch):
         R.ranked_topk(df, spec, 20, out="rn").select("id", "v", "rn").collect()
     )
     assert small == large and len(small) == 20
+
+
+def test_concurrent_rank_builds_are_isolated(spark):
+    """The advisor's actual hazard scenario, live: two threads building
+    and releasing distributed-rank queries SIMULTANEOUSLY. Each thread's
+    release must only ever free its own caches; every iteration's ranks
+    must be exactly the sequential answer (an early cross-thread
+    unpersist would recompute the range shuffle with re-sampled
+    boundaries and corrupt ranks)."""
+    import threading
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators import (
+        relational as R,
+    )
+
+    R.release_rank_caches(all_threads=True)  # start clean
+    df = (
+        spark.range(400)
+        .withColumn("v", (F.col("id") * 2654435761) % 613)
+    )
+    spec = [("v", "asc"), ("id", "asc")]
+    expected = {
+        (r["id"], r["rn"])
+        for r in R.global_row_number(df, spec).select("id", "rn").collect()
+    }
+    R.release_rank_caches()
+    errors: list[str] = []
+    barrier = threading.Barrier(2)
+
+    def worker(tag: str):
+        try:
+            for i in range(3):
+                # generous timeout: the first iteration pays JIT/codegen for
+                # BOTH threads' plans and ambient load can stack on it (a
+                # 120s barrier was observed to trip exactly once that way)
+                barrier.wait(timeout=600)  # maximize interleaving
+                got = {
+                    (r["id"], r["rn"])
+                    for r in R.global_row_number(df, spec)
+                    .select("id", "rn")
+                    .collect()
+                }
+                if got != expected:
+                    errors.append(f"{tag} iter {i}: wrong ranks")
+                freed = R.release_rank_caches(blocking=True)
+                if freed < 1:
+                    errors.append(f"{tag} iter {i}: freed nothing")
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"{tag}: {e!r}")
+
+    threads = [
+        threading.Thread(target=worker, args=(t,)) for t in ("a", "b")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=900)
+    assert not errors, errors
+    assert not R._PERSISTED_HANDLES, "all handles released by their owners"
