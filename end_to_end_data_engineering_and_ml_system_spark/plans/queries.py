@@ -3834,6 +3834,90 @@ def deterministic_split_counts(spark, sf_dir):
     )
 
 
+@register(
+    "stratified_sample_counts_portable",
+    oracle=f"""
+        WITH u AS (
+            SELECT event_type, {_SQL_HASH_U.format(key="event_id")} AS u
+            FROM events
+        )
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sampled
+        FROM u
+        WHERE u < CASE event_type
+            WHEN 'click' THEN 0.1
+            WHEN 'view' THEN 0.25
+            ELSE 1.0 END
+        GROUP BY 1
+    """,
+    description=(
+        "per-class downsampling with engine-portable md5-keyed membership — "
+        "the oracle-checked sibling of stratified_sample_counts (R2's "
+        "sampleBy is seeded but engine-specific, so that one is rows-only)"
+    ),
+    tags=("sampling", "deterministic"),
+)
+def stratified_sample_counts_portable(spark, sf_dir):
+    """Same class-rebalancing shape as ``stratified_sample_counts`` (click
+    0.1, view 0.25, rare classes whole) but membership is decided by
+    ``hash_uniform(event_id)`` per stratum, so any engine reproduces the
+    exact surviving set. One projection+filter, no shuffle before the
+    count aggregate — identical scale profile to ``sampleBy``."""
+    from ..operators.relational import weighted_corpus_mix
+
+    ev = load_table(spark, sf_dir, "events")
+    sampled = weighted_corpus_mix(
+        ev,
+        "event_type",
+        "event_id",
+        {"click": 0.1, "view": 0.25},
+        default_weight=1.0,
+    )
+    return sampled.groupBy("event_type").agg(F.count("*").alias("n_sampled"))
+
+
+_SQL_LINEITEM_KEY = (
+    "concat(CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR))"
+)
+
+
+@register(
+    "capped_sample_portable",
+    oracle=f"""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               {sql_dec_sum("l_quantity", "sum_qty")}
+        FROM lineitem
+        WHERE {_SQL_HASH_U.format(key=_SQL_LINEITEM_KEY)} < 0.5
+        GROUP BY 1
+    """,
+    description=(
+        "row-cap Bernoulli sample at rate cap/total with engine-portable "
+        "md5-keyed membership — the oracle-checked sibling of "
+        "capped_sample_count (R2's .sample is seeded but engine-specific)"
+    ),
+    tags=("sampling", "deterministic"),
+)
+def capped_sample_portable(spark, sf_dir):
+    """R2's cap-to-~half shape (preprocess reference caps at 500k rows on a
+    ~1M-row class) with reproducible membership: a row survives iff
+    ``hash_uniform(l_orderkey || '-' || l_linenumber) < 0.5``. The key is
+    the table's composite primary key, so membership is stable across
+    partitionings, re-runs, and engines; the per-flag decimal quantity sum
+    makes the value hash sensitive to the exact surviving set, not just
+    its size."""
+    from ..operators.relational import deterministic_sample
+    from ..functions.numeric import dec_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws("-", "l_orderkey", "l_linenumber")
+    sampled = li.withColumn("__k", key)
+    sampled = deterministic_sample(sampled, "__k", 0.5)
+    return sampled.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_sampled"),
+        dec_sum("l_quantity", "sum_qty"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Behavioral analytics (engine surface beyond the reference's dashboard):
 # first-touch funnel and weekly retention cohorts. Both are one shuffle on

@@ -63,77 +63,78 @@ def register(
 
 # The correctness driver samples the FIRST 50 names in the dict returned by
 # ``__spark_entry__.queries()``. As of round 8 every registered name carries
-# driver evidence (298/298, zero unresolved failures across nine rounds), so
-# the window is pure RECONFIRMATION, filled by two documented rules (each
-# window name's reason lives in
+# driver evidence (298/298, zero unresolved failures across ten rounds), so
+# the window is pure RECONFIRMATION plus any genuinely new names, filled by
+# three documented rules (each window name's reason lives in
 # tests/test_registry_order.py::RECONFIRMATION_SLOTS, which the guard test
 # enforces):
+#   0. genuinely new — registered this round, never driver-tested (this
+#      round: the two portable oracle-checked sampling siblings);
 #   1. changed-implementation — the name's driver row predates a material
-#      change to its plan (this round: the distributed-AUC LONG-partial
-#      overflow guard);
+#      change to its plan (this round: none — the round-11 hardening did
+#      not touch any registered query's plan);
 #   2. evidence-freshness — with coverage complete, the window re-proves the
-#      STALEST evidence first: the 17 names whose latest driver row is
-#      round 2 (the tail of that tier left outside the round-9 window),
-#      then the round-3 tier (bench headliners first; the 18 round-3 names
-#      that don't fit are round-11's rotation candidates).
+#      STALEST evidence first: the 18 names whose latest driver row is
+#      round 3 (the tail of that tier left outside the round-10 window),
+#      then the alphabetical head of the round-4 tier (the 18 round-4
+#      names that don't fit are round-12's rotation candidates).
 # New queries registered mid-round go at the TOP (never driver-tested, so a
 # slot is never wasted on them) displacing freshness slots to keep the
 # 50-name window exact.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- changed-implementation reconfirmation (1) ---
-    "quality_classifier_auc_distributed",
-    # --- evidence-freshness (17): the rest of the round-2 tier ---
-    "events_props_extract",
-    "latest_events_topk",
-    "lineitem_cube",
-    "multimodal_payload_stats",
-    "orders_rollup_by_year",
-    "pca_reconstruction",
-    "scaler_fit_stats",
-    "score_stats",
-    "seeded_split_counts",
-    "serialized_model_scores",
-    "stream_dedup_within_watermark",
-    "stream_json_decode_counts",
-    "stream_window_counts",
-    "user_set_ops",
-    "value_histogram",
-    "value_percentiles_by_type",
-    "zscore_features_sample",
-    # --- evidence-freshness (32): round-3 tier, bench headliners first ---
-    "benchmark_contamination",
-    "cluster_aware_split_counts",
-    "corpus_pipeline_summary",
-    "doc_dedup_clusters",
-    "doc_lsh_verified_near_dups",
-    "etl_end_to_end",
-    "events_asof_latest_order",
-    "events_orders_range_join",
-    "stream_flow_scoring",
-    # then alphabetical through the rest of the round-3 tier
-    "corpus_near_dedup_kept",
-    "corpus_quality_filter",
-    "customer_spend_quartiles",
-    "customers_without_orders_anti",
-    "distinct_users_hll_rollup",
-    "doc_bpe_token_counts",
-    "doc_edit_distance_near_dups",
-    "doc_pii_redaction",
-    "doc_repetition_signals",
-    "doc_simhash_portable",
-    "doc_tfidf_topk",
-    "documents_dedup_keep_best",
-    "embedding_ivf_topk",
-    "embedding_ivf_topk_portable",
-    "embedding_label_centroids",
-    "embedding_near_dups",
-    "embedding_quantize_int8",
-    "embedding_random_projection_mse",
-    "event_funnel_counts",
-    "event_type_unpivot_roundtrip",
-    "events_dedup_time_window",
-    "events_resample_locf",
-    "events_sliding_window",
+    # --- genuinely new this round (2): portable sampling siblings ---
+    "stratified_sample_counts_portable",
+    "capped_sample_portable",
+    # --- evidence-freshness (18): the rest of the round-3 tier ---
+    "events_window_counts_gapfilled",
+    "feature_correlations",
+    "lineitem_grouping_sets",
+    "multimodal_feature_extract",
+    "new_docs_vs_corpus_near_dups",
+    "stream_dead_letter_counts",
+    "stream_session_windows",
+    "stream_stateful_user_counts",
+    "stream_stream_join_counts",
+    "stream_stream_left_outer_counts",
+    "stream_topk_alert_types",
+    "user_latest_state",
+    "user_retention_cohorts",
+    "user_session_windows",
+    "user_state_intervals",
+    "user_value_moving_avg",
+    "value_quantiles_kll_rollup",
+    "value_trend_by_type",
+    # --- evidence-freshness (30): round-4 tier, alphabetical head ---
+    "balanced_class_sample",
+    "brand_bucket_revenue",
+    "contrastive_negatives",
+    "corpus_weighted_mix_counts",
+    "corpus_yield_by_source",
+    "customers_orders_full_outer",
+    "doc_chunking",
+    "doc_ngram_novelty",
+    "doc_rare_token_stats",
+    "doc_simhash_near_dups",
+    "doc_token_packing",
+    "embedding_lsh_signatures_portable",
+    "embedding_near_dups_portable",
+    "event_bigram_lift",
+    "event_time_disorder_stats",
+    "event_type_cooccurrence",
+    "events_hourly_seasonality",
+    "events_table_fingerprint",
+    "events_table_profile",
+    "events_zorder_keys",
+    "fulfillment_latency_by_priority",
+    "idle_rich_customers",
+    "join_key_skew_profile",
+    "multimodal_feature_histogram",
+    "multimodal_frame_sample",
+    "near_dup_similarity_histogram",
+    "order_backlog_over_time",
+    "part_supplier_diversity",
+    "partition_pruned_counts",
+    "promo_revenue_by_year",
 )
 
 

@@ -106,68 +106,68 @@ def _shipped_driver_tested() -> set[str]:
 # A tested name in the window with no entry here is a wasted slot and the
 # guard fails (negative control below keeps the guard itself honest).
 RECONFIRMATION_SLOTS: dict[str, str] = {
-    "quality_classifier_auc_distributed": (
-        "changed: r10 LONG rank-partial overflow guard (partials lifted to "
-        "exact Python ints end-to-end; r9 row predates it)"
-    ),
+    # the two portable sampling siblings are genuinely NEW this round
+    # (registered round 11, never driver-tested) — they need no entry here;
+    # the guard admits unproven names without one.
     **{
-        n: "freshness: latest driver row is round 2 (oldest ledger tier, "
-        "tail left outside the round-9 window)"
+        n: "freshness: latest driver row is round 3 (oldest ledger tier, "
+        "tail left outside the round-10 window)"
         for n in (
-            "events_props_extract",
-            "latest_events_topk",
-            "lineitem_cube",
-            "multimodal_payload_stats",
-            "orders_rollup_by_year",
-            "pca_reconstruction",
-            "scaler_fit_stats",
-            "score_stats",
-            "seeded_split_counts",
-            "serialized_model_scores",
-            "stream_dedup_within_watermark",
-            "stream_json_decode_counts",
-            "stream_window_counts",
-            "user_set_ops",
-            "value_histogram",
-            "value_percentiles_by_type",
-            "zscore_features_sample",
+            "events_window_counts_gapfilled",
+            "feature_correlations",
+            "lineitem_grouping_sets",
+            "multimodal_feature_extract",
+            "new_docs_vs_corpus_near_dups",
+            "stream_dead_letter_counts",
+            "stream_session_windows",
+            "stream_stateful_user_counts",
+            "stream_stream_join_counts",
+            "stream_stream_left_outer_counts",
+            "stream_topk_alert_types",
+            "user_latest_state",
+            "user_retention_cohorts",
+            "user_session_windows",
+            "user_state_intervals",
+            "user_value_moving_avg",
+            "value_quantiles_kll_rollup",
+            "value_trend_by_type",
         )
     },
     **{
-        n: "freshness: latest driver row is round 3 (next-oldest tier)"
+        n: "freshness: latest driver row is round 4 (next-oldest tier, "
+        "alphabetical head; the other 18 round-4 names are round-12's "
+        "candidates)"
         for n in (
-            "benchmark_contamination",
-            "cluster_aware_split_counts",
-            "corpus_pipeline_summary",
-            "doc_dedup_clusters",
-            "doc_lsh_verified_near_dups",
-            "etl_end_to_end",
-            "events_asof_latest_order",
-            "events_orders_range_join",
-            "stream_flow_scoring",
-            "corpus_near_dedup_kept",
-            "corpus_quality_filter",
-            "customer_spend_quartiles",
-            "customers_without_orders_anti",
-            "distinct_users_hll_rollup",
-            "doc_bpe_token_counts",
-            "doc_edit_distance_near_dups",
-            "doc_pii_redaction",
-            "doc_repetition_signals",
-            "doc_simhash_portable",
-            "doc_tfidf_topk",
-            "documents_dedup_keep_best",
-            "embedding_ivf_topk",
-            "embedding_ivf_topk_portable",
-            "embedding_label_centroids",
-            "embedding_near_dups",
-            "embedding_quantize_int8",
-            "embedding_random_projection_mse",
-            "event_funnel_counts",
-            "event_type_unpivot_roundtrip",
-            "events_dedup_time_window",
-            "events_resample_locf",
-            "events_sliding_window",
+            "balanced_class_sample",
+            "brand_bucket_revenue",
+            "contrastive_negatives",
+            "corpus_weighted_mix_counts",
+            "corpus_yield_by_source",
+            "customers_orders_full_outer",
+            "doc_chunking",
+            "doc_ngram_novelty",
+            "doc_rare_token_stats",
+            "doc_simhash_near_dups",
+            "doc_token_packing",
+            "embedding_lsh_signatures_portable",
+            "embedding_near_dups_portable",
+            "event_bigram_lift",
+            "event_time_disorder_stats",
+            "event_type_cooccurrence",
+            "events_hourly_seasonality",
+            "events_table_fingerprint",
+            "events_table_profile",
+            "events_zorder_keys",
+            "fulfillment_latency_by_priority",
+            "idle_rich_customers",
+            "join_key_skew_profile",
+            "multimodal_feature_histogram",
+            "multimodal_frame_sample",
+            "near_dup_similarity_histogram",
+            "order_backlog_over_time",
+            "part_supplier_diversity",
+            "partition_pruned_counts",
+            "promo_revenue_by_year",
         )
     },
 }
