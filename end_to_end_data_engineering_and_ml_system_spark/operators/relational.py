@@ -107,7 +107,11 @@ def _track_persist(df: DataFrame) -> DataFrame:
     return df
 
 
-def release_rank_caches(blocking: bool = False, all_threads: bool = False) -> int:
+def release_rank_caches(
+    blocking: bool = False,
+    all_threads: bool = False,
+    drain_dead: bool = False,
+) -> int:
     """Unpersist every intermediate cached by ``_ranged_by`` /
     ``bounded_ranked_topk`` on THIS thread since the last call (pass
     ``all_threads=True`` only at session teardown, when no query can
@@ -117,16 +121,31 @@ def release_rank_caches(blocking: bool = False, all_threads: bool = False) -> in
     are not guaranteed to reproduce). Returns the number of handles
     released. ``blocking=True`` waits for the executor-side block
     removal — use inside timing harnesses so async cleanup from one pass
-    can't bleed into the next pass's measured window."""
+    can't bleed into the next pass's measured window.
+
+    ``drain_dead=True`` additionally drains entries whose owner thread has
+    exited — the leak-bound for long-lived multi-threaded consumers whose
+    workers come and go without a teardown sweep. It is OPT-IN, not the
+    default, because "owner thread is dead" does not imply "output
+    materialized": a worker may build a query (persisting its range
+    shuffle), hand the un-collected DataFrame to another thread, and exit —
+    draining then would force the output job to recompute the range shuffle
+    with re-sampled boundaries, silently yielding wrong ranks (the same
+    hazard the Thread-object keying exists to prevent). Pass it only where
+    the calling architecture never hands un-materialized rank DataFrames
+    across threads."""
     me = threading.current_thread()
     with _HANDLES_LOCK:
         if all_threads:
             drained = [df for _, df in _PERSISTED_HANDLES]
             _PERSISTED_HANDLES.clear()
         else:
-            drained = [df for t, df in _PERSISTED_HANDLES if t is me]
+            def _drainable(t: threading.Thread) -> bool:
+                return t is me or (drain_dead and not t.is_alive())
+
+            drained = [df for t, df in _PERSISTED_HANDLES if _drainable(t)]
             _PERSISTED_HANDLES[:] = [
-                e for e in _PERSISTED_HANDLES if e[0] is not me
+                e for e in _PERSISTED_HANDLES if not _drainable(e[0])
             ]
     n = 0
     for df in drained:

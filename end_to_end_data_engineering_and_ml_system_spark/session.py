@@ -19,6 +19,11 @@ _SCRATCH = "/dev/shm/spark-scratch"
 _SCRATCH_MIN_FREE = 16 * 2**30  # below this, shuffle spill on RAM is a hazard
 _OWNER_PREFIX = "owner-"  # per-session subdir: owner-<pid>
 _UNOWNED_GRACE_SECS = 3600  # unrecognized entries get an hour before reaping
+# past this age an unowned entry is reaped even if some JVM exists: no local
+# session legitimately runs for a week, and without a ceiling one unrelated
+# long-lived java process would block reaping pre-scheme tmpfs debris
+# (RAM-backed shuffle data) indefinitely
+_UNOWNED_CEILING_SECS = 7 * 86400
 
 
 def _pid_alive(pid: int) -> bool:
@@ -83,13 +88,17 @@ def _reap_scratch(now: float | None = None) -> None:
                     continue
             else:
                 # unowned: could be a LIVE pre-owner-scheme session's
-                # blockmgr dir — require age past grace AND no JVM at all
-                if now - os.path.getmtime(path) < _UNOWNED_GRACE_SECS:
+                # blockmgr dir — require age past grace AND no JVM at all;
+                # past the hard ceiling, reap regardless (an unrelated
+                # long-lived JVM must not pin week-old RAM-backed debris)
+                age = now - os.path.getmtime(path)
+                if age < _UNOWNED_GRACE_SECS:
                     continue
-                if java_alive is None:
-                    java_alive = _any_java_alive()
-                if java_alive:
-                    continue
+                if age < _UNOWNED_CEILING_SECS:
+                    if java_alive is None:
+                        java_alive = _any_java_alive()
+                    if java_alive:
+                        continue
             if os.path.isdir(path) and not os.path.islink(path):
                 shutil.rmtree(path, ignore_errors=True)
             else:
@@ -105,16 +114,21 @@ def scratch_headroom_ok(spark: SparkSession | None = None) -> bool:
     (bench.py, the gate) call this between queries and flag the run when
     it trips. True when tmpfs scratch is not in use or has headroom.
     Pass the session so the check is scoped to whether THAT session's
-    ``spark.local.dir`` actually sits on the tmpfs scratch — a session
-    that was refused tmpfs (or overrode spark.local.dir) shuffles on
-    disk, and a full /dev/shm then says nothing about its run."""
+    scratch actually sits on the tmpfs — a session that was refused tmpfs
+    (or overrode spark.local.dir) shuffles on disk, and a full /dev/shm
+    then says nothing about its run. Spark takes local dirs from EITHER
+    the ``spark.local.dir`` conf or the ``SPARK_LOCAL_DIRS`` env var (the
+    env wins and leaves the conf unset), so both are consulted."""
     try:
         if spark is not None:
             try:
                 local_dir = spark.conf.get("spark.local.dir", "")
             except Exception:
                 local_dir = ""
-            if not (local_dir or "").startswith(_SCRATCH):
+            candidates = [local_dir or ""] + (
+                os.environ.get("SPARK_LOCAL_DIRS", "").split(",")
+            )
+            if not any(c.strip().startswith(_SCRATCH) for c in candidates):
                 return True
         elif not os.path.isdir(_SCRATCH):
             return True

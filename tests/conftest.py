@@ -12,7 +12,20 @@ SF_CORRECT = "/root/testdata/sf0.01"
 def spark():
     s = get_spark(app_name="e2e-spark-tests", cpus=8, shuffle_partitions=8)
     yield s
+    # leak detector: the autouse per-test sweep below must have drained
+    # every rank-cache handle already, so a nonzero count here means some
+    # code path outside the tests' control (an operator, a harness helper)
+    # persisted without routing through the tracked-release protocol
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        release_rank_caches,
+    )
+
+    leaked = release_rank_caches(all_threads=True)
     s.stop()
+    assert leaked == 0, (
+        f"{leaked} rank-cache handle(s) survived to session teardown — "
+        "a code path forgot its per-query release_rank_caches()"
+    )
 
 
 @pytest.fixture(scope="session")

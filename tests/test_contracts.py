@@ -104,20 +104,27 @@ def test_scratch_reaper_pid_ownership(tmp_path, monkeypatch):
     dead.mkdir()
     (dead / "shuffle.data").write_bytes(b"x")
 
-    old_file = scratch / "stray.tmp"
+    old_file = scratch / "stray.tmp"  # past grace, below the hard ceiling
     old_file.write_bytes(b"x")
-    os.utime(old_file, (ancient, ancient))
+    two_hours = time.time() - 2 * 3600
+    os.utime(old_file, (two_hours, two_hours))
+    ceiling_file = scratch / "ancient.tmp"  # past the 7-day hard ceiling
+    ceiling_file.write_bytes(b"x")
+    os.utime(ceiling_file, (ancient, ancient))
     fresh_unowned = scratch / "mid-creation"  # a racing session's moment-old dir
     fresh_unowned.mkdir()
 
-    # while ANY JVM lives, unowned entries are kept regardless of age (a
-    # pre-owner-scheme session could still be using them) — but a dead
-    # OWNER's dir goes: its liveness is exact
+    # while ANY JVM lives, unowned entries below the hard ceiling are kept
+    # (a pre-owner-scheme session could still be using them) — but a dead
+    # OWNER's dir goes (its liveness is exact), and debris past the
+    # ceiling goes too (no local session legitimately runs for a week; an
+    # unrelated long-lived JVM must not pin RAM-backed debris forever)
     monkeypatch.setattr(S, "_any_java_alive", lambda: True)
     S._reap_scratch()
     assert live.exists(), "live owner's scratch must never be reaped"
     assert not dead.exists(), "dead owner's scratch goes immediately"
-    assert old_file.exists(), "unowned survives while a JVM is alive"
+    assert old_file.exists(), "unowned below ceiling survives while a JVM is alive"
+    assert not ceiling_file.exists(), "past the hard ceiling, reaped regardless"
 
     monkeypatch.setattr(S, "_any_java_alive", lambda: False)
     S._reap_scratch()
@@ -141,3 +148,68 @@ def test_tmpfs_scratch_is_per_pid_and_headroom_check():
     if p is not None:
         assert os.path.basename(p) == f"owner-{os.getpid()}"
     assert S.scratch_headroom_ok() in (True, False)
+
+
+def test_scratch_headroom_sees_env_local_dirs(monkeypatch):
+    """Spark takes local dirs from SPARK_LOCAL_DIRS (env) OR
+    spark.local.dir (conf); a session whose scratch was routed to tmpfs
+    via the env var has the conf unset, and the low-water probe must
+    still recognize it as tmpfs-backed (trip when /dev/shm is low)."""
+    from end_to_end_data_engineering_and_ml_system_spark import session as S
+
+    class _Conf:
+        def get(self, key, default=""):
+            return default  # conf unset — env-var-configured session
+
+    class _FakeSession:
+        conf = _Conf()
+
+    # env points into the tmpfs scratch → probe must consult disk_usage;
+    # force the threshold above total RAM so "low" is guaranteed
+    monkeypatch.setenv("SPARK_LOCAL_DIRS", f"{S._SCRATCH}/owner-12345")
+    orig = S._SCRATCH_MIN_FREE
+    try:
+        S._SCRATCH_MIN_FREE = 1 << 50
+        assert S.scratch_headroom_ok(_FakeSession()) is False
+    finally:
+        S._SCRATCH_MIN_FREE = orig
+    # env elsewhere and conf unset → not tmpfs-backed, always ok
+    monkeypatch.setenv("SPARK_LOCAL_DIRS", "/tmp/spark-local")
+    assert S.scratch_headroom_ok(_FakeSession()) is True
+
+
+def test_gate_artifact_name_covers_all_sweep_dimensions(monkeypatch):
+    """Evidence files are named from ALL non-default sweep knobs, so a
+    combined-knob run (e.g. p=3 at sf0.1) can never merge into a
+    single-knob artifact and clobber that evidence; single-knob sweeps
+    keep their historical names."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    try:
+        from driver_gate import artifact_name
+    finally:
+        sys.path.pop(0)
+
+    monkeypatch.delenv("GATE_SHUFFLE_PARTITIONS", raising=False)
+    monkeypatch.delenv("GATE_EXTRA_CONF", raising=False)
+    assert artifact_name("/root/testdata/sf0.01") == "GATE_LOCAL.json"
+    assert artifact_name("/root/testdata/sf0.1") == "GATE_LOCAL_sf0.1.json"
+
+    monkeypatch.setenv("GATE_SHUFFLE_PARTITIONS", "3")
+    assert artifact_name("/root/testdata/sf0.01") == "GATE_LOCAL_p3.json"
+    # the combined sweep that previously merged into GATE_LOCAL_p3.json
+    assert artifact_name("/root/testdata/sf0.1") == "GATE_LOCAL_p3_sf0.1.json"
+
+    monkeypatch.setenv("GATE_EXTRA_CONF", "spark.sql.ansi.enabled=false")
+    import hashlib
+
+    tag = hashlib.md5(b"spark.sql.ansi.enabled=false").hexdigest()[:8]
+    assert (
+        artifact_name("/root/testdata/sf0.1")
+        == f"GATE_LOCAL_p3_sf0.1_conf_{tag}.json"
+    )
+    monkeypatch.delenv("GATE_SHUFFLE_PARTITIONS")
+    assert (
+        artifact_name("/root/testdata/sf0.01") == f"GATE_LOCAL_conf_{tag}.json"
+    )

@@ -499,6 +499,49 @@ def test_release_rank_caches_is_thread_scoped(spark):
     )
 
 
+def test_release_rank_caches_drain_dead_opt_in(spark):
+    """drain_dead=True bounds the leak from workers that exit without
+    releasing (a long-lived multi-threaded consumer with no teardown
+    sweep) — but it is opt-in: the default release must NOT touch a dead
+    thread's entries, because its un-collected output may have been
+    handed to another live thread (unpersisting then re-samples the range
+    boundaries → silently wrong ranks)."""
+    import threading
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators import (
+        relational as R,
+    )
+
+    R.release_rank_caches(all_threads=True)  # start clean
+    df = spark.range(50).withColumn("v", F.col("id") % 5)
+    dead_handles = []
+
+    def abandon_without_release():
+        out = R.global_row_number(df, [("v", "asc"), ("id", "asc")])
+        out.count()
+        me = threading.current_thread()
+        dead_handles.extend(h for t, h in R._PERSISTED_HANDLES if t is me)
+
+    t = threading.Thread(target=abandon_without_release)
+    t.start()
+    t.join()
+    assert dead_handles and not t.is_alive()
+    # default: the dead thread's entries are untouched
+    assert R.release_rank_caches() == 0
+    assert all(
+        h.storageLevel.useMemory or h.storageLevel.useDisk
+        for h in dead_handles
+    )
+    # opt-in: drained (plus nothing from the live main thread — it holds
+    # no handles here)
+    assert R.release_rank_caches(drain_dead=True) == len(dead_handles)
+    assert all(
+        not (h.storageLevel.useMemory or h.storageLevel.useDisk)
+        for h in dead_handles
+    )
+    assert R.release_rank_caches(all_threads=True) == 0
+
+
 def test_ranked_topk_strict_null_policy(spark):
     """on_null='strict' raises (with the dropped-row count) instead of
     silently shrinking the result set; the NULL-free case is unaffected;

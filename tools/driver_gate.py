@@ -108,9 +108,14 @@ def run_gate(sf_dir: str, only: list[str] | None = None) -> dict[str, dict]:
         .config("spark.sql.shuffle.partitions", shuffle_p)
         .config("spark.sql.session.timeZone", "UTC")
     )
-    # GATE_EXTRA_CONF="k=v,k=v": robustness sweeps under session configs
-    # the driver might plausibly differ on (e.g. spark.sql.ansi.enabled)
-    for kv in filter(None, os.environ.get("GATE_EXTRA_CONF", "").split(",")):
+    # GATE_EXTRA_CONF="k=v,k=v" (or ';'-separated): robustness sweeps under
+    # session configs the driver might plausibly differ on (e.g.
+    # spark.sql.ansi.enabled). If any value itself contains a comma (e.g.
+    # extraJavaOptions with multiple flags), use ';' as the pair separator —
+    # it is preferred whenever present so comma-valued confs parse whole.
+    _extra = os.environ.get("GATE_EXTRA_CONF", "")
+    _sep = ";" if ";" in _extra else ","
+    for kv in filter(None, _extra.split(_sep)):
         k, _, v = kv.partition("=")
         builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
@@ -169,6 +174,34 @@ def run_gate(sf_dir: str, only: list[str] | None = None) -> dict[str, dict]:
     return out
 
 
+def artifact_name(sf_dir: str) -> str:
+    """Evidence-file name for this run's sweep configuration.
+
+    GATE_LOCAL.json rows represent the STANDARD config (sf0.01, 8 shuffle
+    partitions, default session confs); every other sweep gets its own
+    artifact built from ALL non-default dimensions (not if/elif
+    precedence — a p=3 sweep at sf0.1 must not merge into the p=3-at-
+    sf0.01 evidence), so combined-knob runs never clobber single-knob
+    evidence: e.g. GATE_LOCAL_p3_sf0.1_conf_<md5[:8]>.json. Single-knob
+    sweeps keep their historical names (GATE_LOCAL_p3.json,
+    GATE_LOCAL_sf0.001.json, GATE_LOCAL_conf_<hash>.json)."""
+    parts = []
+    shuffle_p = os.environ.get("GATE_SHUFFLE_PARTITIONS", "8")
+    if shuffle_p != "8":
+        parts.append(f"p{shuffle_p}")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    if sf_tag != "sf0.01":
+        parts.append(sf_tag)
+    if os.environ.get("GATE_EXTRA_CONF"):
+        import hashlib
+
+        tag = hashlib.md5(
+            os.environ["GATE_EXTRA_CONF"].encode()
+        ).hexdigest()[:8]
+        parts.append(f"conf_{tag}")
+    return "GATE_LOCAL" + "".join(f"_{p}" for p in parts) + ".json"
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
@@ -185,25 +218,7 @@ if __name__ == "__main__":
     }
     # merge into the existing artifact so a targeted re-run refreshes only
     # its own rows instead of clobbering the full-registry evidence.
-    # Invariance sweeps at a non-default partition count go to their own
-    # artifact — GATE_LOCAL.json rows represent the standard config.
-    # GATE_LOCAL.json rows represent the STANDARD config (sf0.01, 8
-    # shuffle partitions, default session confs); every other sweep gets
-    # its own artifact so robustness runs never clobber that evidence.
-    gate_file = "GATE_LOCAL.json"
-    shuffle_p = os.environ.get("GATE_SHUFFLE_PARTITIONS", "8")
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    if shuffle_p != "8":
-        gate_file = f"GATE_LOCAL_p{shuffle_p}.json"
-    elif os.environ.get("GATE_EXTRA_CONF"):
-        import hashlib
-
-        tag = hashlib.md5(
-            os.environ["GATE_EXTRA_CONF"].encode()
-        ).hexdigest()[:8]
-        gate_file = f"GATE_LOCAL_conf_{tag}.json"
-    elif sf_tag != "sf0.01":
-        gate_file = f"GATE_LOCAL_{sf_tag}.json"
+    gate_file = artifact_name(sf_dir)
     merged = {}
     if os.path.exists(gate_file):
         try:
