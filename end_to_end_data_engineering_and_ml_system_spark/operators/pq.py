@@ -242,7 +242,16 @@ def pq_encode(
     (ties -> lowest code). ks×m candidate rows per vector stream through
     whole-stage codegen; nothing leaves the JVM. ``exact=True`` ranks by
     decimal-exact distances (engine-portable argmin for oracle-checked
-    paths); the float default is the throughput path."""
+    paths); the float default is the throughput path.
+
+    The argmin is ``min(struct(d2, code))`` under a groupBy — struct
+    comparison is field-lexicographic, so it reproduces the old
+    row_number-over-(d2, code) pick exactly, but with partial (map-side)
+    aggregation: the ks candidates per (id, sub) collapse BEFORE the
+    shuffle, so the exchange carries output-sized rows (m per vector)
+    instead of ks×m candidate rows — a ks-fold shuffle-volume cut that is
+    the difference between encode being scan-bound and exchange-bound at
+    corpus scale."""
     sv = _subvectors(corpus, id_col, vec_col, m, carry=carry)
     dist = _sq_dist_exact if exact else _sq_dist
     scored = sv.join(F.broadcast(codebook), "sub").select(
@@ -252,11 +261,10 @@ def pq_encode(
         "code",
         dist(F.col("subvec"), F.col("centroid")).alias("d2"),
     )
-    w = Window.partitionBy(id_col, "sub").orderBy("d2", "code")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, *carry, "sub", "code")
+        scored.groupBy(id_col, *carry, "sub")
+        .agg(F.min(F.struct("d2", "code")).alias("best"))
+        .select(id_col, *carry, "sub", F.col("best.code").alias("code"))
     )
 
 

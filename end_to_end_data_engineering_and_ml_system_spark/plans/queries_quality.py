@@ -1334,7 +1334,14 @@ def quality_classifier_auc_distributed(spark, sf_dir):
     divides by zero, which Spark surfaces as NULL auc (same behavior as
     the sibling windowed-rank form; engines differ here — IEEE engines
     return inf)."""
-    docs = load_table(spark, sf_dir, "documents")
+    return auc_distributed_from_docs(spark, load_table(spark, sf_dir, "documents"))
+
+
+def auc_distributed_from_docs(spark, docs):
+    """The plan body of ``quality_classifier_auc_distributed``, lifted to
+    take the documents DataFrame directly so harnesses (the 10x scale
+    probe) can run the exact shipped plan on replicated corpora.
+    Expression-identical to the pre-lift registered query."""
     counted = quality_feature_counts(docs)
     z = counted.select(
         "doc_id", weak_label().alias("wl"), quality_logit().alias("zz")

@@ -71,8 +71,9 @@ def register(
 #   0. genuinely new — registered this round, never driver-tested (this
 #      round: the two portable oracle-checked sampling siblings);
 #   1. changed-implementation — the name's driver row predates a material
-#      change to its plan (this round: none — the round-11 hardening did
-#      not touch any registered query's plan);
+#      change to its plan (this round: the pq_encode argmin moved from a
+#      window row_number to a map-side-combining min(struct) groupBy,
+#      changing the physical plan of both PQ ANN queries);
 #   2. evidence-freshness — with coverage complete, the window re-proves the
 #      STALEST evidence first: the 18 names whose latest driver row is
 #      round 3 (the tail of that tier left outside the round-10 window),
@@ -85,6 +86,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- genuinely new this round (2): portable sampling siblings ---
     "stratified_sample_counts_portable",
     "capped_sample_portable",
+    # --- changed-implementation reconfirmation (2): pq_encode rewrite ---
+    "embedding_pq_adc_topk",
+    "embedding_ivfpq_topk",
     # --- evidence-freshness (18): the rest of the round-3 tier ---
     "events_window_counts_gapfilled",
     "feature_correlations",

