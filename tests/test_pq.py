@@ -206,3 +206,16 @@ def test_pq_adc_recall_vs_compression_curve(spark, emb):
     assert curve[16] >= 0.35, curve
     assert curve[32] >= 0.5, curve
     assert curve[32] >= curve[8], curve
+
+
+def test_pq_encode_plan_is_map_side_combined(spark, emb, fitted):
+    """The argmin rewrite's contract (operators/pq.py::pq_encode): the
+    nearest-codeword pick must run as a partial (map-side) aggregate —
+    ks candidates per (id, sub) collapse BEFORE the exchange — and never
+    as a Window, which would shuffle all ks*m candidate rows per vector."""
+    from tests.planutil import physical_plan
+
+    cb = codebook_df(spark, fitted.codebooks)
+    plan = physical_plan(pq_encode(emb, cb, m=M))
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan
