@@ -157,6 +157,22 @@ def release_rank_caches(
     return n
 
 
+def dead_thread_rank_handles() -> int:
+    """Count tracked handles whose owner thread has EXITED without
+    releasing them — the forgotten-release leak class (a worker built a
+    rank query, never called :func:`release_rank_caches`, and died).
+    Read-only: drains nothing, so it is safe to call at any time. Live
+    threads' handles are never counted — a query may still be in
+    flight on them."""
+    me = threading.current_thread()
+    with _HANDLES_LOCK:
+        return sum(
+            1
+            for t, _ in _PERSISTED_HANDLES
+            if t is not me and not t.is_alive()
+        )
+
+
 def _ranged_by(df: DataFrame, order_specs: OrderSpec) -> DataFrame:
     """Shared first stage of the distributed rank / running-sum family:
     range-repartition on the order keys (each partition holds a disjoint

@@ -77,7 +77,7 @@ def register(
 #   2. evidence-freshness — with coverage complete, the window re-proves the
 #      STALEST evidence first: the 18 names whose latest driver row is
 #      round 3 (the tail of that tier left outside the round-10 window),
-#      then the alphabetical head of the round-4 tier (the 18 round-4
+#      then the alphabetical head of the round-4 tier (the 20 round-4
 #      names that don't fit are round-12's rotation candidates).
 # New queries registered mid-round go at the TOP (never driver-tested, so a
 # slot is never wasted on them) displacing freshness slots to keep the
@@ -108,7 +108,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "user_value_moving_avg",
     "value_quantiles_kll_rollup",
     "value_trend_by_type",
-    # --- evidence-freshness (30): round-4 tier, alphabetical head ---
+    # --- evidence-freshness (28): round-4 tier, alphabetical head ---
     "balanced_class_sample",
     "brand_bucket_revenue",
     "contrastive_negatives",
@@ -137,8 +137,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "near_dup_similarity_histogram",
     "order_backlog_over_time",
     "part_supplier_diversity",
-    "partition_pruned_counts",
-    "promo_revenue_by_year",
 )
 
 

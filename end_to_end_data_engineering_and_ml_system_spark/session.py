@@ -70,7 +70,15 @@ def _reap_scratch(now: float | None = None) -> None:
     (stray files, pre-scheme debris — possibly a LIVE old-code session's
     blockmgr dirs) fall only when BOTH aged past a one-hour grace AND no
     java process exists that could own them, so neither a mid-creation
-    race nor a rolling upgrade can delete live data. Handles plain files
+    race nor a rolling upgrade can delete live data; past a 7-day hard
+    ceiling unowned entries are reaped even while unrelated JVMs live
+    (else one long-lived daemon pins week-old RAM-backed debris forever).
+    The ceiling knowingly re-accepts a sliver of the mtime hazard — a
+    pre-owner-scheme session LIVE for >7 days whose top-level mtime froze
+    at creation would lose its scratch — an accepted trade: owner-scheme
+    sessions (everything this package has created since the scheme
+    landed) are exempt via exact /proc liveness, so only a week-plus
+    session from a pre-scheme binary qualifies. Handles plain files
     too (``rmtree`` alone silently skips them). Caveat: /proc is THIS pid
     namespace — do not point multiple containers at one shared scratch."""
     import shutil
@@ -117,17 +125,21 @@ def scratch_headroom_ok(spark: SparkSession | None = None) -> bool:
     scratch actually sits on the tmpfs — a session that was refused tmpfs
     (or overrode spark.local.dir) shuffles on disk, and a full /dev/shm
     then says nothing about its run. Spark takes local dirs from EITHER
-    the ``spark.local.dir`` conf or the ``SPARK_LOCAL_DIRS`` env var (the
-    env wins and leaves the conf unset), so both are consulted."""
+    the ``spark.local.dir`` conf or the ``SPARK_LOCAL_DIRS`` env var, and
+    the env WINS when set (the conf value is inert), so precedence is
+    honored: consult the env alone when present, else the conf — ORing
+    both would flag a disk-shuffling session whose stale conf still
+    points at the tmpfs."""
     try:
         if spark is not None:
-            try:
-                local_dir = spark.conf.get("spark.local.dir", "")
-            except Exception:
-                local_dir = ""
-            candidates = [local_dir or ""] + (
-                os.environ.get("SPARK_LOCAL_DIRS", "").split(",")
-            )
+            env_dirs = os.environ.get("SPARK_LOCAL_DIRS", "")
+            if env_dirs:
+                candidates = env_dirs.split(",")
+            else:
+                try:
+                    candidates = [spark.conf.get("spark.local.dir", "") or ""]
+                except Exception:
+                    candidates = [""]
             if not any(c.strip().startswith(_SCRATCH) for c in candidates):
                 return True
         elif not os.path.isdir(_SCRATCH):

@@ -183,9 +183,11 @@ def test_gate_artifact_name_covers_all_sweep_dimensions(monkeypatch):
     combined-knob run (e.g. p=3 at sf0.1) can never merge into a
     single-knob artifact and clobber that evidence; single-knob sweeps
     keep their historical names."""
+    import os
     import sys
 
-    sys.path.insert(0, "tools")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
     try:
         from driver_gate import artifact_name
     finally:

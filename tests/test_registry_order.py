@@ -32,7 +32,10 @@ def test_driver_window_is_priority_list():
     # the next rotation's candidates) but the window itself must be full
     head = list(all_queries())[: len(_DRIVER_PRIORITY)]
     assert head == list(_DRIVER_PRIORITY)
-    assert len(_DRIVER_PRIORITY) >= DRIVER_WINDOW
+    # EXACTLY the window size: a longer list silently parks its tail
+    # outside the driver's 50-name sample while the ledger still claims
+    # those names get re-proven (the round-11 52-entry bug)
+    assert len(_DRIVER_PRIORITY) == DRIVER_WINDOW
 
 
 def test_reorder_preserves_registry():
@@ -144,7 +147,7 @@ RECONFIRMATION_SLOTS: dict[str, str] = {
     },
     **{
         n: "freshness: latest driver row is round 4 (next-oldest tier, "
-        "alphabetical head; the other 18 round-4 names are round-12's "
+        "alphabetical head; the other 20 round-4 names are round-12's "
         "candidates)"
         for n in (
             "balanced_class_sample",
@@ -175,8 +178,6 @@ RECONFIRMATION_SLOTS: dict[str, str] = {
             "near_dup_similarity_histogram",
             "order_backlog_over_time",
             "part_supplier_diversity",
-            "partition_pruned_counts",
-            "promo_revenue_by_year",
         )
     },
 }

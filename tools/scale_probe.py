@@ -515,6 +515,7 @@ def auc(n: int, sf_dir: str) -> None:
         return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
     auc_distributed_from_docs(spark, docs).first()  # JVM/codegen warm-up
+    results: dict[int, dict] = {}
     for mult in (1, n):
         d = (docs if mult == 1 else replicate(docs, "doc_id", mult)).persist()
         rows = d.count()
@@ -523,12 +524,21 @@ def auc(n: int, sf_dir: str) -> None:
         row = auc_distributed_from_docs(spark, d).first()
         wall = time.perf_counter() - t0
         assert row["auc"] is not None and 0.0 <= row["auc"] <= 1.0
+        results[mult] = {"auc": row["auc"], "n_pos": row["n_pos"]}
         print(
             f"auc_distributed {mult}x: docs={rows} wall={wall:.2f}s "
             f"auc={row['auc']:.6f} n_pos={row['n_pos']} "
             f"driver_maxrss_delta={rss_mb() - before:.0f}MB"
         )
         d.unpersist()
+    # the docstring's cross-checks, ASSERTED (not eyeballed): replicas
+    # score identically, so U and n_pos*n_neg both scale by exactly N^2 —
+    # the AUC is the same rational number and Python's bigint / is
+    # correctly rounded, so the float must be bit-identical; n_pos must
+    # scale by exactly N
+    assert results[n]["auc"] == results[1]["auc"], results
+    assert results[n]["n_pos"] == results[1]["n_pos"] * n, results
+    print(f"cross-check: {n}x AUC bit-identical, n_pos scaled exactly {n}x")
 
 
 def main() -> None:
