@@ -219,3 +219,31 @@ def test_pq_encode_plan_is_map_side_combined(spark, emb, fitted):
     plan = physical_plan(pq_encode(emb, cb, m=M))
     assert "Window" not in plan, plan
     assert "partial_min" in plan, plan
+
+
+def test_pq_encode_matches_row_number_formulation(spark, emb, fitted):
+    """Equivalence guard for the argmin rewrite: min(struct(d2, code))
+    must reproduce the original row_number-over-(d2, code) pick exactly,
+    including ties (struct comparison is field-lexicographic). Runs the
+    OLD formulation here and diffs — a future change to pq_encode that
+    perturbs tie-breaking or distance typing fails this, not just the
+    recall floor."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.pq import (
+        _sq_dist,
+        _subvectors,
+    )
+
+    cb = codebook_df(spark, fitted.codebooks)
+    sv = _subvectors(emb, "vec_id", "embedding", M)
+    scored = sv.join(F.broadcast(cb), "sub").select(
+        "vec_id", "sub", "code",
+        _sq_dist(F.col("subvec"), F.col("centroid")).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
+    old = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "code")
+    )
+    new = pq_encode(emb, cb, m=M)
+    assert new.exceptAll(old).isEmpty() and old.exceptAll(new).isEmpty()
