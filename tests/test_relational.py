@@ -542,6 +542,38 @@ def test_release_rank_caches_drain_dead_opt_in(spark):
     assert R.release_rank_caches(all_threads=True) == 0
 
 
+def test_dead_thread_rank_handles_counts_forgotten_releases(spark):
+    """The conftest leak detector's primitive: dead_thread_rank_handles()
+    counts exactly the handles whose owner thread exited without
+    releasing, never the live current thread's, and drains nothing."""
+    import threading
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators import (
+        relational as R,
+    )
+
+    R.release_rank_caches(all_threads=True)  # start clean
+    assert R.dead_thread_rank_handles() == 0
+    df = spark.range(40).withColumn("v", F.col("id") % 4)
+
+    # the current thread's own (normal, releasable) handle never counts
+    R.global_row_number(df, [("v", "asc"), ("id", "asc")]).count()
+    assert R.dead_thread_rank_handles() == 0
+
+    def abandon_without_release():
+        R.global_row_number(df, [("id", "desc")]).count()
+
+    t = threading.Thread(target=abandon_without_release)
+    t.start()
+    t.join()
+    before = R.dead_thread_rank_handles()
+    assert before >= 1
+    # read-only: counting twice changes nothing
+    assert R.dead_thread_rank_handles() == before
+    R.release_rank_caches(all_threads=True)
+    assert R.dead_thread_rank_handles() == 0
+
+
 def test_ranked_topk_strict_null_policy(spark):
     """on_null='strict' raises (with the dropped-row count) instead of
     silently shrinking the result set; the NULL-free case is unaffected;
