@@ -57,6 +57,64 @@ EVENTS_SCHEMA = StructType(
 _STAGE_ROOT = os.path.join(tempfile.gettempdir(), "e2e_spark_stream_stage")
 
 
+def _await_bounded(q, timeout_s: int) -> None:
+    """Wait for a bounded (availableNow) replay to finish. On timeout the
+    query is STOPPED and a TimeoutError raised — ``awaitTermination``'s
+    boolean return is otherwise trivially ignored, silently handing the
+    caller a partial sink/state while the query keeps mutating it in the
+    background."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"bounded streaming replay did not finish within {timeout_s}s"
+        )
+
+
+def _pin_mtimes(out: str) -> int:
+    """FileStreamSource replays files in modification-time order, and
+    parquet write-task completion order is arbitrary — pin increasing
+    mtimes along the part index (= range-partition order) so replay
+    follows the partitioning key. Returns the base mtime used."""
+    parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    base = int(os.path.getmtime(os.path.join(out, parts[0])))
+    for i, f in enumerate(parts):
+        t = base + i * 10
+        os.utime(os.path.join(out, f), (t, t))
+    return base
+
+
+#: staging-complete marker written by OUR code after every post-write step
+#: (mtime pinning, sentinel files). The parquet writer's _SUCCESS is not a
+#: safe idempotency marker for those dirs: it exists as soon as the data
+#: files land, so a crash between the write and the pinning/sentinel steps
+#: would leave a permanently "complete" dir with unordered mtimes.
+_STAGED_MARKER = "_STAGED"
+
+
+def _mark_staged(out: str) -> None:
+    with open(os.path.join(out, _STAGED_MARKER), "w"):
+        pass
+
+
+def _latest_per_key(
+    df: DataFrame, key_col: str, order_cols: list[str]
+) -> DataFrame:
+    """Latest row per key under ``order_cols`` DESC — the shared compaction
+    step of the CDC-apply runners (``run_latest_state_merge`` /
+    ``run_merge_into_table``). One definition so a tie-breaking change can
+    never drift between the rotated-snapshot and txlog variants."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def stage_events_dir(
     spark: SparkSession, sf_dir: str, n_files: int = 8, sentinels: bool = False
 ) -> str:
@@ -78,7 +136,7 @@ def stage_events_dir(
     suffix = "_sentinel" if sentinels else ""
     root = scratch_root(spark, "stream_stage", local_default=_STAGE_ROOT)
     out = os.path.join(root, f"{key}_{n_files}{suffix}")
-    marker = os.path.join(out, "_SUCCESS")
+    marker = os.path.join(out, _STAGED_MARKER)
     if not os.path.exists(marker):
         from ..sources.catalog import load_table
 
@@ -91,18 +149,10 @@ def stage_events_dir(
             .write.mode("overwrite")
             .parquet(out)
         )
-        # FileStreamSource replays in modification-time order, and write-task
-        # completion order is arbitrary — pin increasing mtimes along the
-        # part index (= ts-range order) so replay follows event time
-        parts = sorted(
-            f for f in os.listdir(out) if f.startswith("part-")
-        )
-        base = int(os.path.getmtime(os.path.join(out, parts[0])))
-        for i, f in enumerate(parts):
-            t = base + i * 10
-            os.utime(os.path.join(out, f), (t, t))
+        base = _pin_mtimes(out)
         if sentinels:
             _write_sentinel_files(spark, out, base + n_files * 10 + 100)
+        _mark_staged(out)
     return out
 
 
@@ -252,15 +302,22 @@ def run_topk_similarity_merge(
 
     spark = stream_df.sparkSession
 
-    qx = queries_df.select(
-        F.col("vec_id").alias("query_id"),
-        F.posexplode("embedding").alias("pos", "qxf"),
-    ).select("query_id", "pos", F.col("qxf").cast("double").alias("qx"))
+    # persist both query-side frames: every micro-batch joins them, and
+    # unpersisted they would re-run the full explode + aggregation per
+    # batch (twice for qx — dots and, transitively, qnorm)
+    qx = (
+        queries_df.select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode("embedding").alias("pos", "qxf"),
+        )
+        .select("query_id", "pos", F.col("qxf").cast("double").alias("qx"))
+        .persist()
+    )
     qnorm = qx.groupBy("query_id").agg(
         F.sum((F.col("qx") * F.col("qx")).cast("decimal(28,10)"))
         .cast("double")
         .alias("nrm_q")
-    )
+    ).persist()
 
     root = scratch_unique(spark, "topk_state")
     state_dir = [None]
@@ -301,10 +358,17 @@ def run_topk_similarity_merge(
             .select(
                 "query_id",
                 "cand_id",
-                (
-                    F.col("dot") / (F.sqrt("nrm_q") * F.sqrt("nrm_c"))
+                # zero-norm guard: an all-zero vector has no defined
+                # cosine; under Spark 4's default ANSI mode the unguarded
+                # 0.0/0.0 would raise DIVIDE_BY_ZERO and kill the whole
+                # streaming query on one bad record. NULL cosines are
+                # filtered — zero vectors never rank.
+                F.when(
+                    (F.col("nrm_q") > 0) & (F.col("nrm_c") > 0),
+                    F.col("dot") / (F.sqrt("nrm_q") * F.sqrt("nrm_c")),
                 ).alias("cosine"),
             )
+            .filter(F.col("cosine").isNotNull())
         )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -319,14 +383,18 @@ def run_topk_similarity_merge(
         state_dir[0] = new_dir
 
     ck = scratch_unique(spark, "topk_ck")
-    with _replay_shuffle_partitions(spark):
-        q = (
-            stream_df.writeStream.foreachBatch(process)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ck)
-            .start()
-        )
-        q.awaitTermination(timeout_s)
+    try:
+        with _replay_shuffle_partitions(spark):
+            q = (
+                stream_df.writeStream.foreachBatch(process)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            _await_bounded(q, timeout_s)
+    finally:
+        qx.unpersist()
+        qnorm.unpersist()
     if state_dir[0] is None:
         return spark.createDataFrame(
             [], "query_id long, cand_id long, cosine double"
@@ -341,7 +409,21 @@ def events_stream(
     sentinels: bool = False,
 ) -> DataFrame:
     """Incremental file-source stream of the events table with the ns→µs
-    timestamp rebuild (same conversion as the batch catalog)."""
+    timestamp rebuild (same conversion as the batch catalog).
+
+    ``sentinels=True`` requires ``max_files_per_trigger=1``: the two
+    watermark-closing sentinel files only work as separate micro-batches
+    (the first raises the max seen event time, the second RUNS with the
+    raised watermark). Any larger trigger size can coalesce them into one
+    final batch — then no batch ever runs after the watermark is raised
+    and outer-join tails / late windows never flush."""
+    if sentinels and max_files_per_trigger != 1:
+        raise ValueError(
+            "sentinels=True needs max_files_per_trigger=1 — larger trigger "
+            "sizes can coalesce both sentinel files into the final "
+            "micro-batch, so the raised watermark never gets a batch to "
+            "run in and closing state is never flushed"
+        )
     staged = stage_events_dir(spark, sf_dir, sentinels=sentinels)
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -398,6 +480,40 @@ def dedup_within_watermark(
     )
 
 
+class rocksdb_state_provider:
+    """Scope ``spark.sql.streaming.stateStore.providerClass`` to RocksDB
+    for ONE query's start-to-stop window, restoring the previous provider
+    on exit. State API v2 (``transformWithStateInPandas``) requires
+    RocksDB, but the provider conf is session-global and fixed per query
+    at start — a permanent set would silently move every later streaming
+    query in the session onto RocksDB (different state format, disk use,
+    checkpoint identity). Wrap the ``writeStream.start()`` /
+    ``awaitTermination`` of a state-v2 query in this."""
+
+    _ROCKSDB = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    _KEY = "spark.sql.streaming.stateStore.providerClass"
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        try:
+            self.prev = self.spark.conf.get(self._KEY)
+        except Exception:
+            self.prev = None
+        self.spark.conf.set(self._KEY, self._ROCKSDB)
+        return self
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset(self._KEY)
+        else:
+            self.spark.conf.set(self._KEY, self.prev)
+
+
 class _replay_shuffle_partitions:
     """Pin spark.sql.shuffle.partitions for the lifetime of one bounded
     replay query, then restore. A streaming query fixes its state-store
@@ -438,7 +554,7 @@ def run_to_memory_sink(
             .option("checkpointLocation", ck)
             .start()
         )
-        q.awaitTermination(timeout_s)
+        _await_bounded(q, timeout_s)
     return spark.table(name)
 
 
@@ -473,7 +589,7 @@ def run_routed_foreach_batch(
             .option("checkpointLocation", ck)
             .start()
         )
-        q.awaitTermination(timeout_s)
+        _await_bounded(q, timeout_s)
     return normal_counts, anomaly_counts
 
 
@@ -543,6 +659,11 @@ def run_replay_until(
     try:
         deadline = time.monotonic() + timeout_s
         while time.monotonic() < deadline:
+            # a dead query's sink count never grows — surface the real
+            # streaming error now instead of spinning out the timeout
+            # and masking it behind a row-count TimeoutError
+            if q.exception() is not None:
+                raise q.exception()
             if spark.table(name).count() >= expected_rows:
                 break
             time.sleep(0.5)
@@ -613,7 +734,12 @@ def decode_or_dead_letter(
 
     PERMISSIVE ``from_json`` yields an all-null struct (not NULL) for
     malformed input, so corruption is detected via the declared
-    ``_corrupt_record`` column, which Spark fills with the raw payload."""
+    ``_corrupt_record`` column, which Spark fills with the raw payload.
+    NULL payloads (Kafka tombstones) and the JSON literal ``null`` are a
+    separate case: ``from_json`` returns a NULL STRUCT for those — no
+    corrupt-record fill — so the struct-level null check below is what
+    keeps them out of the good stream (they would otherwise pass the
+    corrupt filter and emit phantom all-null rows)."""
     full_ddl = f"{schema_ddl}, _corrupt_record string"
     parsed = df.withColumn(
         "__data",
@@ -623,7 +749,7 @@ def decode_or_dead_letter(
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
         ),
     )
-    bad = F.col("__data._corrupt_record").isNotNull()
+    bad = F.col("__data._corrupt_record").isNotNull() | F.col("__data").isNull()
     good = parsed.filter(~bad).select("__data.*").drop("_corrupt_record")
     dead = parsed.filter(bad).select(
         F.col(value_col).alias("raw_value"),
@@ -660,7 +786,7 @@ def run_dead_letter_foreach_batch(
             .option("checkpointLocation", ck)
             .start()
         )
-        q.awaitTermination(timeout_s)
+        _await_bounded(q, timeout_s)
     return good_total[0], dead_total[0]
 
 
@@ -711,10 +837,14 @@ def running_max_with_state(
     regardless of micro-batch boundaries.
 
     Requires ``protobuf`` (the state-server wire format) and the RocksDB
-    state store provider. The test container ships neither protobuf nor a
-    way to install it, so this surface is declared + import-gated; the
-    equivalent coverage runs through ``running_user_totals``
-    (applyInPandasWithState), which has no protobuf dependency."""
+    state store provider — run the query under
+    ``with rocksdb_state_provider(spark):`` so the provider conf is scoped
+    to that query and restored after (this function builds the plan only
+    and mutates no session state). The test container ships neither
+    protobuf nor a way to install it, so this surface is declared +
+    import-gated; the equivalent coverage runs through
+    ``running_user_totals`` (applyInPandasWithState), which has no
+    protobuf dependency."""
     try:
         import google.protobuf  # noqa: F401
     except ImportError as e:
@@ -748,13 +878,6 @@ def running_max_with_state(
         def close(self) -> None:
             pass
 
-    # state API v2 requires the RocksDB state store provider (the default
-    # HDFS-backed provider crashes the state server); set it before the
-    # query starts — the provider is fixed per query at start
-    stream_df.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
     return (
         stream_df.select(key_col, value_col)
         .groupBy(key_col)
@@ -793,7 +916,7 @@ def run_binned_count_accumulator(
             .option("checkpointLocation", ck)
             .start()
         )
-        q.awaitTermination(timeout_s)
+        _await_bounded(q, timeout_s)
     return totals
 
 
@@ -817,27 +940,21 @@ def run_latest_state_merge(
     that equivalence is what lets this streaming loop share the batch
     query's oracle. State size is one row per key; per-batch cost is
     O(batch + state), independent of total history."""
-    from pyspark.sql import Window
-
     spark = stream_df.sparkSession
     root = scratch_unique(spark, "merge_state")
     state_dir = [None]  # current snapshot path, rotated per batch
 
-    def latest(df: DataFrame) -> DataFrame:
-        w = Window.partitionBy(key_col).orderBy(
-            *[F.col(c).desc() for c in order_cols]
-        )
-        return (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        compacted = latest(batch_df)
+        if batch_df.isEmpty():
+            # an empty/no-data micro-batch must not re-read and rewrite
+            # the whole state snapshot as a new rotation
+            return
+        compacted = _latest_per_key(batch_df, key_col, order_cols)
         if state_dir[0] is not None:
             prev = batch_df.sparkSession.read.parquet(state_dir[0])
-            compacted = latest(prev.unionByName(compacted))
+            compacted = _latest_per_key(
+                prev.unionByName(compacted), key_col, order_cols
+            )
         new_dir = os.path.join(root, f"state_{batch_id}")
         compacted.write.mode("overwrite").parquet(new_dir)
         state_dir[0] = new_dir
@@ -850,7 +967,7 @@ def run_latest_state_merge(
             .option("checkpointLocation", ck)
             .start()
         )
-        q.awaitTermination(timeout_s)
+        _await_bounded(q, timeout_s)
     if state_dir[0] is None:
         return spark.createDataFrame([], stream_df.schema)
     return spark.read.parquet(state_dir[0])
@@ -870,20 +987,7 @@ def run_merge_into_table(
     view, independent of how the stream was split (ordering is by
     ``order_cols``, not arrival). The versioned twin of
     ``run_latest_state_merge``'s rotated snapshots."""
-    from pyspark.sql import Window
-
     spark = stream_df.sparkSession
-
-    def latest(df: DataFrame) -> DataFrame:
-        w = Window.partitionBy(key_col).orderBy(
-            *[F.col(c).desc() for c in order_cols]
-        )
-        return (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-
     ck = scratch_unique(spark, "txmerge_ck")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -893,7 +997,7 @@ def run_merge_into_table(
         # (sink failure after commit, source replay) is a no-op instead
         # of a duplicate MERGE version — the exactly-once contract
         table.merge(
-            latest(batch_df),
+            _latest_per_key(batch_df, key_col, list(order_cols)),
             key_col,
             list(order_cols),
             txn=(ck, batch_id),
@@ -906,7 +1010,7 @@ def run_merge_into_table(
             .option("checkpointLocation", ck)
             .start()
         )
-        q.awaitTermination(timeout_s)
+        _await_bounded(q, timeout_s)
     snap = table.snapshot()
     if snap is None:
         return spark.createDataFrame([], stream_df.schema)
@@ -954,7 +1058,7 @@ def run_pq_index_append(
             .option("checkpointLocation", ck)
             .start()
         )
-        q.awaitTermination(timeout_s)
+        _await_bounded(q, timeout_s)
     return table.snapshot()
 
 
@@ -980,7 +1084,7 @@ def stage_lineitem_pairs_dir(
     key = sf_dir.strip("/").replace("/", "_")
     root = scratch_root(spark, "stream_stage", local_default=_STAGE_ROOT)
     out = os.path.join(root, f"li_pairs_{key}_{n_files}")
-    marker = os.path.join(out, "_SUCCESS")
+    marker = os.path.join(out, _STAGED_MARKER)
     if not os.path.exists(marker):
         from ..sources.catalog import load_table
 
@@ -995,11 +1099,8 @@ def stage_lineitem_pairs_dir(
             .write.mode("overwrite")
             .parquet(out)
         )
-        parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
-        base = int(os.path.getmtime(os.path.join(out, parts[0])))
-        for i, f in enumerate(parts):
-            t = base + i * 10
-            os.utime(os.path.join(out, f), (t, t))
+        _pin_mtimes(out)
+        _mark_staged(out)
     return out
 
 

@@ -127,6 +127,84 @@ def test_dead_letter_split_counts(spark, sf_dir):
     assert (g, d) == (total - n_bad, n_bad)
 
 
+def test_dead_letter_null_payloads_route_to_dlq(spark):
+    """NULL payloads (Kafka tombstones) and the JSON literal ``null`` make
+    ``from_json`` return a NULL struct with NO corrupt-record fill — they
+    must land in the dead-letter frame, not enter the good stream as
+    phantom all-null rows."""
+    from end_to_end_data_engineering_and_ml_system_spark.streaming.pipeline import (
+        decode_or_dead_letter,
+    )
+
+    vals = spark.createDataFrame(
+        [('{"event_id": 1, "value": 2.5}',), (None,), ("null",),
+         ("{not json",)],
+        "value string",
+    )
+    good, dead = decode_or_dead_letter(vals, "event_id bigint, value double")
+    assert good.count() == 1
+    assert dead.count() == 3
+    rows = good.collect()
+    assert rows[0]["event_id"] == 1 and rows[0]["value"] == 2.5
+
+
+def test_events_stream_rejects_sentinels_with_coalescing_trigger(spark, sf_dir):
+    """sentinels=True + max_files_per_trigger>1 can coalesce both
+    watermark-closing sentinel files into the final micro-batch, so no
+    batch ever runs with the raised watermark — the API must refuse."""
+    import pytest
+
+    from end_to_end_data_engineering_and_ml_system_spark.streaming.pipeline import (
+        events_stream,
+    )
+
+    with pytest.raises(ValueError, match="max_files_per_trigger=1"):
+        events_stream(spark, sf_dir, max_files_per_trigger=2, sentinels=True)
+
+
+def test_rocksdb_state_provider_scopes_and_restores(spark):
+    key = "spark.sql.streaming.stateStore.providerClass"
+    from end_to_end_data_engineering_and_ml_system_spark.streaming.pipeline import (
+        rocksdb_state_provider,
+    )
+
+    prev = spark.conf.get(key)
+    with rocksdb_state_provider(spark):
+        assert "RocksDB" in spark.conf.get(key)
+    assert spark.conf.get(key) == prev
+
+
+def test_staging_marker_survives_partial_post_write(spark, sf_dir):
+    """The idempotency marker is written AFTER mtime pinning and sentinel
+    files, so a crash in that window leaves the dir re-stageable instead
+    of permanently half-staged (the parquet _SUCCESS file exists as soon
+    as the data lands and would mask the missing post-steps)."""
+    import os
+
+    from end_to_end_data_engineering_and_ml_system_spark.streaming.pipeline import (
+        _STAGED_MARKER,
+        stage_events_dir,
+    )
+
+    out = stage_events_dir(spark, sf_dir, sentinels=True)
+    marker = os.path.join(out, _STAGED_MARKER)
+    assert os.path.exists(marker)
+    sentinel_files = [f for f in os.listdir(out) if "sentinel" in f]
+    assert sentinel_files, "sentinel staging must add sentinel files"
+    # simulate the crash window: data + _SUCCESS present, post-steps lost
+    os.remove(marker)
+    for f in sentinel_files:
+        os.remove(os.path.join(out, f))
+    out2 = stage_events_dir(spark, sf_dir, sentinels=True)
+    assert out2 == out
+    assert os.path.exists(marker)
+    assert [f for f in os.listdir(out) if "sentinel" in f]
+    # mtimes strictly increasing along part index (the pin step re-ran)
+    parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    mtimes = [os.path.getmtime(os.path.join(out, f)) for f in parts]
+    assert mtimes == sorted(mtimes)
+
+
 def test_udf_surface_registration(spark, sf_dir):
     # M1/F6: the declared row-at-a-time UDF surface (the engine prefers
     # native exprs; this pins the API contract the reference used)
