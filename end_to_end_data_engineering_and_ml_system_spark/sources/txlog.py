@@ -38,13 +38,32 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _stat_json(v):
-    """JSON-comparable stat encoding: datetimes to ISO strings (ordering
-    preserved), everything else as-is."""
+def _stat_json(v, round_up: bool | None = None):
+    """JSON-comparable stat encoding: datetimes AND dates to ISO strings
+    (ordering preserved — note the isinstance order: datetime IS a date
+    subclass), Decimals to float with DIRECTED rounding, everything else
+    as-is.
+
+    The direction matters for pruning safety: a Decimal that float() would
+    round toward the range could make a dir look disjoint when it is not
+    (a wrongly-pruned dir silently DROPS rows). Writers encode min with
+    ``round_up=False`` and max with ``round_up=True`` (stats widen);
+    readers encode lo down and hi up (query range widens) — both
+    directions only ever make pruning more conservative, never less."""
     import datetime
+    import decimal
 
     if isinstance(v, datetime.datetime):
         return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        f = float(v)
+        if round_up is None or decimal.Decimal(f) == v:
+            return f
+        import math
+
+        return math.nextafter(f, math.inf if round_up else -math.inf)
     return v
 
 
@@ -57,7 +76,10 @@ def _normalized_schema(schema_json: str) -> str:
         if isinstance(node, dict):
             out = {}
             for k, v in node.items():
-                if k == "nullable":
+                # containsNull / valueContainsNull are the array- and
+                # map-element forms of the same writer-side nullability
+                # inference (F.array of literals infers containsNull=false)
+                if k in ("nullable", "containsNull", "valueContainsNull"):
                     out[k] = True
                 elif k == "metadata":
                     out[k] = {}
@@ -175,6 +197,14 @@ class TxTable:
     def _write_data(self, df: DataFrame) -> str:
         part = os.path.join(self._data_dir, uuid.uuid4().hex)
         df.write.mode("error").parquet(part)
+        # Sidecars are computed from the COMMITTED bytes, never by
+        # re-executing the input's lineage: a non-deterministic input
+        # (rand-derived column, re-read mutable source) would otherwise
+        # yield stats/blooms that disagree with the written data — and a
+        # stats sidecar that under-covers its dir makes pruning silently
+        # DROP rows. Reading back also avoids 1+len(bloom_cols) redundant
+        # recomputations of an arbitrary input plan.
+        written = self.spark.read.parquet(part)
         if self.stats_cols:
             from pyspark.sql import functions as F
 
@@ -184,51 +214,58 @@ class TxTable:
                     F.min(c).alias(f"{c}__min"),
                     F.max(c).alias(f"{c}__max"),
                 ]
-            row = df.agg(*aggs).first()
+            row = written.agg(*aggs).first()
             stats = {
                 c: {
-                    "min": _stat_json(row[f"{c}__min"]),
-                    "max": _stat_json(row[f"{c}__max"]),
+                    "min": _stat_json(row[f"{c}__min"], round_up=False),
+                    "max": _stat_json(row[f"{c}__max"], round_up=True),
                 }
                 for c in self.stats_cols
             }
             _atomic_write_json(f"{part}.stats.json", stats)
-        if self.bloom_cols:
-            from pyspark.sql import functions as F
-
-            for c in self.bloom_cols:
-                pos_exprs = [
-                    (
-                        F.conv(
-                            F.substring(
-                                F.md5(
-                                    F.concat(
-                                        F.lit(f"{i}|"),
-                                        F.col(c).cast("string"),
-                                    )
-                                ),
-                                1,
-                                8,
-                            ),
-                            16,
-                            10,
-                        ).cast("bigint")
-                        % _BLOOM_M
-                    ).cast("int")
-                    for i in range(_BLOOM_K)
-                ]
-                rows = (
-                    df.filter(F.col(c).isNotNull())
-                    .select(F.explode(F.array(*pos_exprs)).alias("p"))
-                    .distinct()
-                    .collect()
-                )
-                _atomic_write_json(
-                    f"{part}.bloom.{c}.json",
-                    {"m": _BLOOM_M, "k": _BLOOM_K,
-                     "bits": sorted(r["p"] for r in rows)},
-                )
+        self._write_bloom_sidecars(part, written)
         return part
+
+    def _write_bloom_sidecars(self, part: str, written: DataFrame) -> None:
+        """Bloom sidecars for one data dir, from its committed rows —
+        shared by ``_write_data`` and ``optimize`` (which must not lose
+        point-lookup pruning across a rewrite)."""
+        if not self.bloom_cols:
+            return
+        from pyspark.sql import functions as F
+
+        for c in self.bloom_cols:
+            pos_exprs = [
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"{i}|"),
+                                    F.col(c).cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % _BLOOM_M
+                ).cast("int")
+                for i in range(_BLOOM_K)
+            ]
+            rows = (
+                written.filter(F.col(c).isNotNull())
+                .select(F.explode(F.array(*pos_exprs)).alias("p"))
+                .distinct()
+                .collect()
+            )
+            _atomic_write_json(
+                f"{part}.bloom.{c}.json",
+                {"m": _BLOOM_M, "k": _BLOOM_K,
+                 "bits": sorted(r["p"] for r in rows)},
+            )
 
     def _dir_stats(self, d: str) -> dict | None:
         p = f"{d}.stats.json"
@@ -268,6 +305,24 @@ class TxTable:
             checks = (
                 self._manifest(prev).get("checks") if prev is not None else None
             )
+        # txn idempotency markers are carried FORWARD as an app->batch map:
+        # the newest manifest always holds every app's latest batch, so
+        # vacuuming old manifests can no longer erase a marker and let a
+        # re-delivered foreachBatch merge re-apply (the exactly-once hole).
+        # Per-commit "txn" is still recorded for the audit trail.
+        txns: dict = {}
+        if prev is not None:
+            pm = self._manifest(prev)
+            txns.update(pm.get("txns", {}))
+            legacy = pm.get("txn")
+            if legacy and int(txns.get(legacy["app"], -1)) < int(
+                legacy["batch"]
+            ):
+                txns[legacy["app"]] = int(legacy["batch"])
+        if txn is not None and int(txns.get(txn["app"], -1)) < int(
+            txn["batch"]
+        ):
+            txns[txn["app"]] = int(txn["batch"])
         manifest = {
             "version": version,
             "op": op,
@@ -277,6 +332,7 @@ class TxTable:
             "evolved": evolved,
             "checks": checks or {},
             "committed_at": time.time(),
+            "txns": txns,
         }
         if txn is not None:
             manifest["txn"] = txn
@@ -432,12 +488,19 @@ class TxTable:
                 )
 
     def txn_seen(self, app: str, batch_id: int) -> bool:
-        """Has ``(app, batch_id)`` already committed? Walks manifests
-        newest-first for the app's latest recorded batch — the public
-        Delta ``txnAppId``/``txnVersion`` idempotent-writer contract that
-        makes foreachBatch exactly-once under re-delivery."""
-        for v in reversed(self.versions()):
-            txn = self._manifest(v).get("txn")
+        """Has ``(app, batch_id)`` already committed? The newest manifest's
+        carried-forward ``txns`` map answers in O(1) and survives vacuum;
+        manifests written before the map existed fall back to the
+        newest-first walk of per-commit markers — the public Delta
+        ``txnAppId``/``txnVersion`` idempotent-writer contract that makes
+        foreachBatch exactly-once under re-delivery."""
+        v = self.latest_version()
+        if v is None:
+            return False
+        if int(self._manifest(v).get("txns", {}).get(app, -1)) >= batch_id:
+            return True
+        for vv in reversed(self.versions()):
+            txn = self._manifest(vv).get("txn")
             if txn and txn.get("app") == app:
                 return int(txn["batch"]) >= batch_id
         return False
@@ -566,6 +629,12 @@ class TxTable:
             else:
                 numeric.append(F.col(c).cast("double"))
         n = len(cluster_by)
+        if n > 63:
+            raise ValueError("cluster_by is limited to 63 columns")
+        # the interleave places col i's bit b at position b*n+i; position
+        # 63 is the bigint sign bit and >=64 wraps via JVM shift masking —
+        # either silently scrambles the clustering, so cap bits to fit
+        bits = min(bits, 63 // n)
         ncodes = 1 << bits
         proj = snap.select(
             *[e.alias(f"__c{i}") for i, e in enumerate(numeric)]
@@ -627,8 +696,10 @@ class TxTable:
                     d = os.path.join(part_root, f"__zb={r['__zb']}")
                     stats = {
                         c: {
-                            "min": _stat_json(r[f"{c}__min"]),
-                            "max": _stat_json(r[f"{c}__max"]),
+                            "min": _stat_json(
+                                r[f"{c}__min"], round_up=False
+                            ),
+                            "max": _stat_json(r[f"{c}__max"], round_up=True),
                         }
                         for c in self.stats_cols
                     }
@@ -640,6 +711,10 @@ class TxTable:
                     for e in os.listdir(part_root)
                     if e.startswith("__zb=")
                 ]
+            # a rewrite must not lose point-lookup pruning: every new dir
+            # gets its bloom sidecars too (from the committed bytes)
+            for d in dirs:
+                self._write_bloom_sidecars(d, self.spark.read.parquet(d))
             return self._commit(dirs, "optimize", evolved=False)
         finally:
             zdf.unpersist()
@@ -710,7 +785,9 @@ class TxTable:
         v = self.latest_version() if version is None else version
         if v is None:
             return None
-        lo_j, hi_j = _stat_json(lo), _stat_json(hi)
+        lo_j, hi_j = _stat_json(lo, round_up=False), _stat_json(
+            hi, round_up=True
+        )
         man = self._manifest(v)
         keep = []
         for d in man["data_dirs"]:
@@ -780,9 +857,12 @@ class TxTable:
         v = self.latest_version()
         if v is None:
             raise ValueError("cannot delete from an empty table")
-        lo_j, hi_j = _stat_json(lo), _stat_json(hi)
+        lo_j, hi_j = _stat_json(lo, round_up=False), _stat_json(
+            hi, round_up=True
+        )
+        man = self._manifest(v)
         carried, rewritten = [], []
-        for d in self._manifest(v)["data_dirs"]:
+        for d in man["data_dirs"]:
             st = (self._dir_stats(d) or {}).get(col)
             overlap = (
                 st is None
@@ -795,8 +875,11 @@ class TxTable:
                 continue
             # SQL DELETE semantics: a row is removed only when the
             # predicate is TRUE — NULL-valued rows are KEPT (a bare
-            # ~cond filter would silently delete them)
-            remain = self.spark.read.parquet(d).filter(
+            # ~cond filter would silently delete them). The read goes
+            # through _read_dirs so an evolved table's pre-evolution dirs
+            # resolve added columns as NULL (kept) instead of raising
+            # UNRESOLVED_COLUMN on a raw parquet read.
+            remain = self._read_dirs(man, [d]).filter(
                 F.col(col).isNull()
                 | (F.col(col) < F.lit(lo))
                 | (F.col(col) > F.lit(hi))
@@ -836,6 +919,23 @@ class TxTable:
             return self.spark.read.parquet(*new_dirs)
         old = self.snapshot(from_version)
         new = self.snapshot(to_v)
+        # a schema-evolution commit in the range (add/drop column,
+        # overwrite with a new schema) makes the two snapshots differ in
+        # shape — align old to NEW's schema (missing columns as NULL,
+        # dropped columns projected away, same-name type changes cast) so
+        # the diff still answers "which rows are new", instead of
+        # exceptAll raising NUM_COLUMNS_MISMATCH
+        from pyspark.sql import functions as F
+
+        have = set(old.columns)
+        old = old.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in new.schema.fields
+            ]
+        )
         return new.exceptAll(old)
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
@@ -850,13 +950,20 @@ class TxTable:
         keep_dirs = set()
         for v in keep_vs:
             keep_dirs.update(self._manifest(v)["data_dirs"])
+        import glob
+
         removed = []
         for v in vs[: -keep_last]:
-            for d in self._manifest(v)["data_dirs"]:
+            # manifest FIRST: once it is gone no reader resolves the
+            # version, so a crash mid-vacuum leaves only harmless orphan
+            # dirs — dirs-first would leave a still-listed version whose
+            # snapshot read fails on missing paths
+            dirs = self._manifest(v)["data_dirs"]
+            os.remove(os.path.join(self._log_dir, f"{v}.json"))
+            for d in dirs:
                 if d not in keep_dirs and os.path.isdir(d):
                     shutil.rmtree(d)
-                    if os.path.exists(f"{d}.stats.json"):
-                        os.remove(f"{d}.stats.json")
+                    for side in glob.glob(f"{d}.*.json"):
+                        os.remove(side)  # stats AND bloom sidecars
                     removed.append(d)
-            os.remove(os.path.join(self._log_dir, f"{v}.json"))
         return removed

@@ -561,3 +561,173 @@ def test_restore_enforces_live_checks(spark, tmp_path):
     v_clean = t.latest_version() - 1  # the overwrite version
     t.restore(v_clean)
     assert t.snapshot().first()["k"] == 2
+
+
+def test_stats_sidecars_computed_from_committed_bytes(spark, tmp_path):
+    """Sidecar stats must describe the WRITTEN data, not a re-execution of
+    the input lineage — a non-deterministic input (rand-keyed column)
+    would otherwise record stats that under-cover the committed rows and
+    pruning would silently drop them."""
+    import json as _json
+
+    t = TxTable(spark, str(tmp_path / "tbl"), stats_cols=("r",))
+    df = spark.range(200).select(
+        F.col("id"), (F.rand(seed=None) * 1000).cast("long").alias("r")
+    )
+    t.overwrite(df)
+    d = t._manifest(0)["data_dirs"][0]
+    with open(f"{d}.stats.json") as f:
+        stats = _json.load(f)["r"]
+    row = (
+        spark.read.parquet(d)
+        .agg(F.min("r").alias("lo"), F.max("r").alias("hi"))
+        .first()
+    )
+    assert stats["min"] <= row["lo"] and stats["max"] >= row["hi"]
+    # and pruning with those stats returns exactly the committed rows
+    mid = (row["lo"] + row["hi"]) // 2
+    want = spark.read.parquet(d).filter(F.col("r") >= mid).count()
+    assert t.snapshot_pruned("r", mid, row["hi"]).count() == want
+
+
+def test_date_and_decimal_stats_cols(spark, tmp_path):
+    """DATE and DECIMAL stats columns must serialize into the sidecar
+    (dates to ISO strings, decimals to conservatively-rounded floats) —
+    the date-partition case is the canonical pruning workload."""
+    import datetime
+
+    t = TxTable(spark, str(tmp_path / "tbl"), stats_cols=("d", "m"))
+    df = spark.createDataFrame(
+        [(datetime.date(2024, 1, i), f"{i}.25") for i in range(1, 11)],
+        "d date, m string",
+    ).select("d", F.col("m").cast("decimal(10,2)").alias("m"))
+    t.overwrite(df)  # must not crash writing the sidecar
+    got = t.snapshot_pruned("d", datetime.date(2024, 1, 3),
+                            datetime.date(2024, 1, 5))
+    assert got.count() == 3
+    import decimal
+
+    got_m = t.snapshot_pruned(
+        "m", decimal.Decimal("3.25"), decimal.Decimal("5.25")
+    )
+    assert got_m.count() == 3
+
+
+def test_delete_range_on_evolved_table(spark, tmp_path):
+    """DELETE on a column added AFTER some dirs were written: the
+    pre-evolution dirs read the column as NULL (rows KEPT per SQL DELETE
+    semantics) instead of crashing on UNRESOLVED_COLUMN."""
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(spark.createDataFrame([(1,), (2,)], "k long"))
+    t.add_column("region", "string")
+    t.append(
+        spark.createDataFrame(
+            [(3, "emea"), (4, "apac")], "k long, region string"
+        )
+    )
+    t.delete_range("region", "apac", "apac")
+    got = {(r["k"], r["region"]) for r in t.snapshot().collect()}
+    assert got == {(1, None), (2, None), (3, "emea")}
+
+
+def test_changes_across_schema_evolution(spark, tmp_path):
+    """changes() spanning an add_column commit aligns the old snapshot to
+    the new schema (missing column as NULL) instead of raising
+    NUM_COLUMNS_MISMATCH."""
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(spark.createDataFrame([(1,), (2,)], "k long"))
+    t.add_column("v", "string")
+    t.append(spark.createDataFrame([(3, "x")], "k long, v string"))
+    got = {(r["k"], r["v"]) for r in t.changes(0).collect()}
+    assert got == {(3, "x")}
+
+
+def test_append_accepts_narrower_array_element_nullability(spark, tmp_path):
+    """containsNull is writer-side inference like nullable: an array built
+    from literals (containsNull=false) must append into a committed
+    nullable-element array column."""
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    base = spark.createDataFrame([(1, ["a", None])], "k long, tags array<string>")
+    t.overwrite(base)
+    lit_arr = spark.range(1).select(
+        F.lit(2).cast("long").alias("k"),
+        F.array(F.lit("b"), F.lit("c")).alias("tags"),
+    )
+    t.append(lit_arr)  # must not raise schema-drift
+    assert t.snapshot().count() == 2
+
+
+def test_txn_seen_survives_vacuum(spark, tmp_path):
+    """The exactly-once contract must survive maintenance: a later commit
+    plus vacuum removes the merge's manifest, but the carried-forward txn
+    map in the newest manifest still answers txn_seen — a re-delivered
+    batch stays a no-op."""
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(spark.createDataFrame([(1, 1, "a")], "k long, seq long, v string"))
+    t.merge(
+        spark.createDataFrame([(1, 2, "b")], "k long, seq long, v string"),
+        "k",
+        ["seq"],
+        txn=("app", 7),
+    )
+    t.compact()
+    t.vacuum(keep_last=1)
+    assert t.txn_seen("app", 7) is True
+    v = t.latest_version()
+    # re-delivery is a no-op: no new version, state unchanged
+    t.merge(
+        spark.createDataFrame([(1, 2, "b")], "k long, seq long, v string"),
+        "k",
+        ["seq"],
+        txn=("app", 7),
+    )
+    assert t.latest_version() == v
+    assert {r["v"] for r in t.snapshot().collect()} == {"b"}
+
+
+def test_optimize_preserves_bloom_sidecars(spark, tmp_path):
+    """OPTIMIZE rewrites the dir layout — it must rewrite the bloom
+    sidecars too, or point_lookup degrades to a full scan right after the
+    maintenance meant to speed it up."""
+    t = TxTable(
+        spark, str(tmp_path / "tbl"), stats_cols=("k",), bloom_cols=("k",)
+    )
+    t.overwrite(
+        spark.range(400).select(F.col("id").alias("k"),
+                                (F.col("id") % 7).alias("v"))
+    )
+    t.optimize(["k"], num_buckets=4)
+    dirs = t._manifest(t.latest_version())["data_dirs"]
+    assert all(os.path.exists(f"{d}.bloom.k.json") for d in dirs)
+    # point lookup still prunes: the bloom keep-set is smaller than all dirs
+    keep, n = t._bloom_keep_dirs("k", 123, t.latest_version())
+    assert len(keep) < n or n == 1
+    got = t.point_lookup("k", 123)
+    assert got.count() == 1
+
+
+def test_vacuum_removes_bloom_sidecars_and_manifest_first(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "tbl"), bloom_cols=("k",))
+    t.overwrite(spark.createDataFrame([(1,)], "k long"))
+    old_dirs = t._manifest(0)["data_dirs"]
+    t.overwrite(spark.createDataFrame([(2,)], "k long"))
+    removed = t.vacuum(keep_last=1)
+    assert removed == old_dirs
+    for d in old_dirs:
+        assert not os.path.exists(f"{d}.bloom.k.json")
+        assert not os.path.exists(f"{d}.stats.json")
+    assert t.versions() == [1]
+
+
+def test_optimize_many_cluster_columns_caps_bits(spark, tmp_path):
+    """bits*len(cluster_by) must stay below the bigint sign bit — 9 wide
+    default-bits columns would otherwise wrap via JVM shift masking and
+    silently scramble the clustering."""
+    cols = [f"c{i}" for i in range(9)]
+    t = TxTable(spark, str(tmp_path / "tbl"), stats_cols=tuple(cols))
+    df = spark.range(300).select(
+        *[((F.col("id") * (i + 3)) % 100).alias(c) for i, c in enumerate(cols)]
+    )
+    t.overwrite(df)
+    t.optimize(cols, num_buckets=4)  # must not scramble or crash
+    assert t.snapshot().count() == 300
