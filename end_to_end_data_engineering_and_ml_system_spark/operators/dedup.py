@@ -88,13 +88,16 @@ def jaccard_pairs(
         .groupBy("id1", "id2")
         .agg(F.count("*").alias("shared"))
     )
-    # doc-size lookup rides a broadcast: one row per doc, tiny next to the
-    # pair shuffle even at corpus scale
+    # doc-size lookup: one row per doc — usually broadcast-sized, but it
+    # grows with the CORPUS, so the hint is left to AQE (a forced
+    # F.broadcast hits the 512M-row / 8GB broadcast hard limit on a large
+    # enough corpus and fails the job; AQE broadcasts when it fits and
+    # shuffles when it doesn't)
     pairs = pairs.join(
-        F.broadcast(sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1"))),
+        sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1")),
         "id1",
     ).join(
-        F.broadcast(sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2"))),
+        sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2")),
         "id2",
     )
     jac = F.col("shared").cast("double") / (
@@ -142,29 +145,24 @@ def minhash_signatures(
     )
 
 
-def lsh_buckets(
-    signatures: DataFrame, id_col: str, rows_per_band: int = 2
-) -> DataFrame:
-    """(id, band, bucket): band bucket key = md5 of the seed-ordered minhash
-    concatenation within the band."""
-    sig = signatures.withColumn(
-        "band", F.floor(F.col("seed") / F.lit(rows_per_band)).cast("bigint")
-    )
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-        lambda s: s.getField("minhash"),
-    )
-    return sig.groupBy(id_col, "band").agg(
-        F.md5(F.concat_ws("|", ordered)).alias("bucket")
-    )
-
-
 def lsh_buckets_wide(
     wide: DataFrame, id_col: str, num_hashes: int, rows_per_band: int = 2
 ) -> DataFrame:
     """(id, band, bucket) from wide signatures: pure projection + explode,
     zero extra shuffles. Bucket key = md5 of the seed-ordered minhash
-    concatenation within the band (same definition as ``lsh_buckets``)."""
+    concatenation within the band.
+
+    ``num_hashes`` must divide evenly into bands: trailing hashes that do
+    not fill a band would be computed-but-never-banded (silently lower
+    recall than the requested signature width), and ``rows_per_band >
+    num_hashes`` would yield ZERO bands — every document vanishes and the
+    dedup pipeline reports 'no near-dups' with no error. Both raise."""
+    if rows_per_band <= 0 or num_hashes % rows_per_band != 0:
+        raise ValueError(
+            f"rows_per_band={rows_per_band} must divide num_hashes="
+            f"{num_hashes} evenly (a partial band would silently drop "
+            "the trailing hashes; zero bands would drop every document)"
+        )
     bands = num_hashes // rows_per_band
     rows = F.array(
         *[
@@ -296,6 +294,25 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def shingle_hash_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int, out_id: str | None = None
+) -> DataFrame:
+    """(id, sh_set): sorted distinct shingle-hash array per document — THE
+    exact-Jaccard verification-set definition, shared by every verify path
+    (``lsh_verified_near_dups``, ``incremental_near_dups``,
+    ``minhash_estimate_vs_exact``) so the three pipelines can never
+    desynchronize on the hash or the sort."""
+    oid = out_id or id_col
+    return df.select(
+        F.col(id_col).alias(oid), tokens(text_col).alias("__toks")
+    ).select(
+        oid,
+        F.array_sort(
+            F.transform(shingles(F.col("__toks"), n), lambda s: F.xxhash64(s))
+        ).alias("sh_set"),
+    )
+
+
 def lsh_verified_near_dups(
     df: DataFrame,
     id_col: str,
@@ -318,14 +335,7 @@ def lsh_verified_near_dups(
     cands = lsh_candidate_pairs(
         df, id_col, text_col, num_hashes, rows_per_band, n, max_bucket_size
     )
-    sets_ = df.select(
-        F.col(id_col), tokens(text_col).alias("__toks")
-    ).select(
-        F.col(id_col),
-        F.array_sort(
-            F.transform(shingles(F.col("__toks"), n), lambda s: F.xxhash64(s))
-        ).alias("sh_set"),
-    )
+    sets_ = shingle_hash_sets(df, id_col, text_col, n)
     j = (
         cands.join(sets_.select(F.col(id_col).alias("id1"), F.col("sh_set").alias("s1")), "id1")
         .join(sets_.select(F.col(id_col).alias("id2"), F.col("sh_set").alias("s2")), "id2")
@@ -404,9 +414,10 @@ def incremental_near_dups(
         rows_per_band,
     ).select(F.col(id_col).alias("corpus_id"), "band", "bucket")
     if max_bucket_size is not None:
-        cb = cap_bucket_size(
-            cb.withColumnRenamed("corpus_id", id_col), ["band", "bucket"], max_bucket_size
-        ).withColumnRenamed(id_col, "corpus_id")
+        # cap_bucket_size only touches the bucket keys — no rename
+        # round-trip needed (and renaming to id_col would create a
+        # duplicate column if id_col were 'band'/'bucket')
+        cb = cap_bucket_size(cb, ["band", "bucket"], max_bucket_size)
     nb = lsh_buckets_wide(
         minhash_wide(new, id_col, text_col, num_hashes, n),
         id_col,
@@ -416,11 +427,8 @@ def incremental_near_dups(
     cands = nb.join(cb, ["band", "bucket"]).select("new_id", "corpus_id").distinct()
 
     def _sets(df: DataFrame, alias: str) -> DataFrame:
-        return df.select(F.col(id_col).alias(alias), tokens(text_col).alias("__toks")).select(
-            alias,
-            F.array_sort(
-                F.transform(shingles(F.col("__toks"), n), lambda s: F.xxhash64(s))
-            ).alias(f"sh_{alias}"),
+        return shingle_hash_sets(df, id_col, text_col, n, out_id=alias).select(
+            alias, F.col("sh_set").alias(f"sh_{alias}")
         )
 
     j = cands.join(_sets(new, "new_id"), "new_id").join(
@@ -561,7 +569,7 @@ def simhash_near_dup_pairs(
     instructions per candidate. Hot chunk values (e.g. the all-zeros chunk
     from short docs) can be capped with :func:`cap_bucket_size`."""
     if bits % chunks != 0:
-        raise ValueError("bits must divide evenly into chunks")
+        raise ValueError("chunks must divide bits evenly")
     if max_hamming > chunks - 1:
         raise ValueError(
             "pigeonhole exactness needs max_hamming <= chunks - 1"
@@ -600,7 +608,7 @@ def simhash_near_dup_pairs(
         .select("id1", "id2", "sig1", "sig2")
         .distinct()
     )
-    hamming = F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2")))
+    hamming = hamming64(F.col("sig1"), F.col("sig2"))
     return cand.select(
         "id1", "id2", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
@@ -637,12 +645,7 @@ def minhash_estimate_vs_exact(
         F.col(id_col).alias("id2"),
         *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)],
     )
-    sets_ = df.select(F.col(id_col), tokens(text_col).alias("__toks")).select(
-        F.col(id_col),
-        F.array_sort(
-            F.transform(shingles(F.col("__toks"), n), lambda s: F.xxhash64(s))
-        ).alias("sh_set"),
-    )
+    sets_ = shingle_hash_sets(df, id_col, text_col, n)
     s1 = sets_.select(F.col(id_col).alias("id1"), F.col("sh_set").alias("s1"))
     s2 = sets_.select(F.col(id_col).alias("id2"), F.col("sh_set").alias("s2"))
     j = cands.join(w1, "id1").join(w2, "id2").join(s1, "id1").join(s2, "id2")

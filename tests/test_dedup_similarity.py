@@ -501,3 +501,25 @@ def test_semdedup_fixture_invariants(spark, sf_dir):
         assert 0 < kept_at[0] <= kept_at[-1] <= n
     finally:
         t.unpersist()
+
+
+def test_lsh_banding_rejects_non_divisible_params(spark, sf_dir):
+    """num_hashes % rows_per_band != 0 silently dropped the trailing hashes
+    (lower recall than requested), and rows_per_band > num_hashes produced
+    ZERO bands — every doc vanished and the pipeline reported 'no
+    near-dups' with no error. Both must raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.dedup import (
+        lsh_verified_near_dups,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    with pytest.raises(ValueError, match="divide num_hashes"):
+        lsh_verified_near_dups(docs, "doc_id", "text", 8, 3, 3, 0.6).count()
+    with pytest.raises(ValueError, match="divide num_hashes"):
+        lsh_verified_near_dups(docs, "doc_id", "text", 8, 16, 3, 0.6).count()
