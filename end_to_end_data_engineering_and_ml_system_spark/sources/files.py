@@ -54,18 +54,28 @@ def read_csv_permissive(
 
 def write_single_csv(df: DataFrame, dest_file: str, max_rows: int = 1_000_000) -> str:
     """Single-file CSV output with the part-file move the reference does by
-    hand. Guarded: one file means one writer — refuse at scale."""
-    n = df.count()
-    if n > max_rows:
+    hand. Guarded: one file means one writer — refuse at scale. The cap
+    check short-circuits via ``limit(max_rows+1)`` instead of a full count,
+    so an over-cap input costs one truncated scan, not two full ones."""
+    if df.limit(max_rows + 1).count() > max_rows:
         raise ValueError(
-            f"{n} rows > {max_rows}: single-file CSV is a driver-scale sink; "
-            "write partitioned parquet instead"
+            f"more than {max_rows} rows: single-file CSV is a driver-scale "
+            "sink; write partitioned parquet instead"
         )
     tmp = dest_file + ".tmpdir"
-    df.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
-    part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
-    shutil.move(part, dest_file)
-    shutil.rmtree(tmp)
+    try:
+        df.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+        parts = glob.glob(os.path.join(tmp, "part-*.csv"))
+        if parts:
+            shutil.move(parts[0], dest_file)
+        else:
+            # empty input: Spark's CSV writer creates part files lazily on
+            # the first row, so a 0-row frame leaves only _SUCCESS —
+            # produce the header-only file a CSV consumer expects
+            with open(dest_file, "w") as f:
+                f.write(",".join(df.columns) + "\n")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return dest_file
 
 
@@ -104,7 +114,7 @@ def write_jsonl(df: DataFrame, dest_dir: str, partitions: int | None = None) -> 
     """Partitioned JSON-lines sink (one file per task — the scale shape;
     readers glob the directory). ``partitions`` only coalesces down for
     small outputs; it never repartitions up, so no extra shuffle."""
-    out = df.coalesce(partitions) if partitions else df
+    out = df.coalesce(partitions) if partitions is not None else df
     out.write.mode("overwrite").json(dest_dir)
     return dest_dir
 
@@ -124,7 +134,7 @@ def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -
 def write_orc(df: DataFrame, dest_dir: str, partitions: int | None = None) -> str:
     """Partitioned ORC sink with zlib compression (the ecosystem default a
     Hive/Trino consumer expects). Coalesces down only — never up."""
-    out = df.coalesce(partitions) if partitions else df
+    out = df.coalesce(partitions) if partitions is not None else df
     out.write.mode("overwrite").option("compression", "zlib").orc(dest_dir)
     return dest_dir
 

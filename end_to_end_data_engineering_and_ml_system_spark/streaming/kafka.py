@@ -51,7 +51,23 @@ def kafka_source(
 
 def decode_json_stream(kafka_df: DataFrame, schema_ddl: str) -> DataFrame:
     """value bytes → string → ``from_json`` with pinned schema → flattened
-    columns + the topic metadata column (S5→F1→P4)."""
+    columns + the topic metadata column (S5→F1→P4).
+
+    Malformed payloads decode to all-null rows here (``from_json``'s NULL
+    struct flattened) — fine for trusted producers; for an untrusted wire
+    use :func:`...streaming.pipeline.decode_or_dead_letter`, which splits
+    undecodable records (including NULL payloads) into a DLQ frame."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    payload_fields = [f.name for f in _parse_datatype_string(schema_ddl)]
+    if "topic" in payload_fields:
+        raise ValueError(
+            "payload schema declares a 'topic' field, which collides with "
+            "the Kafka topic metadata column this decode emits — rename "
+            "the payload field (the metadata column already carries the "
+            "topic; a duplicate name makes every downstream "
+            "F.col('topic') ambiguous)"
+        )
     return (
         kafka_df.select(
             F.col("topic"),
@@ -63,11 +79,14 @@ def decode_json_stream(kafka_df: DataFrame, schema_ddl: str) -> DataFrame:
 
 def serialize_json_value(df: DataFrame, key_col: str | None = None) -> DataFrame:
     """Full-row JSON envelope for the sink (F2/S10): value = to_json(struct
-    of all columns), key = optional routing key for partition affinity."""
-    cols = [c for c in df.columns if c != key_col]
+    of ALL columns — including ``key_col``), key = optional routing key for
+    partition affinity. The key column stays IN the value too: a consumer
+    decoding only the value (the usual shape — ``decode_json_stream`` never
+    reads the Kafka key) must still see the id, or the module's documented
+    at-least-once dedup-by-key contract is impossible downstream."""
     out = df.select(
         *( [F.col(key_col).cast("string").alias("key")] if key_col else [] ),
-        F.to_json(F.struct(*cols)).alias("value"),
+        F.to_json(F.struct(*df.columns)).alias("value"),
     )
     return out
 

@@ -83,11 +83,24 @@ def test_kafka_json_envelope_round_trip(spark, sf_dir):
     # decode path expects kafka's (topic, value) shape; from_json is the same
     # expression in batch and streaming (F1)
     wire = enveloped.select(F.lit("network_flows").alias("topic"), "value")
-    decoded = decode_json_stream(wire, "value double, event_type string")
-    assert decoded.columns == ["topic", "value", "event_type"]
+    decoded = decode_json_stream(
+        wire, "event_id bigint, value double, event_type string"
+    )
+    assert decoded.columns == ["topic", "event_id", "value", "event_type"]
     orig_sum = ev.agg(F.sum("value")).first()[0]
     rt_sum = decoded.agg(F.sum("value")).first()[0]
     assert abs(orig_sum - rt_sum) < 1e-6
+    # the KEY column must survive the value-only decode: the at-least-once
+    # contract says consumers dedup by event_id, which is impossible if the
+    # envelope drops it (a count-only assertion masked exactly that)
+    assert decoded.filter(F.col("event_id").isNull()).count() == 0
+    assert decoded.select("event_id").distinct().count() == ev.count()
+    # a payload schema that declares 'topic' would collide with the Kafka
+    # metadata column — refused loudly, not emitted as a duplicate name
+    import pytest
+
+    with pytest.raises(ValueError, match="topic"):
+        decode_json_stream(wire, "topic string, value double")
 
 
 def test_flow_event_schema_decode_round_trip(spark):

@@ -105,6 +105,20 @@ def test_single_csv_sink_refuses_scale(spark, sf_dir):
         write_single_csv(li, "/tmp/never.csv", max_rows=10)
 
 
+def test_single_csv_sink_empty_input_and_cleanup(spark, tmp_path):
+    """A 0-row frame writes no part file (Spark's CSV writer is lazy) — the
+    sink must produce a header-only CSV, not IndexError, and must never
+    leave its .tmpdir behind."""
+    import os
+
+    empty = spark.createDataFrame([], "a long, b string")
+    dest = str(tmp_path / "empty.csv")
+    assert write_single_csv(empty, dest) == dest
+    with open(dest) as f:
+        assert f.read() == "a,b\n"
+    assert not os.path.exists(dest + ".tmpdir")
+
+
 def test_jsonl_roundtrip_documents(spark, sf_dir, tmp_path):
     """documents -> JSONL -> read back with pinned schema: content-identical
     (JSONL is the training-corpus interchange format; S1/S9 analog)."""
