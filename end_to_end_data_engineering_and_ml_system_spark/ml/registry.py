@@ -50,7 +50,22 @@ def _atomic_write(path: str, data: bytes) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "wb") as f:
         f.write(data)
+        # fsync BEFORE the rename: os.replace alone orders only the
+        # directory metadata — after a kernel crash/power loss the rename
+        # can survive while the data blocks never flushed, leaving a
+        # truncated "atomic" file (the half-readable state the module
+        # docstring promises can't happen)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
+    try:  # persist the rename itself; best-effort (not all FS allow it)
+        dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass
 
 
 def _write_json(path: str, obj: dict) -> None:
@@ -60,6 +75,27 @@ def _write_json(path: str, obj: dict) -> None:
 def _read_json(path: str) -> dict:
     with open(path) as f:
         return json.load(f)
+
+
+def _read_json_or_none(path: str) -> dict | None:
+    """Fail-soft read for directory listings: one corrupt entry (a
+    pre-fsync-era crash artifact) must not make EVERY read of the
+    model/experiment raise forever."""
+    try:
+        return _read_json(path)
+    except (json.JSONDecodeError, OSError):
+        return None
+
+
+def _check_artifact_name(name: str) -> None:
+    """Artifact names are single path components: anything with a
+    separator either fails on a missing subdir or — absolute or
+    ..-prefixed — ESCAPES the registry tree via os.path.join."""
+    if not name or os.path.basename(name) != name or name in (".", ".."):
+        raise ValueError(
+            f"artifact name {name!r} must be a bare filename "
+            "(no path separators)"
+        )
 
 
 @dataclass
@@ -98,6 +134,7 @@ class Run:
         _write_json(self._meta_path(), m)
 
     def log_artifact(self, name: str, data: bytes) -> str:
+        _check_artifact_name(name)
         adir = os.path.join(self._dir, "artifacts")
         os.makedirs(adir, exist_ok=True)
         dest = os.path.join(adir, name)
@@ -109,6 +146,7 @@ class Run:
         return dest
 
     def artifact_bytes(self, name: str) -> bytes:
+        _check_artifact_name(name)
         with open(os.path.join(self._dir, "artifacts", name), "rb") as f:
             return f.read()
 
@@ -154,7 +192,9 @@ class Tracker:
         for rid in os.listdir(rdir):
             p = os.path.join(rdir, rid, "run.json")
             if os.path.isfile(p):
-                out.append(_read_json(p))
+                m = _read_json_or_none(p)
+                if m is not None:
+                    out.append(m)
         return sorted(out, key=lambda m: m["start_time"])
 
     def find_latest_run_id(self, experiment: str) -> str | None:
@@ -189,7 +229,9 @@ class ModelRegistry:
         for v in os.listdir(vdir):
             p = os.path.join(vdir, v, "version.json")
             if os.path.isfile(p):
-                out.append(_read_json(p))
+                m = _read_json_or_none(p)
+                if m is not None:
+                    out.append(m)
         return sorted(out, key=lambda m: m["version"])
 
     def register(
@@ -204,8 +246,20 @@ class ModelRegistry:
         status is READY at once (no async artifact copy to await)."""
         versions = self._versions(model_name)
         version = (versions[-1]["version"] + 1) if versions else 1
-        vdir = os.path.join(self._model_dir(model_name), "versions", str(version))
-        os.makedirs(vdir, exist_ok=True)
+        base = os.path.join(self._model_dir(model_name), "versions")
+        os.makedirs(base, exist_ok=True)
+        # CLAIM the version number with an atomic mkdir (POSIX: mkdir is
+        # exclusive): two concurrent registrations on a shared root would
+        # otherwise read the same max, write into the SAME dir, and
+        # interleave one run's version.json with the other's artifact
+        # bytes — serving bytes attributed to the wrong run
+        while True:
+            vdir = os.path.join(base, str(version))
+            try:
+                os.makedirs(vdir)
+                break
+            except FileExistsError:
+                version += 1
         _atomic_write(
             os.path.join(vdir, "artifact"), run.artifact_bytes(artifact_name)
         )
@@ -237,15 +291,24 @@ class ModelRegistry:
         archive_existing_versions=True) (manage_model_registry.py:84-93)."""
         if stage not in STAGES:
             raise ValueError(f"unknown stage {stage!r}; one of {STAGES}")
-        target = None
-        for meta in self._versions(model_name):
-            if meta["version"] == version:
-                target = meta
-            elif archive_existing and meta["stage"] == stage != "None":
-                meta["stage"] = "Archived"
-                self._write_version(model_name, meta)
+        # validate BEFORE any write: archiving siblings first would let a
+        # failed call (typo'd version) vacate Production with nothing
+        # promoted into it — a destructive no-op
+        versions = self._versions(model_name)
+        target = next(
+            (m for m in versions if m["version"] == version), None
+        )
         if target is None:
             raise FileNotFoundError(f"no version {version} of {model_name}")
+        # Archive the vacated stage's holders only for the singleton
+        # stages: 'None'/'Archived' hold any number of versions, and
+        # re-archiving already-Archived versions would be O(versions)
+        # redundant writes on every archival.
+        if archive_existing and stage in ("Staging", "Production"):
+            for meta in versions:
+                if meta["version"] != version and meta["stage"] == stage:
+                    meta["stage"] = "Archived"
+                    self._write_version(model_name, meta)
         target["stage"] = stage
         self._write_version(model_name, target)
 
@@ -304,32 +367,52 @@ class ModelRegistry:
 
 
 class MlflowRunAdapter:
-    """Duck-type twin of ``Run`` over an active ``mlflow`` run."""
+    """Duck-type twin of ``Run`` over an ``mlflow`` run, addressed by
+    run_id through ``MlflowClient`` so the SAME adapter works for the
+    active run and for runs re-opened via ``get_run`` (module-level
+    ``mlflow.log_*`` would silently write to whatever run happens to be
+    active). Carries ``experiment`` and serves ``artifact_bytes`` so
+    ``ModelRegistry.register(model, run, name)`` works unchanged on this
+    backend — the full read-back surface the seam comment promises."""
 
-    def __init__(self, mlflow_mod, run_id: str):
+    def __init__(self, mlflow_mod, run_id: str, experiment: str):
         self._mlflow = mlflow_mod
+        self._client = mlflow_mod.tracking.MlflowClient()
         self.run_id = run_id
+        self.experiment = experiment
 
     def log_params(self, params: dict) -> None:
-        self._mlflow.log_params({k: str(v) for k, v in params.items()})
+        for k, v in params.items():
+            self._client.log_param(self.run_id, k, str(v))
 
     def log_metrics(self, metrics: dict, step: int = 0) -> None:
-        self._mlflow.log_metrics(
-            {k: float(v) for k, v in metrics.items()}, step=int(step)
-        )
+        for k, v in metrics.items():
+            self._client.log_metric(self.run_id, k, float(v), step=int(step))
 
     def log_artifact(self, name: str, data: bytes) -> str:
         import tempfile
 
-        d = tempfile.mkdtemp(prefix="mlflow_artifact_")
-        path = os.path.join(d, name)
-        with open(path, "wb") as f:
-            f.write(data)
-        self._mlflow.log_artifact(path)
-        return path
+        _check_artifact_name(name)
+        # the temp copy is transport only — removed on exit, and the
+        # return value is the DURABLE store URI, not the scratch path
+        with tempfile.TemporaryDirectory(prefix="mlflow_artifact_") as d:
+            path = os.path.join(d, name)
+            with open(path, "wb") as f:
+                f.write(data)
+            self._client.log_artifact(self.run_id, path)
+        info = self._client.get_run(self.run_id).info
+        return f"{info.artifact_uri}/{name}"
+
+    def artifact_bytes(self, name: str) -> bytes:
+        _check_artifact_name(name)
+        local = self._mlflow.artifacts.download_artifacts(
+            run_id=self.run_id, artifact_path=name
+        )
+        with open(local, "rb") as f:
+            return f.read()
 
     def end(self, status: str = "FINISHED") -> None:
-        self._mlflow.end_run(status=status)
+        self._client.set_terminated(self.run_id, status=status)
 
 
 class MlflowTracker:
@@ -346,13 +429,46 @@ class MlflowTracker:
     def start_run(self, experiment: str) -> MlflowRunAdapter:
         self._mlflow.set_experiment(experiment)
         active = self._mlflow.start_run()
-        return MlflowRunAdapter(self._mlflow, active.info.run_id)
+        return MlflowRunAdapter(self._mlflow, active.info.run_id, experiment)
 
     def runs(self, experiment: str) -> list[dict]:
-        df = self._mlflow.search_runs(
-            experiment_names=[experiment], order_by=["start_time ASC"]
-        )
-        return df.to_dict("records")
+        """Run metadata in the FILE BACKEND's nested shape (params dict,
+        per-metric step histories, start_time in epoch seconds) — a caller
+        written against ``Tracker.runs`` must keep working after the swap,
+        which mlflow.search_runs' flattened pandas records ('metrics.loss'
+        columns, Timestamps) would break."""
+        client = self._mlflow.tracking.MlflowClient()
+        exp = client.get_experiment_by_name(experiment)
+        if exp is None:
+            return []
+        out = []
+        for r in client.search_runs(
+            [exp.experiment_id], order_by=["attributes.start_time ASC"]
+        ):
+            metrics = {
+                k: [
+                    {"step": int(m.step), "value": float(m.value)}
+                    for m in client.get_metric_history(r.info.run_id, k)
+                ]
+                for k in r.data.metrics
+            }
+            out.append(
+                {
+                    "run_id": r.info.run_id,
+                    "experiment": experiment,
+                    "start_time": (r.info.start_time or 0) / 1000.0,
+                    "end_time": (
+                        r.info.end_time / 1000.0 if r.info.end_time else None
+                    ),
+                    "status": r.info.status,
+                    "params": dict(r.data.params),
+                    "metrics": metrics,
+                    "artifacts": [
+                        a.path for a in client.list_artifacts(r.info.run_id)
+                    ],
+                }
+            )
+        return out
 
     def find_latest_run_id(self, experiment: str) -> str | None:
         df = self._mlflow.search_runs(
@@ -361,3 +477,9 @@ class MlflowTracker:
             max_results=1,
         )
         return None if df.empty else df.iloc[0]["run_id"]
+
+    def get_run(self, experiment: str, run_id: str) -> MlflowRunAdapter:
+        """Re-open a run by id (read-back + further run-targeted logging) —
+        same signature as ``Tracker.get_run``."""
+        self._mlflow.tracking.MlflowClient().get_run(run_id)  # raises if absent
+        return MlflowRunAdapter(self._mlflow, run_id, experiment)

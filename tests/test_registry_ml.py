@@ -126,11 +126,16 @@ def test_mlflow_adapter_interface_parity():
         Tracker,
     )
 
-    for verb in ("log_params", "log_metrics", "log_artifact", "end"):
+    # the FULL surface callers touch — including the read-back verbs
+    # ModelRegistry.register needs (artifact_bytes + .experiment/.run_id),
+    # whose absence once made the documented "no caller changes" swap
+    # crash at the first register() call
+    for verb in ("log_params", "log_metrics", "log_artifact",
+                 "artifact_bytes", "end"):
         ours = inspect.signature(getattr(Run, verb))
         theirs = inspect.signature(getattr(MlflowRunAdapter, verb))
         assert list(ours.parameters) == list(theirs.parameters), verb
-    for verb in ("start_run", "runs", "find_latest_run_id"):
+    for verb in ("start_run", "runs", "find_latest_run_id", "get_run"):
         ours = inspect.signature(getattr(Tracker, verb))
         theirs = inspect.signature(getattr(MlflowTracker, verb))
         assert list(ours.parameters) == list(theirs.parameters), verb
@@ -153,3 +158,110 @@ def test_mlflow_live_swap_if_available(tmp_path):
     run.log_metrics({"loss": 1.2}, step=1)
     run.end()
     assert t.find_latest_run_id("swap_test") == run.run_id
+
+
+def test_transition_validates_before_archiving(tmp_path):
+    """A failed transition (typo'd version) must be a true no-op: archiving
+    siblings BEFORE the existence check once vacated Production with
+    nothing promoted — a read-only-looking call causing a serving outage."""
+    import pytest
+
+    from end_to_end_data_engineering_and_ml_system_spark.ml.registry import (
+        ModelRegistry,
+        Tracker,
+    )
+
+    t = Tracker(str(tmp_path))
+    run = t.start_run("exp")
+    run.log_artifact("m.pkl", b"model-bytes")
+    reg = ModelRegistry(str(tmp_path))
+    v1 = reg.register("m", run, "m.pkl")
+    reg.transition("m", v1, "Production")
+    with pytest.raises(FileNotFoundError):
+        reg.transition("m", 99, "Production")
+    # v1 still serves
+    assert reg.latest("m", "Production")["version"] == v1
+    assert reg.load_artifact("m") == b"model-bytes"
+
+
+def test_transition_to_archived_skips_redundant_rewrites(tmp_path):
+    from end_to_end_data_engineering_and_ml_system_spark.ml.registry import (
+        ModelRegistry,
+        Tracker,
+    )
+
+    t = Tracker(str(tmp_path))
+    run = t.start_run("exp")
+    run.log_artifact("m.pkl", b"x")
+    reg = ModelRegistry(str(tmp_path))
+    v1 = reg.register("m", run, "m.pkl")
+    v2 = reg.register("m", run, "m.pkl")
+    reg.transition("m", v1, "Archived")
+    reg.transition("m", v2, "Archived")  # must not disturb v1
+    stages = {m["version"]: m["stage"] for m in reg.versions("m")}
+    assert stages == {v1: "Archived", v2: "Archived"}
+
+
+def test_artifact_names_must_be_bare_filenames(tmp_path):
+    import pytest
+
+    from end_to_end_data_engineering_and_ml_system_spark.ml.registry import (
+        Tracker,
+    )
+
+    run = Tracker(str(tmp_path)).start_run("exp")
+    for bad in ("models/w.pkl", "../escape", "/tmp/x", ""):
+        with pytest.raises(ValueError):
+            run.log_artifact(bad, b"d")
+        with pytest.raises(ValueError):
+            run.artifact_bytes(bad)
+
+
+def test_corrupt_sidecar_does_not_poison_listings(tmp_path):
+    """A truncated run.json/version.json (pre-fsync crash debris) must not
+    make every listing of the experiment/model raise forever."""
+    import os
+
+    from end_to_end_data_engineering_and_ml_system_spark.ml.registry import (
+        ModelRegistry,
+        Tracker,
+    )
+
+    t = Tracker(str(tmp_path))
+    good = t.start_run("exp")
+    bad = t.start_run("exp")
+    with open(bad._meta_path(), "w") as f:
+        f.write('{"truncat')  # simulated torn write
+    ids = [m["run_id"] for m in t.runs("exp")]
+    assert ids == [good.run_id]
+
+    good.log_artifact("m.pkl", b"x")
+    reg = ModelRegistry(str(tmp_path))
+    v1 = reg.register("m", good, "m.pkl")
+    vdir = os.path.join(str(tmp_path), "models", "m", "versions", "7")
+    os.makedirs(vdir)
+    with open(os.path.join(vdir, "version.json"), "w") as f:
+        f.write("{bad")
+    assert [m["version"] for m in reg.versions("m")] == [v1]
+
+
+def test_register_claims_version_dir_exclusively(tmp_path):
+    """Version minting is an atomic mkdir claim: a pre-existing dir for
+    the computed next version (the concurrent-registration shape) bumps
+    past it instead of writing into it."""
+    import os
+
+    from end_to_end_data_engineering_and_ml_system_spark.ml.registry import (
+        ModelRegistry,
+        Tracker,
+    )
+
+    t = Tracker(str(tmp_path))
+    run = t.start_run("exp")
+    run.log_artifact("m.pkl", b"x")
+    reg = ModelRegistry(str(tmp_path))
+    v1 = reg.register("m", run, "m.pkl")
+    # another writer has claimed v2 but not yet committed version.json
+    os.makedirs(os.path.join(str(tmp_path), "models", "m", "versions", "2"))
+    v_next = reg.register("m", run, "m.pkl")
+    assert (v1, v_next) == (1, 3)
