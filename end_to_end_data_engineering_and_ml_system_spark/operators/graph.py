@@ -118,9 +118,17 @@ def connected_components(
     )
 
     def _total(lbl: DataFrame):
-        # labels only ever decrease (min is monotone), so an unchanged sum
-        # IS the fixpoint — a 1-row aggregate instead of a diff join
-        return lbl.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+        # order-independent multiset fingerprint of the labels — a 1-row
+        # aggregate instead of a diff join. Works for ANY id type: the
+        # old decimal-sum probe cast string ids to NULL, summed to NULL
+        # every round, and None == None declared convergence after ONE
+        # round with silently-wrong labels. Labels only ever decrease
+        # (min is monotone), so fingerprint-unchanged IS the fixpoint
+        # (hash-collision odds negligible — same device as
+        # connected_components_stars' edge-set signature).
+        return lbl.agg(
+            F.sum(F.xxhash64("id", "comp").cast("decimal(38,0)"))
+        ).first()[0]
 
     prev = _total(labels)
     converged = False
@@ -164,6 +172,13 @@ def dedup_cluster_labels(
     checkpoint dir (see ``_resolve_reliable``) — set
     ``spark.sparkContext.setCheckpointDir(...)`` once and every lineage cut
     in the dedup-cluster family survives executor loss."""
+    clash = {"comp", "cluster_id", "is_canonical"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"dedup_cluster_labels: df already has column(s) {sorted(clash)} "
+            "— these names are produced by the labeling (an existing 'comp' "
+            "makes the join ambiguous; the others would be shadowed)"
+        )
     # verify-step pairs are unique with id1 < id2: symmetrization cannot
     # collide, so the dedup shuffle is skipped
     comp = connected_components(
@@ -262,7 +277,19 @@ def connected_components_stars(
     roots = e.select(F.col("b").alias("id")).distinct().withColumn(
         "comp", F.col("id")
     )
-    return children.union(roots).distinct()
+    labeled = children.union(roots).distinct()
+    # nodes whose every edge was a self-loop were filtered out before the
+    # contraction ever saw them — re-attach as their own singleton
+    # components, so the return really is identical to
+    # connected_components (which keeps them)
+    self_only = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .join(labeled.select("id"), "id", "left_anti")
+        .withColumn("comp", F.col("id"))
+    )
+    return labeled.union(self_only)
 
 
 def pagerank(
@@ -319,12 +346,44 @@ def pagerank(
       driver scalar is N, collected once before the loop.
     """
     reliable = _resolve_reliable(edges, reliable_checkpoints)
-    wcols = [F.col(weight).cast("long").alias("w")] if weight else []
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst"), *wcols
-    )
-    if not assume_distinct:
-        e = e.distinct()
+    if weight:
+        raw = edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).alias("w"),
+        )
+        if not assume_distinct:
+            # parallel edges in a weighted multigraph SUM their support:
+            # a distinct() over (src, dst, w) would collapse equal-weight
+            # duplicates but keep unequal-weight ones — same multigraph,
+            # different answers depending on the duplicate weights
+            raw = raw.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+        # fail fast on weights the arithmetic can't honor: NULL/zero/
+        # negative weights NULL the per-edge contribution (non-ANSI
+        # division), the grouped sum DROPS it, and that node's rank mass
+        # silently vanishes; fractional weights would be silently
+        # truncated by the long cast the exact-sum contract requires
+        bad = raw.agg(
+            F.sum(
+                F.when(
+                    F.col("w").isNull()
+                    | (F.col("w") <= 0)
+                    | (F.col("w").cast("long") != F.col("w")),
+                    1,
+                ).otherwise(0)
+            )
+        ).first()[0]
+        if bad:
+            raise ValueError(
+                f"pagerank: {bad} edges carry NULL/non-positive/fractional "
+                "weights (after parallel-edge summing) — weights must be "
+                "exact positive integers"
+            )
+        e = raw.select("src", "dst", F.col("w").cast("long").alias("w"))
+    else:
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        if not assume_distinct:
+            e = e.distinct()
     # plain persist: the src-keyed repartition happens once on `ew` below
     # (the table the loop actually joins), not on this intermediate
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
@@ -348,7 +407,27 @@ def pagerank(
         )
     n = nodes.count()  # the one driver scalar; O(1), before the loop
     if n == 0:
+        e.unpersist()
+        nodes.unpersist()
         raise ValueError("pagerank: empty edge list (no nodes)")
+    if teleport is not None:
+        seeds = sorted(set(teleport))
+        if not seeds:
+            e.unpersist()
+            nodes.unpersist()
+            raise ValueError(
+                "pagerank: teleport seed list is empty (the restart "
+                "distribution would be 1/0 — every rank NULL)"
+            )
+        present = nodes.filter(F.col("id").isin(seeds)).count()
+        if present != len(seeds):
+            e.unpersist()
+            nodes.unpersist()
+            raise ValueError(
+                f"pagerank: {len(seeds) - present} teleport seed(s) are "
+                "not nodes of the graph — their restart mass would be "
+                "silently lost (all seeds absent -> all-zero ranks)"
+            )
     # out-normalizer: edge count (uniform) or exact integer weight sum
     outd = e.groupBy("src").agg(
         (F.sum("w") if weight else F.count("*"))
@@ -386,18 +465,15 @@ def pagerank(
     # seeds, 0 elsewhere) — the standard PPR initialization.
     if teleport is None:
         restart = F.lit(1.0) / nf
-        base_of = lambda col_one: (F.lit(1.0) - d_lit) / nf  # noqa: E731
+        base = (F.lit(1.0) - d_lit) / nf
         dang_of = lambda dqc: (dqc.cast("double") / nf) / q_grid  # noqa: E731
     else:
-        seeds = sorted(set(teleport))
         sf_ = F.lit(float(len(seeds)))
         ind = F.when(F.col("id").isin(seeds), F.lit(1.0)).otherwise(
             F.lit(0.0)
         )
         restart = (F.lit(1.0) / sf_) * ind
-        base_of = lambda col_one: (  # noqa: E731
-            (F.lit(1.0) - d_lit) / sf_
-        ) * ind
+        base = ((F.lit(1.0) - d_lit) / sf_) * ind
         dang_of = lambda dqc: (  # noqa: E731
             (dqc.cast("double") / sf_) / q_grid
         ) * ind
@@ -432,7 +508,7 @@ def pagerank(
         r = upd.select(
             "id",
             (
-                base_of(None)
+                base
                 + dang_of(dq_col)
                 + F.coalesce(F.col("qs"), F.lit(0).cast("long")).cast(
                     "double"

@@ -451,3 +451,93 @@ def test_pagerank_empty_edges_raises(spark):
     )
     with pytest.raises(ValueError, match="empty edge list"):
         pagerank(empty)
+
+
+def test_connected_components_string_ids(spark):
+    """The convergence probe must work for NON-numeric ids: the old
+    decimal-sum fingerprint cast string ids to NULL and declared
+    convergence after one round, returning wrong labels on any graph
+    deeper than the folded first round."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.graph import (
+        connected_components,
+    )
+
+    # a 5-node path needs several propagation rounds
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        "src string, dst string",
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "a",
+                   "x": "x", "y": "x"}
+
+
+def test_pagerank_rejects_bad_weights_and_teleport(spark):
+    import pytest
+    from end_to_end_data_engineering_and_ml_system_spark.operators.graph import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 0.0)], "src long, dst long, w double"
+    )
+    with pytest.raises(ValueError, match="weights"):
+        pagerank(edges, weight="w", iters=1)
+    frac = spark.createDataFrame(
+        [(1, 2, 1.5), (2, 1, 2.0)], "src long, dst long, w double"
+    )
+    with pytest.raises(ValueError, match="weights"):
+        pagerank(frac, weight="w", iters=1)
+    plain = edges.select("src", "dst")
+    with pytest.raises(ValueError, match="empty"):
+        pagerank(plain, teleport=[], iters=1)
+    with pytest.raises(ValueError, match="not nodes"):
+        pagerank(plain, teleport=[999], iters=1)
+
+
+def test_pagerank_weighted_parallel_edges_sum(spark):
+    """Parallel edges in a weighted multigraph sum their support: two
+    (u,v,w=3) rows must behave exactly like one (u,v,w=6) row — the old
+    distinct() collapsed equal weights but kept unequal ones."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.graph import (
+        pagerank,
+    )
+
+    dup = spark.createDataFrame(
+        [(1, 2, 3), (1, 2, 3), (2, 1, 6)], "src long, dst long, w long"
+    )
+    merged = spark.createDataFrame(
+        [(1, 2, 6), (2, 1, 6)], "src long, dst long, w long"
+    )
+    got = {r["id"]: r["rank"] for r in pagerank(dup, weight="w", iters=2).collect()}
+    want = {r["id"]: r["rank"] for r in pagerank(merged, weight="w", iters=2).collect()}
+    assert got == want
+
+
+def test_stars_keeps_self_loop_only_nodes(spark):
+    """connected_components_stars must return self-loop-only nodes as
+    singleton components — identical to connected_components, as its
+    docstring promises."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.graph import (
+        connected_components,
+        connected_components_stars,
+    )
+
+    edges = spark.createDataFrame(
+        [(5, 5), (1, 2)], "src long, dst long"
+    )
+    want = {(r["id"], r["comp"]) for r in connected_components(edges).collect()}
+    got = {(r["id"], r["comp"]) for r in connected_components_stars(edges).collect()}
+    assert got == want == {(5, 5), (1, 1), (2, 1)}
+
+
+def test_dedup_cluster_labels_rejects_output_column_collisions(spark):
+    import pytest
+    from end_to_end_data_engineering_and_ml_system_spark.operators.graph import (
+        dedup_cluster_labels,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, comp string")
+    pairs = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
+    with pytest.raises(ValueError, match="comp"):
+        dedup_cluster_labels(df, pairs, "doc_id")
