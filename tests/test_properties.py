@@ -392,16 +392,18 @@ def test_hash_uniform_matches_duckdb_bit_for_bit(spark, keys):
 )
 def test_star_contraction_matches_union_find(spark, edges):
     """large-star/small-star must agree with union-find on arbitrary graphs
-    (self-loops dropped: a node with only self-edges has no component row)."""
+    — INCLUDING self-loop-only nodes, which label themselves (the same
+    contract as connected_components; the round-11 fix re-attaches them
+    after the a != b pre-filter)."""
     from end_to_end_data_engineering_and_ml_system_spark.operators.graph import (
         connected_components_stars,
     )
 
+    nodes = {x for a, b in edges for x in (a, b)}
     real_edges = [(a, b) for a, b in edges if a != b]
-    parent: dict[int, int] = {}
+    parent: dict[int, int] = {n: n for n in nodes}
 
     def find(x: int) -> int:
-        parent.setdefault(x, x)
         while parent[x] != x:
             parent[x] = parent[parent[x]]
             x = parent[x]
@@ -411,10 +413,9 @@ def test_star_contraction_matches_union_find(spark, edges):
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    expected = {}
-    for node in parent:
-        root = find(node)
-        expected[node] = min(n for n in parent if find(n) == root)
+    expected = {
+        n: min(m for m in nodes if find(m) == find(n)) for n in nodes
+    }
 
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r["id"]: r["comp"] for r in connected_components_stars(df).collect()}
@@ -736,10 +737,13 @@ def _ref_quality_counts(text: str) -> tuple:
     # ASCII \s by contract: Java regex (Spark) and RE2 (DuckDB oracle)
     # both treat \s as ASCII-only, so unicode spaces (U+00A0 etc.) are
     # TOKEN CHARACTERS in this engine — a unicode-aware reference would
-    # disagree on e.g. '0\xa00' (hypothesis found exactly that)
-    toks = [
-        t for t in re.split(r"\s+", text.strip(), flags=re.ASCII) if t
-    ]
+    # disagree on e.g. '0\xa00' (hypothesis found exactly that). The strip
+    # must be ASCII too: str.strip() is unicode-aware and eats '\xa0',
+    # turning the one-token text '\xa0' into zero tokens (hypothesis
+    # found that as well — the engine and the DuckDB oracle both agree
+    # it is one token)
+    stripped = re.sub(r"^\s+|\s+$", "", text, flags=re.ASCII)
+    toks = [t for t in re.split(r"\s+", stripped, flags=re.ASCII) if t]
     return (
         len(text),
         len(toks),
