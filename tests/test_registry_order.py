@@ -3,6 +3,13 @@
 window. These tests keep the pin honest: every priority name must resolve,
 the window must be exactly the priority list, and reordering must not drop
 or duplicate any registered query.
+
+Evidence model (round 12, replacing the r8/r9/r11 point fixes): the window
+declares its own round number (``registry._WINDOW_ROUND``); a name counts
+as proven-at-window-authoring-time iff it appears in a CORRECTNESS artifact
+from a round STRICTLY BEFORE that number. Artifacts from the window's own
+round or later never count, so the guard is invariant under ANY number of
+future artifacts landing — not just the next one.
 """
 
 from __future__ import annotations
@@ -10,6 +17,7 @@ from __future__ import annotations
 from end_to_end_data_engineering_and_ml_system_spark.plans.registry import (
     _DRIVER_PRIORITY,
     _REGISTRY,
+    _WINDOW_ROUND,
     _ensure_loaded,
     all_queries,
 )
@@ -51,49 +59,47 @@ def test_registry_never_shrinks():
     assert len(_REGISTRY) >= 156
 
 
-def _artifact_name_sets() -> list[set[str]]:
-    """Per-round driver-tested name sets, ordered oldest → newest."""
+def _artifact_rounds() -> list[tuple[int, set[str]]]:
+    """Per-round driver-tested (round, name-set) pairs, ascending round."""
     import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # sort by round NUMBER (lexicographic breaks at r10: "r10" < "r2")
-    files = sorted(
-        glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
-        key=lambda f: int(f.rsplit("_r", 1)[1].split(".")[0]),
-    )
-    sets = []
-    for f in files:
+    pairs = []
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
         with open(f) as fh:
-            sets.append(set(json.load(fh)))
-    return sets
+            pairs.append((rnd, set(json.load(fh))))
+    pairs.sort(key=lambda p: p[0])
+    return pairs
 
 
-def _proven_at_window_time(name_sets: list[set[str]]) -> set[str]:
-    """Names proven BEFORE the current window could have been authored.
+def _proven_at_window_time(
+    artifacts: list[tuple[int, set[str]]], window_round: int
+) -> set[str]:
+    """Names proven BEFORE the window could have been authored.
 
-    The window is committed before its own round's driver run, so the
-    NEWEST artifact must not count: a name whose only evidence is that
-    artifact was genuinely new at window-authoring time. Rounds 8 and 9
-    each lost the suite to a variant of counting it (r8: the guard compared
-    against all artifacts and self-invalidated when the round's own
-    artifact landed; r9: the fix covered reconfirmation names via the
-    reason ledger but a genuinely-NEW name became "proven" by its own
-    round's artifact). Excluding the single newest artifact is invariant
-    under the next artifact landing — see the landing-simulation test.
+    The window for round N is committed during round N, so only artifacts
+    from rounds < N can have informed it. Anchoring to the window's OWN
+    round number (instead of positional heuristics like "all artifacts
+    minus the newest") makes the answer independent of how many artifacts
+    have landed since: rounds >= N are excluded forever. This is the model
+    the r8, r9, and r11 failures all demanded — each of those shipped a
+    positional point fix that broke on the NEXT landing.
     """
-    tested: set[str] = set()
-    for s in name_sets[:-1]:
-        tested |= s
-    return tested
+    proven: set[str] = set()
+    for rnd, names in artifacts:
+        if rnd < window_round:
+            proven |= names
+    return proven
 
 
 def _shipped_driver_tested() -> set[str]:
     """Every name with ANY driver evidence (evidence-path ledger: here the
     full union is correct — evidence is evidence regardless of recency)."""
     tested: set[str] = set()
-    for s in _artifact_name_sets():
+    for _, s in _artifact_rounds():
         tested |= s
     return tested
 
@@ -102,82 +108,84 @@ def _shipped_driver_tested() -> set[str]:
 # documented reason. Two legal reason classes (see the _DRIVER_PRIORITY
 # comment in plans/registry.py):
 #   "changed:<what>"   — the name's driver row predates a material change
-#                        to its implementation this round;
+#                        to its implementation;
 #   "freshness:<tier>" — registry coverage is complete (since r8) and this
 #                        name's LATEST driver row is the oldest tier in the
 #                        ledger, so it is re-proven on a rolling basis.
 # A tested name in the window with no entry here is a wasted slot and the
 # guard fails (negative control below keeps the guard itself honest).
 RECONFIRMATION_SLOTS: dict[str, str] = {
-    # the two portable sampling siblings are genuinely NEW this round
-    # (registered round 11, never driver-tested) — they need no entry here;
-    # the guard admits unproven names without one.
     **{
-        n: "changed: r11 pq_encode argmin rewrite (window row_number -> "
-        "map-side-combining min(struct) groupBy; the r7 driver rows "
-        "predate the new physical plan)"
+        n: "changed: r11 late-fix commits b896baf..170e427 (streaming "
+        "hardening: _await_bounded boolean, tombstone->DLQ, Kafka envelope "
+        "key retention, dup-topic refusal; txlog review: txns map, vacuum "
+        "ordering, bloom rewrite) landed AFTER this name's latest driver "
+        "row; local strict-gate green at post-fix HEAD, driver re-proof "
+        "per the committed r12 rotation plan"
         for n in (
-            "embedding_pq_adc_topk",
-            "embedding_ivfpq_topk",
+            "stream_contract_split_counts",
+            "stream_copurchase_pagerank",
+            "stream_dedup_within_watermark",
+            "stream_doc_quality_deciles",
+            "stream_drift_psi",
+            "stream_embedding_topk",
+            "stream_events_by_segment",
+            "stream_flow_scoring",
+            "stream_json_decode_counts",
+            "stream_latest_state_merge",
+            "stream_merge_into_tx_table",
+            "stream_pq_index_update",
+            "stream_window_counts",
+            "corpus_dedup_snapshot_pipeline",
+            "incremental_daily_agg_merge",
+            "partition_pruned_counts",
+            "snapshot_diff_counts",
+            "tx_table_zorder_pruned_scan",
         )
     },
     **{
-        n: "freshness: latest driver row is round 3 (oldest ledger tier, "
-        "tail left outside the round-10 window)"
+        n: "freshness: latest driver row is round 4 (oldest remaining "
+        "ledger tier after the r12 changed-implementation slots)"
         for n in (
-            "events_window_counts_gapfilled",
-            "feature_correlations",
-            "lineitem_grouping_sets",
-            "multimodal_feature_extract",
-            "new_docs_vs_corpus_near_dups",
-            "stream_dead_letter_counts",
-            "stream_session_windows",
-            "stream_stateful_user_counts",
-            "stream_stream_join_counts",
-            "stream_stream_left_outer_counts",
-            "stream_topk_alert_types",
-            "user_latest_state",
-            "user_retention_cohorts",
-            "user_session_windows",
-            "user_state_intervals",
-            "user_value_moving_avg",
-            "value_quantiles_kll_rollup",
-            "value_trend_by_type",
+            "promo_revenue_by_year",
+            "purchase_attribution_last_touch",
+            "referential_integrity_report",
+            "returned_items_customers",
+            "returnflag_target_encoding",
+            "revenue_share_by_segment",
+            "sliding_7d_distinct_users",
+            "small_quantity_part_revenue",
+            "threshold_sweep_anomaly_rates",
+            "token_budget_selection",
+            "top_revenue_suppliers",
+            "top_spend_days_with_ties",
+            "unshipped_orders_topk",
+            "user_event_type_sets",
+            "user_rfm_features",
+            "value_outliers_iqr",
+            "vocab_coverage_top100",
         )
     },
     **{
-        n: "freshness: latest driver row is round 4 (next-oldest tier, "
-        "alphabetical head; the other 20 round-4 names are round-12's "
-        "candidates)"
+        n: "freshness: latest driver row is round 5 (next tier, "
+        "alphabetical head; the remaining round-5 names are round-13's "
+        "rotation candidates)"
         for n in (
-            "balanced_class_sample",
-            "brand_bucket_revenue",
-            "contrastive_negatives",
-            "corpus_weighted_mix_counts",
-            "corpus_yield_by_source",
-            "customers_orders_full_outer",
-            "doc_chunking",
-            "doc_ngram_novelty",
-            "doc_rare_token_stats",
-            "doc_simhash_near_dups",
-            "doc_token_packing",
-            "embedding_lsh_signatures_portable",
-            "embedding_near_dups_portable",
-            "event_bigram_lift",
-            "event_time_disorder_stats",
-            "event_type_cooccurrence",
-            "events_hourly_seasonality",
-            "events_table_fingerprint",
-            "events_table_profile",
-            "events_zorder_keys",
-            "fulfillment_latency_by_priority",
-            "idle_rich_customers",
-            "join_key_skew_profile",
-            "multimodal_feature_histogram",
-            "multimodal_frame_sample",
-            "near_dup_similarity_histogram",
-            "order_backlog_over_time",
-            "part_supplier_diversity",
+            "chunk_level_dedup_stats",
+            "corpus_boilerplate_ngrams",
+            "corpus_manifest",
+            "corpus_temperature_mix",
+            "customer_cohort_ltv_curve",
+            "customer_order_count_distribution",
+            "daily_gmv_trailing_ma",
+            "daily_growth_accounting",
+            "doc_duplicate_ngram_spans",
+            "doc_duplicate_ngram_windows",
+            "doc_label_noise_audit",
+            "doc_readability_scores",
+            "doc_span_dedup_savings",
+            "doc_unigram_logprob",
+            "drift_psi_events",
         )
     },
 }
@@ -193,40 +201,64 @@ def _wasted_slots(
 
 def test_window_slots_all_documented():
     """Every window slot is either unproven at window-authoring time (a
-    genuinely new query, or one whose only evidence is its own round's
-    artifact) or carries a documented reconfirmation reason. Uses the
-    window-TIME proven set (newest artifact excluded) so the guard is
-    invariant under the current round's CORRECTNESS artifact landing."""
-    tested = _proven_at_window_time(_artifact_name_sets())
-    if not tested:  # fresh clone, or only a single round artifact
+    genuinely new query — no artifact from a round before _WINDOW_ROUND
+    names it) or carries a documented reconfirmation reason."""
+    tested = _proven_at_window_time(_artifact_rounds(), _WINDOW_ROUND)
+    if not tested:  # fresh clone without round artifacts
         return
     overlap = _wasted_slots(_DRIVER_PRIORITY, RECONFIRMATION_SLOTS, tested)
     assert not overlap, f"window wastes slots on already-proven queries: {overlap}"
 
 
-def test_window_guard_survives_next_artifact_landing():
-    """Simulate the NEXT round's driver run recording this very window:
-    append a synthetic newest artifact containing every window name (plus a
-    brand-new name). The guard must still pass — this is the exact two-time
-    failure mode (r8: reconfirmation names; r9: genuinely-new names) made
-    unreachable by construction."""
-    real = _artifact_name_sets()
+def test_window_guard_survives_future_artifact_landings():
+    """Simulate the next TWO rounds' driver runs recording this very window
+    (the r11 failure needed two landings to surface: the window's own
+    round's artifact proving its new names, then one more artifact pushing
+    that one out of the positional exclusion). Under the round-anchored
+    model both synthetic futures are excluded by round number, so the
+    guard's answer is bit-identical to the no-landing answer."""
+    real = _artifact_rounds()
     if not real:
         return
-    synthetic_next = set(_DRIVER_PRIORITY) | {"__r_next_new_query__"}
-    tested = _proven_at_window_time(real + [synthetic_next])
-    overlap = _wasted_slots(_DRIVER_PRIORITY, RECONFIRMATION_SLOTS, tested)
-    assert not overlap, (
-        f"guard would break when the next CORRECTNESS artifact lands: {overlap}"
+    own = (_WINDOW_ROUND, set(_DRIVER_PRIORITY) | {"__r12_new_query__"})
+    later = (_WINDOW_ROUND + 1, set(_DRIVER_PRIORITY) | {"__r13_new_query__"})
+    baseline = _proven_at_window_time(real, _WINDOW_ROUND)
+    for future in ([own], [own, later]):
+        tested = _proven_at_window_time(real + future, _WINDOW_ROUND)
+        assert tested == baseline, (
+            "proven-at-authoring set changed when a future artifact landed "
+            f"({len(future)} landings) — the guard is not landing-invariant"
+        )
+        overlap = _wasted_slots(_DRIVER_PRIORITY, RECONFIRMATION_SLOTS, tested)
+        assert not overlap, (
+            f"guard would break after {len(future)} future landings: {overlap}"
+        )
+    # synthetic new names never count as proven for THIS window
+    assert "__r12_new_query__" not in _proven_at_window_time(
+        real + [own, later], _WINDOW_ROUND
     )
-    # the synthetic new name would be legal in a future window, unslotted
-    assert "__r_next_new_query__" not in tested
+
+
+def test_window_round_is_current():
+    """_WINDOW_ROUND must not lag the artifact ledger: the newest shipped
+    artifact may be at most the window's own round (the round's driver run
+    records the window it was given). A newer artifact means a new round
+    started and the window was never rotated — stale bookkeeping."""
+    real = _artifact_rounds()
+    if not real:
+        return
+    newest = max(r for r, _ in real)
+    assert _WINDOW_ROUND >= newest, (
+        f"newest CORRECTNESS artifact is round {newest} but _WINDOW_ROUND "
+        f"is {_WINDOW_ROUND}: rotate the window (and bump _WINDOW_ROUND) "
+        "for the new round"
+    )
 
 
 def test_window_guard_negative_control():
     """The guard must still FAIL on a deliberately wasteful window: an
     already-proven name squatting a slot with no documented reason."""
-    tested = _proven_at_window_time(_artifact_name_sets())
+    tested = _proven_at_window_time(_artifact_rounds(), _WINDOW_ROUND)
     if not tested:
         return
     proven_unslotted = sorted(tested - set(RECONFIRMATION_SLOTS))
@@ -280,36 +312,48 @@ try:
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    _names = st.text(
-        alphabet="abcdefgh_", min_size=1, max_size=8
-    )
+    _names = st.text(alphabet="abcdefgh_", min_size=1, max_size=8)
     _artifact_histories = st.lists(
-        st.sets(_names, max_size=12), min_size=0, max_size=8
-    )
+        st.tuples(st.integers(min_value=1, max_value=40), st.sets(_names, max_size=12)),
+        min_size=0,
+        max_size=8,
+        unique_by=lambda p: p[0],
+    ).map(lambda ps: sorted(ps, key=lambda p: p[0]))
+    _rounds = st.integers(min_value=1, max_value=40)
 
-    @given(_artifact_histories)
+    @given(_artifact_histories, _rounds)
     @settings(max_examples=200, deadline=None)
-    def test_window_time_proven_set_properties(history):
-        """For any artifact history: (1) the proven set is exactly the
-        union of all artifacts EXCEPT the newest (landing invariance);
-        (2) a new artifact landing only grows the proven set, by exactly
-        the old newest artifact's names (evidence monotonicity)."""
-        proven = _proven_at_window_time(history)
-        prefix = history[:-1]
-        assert proven == (set().union(*prefix) if prefix else set())
-        # landing simulation: the next round's artifact lands — the old
-        # newest becomes proven, nothing is ever un-proven
-        landed = _proven_at_window_time(history + [{"__new__"}])
-        assert proven <= landed
-        assert landed == (set().union(*history) if history else set())
+    def test_window_time_proven_set_properties(history, window_round):
+        """For any artifact history and window round: (1) the proven set is
+        exactly the union of strictly-earlier-round artifacts; (2) landing
+        any artifact with round >= window_round NEVER changes the answer
+        (full landing invariance, not just next-landing); (3) landing an
+        earlier-round artifact only grows it (evidence monotonicity)."""
+        proven = _proven_at_window_time(history, window_round)
+        assert proven == set().union(
+            set(), *(s for r, s in history if r < window_round)
+        )
+        # landing invariance: ANY future-or-own-round artifact is inert
+        for future_round in (window_round, window_round + 1, window_round + 7):
+            landed = _proven_at_window_time(
+                history + [(future_round, {"__new__"})], window_round
+            )
+            assert landed == proven
+        # monotonicity: a strictly-earlier artifact only grows the set
+        grown = _proven_at_window_time(
+            history + [(window_round - 1, {"__old__"})], window_round
+        )
+        assert proven | {"__old__"} == grown
 
-    @given(_artifact_histories, st.sets(_names, max_size=8))
+    @given(_artifact_histories, _rounds, st.sets(_names, max_size=8))
     @settings(max_examples=200, deadline=None)
-    def test_wasted_slots_never_flags_unproven_or_slotted(history, window_set):
+    def test_wasted_slots_never_flags_unproven_or_slotted(
+        history, window_round, window_set
+    ):
         """_wasted_slots flags a window name iff it is window-time proven
         AND unslotted — no false positives on unproven names, and slotting
         a name always legalizes it."""
-        tested = _proven_at_window_time(history)
+        tested = _proven_at_window_time(history, window_round)
         window = sorted(window_set)
         wasted = _wasted_slots(window, {}, tested)
         assert set(wasted) == set(window) & tested
