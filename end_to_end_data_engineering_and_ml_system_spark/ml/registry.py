@@ -87,15 +87,20 @@ def _read_json_or_none(path: str) -> dict | None:
         return None
 
 
-def _check_artifact_name(name: str) -> None:
-    """Artifact names are single path components: anything with a
-    separator either fails on a missing subdir or — absolute or
-    ..-prefixed — ESCAPES the registry tree via os.path.join."""
+def _check_path_component(name: str, kind: str) -> None:
+    """Registry names (artifact, experiment, model) are single path
+    components: anything with a separator either fails on a missing
+    subdir or — absolute or ..-prefixed — ESCAPES the registry tree via
+    os.path.join."""
     if not name or os.path.basename(name) != name or name in (".", ".."):
         raise ValueError(
-            f"artifact name {name!r} must be a bare filename "
+            f"{kind} name {name!r} must be a bare filename "
             "(no path separators)"
         )
+
+
+def _check_artifact_name(name: str) -> None:
+    _check_path_component(name, "artifact")
 
 
 @dataclass
@@ -105,6 +110,11 @@ class Run:
     root: str
     experiment: str
     run_id: str
+
+    def __post_init__(self) -> None:
+        # every Run path joins the experiment name — the same traversal
+        # chokepoint _check_artifact_name closes for artifacts
+        _check_path_component(self.experiment, "experiment")
 
     @property
     def _dir(self) -> str:
@@ -185,6 +195,7 @@ class Tracker:
         return run
 
     def runs(self, experiment: str) -> list[dict]:
+        _check_path_component(experiment, "experiment")
         rdir = os.path.join(self.root, "experiments", experiment, "runs")
         if not os.path.isdir(rdir):
             return []
@@ -219,6 +230,7 @@ class ModelRegistry:
         os.makedirs(root, exist_ok=True)
 
     def _model_dir(self, model_name: str) -> str:
+        _check_path_component(model_name, "model")
         return os.path.join(self.root, "models", model_name)
 
     def _versions(self, model_name: str) -> list[dict]:

@@ -52,6 +52,18 @@ def read_csv_permissive(
     )
 
 
+def _spark_csv_header_line(columns) -> str:
+    """Header row in Spark's CSV writer dialect (univocity defaults:
+    quote '\"', escape '\\') — names with commas/quotes/newlines are
+    quoted exactly as the non-empty write path would quote them."""
+    out = []
+    for c in columns:
+        if any(ch in c for ch in (',', '"', '\n', '\r')):
+            c = '"' + c.replace('"', '\\"') + '"'
+        out.append(c)
+    return ",".join(out) + "\n"
+
+
 def write_single_csv(df: DataFrame, dest_file: str, max_rows: int = 1_000_000) -> str:
     """Single-file CSV output with the part-file move the reference does by
     hand. Guarded: one file means one writer — refuse at scale. The cap
@@ -69,11 +81,13 @@ def write_single_csv(df: DataFrame, dest_file: str, max_rows: int = 1_000_000) -
         if parts:
             shutil.move(parts[0], dest_file)
         else:
-            # empty input: Spark's CSV writer creates part files lazily on
-            # the first row, so a 0-row frame leaves only _SUCCESS —
-            # produce the header-only file a CSV consumer expects
-            with open(dest_file, "w") as f:
-                f.write(",".join(df.columns) + "\n")
+            # defensive: current Spark writes a header-only part file even
+            # for 0-row frames, but if a writer version ever leaves only
+            # _SUCCESS, produce the header in SPARK's CSV dialect (quote
+            # '"', escape '\') so the empty and non-empty paths agree even
+            # on column names containing commas, quotes, or newlines
+            with open(dest_file, "w", newline="") as f:
+                f.write(_spark_csv_header_line(df.columns))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return dest_file

@@ -313,12 +313,26 @@ class TxTable:
         txns: dict = {}
         if prev is not None:
             pm = self._manifest(prev)
-            txns.update(pm.get("txns", {}))
-            legacy = pm.get("txn")
-            if legacy and int(txns.get(legacy["app"], -1)) < int(
-                legacy["batch"]
-            ):
-                txns[legacy["app"]] = int(legacy["batch"])
+            if "txns" in pm:
+                txns.update(pm["txns"])
+                legacy = pm.get("txn")
+                if legacy and int(txns.get(legacy["app"], -1)) < int(
+                    legacy["batch"]
+                ):
+                    txns[legacy["app"]] = int(legacy["batch"])
+            else:
+                # one-time upgrade of a pre-map table: fold the legacy
+                # per-commit markers of ALL surviving manifests, not just
+                # prev's own — a table with history from several apps would
+                # otherwise lose the older apps' markers from the map, and
+                # vacuum could then erase them (the exactly-once hole this
+                # map exists to close)
+                for vv in self.versions():
+                    legacy = self._manifest(vv).get("txn")
+                    if legacy and int(txns.get(legacy["app"], -1)) < int(
+                        legacy["batch"]
+                    ):
+                        txns[legacy["app"]] = int(legacy["batch"])
         if txn is not None and int(txns.get(txn["app"], -1)) < int(
             txn["batch"]
         ):
@@ -497,8 +511,11 @@ class TxTable:
         v = self.latest_version()
         if v is None:
             return False
-        if int(self._manifest(v).get("txns", {}).get(app, -1)) >= batch_id:
-            return True
+        newest_txns = self._manifest(v).get("txns", {})
+        if app in newest_txns:
+            # the map is authoritative for apps it names — answer in O(1)
+            # either way instead of walking O(versions) legacy markers
+            return int(newest_txns[app]) >= batch_id
         for vv in reversed(self.versions()):
             txn = self._manifest(vv).get("txn")
             if txn and txn.get("app") == app:
@@ -946,14 +963,30 @@ class TxTable:
         vs = self.versions()
         if len(vs) <= keep_last:
             return []
-        keep_vs = vs[-keep_last:]
+        # a manifest whose txn marker is NOT yet represented in the newest
+        # manifest's authoritative txns map is the only surviving evidence
+        # of that (app, batch) commit — dropping it would let a re-delivered
+        # foreachBatch merge re-apply (tables written before the map, or
+        # before the all-manifests upgrade fold, can be in this state until
+        # their next commit rebuilds the map)
+        newest_txns = self._manifest(vs[-1]).get("txns", {})
+        keep_vs = set(vs[-keep_last:])
+        drop_vs = []
+        for v in vs[: -keep_last]:
+            txn = self._manifest(v).get("txn")
+            if txn and int(newest_txns.get(txn["app"], -1)) < int(
+                txn["batch"]
+            ):
+                keep_vs.add(v)
+            else:
+                drop_vs.append(v)
         keep_dirs = set()
         for v in keep_vs:
             keep_dirs.update(self._manifest(v)["data_dirs"])
         import glob
 
         removed = []
-        for v in vs[: -keep_last]:
+        for v in drop_vs:
             # manifest FIRST: once it is gone no reader resolves the
             # version, so a crash mid-vacuum leaves only harmless orphan
             # dirs — dirs-first would leave a still-listed version whose

@@ -119,6 +119,31 @@ def test_single_csv_sink_empty_input_and_cleanup(spark, tmp_path):
     assert not os.path.exists(dest + ".tmpdir")
 
 
+def test_single_csv_sink_empty_input_quotes_header(spark, tmp_path):
+    """The empty-input header must be quoted in Spark's CSV dialect — a
+    raw ','.join of column names containing commas or quotes would produce
+    a header inconsistent with the non-empty write path. The fallback
+    helper must emit byte-identical output to Spark's own writer, and the
+    sink's file must round-trip through Spark's CSV reader."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from end_to_end_data_engineering_and_ml_system_spark.sources.files import (
+        _spark_csv_header_line,
+    )
+
+    cols = ["a,x", 'b"q', "c\\d", "plain"]
+    empty = spark.createDataFrame(
+        [], StructType([StructField(c, LongType() if i == 0 else StringType()) for i, c in enumerate(cols)])
+    )
+    dest = str(tmp_path / "weird.csv")
+    write_single_csv(empty, dest)
+    with open(dest, newline="") as f:
+        written = f.read()
+    assert written == _spark_csv_header_line(cols)
+    back = spark.read.option("header", True).csv(dest)
+    assert back.columns == cols
+
+
 def test_jsonl_roundtrip_documents(spark, sf_dir, tmp_path):
     """documents -> JSONL -> read back with pinned schema: content-identical
     (JSONL is the training-corpus interchange format; S1/S9 analog)."""

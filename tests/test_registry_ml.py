@@ -217,6 +217,32 @@ def test_artifact_names_must_be_bare_filenames(tmp_path):
             run.artifact_bytes(bad)
 
 
+def test_experiment_and_model_names_must_be_bare_filenames(tmp_path):
+    """The traversal guard applies to every registry path component, not
+    just artifacts: an experiment or model name containing a separator
+    would escape the registry root via os.path.join."""
+    import pytest
+
+    from end_to_end_data_engineering_and_ml_system_spark.ml.registry import (
+        ModelRegistry,
+        Tracker,
+    )
+
+    t = Tracker(str(tmp_path / "trk"))
+    reg = ModelRegistry(str(tmp_path / "reg"))
+    good_run = t.start_run("exp")
+    good_run.log_artifact("w.bin", b"blob")
+    for bad in ("a/b", "../escape", "/tmp/x", "", ".."):
+        with pytest.raises(ValueError):
+            t.start_run(bad)
+        with pytest.raises(ValueError):
+            t.runs(bad)
+        with pytest.raises(ValueError):
+            reg.register(bad, good_run, "w.bin")
+        with pytest.raises(ValueError):
+            reg.versions(bad)
+
+
 def test_corrupt_sidecar_does_not_poison_listings(tmp_path):
     """A truncated run.json/version.json (pre-fsync crash debris) must not
     make every listing of the experiment/model raise forever."""

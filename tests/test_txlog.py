@@ -731,3 +731,81 @@ def test_optimize_many_cluster_columns_caps_bits(spark, tmp_path):
     t.overwrite(df)
     t.optimize(cols, num_buckets=4)  # must not scramble or crash
     assert t.snapshot().count() == 300
+
+
+def _strip_txns_maps(t: TxTable) -> None:
+    """Manifest surgery: simulate a table written by a pre-map engine —
+    per-commit 'txn' markers survive, the carried-forward 'txns' map does
+    not exist yet."""
+    import json as _json
+
+    for v in t.versions():
+        p = os.path.join(t._log_dir, f"{v}.json")
+        with open(p) as f:
+            m = _json.load(f)
+        m.pop("txns", None)
+        with open(p, "w") as f:
+            _json.dump(m, f)
+
+
+def test_legacy_multi_app_markers_fold_on_first_commit(spark, tmp_path):
+    """Upgrading a pre-map table must fold the legacy markers of ALL
+    surviving manifests into the new txns map — not just the previous
+    manifest's own — so a multi-app history keeps every app's
+    exactly-once marker through compact + vacuum."""
+    sch = "k long, seq long, v string"
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(spark.createDataFrame([(1, 1, "a")], sch))
+    t.merge(spark.createDataFrame([(1, 2, "b")], sch), "k", ["seq"], txn=("appA", 3))
+    t.merge(spark.createDataFrame([(1, 3, "c")], sch), "k", ["seq"], txn=("appB", 5))
+    _strip_txns_maps(t)
+    # first post-upgrade commit rebuilds the map from the full legacy trail
+    t.append(spark.createDataFrame([(2, 1, "d")], sch))
+    assert t._manifest(t.latest_version())["txns"] == {"appA": 3, "appB": 5}
+    t.compact()
+    t.vacuum(keep_last=1)
+    assert t.txn_seen("appA", 3) is True
+    assert t.txn_seen("appB", 5) is True
+    assert t.txn_seen("appA", 4) is False
+
+
+def test_vacuum_refuses_to_erase_unrepresented_txn_markers(spark, tmp_path):
+    """On a pre-map table that has NOT yet re-committed, vacuum must keep
+    any manifest whose txn marker is not represented in the newest
+    manifest's map — dropping it would re-open the re-apply hole."""
+    sch = "k long, seq long, v string"
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(spark.createDataFrame([(1, 1, "a")], sch))
+    t.merge(spark.createDataFrame([(1, 2, "b")], sch), "k", ["seq"], txn=("appA", 3))
+    t.merge(spark.createDataFrame([(1, 3, "c")], sch), "k", ["seq"], txn=("appB", 5))
+    _strip_txns_maps(t)
+    t.vacuum(keep_last=1)
+    # v0 (no marker) may go; v1 carries appA's only marker and must survive
+    assert 1 in t.versions()
+    assert t.txn_seen("appA", 3) is True
+    # re-delivery stays a no-op
+    v = t.latest_version()
+    t.merge(spark.createDataFrame([(1, 2, "b")], sch), "k", ["seq"], txn=("appA", 3))
+    assert t.latest_version() == v
+
+
+def test_txn_seen_map_is_authoritative_over_legacy_walk(spark, tmp_path):
+    """When the newest map names the app, its answer wins — the O(versions)
+    legacy walk is skipped (an app in the map with a LOWER batch than a
+    stray legacy marker answers from the map)."""
+    import json as _json
+
+    sch = "k long, seq long, v string"
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(spark.createDataFrame([(1, 1, "a")], sch))
+    t.merge(spark.createDataFrame([(1, 2, "b")], sch), "k", ["seq"], txn=("app", 9))
+    t.append(spark.createDataFrame([(2, 1, "c")], sch))
+    # surgery: newest map claims app->5 while the legacy marker says 9
+    p = os.path.join(t._log_dir, f"{t.latest_version()}.json")
+    with open(p) as f:
+        m = _json.load(f)
+    m["txns"] = {"app": 5}
+    with open(p, "w") as f:
+        _json.dump(m, f)
+    assert t.txn_seen("app", 5) is True
+    assert t.txn_seen("app", 7) is False  # map wins; walk would say True
