@@ -276,29 +276,40 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     m: int = 8,
     k: int = 3,
+    exact: bool = False,
 ) -> DataFrame:
     """ADC top-k: per query a tiny (m × ks) distance table (built as a
     small join, broadcast), then approximate distance = grouped sum of m
     lookups per (query, vector) and a window top-k. The corpus-side scan
-    reads ONLY the integer codes."""
+    reads ONLY the integer codes. ``exact=True`` builds the lookup table
+    with decimal-exact partial distances and ranks on their exact sum
+    cast to double — the engine-portable serving path oracle-checked by
+    embedding_pq_adc_topk_portable; the float default is the throughput
+    path."""
     qsv = _subvectors(
         queries.select(F.col(id_col).alias("query_id"), vec_col),
         "query_id",
         vec_col,
         m,
     )
+    dist = _sq_dist_exact if exact else _sq_dist
     table = qsv.join(codebook, "sub").select(
         "query_id",
         "sub",
         "code",
-        _sq_dist(F.col("subvec"), F.col("centroid")).alias("pd"),
+        dist(F.col("subvec"), F.col("centroid")).alias("pd"),
     )
     cand = encoded.select(F.col(id_col).alias("cand_id"), "sub", "code")
+    adc_sum = F.sum("pd")
+    if exact:
+        # exact decimal sum, ranked as double so ordering is the
+        # IEEE-identical value every engine computes from the same decimal
+        adc_sum = adc_sum.cast("double")
     scored = (
         cand.join(F.broadcast(table), ["sub", "code"])
         .filter(F.col("cand_id") != F.col("query_id"))
         .groupBy("query_id", "cand_id")
-        .agg(F.sum("pd").alias("adc_dist"), F.count("*").alias("n_sub"))
+        .agg(adc_sum.alias("adc_dist"), F.count("*").alias("n_sub"))
         .filter(F.col("n_sub") == m)  # guard: all m lookups present
         .drop("n_sub")
     )

@@ -11341,6 +11341,105 @@ def embedding_pq_adc_topk(spark, sf_dir):
 
 
 @register(
+    "embedding_pq_adc_topk_portable",
+    oracle="""
+        -- ADC serving path under the deterministic md5-medoid iteration-0
+        -- codebook (no Lloyd float averaging): encode = decimal-exact
+        -- per-subspace argmin, ADC table = the same decimal distances for
+        -- the query rows, score = exact sum cast to double, top-3 per
+        -- query with (dist, cand_id) ties. Every engine computes the
+        -- identical codes, table, and ranking bit-for-bit.
+        WITH cw AS (
+            SELECT vec_id AS cw_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS code
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT 16
+        ),
+        ex AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ),
+        cx AS (
+            SELECT cw.code, e.pos,
+                   CAST(FLOOR((e.pos - 1) / 8) AS INT) AS sub, e.x AS c
+            FROM cw JOIN ex e ON e.vec_id = cw.cw_id
+        ),
+        d AS (
+            SELECT e.vec_id, c.sub, c.code,
+                   SUM(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(28,10)))
+                       AS d2
+            FROM ex e JOIN cx c ON e.pos = c.pos
+            GROUP BY 1, 2, 3
+        ),
+        enc AS (
+            SELECT vec_id, sub, code FROM (
+                SELECT vec_id, sub, code,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id, sub ORDER BY d2, code
+                       ) AS arn
+                FROM d
+            ) WHERE arn = 1
+        ),
+        adc AS (
+            SELECT vec_id AS query_id, sub, code, d2 AS pd
+            FROM d WHERE vec_id < 8
+        ),
+        scored AS (
+            SELECT a.query_id, e.vec_id AS cand_id,
+                   CAST(SUM(a.pd) AS DOUBLE) AS adc_dist,
+                   COUNT(*) AS n_sub
+            FROM enc e
+            JOIN adc a ON a.sub = e.sub AND a.code = e.code
+            WHERE e.vec_id <> a.query_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, cand_id, adc_dist, CAST(rn AS INT) AS rn
+        FROM (
+            SELECT query_id, cand_id, adc_dist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY adc_dist, cand_id
+                   ) AS rn
+            FROM scored WHERE n_sub = 8
+        )
+        WHERE rn <= 3
+    """,
+    description=(
+        "deterministic md5-medoid PQ/ADC top-k, decimal-exact encode and "
+        "lookup table (oracle-checked sibling of the trained ADC path)"
+    ),
+    tags=("ml", "similarity", "pq", "ann", "deterministic"),
+)
+def embedding_pq_adc_topk_portable(spark, sf_dir):
+    """Oracle-checked ADC sibling: `embedding_pq_adc_topk` is rows-only
+    because trained Lloyd codebooks average floats (order-dependent), so
+    the ADC *serving* mechanics (codes-only scan, broadcast lookup table,
+    grouped-sum distance, window top-k) lacked hash-level cross-engine
+    evidence — pq_init_assignment_portable covers only the encode argmin.
+    This variant runs the REAL operators (pq_encode + pq_adc_topk, both
+    exact=True) against the deterministic md5-medoid iteration-0 codebook
+    from init_codebooks, so the exact plan a production search executes —
+    broadcast codebook join, map-side-combined argmin encode, broadcast
+    ADC table, m-lookup grouped sum — is what DuckDB's from-scratch SQL
+    re-derivation must match bit-for-bit."""
+    from ..operators.pq import (
+        codebook_df,
+        init_codebooks,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = codebook_df(spark, init_codebooks(emb, m=8, ks=16))
+    enc = pq_encode(emb, cb, m=8, exact=True)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return pq_adc_topk(enc, cb, queries, m=8, k=3, exact=True)
+
+
+@register(
     "embedding_ivfpq_topk",
     oracle=None,
     description=(

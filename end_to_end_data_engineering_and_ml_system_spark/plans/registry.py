@@ -91,6 +91,8 @@ def register(
 _WINDOW_ROUND: int = 12
 
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    # --- genuinely new this round (1): decimal-exact ADC serving sibling ---
+    "embedding_pq_adc_topk_portable",
     # --- changed-implementation (18): r11 late-fix commits landed after
     # these names' latest driver rows (streaming hardening + txlog review,
     # b896baf..170e427); local strict-gate green post-fix, driver re-proof
@@ -131,7 +133,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "user_rfm_features",
     "value_outliers_iqr",
     "vocab_coverage_top100",
-    # --- evidence-freshness (15): round-5 tier, alphabetical head ---
+    # --- evidence-freshness (14): round-5 tier, alphabetical head ---
     "chunk_level_dedup_stats",
     "corpus_boilerplate_ngrams",
     "corpus_manifest",
@@ -146,7 +148,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_readability_scores",
     "doc_span_dedup_savings",
     "doc_unigram_logprob",
-    "drift_psi_events",
 )
 
 

@@ -185,7 +185,6 @@ RECONFIRMATION_SLOTS: dict[str, str] = {
             "doc_readability_scores",
             "doc_span_dedup_savings",
             "doc_unigram_logprob",
-            "drift_psi_events",
         )
     },
 }
