@@ -33,7 +33,14 @@ def sq_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot_product(a, b) / (F.sqrt(sq_norm(a)) * F.sqrt(sq_norm(b)))
+    """NULL (not NaN, not an error) when either vector has zero norm:
+    unguarded, ANSI mode throws DIVIDE_BY_ZERO on the first zero vector in
+    the corpus, and non-ANSI yields NaN — which Spark orders as the
+    LARGEST value, so a single zero vector would top EVERY query's
+    cosine-desc top-k. NULL sorts last under desc and drops out of
+    threshold filters, which is the semantics every caller wants."""
+    denom = F.sqrt(sq_norm(a)) * F.sqrt(sq_norm(b))
+    return F.when(denom > 0, dot_product(a, b) / denom)
 
 
 def cosine_topk_bruteforce(
@@ -63,10 +70,22 @@ def cosine_topk_bruteforce(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def _check_num_planes(num_planes: int) -> None:
+    """Signatures live in one bigint: plane j sets bit j, so more than 64
+    planes silently WRAPS (shiftleft is mod-64 — plane 64 collides with
+    plane 0 and every 'extra' plane shadows an earlier one's bit)."""
+    if not 1 <= num_planes <= 64:
+        raise ValueError(
+            f"num_planes={num_planes} must be in [1, 64] (one bigint bit "
+            "per plane; >64 wraps shiftleft and collides planes)"
+        )
+
+
 def lsh_signature(vec: Column, num_planes: int = 16) -> Column:
     """Sign-sketch signature: bit j = sign of <vec, plane_j>, where
     plane_j[pos] = ±1 derived from xxhash64(j, pos). Deterministic, no
     stored plane matrix, computable streaming-side."""
+    _check_num_planes(num_planes)
     out = F.lit(0).cast("bigint")
     for j in range(num_planes):
         proj = F.aggregate(
@@ -94,9 +113,15 @@ def lsh_signatures_table(
     num_planes: int = 16,
 ) -> DataFrame:
     """(id, sig) sign-sketch signatures via posexplode + codegen'd
-    projection sums — the batch shape of ``lsh_signature`` (same bits,
-    measured ~4× faster than the interpreted per-plane ``aggregate`` loop:
-    one pass over the exploded vector, map-side partial aggregation)."""
+    projection sums — the batch shape of ``lsh_signature`` (measured ~4×
+    faster than the interpreted per-plane ``aggregate`` loop: one pass over
+    the exploded vector, map-side partial aggregation). Bits agree with the
+    per-row form except when a projection is within float-rounding of zero
+    (distributed sum order vs array fold order) — noise-level projections
+    whose bucket membership is arbitrary in any floating formulation; do
+    not join buckets computed by BOTH formulations and expect exact
+    candidate parity."""
+    _check_num_planes(num_planes)
     ex = corpus.select(
         F.col(id_col), F.posexplode(vec_col).alias("pos", "xf")
     ).select(id_col, "pos", F.col("xf").cast("double").alias("x"))
@@ -139,7 +164,8 @@ def lsh_bucket_candidates(
     ``dedup.cap_bucket_size``."""
     sig = lsh_signatures_table(corpus, id_col, vec_col, num_planes)
     return band_signature_candidates(
-        sig, id_col, num_tables, planes_per_table, max_bucket_size
+        sig, id_col, num_tables, planes_per_table, max_bucket_size,
+        num_planes=num_planes,
     )
 
 
@@ -149,11 +175,33 @@ def band_signature_candidates(
     num_tables: int = 4,
     planes_per_table: int = 4,
     max_bucket_size: int | None = None,
+    num_planes: int | None = None,
 ) -> DataFrame:
     """Band an ``(id, sig)`` bit-signature table into ``num_tables`` hash
     tables and emit distinct same-bucket candidate pairs (id1 < id2).
     Shared by the fast (xxhash64) and engine-portable (md5) sketch paths —
-    banding is a pure projection, the only shuffle is the bucket equi-join."""
+    banding is a pure projection, the only shuffle is the bucket equi-join.
+
+    Pass ``num_planes`` (the signature width) whenever it is known: bands
+    that reach past the width read all-zero bits, so EVERY vector lands in
+    those tables' bucket 0 — an all-pairs candidate blowup, the exact O(n²)
+    LSH exists to avoid — and bands that cover less than the width silently
+    ignore the trailing planes (requested precision never applied). Both
+    misconfigurations raise instead (same contract as
+    dedup.lsh_buckets_wide's divisibility check)."""
+    if num_tables < 1 or planes_per_table < 1:
+        raise ValueError(
+            f"num_tables={num_tables} and planes_per_table={planes_per_table} "
+            "must be >= 1"
+        )
+    if num_planes is not None and num_tables * planes_per_table != num_planes:
+        raise ValueError(
+            f"num_tables ({num_tables}) x planes_per_table "
+            f"({planes_per_table}) = {num_tables * planes_per_table} must "
+            f"equal the signature width num_planes ({num_planes}): wider "
+            "bands read all-zero bits (viral bucket 0 -> all-pairs blowup), "
+            "narrower bands silently ignore trailing planes"
+        )
     mask = (1 << planes_per_table) - 1
     tables = []
     for t in range(num_tables):
@@ -334,6 +382,7 @@ def lsh_signatures_portable(
     signature row per vector on the shuffle. Quantization at 1e-6 only
     flips a bit when |<v, plane>| < 5e-7 — noise-level projections whose
     bucket membership is arbitrary in ANY floating formulation."""
+    _check_num_planes(num_planes)
     ex = corpus.select(
         F.col(id_col), F.posexplode(vec_col).alias("pos", "xf")
     ).select(id_col, "pos", F.col("xf").cast("double").alias("x"))
@@ -389,7 +438,8 @@ def embedding_near_dups_portable(
     (id, pos) — no all-pairs stage anywhere."""
     sig = lsh_signatures_portable(corpus, id_col, vec_col, num_planes)
     cands = band_signature_candidates(
-        sig, id_col, num_tables, planes_per_table, max_bucket_size
+        sig, id_col, num_tables, planes_per_table, max_bucket_size,
+        num_planes=num_planes,
     )
     ex = corpus.select(
         F.col(id_col), F.posexplode(vec_col).alias("pos", "xf")
@@ -421,7 +471,12 @@ def embedding_near_dups_portable(
         .select(
             "id1",
             "id2",
-            (F.col("dot") / (F.sqrt("n1") * F.sqrt("n2"))).alias("cosine"),
+            # zero-norm guard: same contract as cosine() — NULL, never a
+            # DIVIDE_BY_ZERO under ANSI, and NULL fails the threshold
+            F.when(
+                (F.col("n1") > 0) & (F.col("n2") > 0),
+                F.col("dot") / (F.sqrt("n1") * F.sqrt("n2")),
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -494,9 +549,10 @@ def semdedup_portable(
       set on cliques, order-free to evaluate).
 
     Returns ``(id, cluster_id, max_cos_prev, is_kept)`` — one row per
-    corpus vector; ``max_cos_prev`` is the max cosine to any lower-id
-    cluster member (-1.0 when none), so callers can re-threshold without
-    re-running the pairwise stage.
+    corpus row, INCLUDING rows whose vector is NULL/empty (those get
+    cluster_id NULL and are kept: nothing to compare); ``max_cos_prev`` is
+    the max cosine to any lower-id cluster member (-1.0 when none), so
+    callers can re-threshold without re-running the pairwise stage.
 
     Scale shape: k grows with the corpus (SemDeDup uses 50k clusters for
     5B LAION embeddings), so cluster sizes stay bounded and the only
@@ -529,7 +585,6 @@ def semdedup_portable(
         out="__rk",
     ).select(
         "cent_vid",
-        "__r",
         (F.col("__rk") - 1).cast("int").alias("cluster_id"),
     )
     cex = cent.join(ex, cent.cent_vid == ex.__id).select(
@@ -553,7 +608,12 @@ def semdedup_portable(
         .select(
             "__id",
             "cluster_id",
-            (F.col("dot") / (F.sqrt("nrm") * F.sqrt("cnrm"))).alias("c"),
+            # zero-norm guard (ANSI would throw; NULL ranks last so a
+            # zero vector still gets a deterministic lowest-id cluster)
+            F.when(
+                (F.col("nrm") > 0) & (F.col("cnrm") > 0),
+                F.col("dot") / (F.sqrt("nrm") * F.sqrt("cnrm")),
+            ).alias("c"),
         )
     )
     aw = Window.partitionBy("__id").orderBy(F.col("c").desc(), "cluster_id")
@@ -587,12 +647,21 @@ def semdedup_portable(
         .join(norms.select(F.col("__id").alias("id2"), F.col("nrm").alias("n2")), "id2")
         .select(
             "id2",
-            (F.col("dot") / (F.sqrt("n1") * F.sqrt("n2"))).alias("pc"),
+            F.when(
+                (F.col("n1") > 0) & (F.col("n2") > 0),
+                F.col("dot") / (F.sqrt("n1") * F.sqrt("n2")),
+            ).alias("pc"),
         )
     )
     max_prev = pcos.groupBy("id2").agg(F.max("pc").alias("max_cos_prev"))
+    # anchor on the corpus, not the assignment: a row whose vector is NULL
+    # or empty produces no positions, so it never reaches `assign` — it must
+    # still keep its output row (cluster_id NULL, nothing to compare ->
+    # kept) instead of silently vanishing from "one row per corpus vector"
+    ids = corpus.select(F.col(id_col).alias("__id"))
     return (
-        assign.join(max_prev, assign.__id == max_prev.id2, "left")
+        ids.join(assign, "__id", "left")
+        .join(max_prev, F.col("__id") == max_prev.id2, "left")
         .select(
             F.col("__id").alias(id_col),
             "cluster_id",

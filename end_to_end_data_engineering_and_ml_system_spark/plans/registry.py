@@ -93,6 +93,14 @@ _WINDOW_ROUND: int = 12
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- genuinely new this round (1): decimal-exact ADC serving sibling ---
     "embedding_pq_adc_topk_portable",
+    # --- changed-implementation (6): r12 similarity review (zero-norm
+    # cosine guard, banding width validation, semdedup corpus anchor) ---
+    "embedding_ann_bruteforce",
+    "embedding_ivf_topk",
+    "embedding_near_dups",
+    "embedding_near_dups_portable",
+    "embedding_semdedup_kept",
+    "embedding_semdedup_threshold_sweep",
     # --- changed-implementation (18): r11 late-fix commits landed after
     # these names' latest driver rows (streaming hardening + txlog review,
     # b896baf..170e427); local strict-gate green post-fix, driver re-proof
@@ -133,7 +141,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "user_rfm_features",
     "value_outliers_iqr",
     "vocab_coverage_top100",
-    # --- evidence-freshness (14): round-5 tier, alphabetical head ---
+    # --- evidence-freshness (8): round-5 tier, alphabetical head ---
     "chunk_level_dedup_stats",
     "corpus_boilerplate_ngrams",
     "corpus_manifest",
@@ -142,12 +150,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "customer_order_count_distribution",
     "daily_gmv_trailing_ma",
     "daily_growth_accounting",
-    "doc_duplicate_ngram_spans",
-    "doc_duplicate_ngram_windows",
-    "doc_label_noise_audit",
-    "doc_readability_scores",
-    "doc_span_dedup_savings",
-    "doc_unigram_logprob",
 )
 
 

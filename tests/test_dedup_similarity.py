@@ -523,3 +523,79 @@ def test_lsh_banding_rejects_non_divisible_params(spark, sf_dir):
         lsh_verified_near_dups(docs, "doc_id", "text", 8, 3, 3, 0.6).count()
     with pytest.raises(ValueError, match="divide num_hashes"):
         lsh_verified_near_dups(docs, "doc_id", "text", 8, 16, 3, 0.6).count()
+
+
+def test_sign_sketch_banding_rejects_width_mismatch(spark, sf_dir):
+    """Bands reaching past the signature width read all-zero bits — EVERY
+    vector lands in those tables' bucket 0 (measured: all-pairs candidate
+    blowup, the O(n^2) LSH exists to avoid) — and bands covering less than
+    the width silently ignore trailing planes. Both must raise; >64 planes
+    would wrap the bigint and collide planes, so that raises too."""
+    import pytest
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.similarity import (
+        lsh_bucket_candidates,
+        lsh_signatures_table,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(20)
+    with pytest.raises(ValueError, match="signature width"):
+        lsh_bucket_candidates(emb, num_planes=8, num_tables=4, planes_per_table=4)
+    with pytest.raises(ValueError, match="signature width"):
+        lsh_bucket_candidates(emb, num_planes=16, num_tables=2, planes_per_table=4)
+    with pytest.raises(ValueError, match="wraps"):
+        lsh_signatures_table(emb, num_planes=65)
+
+
+def test_cosine_zero_norm_vector_never_tops_or_crashes(spark):
+    """A zero-norm corpus vector must not crash ANSI mode (DIVIDE_BY_ZERO)
+    nor rank FIRST via NaN (Spark orders NaN as the largest double) — it
+    gets a NULL cosine, sorts last, and never enters the top-k."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        embedding_near_dups,
+    )
+
+    rows = [(i, [float(i + j) for j in range(4)]) for i in range(1, 6)]
+    rows.append((99, [0.0, 0.0, 0.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_topk_bruteforce(emb, emb.filter("vec_id = 1"), k=3).collect()
+    assert len(out) == 3
+    assert all(r["cand_id"] != 99 for r in out)
+    assert all(r["cosine"] is not None for r in out)
+    # the verified near-dup path: zero vector's pairs drop at the threshold
+    nd = embedding_near_dups(emb, threshold=0.5).collect()
+    assert all(99 not in (r["id1"], r["id2"]) for r in nd)
+
+
+def test_semdedup_keeps_rows_with_null_or_empty_vectors(spark):
+    """'One row per corpus row' includes rows whose vector is NULL or
+    empty: they must appear with cluster_id NULL and is_kept true instead
+    of silently vanishing."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.similarity import (
+        semdedup_portable,
+    )
+
+    rows = [(i, [float(i + j) for j in range(4)]) for i in range(1, 9)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).unionByName(
+        spark.createDataFrame(
+            [(100, None), (101, [])], "vec_id long, embedding array<double>"
+        )
+    )
+    out = semdedup_portable(emb, k=4, tau=0.9).collect()
+    assert len(out) == 10
+    by_id = {r["vec_id"]: r for r in out}
+    for vid in (100, 101):
+        assert by_id[vid]["cluster_id"] is None
+        assert by_id[vid]["is_kept"] is True
+        assert by_id[vid]["max_cos_prev"] == -1.0
+    assert all(by_id[i]["cluster_id"] is not None for i in range(1, 9))

@@ -116,6 +116,20 @@ def _shipped_driver_tested() -> set[str]:
 # guard fails (negative control below keeps the guard itself honest).
 RECONFIRMATION_SLOTS: dict[str, str] = {
     **{
+        n: "changed: r12 similarity-operator review (zero-norm cosine "
+        "guard — ANSI DIVIDE_BY_ZERO / NaN-sorts-first fix — banding "
+        "width validation, semdedup corpus-anchored output); driver rows "
+        "predate the new plans"
+        for n in (
+            "embedding_ann_bruteforce",
+            "embedding_ivf_topk",
+            "embedding_near_dups",
+            "embedding_near_dups_portable",
+            "embedding_semdedup_kept",
+            "embedding_semdedup_threshold_sweep",
+        )
+    },
+    **{
         n: "changed: r11 late-fix commits b896baf..170e427 (streaming "
         "hardening: _await_bounded boolean, tombstone->DLQ, Kafka envelope "
         "key retention, dup-topic refusal; txlog review: txns map, vacuum "
@@ -179,12 +193,6 @@ RECONFIRMATION_SLOTS: dict[str, str] = {
             "customer_order_count_distribution",
             "daily_gmv_trailing_ma",
             "daily_growth_accounting",
-            "doc_duplicate_ngram_spans",
-            "doc_duplicate_ngram_windows",
-            "doc_label_noise_audit",
-            "doc_readability_scores",
-            "doc_span_dedup_savings",
-            "doc_unigram_logprob",
         )
     },
 }
