@@ -304,6 +304,12 @@ _BM25_TF_COLS_SQL = ",\n               ".join(
     f"len(list_filter(toks, w -> w = '{t}')) AS tf{i}"
     for i, t in enumerate(_BM25_TERMS)
 )
+# the >=1-term match predicate, derived from the SAME constant as the tf
+# columns (a hardcoded "tf0 + tf1 + tf2" would silently drop docs matching
+# only the new term if _BM25_TERMS ever grew)
+_BM25_MATCH_SQL = (
+    " + ".join(f"d.tf{i}" for i in range(len(_BM25_TERMS))) + " > 0"
+)
 _BM25_DF_COLS_SQL = ",\n               ".join(
     f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
     for i in range(len(_BM25_TERMS))
@@ -354,6 +360,11 @@ def _bm25_scored(spark, sf_dir):
             for i in range(len(_BM25_TERMS))
         ],
     ).first()
+    if not stats["n"]:
+        raise ValueError(
+            "BM25 needs a non-empty document corpus (avg doc length is "
+            "undefined on 0 docs)"
+        )
     n, sdl = int(stats["n"]), int(stats["sdl"])
     score = None
     for i in range(len(_BM25_TERMS)):
@@ -376,9 +387,12 @@ def _bm25_scored(spark, sf_dir):
             )
         )
         score = term if score is None else score + term
-    return d.filter(
-        F.col("tf0") + F.col("tf1") + F.col("tf2") > 0
-    ).select("doc_id", "dl", F.round(score, 6).alias("bm25"))
+    match = None
+    for i in range(len(_BM25_TERMS)):
+        match = F.col(f"tf{i}") if match is None else match + F.col(f"tf{i}")
+    return d.filter(match > 0).select(
+        "doc_id", "dl", F.round(score, 6).alias("bm25")
+    )
 
 
 @register(
@@ -404,7 +418,7 @@ def _bm25_scored(spark, sf_dir):
         SELECT d.doc_id, d.dl AS n_tokens,
                ROUND({_BM25_TERM_SQL}, 6) AS bm25
         FROM d CROSS JOIN s
-        WHERE d.tf0 + d.tf1 + d.tf2 > 0
+        WHERE {_BM25_MATCH_SQL}
         ORDER BY bm25 DESC, d.doc_id
         LIMIT 10
     """,
@@ -699,7 +713,7 @@ _RRF_DEPTH = 50  # per-ranker candidate-list depth
         lex AS (
             SELECT doc_id, ROUND({_BM25_TERM_SQL}, 6) AS bm25
             FROM d CROSS JOIN s
-            WHERE d.tf0 + d.tf1 + d.tf2 > 0
+            WHERE {_BM25_MATCH_SQL}
         ),
         lexrank AS (
             SELECT doc_id,
@@ -1059,6 +1073,8 @@ def related_parts_ppr(spark, sf_dir):
         .orderBy(F.col("outdeg").desc(), "src")
         .first()
     )
+    if seed_row is None:
+        raise ValueError("personalized PageRank needs a non-empty edge list")
     seed = int(seed_row["src"])
     r = pagerank(
         edges, iters=3, teleport=[seed], assume_distinct=True,
@@ -1142,6 +1158,10 @@ def top_phrase_docs(spark, sf_dir):
         .orderBy(F.col("c").desc(), F.col("tg3").asc())
         .first()
     )
+    if top is None:
+        raise ValueError(
+            "phrase search needs at least one document with >= 3 tokens"
+        )
     phrase = top["tg3"]
     occ = F.size(F.filter("tg", _eq_term(phrase)))
     return (
@@ -1236,6 +1256,11 @@ def nation_trade_graph_stats(spark, sf_dir):
         .distinct()
         .count()
     )
+    if n_nodes < 2:
+        edges.unpersist()
+        raise ValueError(
+            "graph stats need >= 2 nodes (density divides by n*(n-1))"
+        )
     rev = edges.select(
         F.col("dst").alias("src"), F.col("src").alias("dst")
     )
@@ -1400,6 +1425,8 @@ def copurchase_bfs_hop_histogram(spark, sf_dir):
         .orderBy(F.col("outdeg").desc(), "src")
         .first()
     )
+    if seed_row is None:
+        raise ValueError("BFS needs a non-empty edge list to pick a seed")
     dist = bfs_levels(
         edges, [int(seed_row["src"])], max_hops=3, assume_distinct=True
     )
@@ -1520,9 +1547,16 @@ def copurchase_community_modularity(spark, sf_dir):
     internal mass."""
     from ..operators.graph import label_propagation
 
-    edges = _copurchase_edges(spark, sf_dir, keep_weight=False).persist()
+    edges = _copurchase_edges(spark, sf_dir, keep_weight=False)
     lbl = label_propagation(edges, iters=2, assume_distinct=True)
-    m = edges.count()
+    # m rides the plan as a broadcast 1-row aggregate (the oracle's CROSS
+    # JOIN m CTE) instead of a driver-side count action: the old
+    # persist -> count -> unpersist triple unpersisted BEFORE the returned
+    # lazy frame was ever evaluated, so the final evaluation recomputed the
+    # whole edge build anyway and the cache bought nothing but the count —
+    # the labels label_propagation returns are lineage-cut internally, so
+    # no iteration work repeats either way
+    m_df = edges.agg(F.count("*").cast("double").alias("__m"))
     ls = lbl.withColumnRenamed("id", "src").withColumnRenamed("lbl", "c_src")
     ld = lbl.withColumnRenamed("id", "dst").withColumnRenamed("lbl", "c_dst")
     labeled = edges.join(ls, "src").join(ld, "dst").select("c_src", "c_dst")
@@ -1535,27 +1569,26 @@ def copurchase_community_modularity(spark, sf_dir):
     e_in = labeled.groupBy(F.col("c_dst").alias("community_id")).agg(
         F.count("*").cast("long").alias("e_in")
     )
-    out = (
+    return (
         per.join(e_in, "community_id", "left")
+        .crossJoin(F.broadcast(m_df))
         .select(
             "community_id",
             "e_within",
             "e_out",
             F.coalesce("e_in", F.lit(0).cast("long")).alias("e_in"),
             (
-                F.col("e_within").cast("double") / F.lit(float(m))
-                - (F.col("e_out").cast("double") / F.lit(float(m)))
+                F.col("e_within").cast("double") / F.col("__m")
+                - (F.col("e_out").cast("double") / F.col("__m"))
                 * (
                     F.coalesce("e_in", F.lit(0).cast("long")).cast("double")
-                    / F.lit(float(m))
+                    / F.col("__m")
                 )
             ).alias("modularity_term"),
         )
         .orderBy(F.col("e_within").desc(), "community_id")
         .limit(20)
     )
-    edges.unpersist()
-    return out
 
 
 @register(
@@ -1661,9 +1694,12 @@ def dense_retrieval_ndcg(spark, sf_dir):
     nq = norms.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
         F.col("nrm").alias("qnrm")
     )
-    qlab = int(
-        emb.filter(F.col("vec_id") == _RRF_QUERY_VEC).first()["label"]
-    )
+    qrow = emb.filter(F.col("vec_id") == _RRF_QUERY_VEC).first()
+    if qrow is None:
+        raise ValueError(
+            f"query vector vec_id={_RRF_QUERY_VEC} not found in embeddings"
+        )
+    qlab = int(qrow["label"])
     scored = (
         dots.join(norms.withColumnRenamed("vec_id", "cand_id"), "cand_id")
         .crossJoin(F.broadcast(nq))
@@ -1689,7 +1725,13 @@ def dense_retrieval_ndcg(spark, sf_dir):
 
     n_rel = int(
         scored.agg(F.sum("rel").cast("long").alias("n_rel")).first()["n_rel"]
+        or 0
     )
+    if n_rel == 0:
+        raise ValueError(
+            "nDCG undefined: no candidate shares the query vector's label "
+            "(ideal DCG is 0)"
+        )
     top10 = bounded_ranked_topk(
         scored, [("cosine", "desc"), ("cand_id", "asc")], 10, out="rn"
     )
@@ -1998,7 +2040,7 @@ _PRF_SEED_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
         fb AS (
             SELECT d.doc_id
             FROM d CROSS JOIN s
-            WHERE d.tf0 + d.tf1 + d.tf2 > 0
+            WHERE {_BM25_MATCH_SQL}
             ORDER BY ROUND({_BM25_TERM_SQL}, 6) DESC, d.doc_id
             LIMIT {_PRF_FEEDBACK_DEPTH}
         ),
@@ -2097,6 +2139,11 @@ def query_expansion_prf_retrieval(spark, sf_dir):
         F.count("*").cast("long").alias("n"),
         F.sum("dl").cast("long").alias("sdl"),
     ).first()
+    if not cs["n"]:
+        raise ValueError(
+            "BM25 needs a non-empty document corpus (avg doc length is "
+            "undefined on 0 docs)"
+        )
     n, sdl = int(cs["n"]), int(cs["sdl"])
     expansion = [
         r["term"]

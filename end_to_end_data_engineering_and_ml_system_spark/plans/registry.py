@@ -93,14 +93,16 @@ _WINDOW_ROUND: int = 12
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- genuinely new this round (1): decimal-exact ADC serving sibling ---
     "embedding_pq_adc_topk_portable",
-    # --- changed-implementation (6): r12 similarity review (zero-norm
-    # cosine guard, banding width validation, semdedup corpus anchor) ---
+    # --- changed-implementation (7): r12 similarity + graph-retrieval
+    # reviews (zero-norm cosine guard, banding width validation, semdedup
+    # corpus anchor, modularity in-plan m) ---
     "embedding_ann_bruteforce",
     "embedding_ivf_topk",
     "embedding_near_dups",
     "embedding_near_dups_portable",
     "embedding_semdedup_kept",
     "embedding_semdedup_threshold_sweep",
+    "copurchase_community_modularity",
     # --- changed-implementation (18): r11 late-fix commits landed after
     # these names' latest driver rows (streaming hardening + txlog review,
     # b896baf..170e427); local strict-gate green post-fix, driver re-proof
@@ -141,7 +143,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "user_rfm_features",
     "value_outliers_iqr",
     "vocab_coverage_top100",
-    # --- evidence-freshness (8): round-5 tier, alphabetical head ---
+    # --- evidence-freshness (7): round-5 tier, alphabetical head ---
     "chunk_level_dedup_stats",
     "corpus_boilerplate_ngrams",
     "corpus_manifest",
@@ -149,7 +151,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "customer_cohort_ltv_curve",
     "customer_order_count_distribution",
     "daily_gmv_trailing_ma",
-    "daily_growth_accounting",
 )
 
 

@@ -129,6 +129,11 @@ RECONFIRMATION_SLOTS: dict[str, str] = {
             "embedding_semdedup_threshold_sweep",
         )
     },
+    "copurchase_community_modularity": (
+        "changed: r12 graph-retrieval review — edge-count m moved from a "
+        "driver-side persist/count/unpersist triple (which unpersisted "
+        "before evaluation) to an in-plan broadcast 1-row aggregate"
+    ),
     **{
         n: "changed: r11 late-fix commits b896baf..170e427 (streaming "
         "hardening: _await_bounded boolean, tombstone->DLQ, Kafka envelope "
@@ -192,7 +197,6 @@ RECONFIRMATION_SLOTS: dict[str, str] = {
             "customer_cohort_ltv_curve",
             "customer_order_count_distribution",
             "daily_gmv_trailing_ma",
-            "daily_growth_accounting",
         )
     },
 }
