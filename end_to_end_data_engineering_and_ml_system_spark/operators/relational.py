@@ -74,6 +74,19 @@ def _sort_cols(order_specs: OrderSpec) -> list[Column]:
     ]
 
 
+def _check_fresh_cols(df: DataFrame, names: Sequence[str], caller: str) -> None:
+    """Internal working columns and rank outputs are added with
+    ``withColumn``, which silently REPLACES an existing column — a caller
+    whose frame already carries the name would lose that data (or get it
+    dropped with the scratch column). Raise instead."""
+    clash = [n for n in names if n in df.columns]
+    if clash:
+        raise ValueError(
+            f"{caller}: input already has column(s) {clash}; rename them "
+            "or pass a different output name"
+        )
+
+
 # Persisted intermediates created by the distributed-rank family. The cache
 # is REQUIRED for correctness (the offsets-collect job and the later output
 # job must see identical range boundaries / identical top-k sets), but its
@@ -180,6 +193,7 @@ def _ranged_by(df: DataFrame, order_specs: OrderSpec) -> DataFrame:
     PERSISTED (MEMORY_AND_DISK) so the bounded offsets-collect job and
     the output job see identical range boundaries; the handle is tracked
     so harnesses can free it between queries (``release_rank_caches``)."""
+    _check_fresh_cols(df, ["__pid"], "_ranged_by")
     spark = df.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     ranged = df.repartitionByRange(p, *_sort_cols(order_specs)).withColumn(
@@ -203,6 +217,7 @@ def _global_rank(
     column); ranks are then row_number-identical under any partitioning.
     Returns ``(ranked_df, total_row_count)``.
     """
+    _check_fresh_cols(df, [out], "_global_rank")
     ranged = _ranged_by(df, order_specs)
     counts = sorted(
         ranged.groupBy("__pid").count().collect(), key=lambda r: r["__pid"]
@@ -245,6 +260,7 @@ def global_ntile(
     row) computed from the distributed global rank with pure integer
     arithmetic (``DIV``), so bucket membership is bit-identical to the
     single-window form on any engine and any partitioning."""
+    _check_fresh_cols(df, [out, "__grn"], "global_ntile")
     ranked, total = _global_rank(df, order_specs, "__grn")
     q, r = divmod(total, n_buckets)
     qq = max(q, 1)  # guard the unused branch when total < n_buckets
@@ -272,6 +288,17 @@ def global_running_sum(
     collect carries a non-NULL count alongside the sum, so an all-NULL
     or zero-sum prefix is never misread). Replaces the window form when
     the input scales with the data."""
+    _check_fresh_cols(df, [out], "global_running_sum")
+    vtype = dict(df.dtypes).get(value_col, "")
+    if vtype not in ("tinyint", "smallint", "int", "bigint"):
+        # int(float_sum) below would TRUNCATE the per-partition offsets —
+        # silently wrong running sums, not merely nondeterministic ones
+        raise ValueError(
+            f"global_running_sum needs an integer value column, got "
+            f"{value_col}: {vtype or 'missing'} (float cumsums are not "
+            "cross-engine deterministic and the exact offset arithmetic "
+            "would truncate)"
+        )
     ranged = _ranged_by(df, order_specs)
     parts = sorted(
         ranged.groupBy("__pid")
@@ -386,6 +413,7 @@ def bounded_ranked_topk(
             f"{BOUNDED_TOPK_MAX_K} (O(k^2) rank recovery); use "
             "global_row_number for large-k global ranks"
         )
+    _check_fresh_cols(df, [out], "bounded_ranked_topk")
     clean = _enforce_null_policy(df, order_specs, on_null, "bounded_ranked_topk")
     top = clean.orderBy(*_sort_cols(order_specs)).limit(k)
     _track_persist(top)
@@ -570,6 +598,8 @@ def banded_range_join(
     any equi-join (AQE skew-split applies), which is what keeps range
     joins tractable at 100 TB; the exact predicate filters after the band
     match. ``lower``/``upper`` are interval strings like ``'7 days'``."""
+    _check_fresh_cols(left, ["__band"], "banded_range_join(left)")
+    _check_fresh_cols(right, ["__band"], "banded_range_join(right)")
     width = _interval_to_seconds(lower) + _interval_to_seconds(upper)
     if width <= 0:
         raise ValueError("banded_range_join needs a nonzero [lower, upper] window")
@@ -622,6 +652,8 @@ def salted_join(
             f"salted_join supports how='inner'/'left' only, got {how!r}: "
             "replicating the right side breaks right/full-outer semantics"
         )
+    _check_fresh_cols(left, ["__salt"], "salted_join(left)")
+    _check_fresh_cols(right, ["__salt"], "salted_join(right)")
     spark = left.sparkSession
     salted_l = left.withColumn(
         "__salt", (F.rand(seed) * salt_buckets).cast("int")
@@ -654,15 +686,19 @@ def merge_upsert(
     100 TB."""
     s_cols = set(source.columns)
     t_cols = set(target.columns)
-    t = target.alias("__t")
-    s = source.alias("__s")
+    _check_fresh_cols(target, ["__t_present", "__s_present"], "merge_upsert")
+    _check_fresh_cols(source, ["__t_present", "__s_present"], "merge_upsert")
+    # side presence is decided by a non-nullable indicator, NOT by key
+    # nullability: a target row whose merge key is NULL never matches
+    # (NULL <> NULL) but IS present — keying the action off t_key.isNull()
+    # would mislabel it 'insert'
+    t = target.withColumn("__t_present", F.lit(True)).alias("__t")
+    s = source.withColumn("__s_present", F.lit(True)).alias("__s")
     cond = [F.col(f"__t.{k}") == F.col(f"__s.{k}") for k in key_cols]
     joined = t.join(s, cond, "full_outer")
-    t_key = F.col(f"__t.{key_cols[0]}")
-    s_key = F.col(f"__s.{key_cols[0]}")
     action = (
-        F.when(t_key.isNull(), F.lit("insert"))
-        .when(s_key.isNull(), F.lit("carryover"))
+        F.when(F.col("__t.__t_present").isNull(), F.lit("insert"))
+        .when(F.col("__s.__s_present").isNull(), F.lit("carryover"))
         .otherwise(F.lit("update"))
     )
 

@@ -33,12 +33,12 @@ def sq_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """NULL (not NaN, not an error) when either vector has zero norm:
-    unguarded, ANSI mode throws DIVIDE_BY_ZERO on the first zero vector in
-    the corpus, and non-ANSI yields NaN — which Spark orders as the
-    LARGEST value, so a single zero vector would top EVERY query's
-    cosine-desc top-k. NULL sorts last under desc and drops out of
-    threshold filters, which is the semantics every caller wants."""
+    """NULL (never an error) when either vector has zero norm: unguarded,
+    ANSI mode — Spark 4's default — throws DIVIDE_BY_ZERO on the first
+    zero vector in the corpus, killing the whole job; legacy mode already
+    NULLed implicitly. The explicit guard makes the contract mode-
+    independent: NULL sorts last under desc and drops out of threshold
+    filters, which is the semantics every caller wants."""
     denom = F.sqrt(sq_norm(a)) * F.sqrt(sq_norm(b))
     return F.when(denom > 0, dot_product(a, b) / denom)
 

@@ -122,25 +122,36 @@ def repetition_signals(df, id_col: str, text_col: str):
 
 
 def punct_ratio(col: Column | str) -> Column:
-    """Fraction of characters that are sentence punctuation."""
+    """Fraction of characters that are sentence punctuation. NULL on empty
+    text (the ratio is undefined; unguarded, ANSI mode — Spark 4's default
+    — throws DIVIDE_BY_ZERO on the first empty document, and real corpora
+    are full of them)."""
     c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
     kept = F.length(F.regexp_replace(c, r"[^.!?,;:]", ""))
-    return kept.cast("double") / F.length(c)
+    return F.when(n > 0, kept.cast("double") / n)
 
 
 def uppercase_ratio(col: Column | str) -> Column:
+    """NULL on empty text — same ANSI divide-by-zero guard as punct_ratio."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.length(F.regexp_replace(c, r"[^A-Z]", "")).cast("double") / F.length(c)
+    n = F.length(c)
+    return F.when(
+        n > 0, F.length(F.regexp_replace(c, r"[^A-Z]", "")).cast("double") / n
+    )
 
 
 def stopword_ratio(
     col: Column | str, stopwords: Sequence[str] = STOPWORDS_EN
 ) -> Column:
-    """Fraction of tokens that are stopwords — a standard fluency signal."""
+    """Fraction of tokens that are stopwords — a standard fluency signal.
+    NULL on zero tokens (whitespace-only or empty text) — same ANSI
+    divide-by-zero guard as punct_ratio."""
     toks = tokens(col)
     sw = F.array(*[F.lit(s) for s in stopwords])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return n_stop.cast("double") / F.size(toks)
+    n = F.size(toks)
+    return F.when(n > 0, n_stop.cast("double") / n)
 
 
 def lang_scores(
@@ -184,7 +195,8 @@ def fingerprint(col: Column | str) -> Column:
 def quality_score(col: Column | str) -> Column:
     """Composite [0,1] quality heuristic: length in a sane band, some
     stopwords, not all caps, limited punctuation. Weights are illustrative;
-    the point is the single-pass columnar shape."""
+    the point is the single-pass columnar shape. Empty/whitespace-only text
+    scores 0.0 (its NULL ratios fail every band check)."""
     c = F.col(col) if isinstance(col, str) else col
     n = F.length(c)
     len_ok = F.when((n >= 20) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
@@ -205,7 +217,12 @@ def tf_idf_topk(df, id_col: str, text_col: str, k: int = 3):
     - score = tf · idf, ranked per doc with ties broken by term.
 
     Scale shape: one explode + two partial-aggregated groupBys + a window
-    over (doc, k) rows; the df table is term-keyed and broadcasts."""
+    over (doc, k) rows. The idf table is VOCABULARY-sized — a web-scale
+    corpus holds 10^8-10^9 distinct terms, so it must NOT carry a forced
+    broadcast hint (an O(vocab) broadcast is a hard 8 GB failure at
+    corpus scale — the same class as the forced O(corpus) broadcast
+    removed from dedup.jaccard_pairs); AQE broadcasts when it actually
+    fits and shuffles the equi-join when it doesn't."""
     from pyspark.sql import DataFrame, Window
 
     assert isinstance(df, DataFrame)
@@ -222,7 +239,7 @@ def tf_idf_topk(df, id_col: str, text_col: str, k: int = 3):
             + F.lit(1.0)
         ).alias("idf"),
     )
-    scored = tf.join(F.broadcast(idf), "term").select(
+    scored = tf.join(idf, "term").select(
         id_col, "term", (F.col("tf") * F.col("idf")).alias("tfidf")
     )
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
@@ -347,6 +364,9 @@ def pack_tokens_into_bins(
 #: suffixes, space-prefixed letter runs, digit runs, punctuation runs.
 BPE_TOKEN_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
 
+#: bin-id namespace width per packing group (pack_bins_ffd)
+_FFD_BINS_PER_GROUP = 1_000_000_000_000
+
 
 def bpe_token_count(col: Column | str) -> Column:
     """Subword-style token count via the BPE-ish pre-tokenizer regex — the
@@ -410,7 +430,17 @@ def pack_bins_ffd(
                 assigned.append(len(bins) - 1)
             oversize.append(False)
         grp = int(pdf["pack_group"].iloc[0])
-        pdf["bin_id"] = [grp * 1_000_000 + b for b in assigned]
+        # 10^12 local bins per group keeps (group, local_bin) -> bin_id
+        # injective up to ~9.2M groups in int64; the old 10^6 multiplier
+        # silently COLLIDED bin ids once a group packed >1M bins (64
+        # groups over a 10^9-doc corpus average ~16M docs per group)
+        if len(bins) >= _FFD_BINS_PER_GROUP:
+            raise ValueError(
+                f"pack_bins_ffd: group {grp} needs {len(bins)} bins "
+                f"(>= {_FFD_BINS_PER_GROUP}); raise num_groups so "
+                "(group, local_bin) stays injective in the bigint bin_id"
+            )
+        pdf["bin_id"] = [grp * _FFD_BINS_PER_GROUP + b for b in assigned]
         pdf["oversize"] = oversize
         return pdf[[id_col, "tokens", "pack_group", "bin_id", "oversize"]]
 

@@ -93,9 +93,10 @@ _WINDOW_ROUND: int = 12
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- genuinely new this round (1): decimal-exact ADC serving sibling ---
     "embedding_pq_adc_topk_portable",
-    # --- changed-implementation (7): r12 similarity + graph-retrieval
-    # reviews (zero-norm cosine guard, banding width validation, semdedup
-    # corpus anchor, modularity in-plan m) ---
+    # --- changed-implementation (8): r12 similarity + graph-retrieval +
+    # relational reviews (zero-norm cosine guard, banding width validation,
+    # semdedup corpus anchor, modularity in-plan m, merge_upsert presence
+    # indicators) ---
     "embedding_ann_bruteforce",
     "embedding_ivf_topk",
     "embedding_near_dups",
@@ -103,6 +104,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_semdedup_kept",
     "embedding_semdedup_threshold_sweep",
     "copurchase_community_modularity",
+    "orders_cdc_merge_counts",
+    # --- changed-implementation (5): r12 text-operator review (empty-text
+    # ANSI guards in the quality ratios, tf-idf forced broadcast removed,
+    # FFD bin-id namespace widened) ---
+    "doc_quality_scores",
+    "doc_tfidf_topk",
+    "corpus_quality_filter",
+    "corpus_pipeline_summary",
+    "doc_pack_bins_ffd",
+    "corpus_yield_by_source",
     # --- changed-implementation (18): r11 late-fix commits landed after
     # these names' latest driver rows (streaming hardening + txlog review,
     # b896baf..170e427); local strict-gate green post-fix, driver re-proof
@@ -143,14 +154,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "user_rfm_features",
     "value_outliers_iqr",
     "vocab_coverage_top100",
-    # --- evidence-freshness (7): round-5 tier, alphabetical head ---
-    "chunk_level_dedup_stats",
-    "corpus_boilerplate_ngrams",
-    "corpus_manifest",
-    "corpus_temperature_mix",
-    "customer_cohort_ltv_curve",
-    "customer_order_count_distribution",
-    "daily_gmv_trailing_ma",
 )
 
 

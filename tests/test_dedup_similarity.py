@@ -551,9 +551,10 @@ def test_sign_sketch_banding_rejects_width_mismatch(spark, sf_dir):
 
 
 def test_cosine_zero_norm_vector_never_tops_or_crashes(spark):
-    """A zero-norm corpus vector must not crash ANSI mode (DIVIDE_BY_ZERO)
-    nor rank FIRST via NaN (Spark orders NaN as the largest double) — it
-    gets a NULL cosine, sorts last, and never enters the top-k."""
+    """A zero-norm corpus vector must not crash ANSI mode (DIVIDE_BY_ZERO,
+    Spark 4's default — one zero vector killed the whole top-k job) — it
+    gets a NULL cosine in either SQL mode, sorts last, and never enters
+    the top-k."""
     from pyspark.sql import functions as F
 
     from end_to_end_data_engineering_and_ml_system_spark.operators.similarity import (

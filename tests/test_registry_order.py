@@ -134,6 +134,28 @@ RECONFIRMATION_SLOTS: dict[str, str] = {
         "driver-side persist/count/unpersist triple (which unpersisted "
         "before evaluation) to an in-plan broadcast 1-row aggregate"
     ),
+    "orders_cdc_merge_counts": (
+        "changed: r12 relational review — merge_upsert actions now keyed "
+        "on non-nullable presence indicators instead of key nullability "
+        "(NULL-key rows were mislabeled 'insert')"
+    ),
+    **{
+        n: "changed: r12 text-operator review — empty-text ANSI "
+        "DIVIDE_BY_ZERO guards in punct/uppercase/stopword ratios and "
+        "quality_score, tf-idf vocabulary-table forced broadcast removed, "
+        "FFD bin-id namespace widened; driver rows predate the new plans"
+        for n in (
+            "doc_quality_scores",
+            "doc_tfidf_topk",
+            "corpus_quality_filter",
+            "corpus_pipeline_summary",
+            "doc_pack_bins_ffd",
+            "corpus_yield_by_source",
+            # sits in the window's round-4 freshness block; the r12 text
+            # change makes the re-proof doubly warranted
+            "token_budget_selection",
+        )
+    },
     **{
         n: "changed: r11 late-fix commits b896baf..170e427 (streaming "
         "hardening: _await_bounded boolean, tombstone->DLQ, Kafka envelope "
@@ -175,7 +197,6 @@ RECONFIRMATION_SLOTS: dict[str, str] = {
             "sliding_7d_distinct_users",
             "small_quantity_part_revenue",
             "threshold_sweep_anomaly_rates",
-            "token_budget_selection",
             "top_revenue_suppliers",
             "top_spend_days_with_ties",
             "unshipped_orders_topk",
@@ -183,20 +204,6 @@ RECONFIRMATION_SLOTS: dict[str, str] = {
             "user_rfm_features",
             "value_outliers_iqr",
             "vocab_coverage_top100",
-        )
-    },
-    **{
-        n: "freshness: latest driver row is round 5 (next tier, "
-        "alphabetical head; the remaining round-5 names are round-13's "
-        "rotation candidates)"
-        for n in (
-            "chunk_level_dedup_stats",
-            "corpus_boilerplate_ngrams",
-            "corpus_manifest",
-            "corpus_temperature_mix",
-            "customer_cohort_ltv_curve",
-            "customer_order_count_distribution",
-            "daily_gmv_trailing_ma",
         )
     },
 }

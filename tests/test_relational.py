@@ -683,3 +683,74 @@ def test_concurrent_rank_builds_are_isolated(spark):
         t.join(timeout=900)
     assert not errors, errors
     assert not R._PERSISTED_HANDLES, "all handles released by their owners"
+
+
+def test_internal_column_collisions_raise(spark):
+    """withColumn silently REPLACES an existing column — a caller whose
+    frame already carries a working-column or output name would silently
+    lose data. Every such site must raise instead."""
+    import pytest
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators import (
+        relational as R,
+    )
+
+    df = spark.range(10).select(
+        F.col("id"), F.lit(1).alias("__pid"), F.lit(2).alias("rn")
+    )
+    with pytest.raises(ValueError, match="__pid"):
+        R.global_row_number(df.drop("rn"), [("id", "asc")])
+    with pytest.raises(ValueError, match="rn"):
+        R.bounded_ranked_topk(df.drop("__pid"), [("id", "asc")], 3)
+    with pytest.raises(ValueError, match="rn"):
+        R.global_row_number(df.drop("__pid"), [("id", "asc")], out="rn")
+    tsdf = spark.range(5).select(
+        F.col("id"),
+        F.current_timestamp().alias("ts"),
+        F.lit(0).alias("__band"),
+    )
+    with pytest.raises(ValueError, match="__band"):
+        R.banded_range_join(tsdf, tsdf.drop("__band"), "ts", "ts", "0 seconds", "1 hours")
+    sdf = spark.range(5).select(F.col("id"), F.lit(0).alias("__salt"))
+    with pytest.raises(ValueError, match="__salt"):
+        R.salted_join(sdf, sdf.drop("__salt"), "id")
+
+
+def test_global_running_sum_rejects_float_values(spark):
+    """int(float_sum) in the offsets collect would TRUNCATE — silently
+    wrong running sums, not merely nondeterministic ones."""
+    import pytest
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        global_running_sum,
+    )
+
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") * 1.5).alias("v")
+    )
+    with pytest.raises(ValueError, match="integer value column"):
+        global_running_sum(df, [("id", "asc")], "v")
+
+
+def test_merge_upsert_null_keys_carry_over_not_insert(spark):
+    """A target row whose merge key is NULL never matches (NULL <> NULL)
+    but IS present — the action must be 'carryover', not 'insert' (the
+    old key-nullability check mislabeled it); a NULL-key source row is a
+    genuine insert."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "t1"), (None, "t-null")], "k int, v string"
+    )
+    source = spark.createDataFrame(
+        [(1, "s1"), (None, "s-null")], "k int, v string"
+    )
+    out = merge_upsert(target, source, ["k"]).collect()
+    actions = sorted((r["v"], r["action"]) for r in out)
+    assert actions == [
+        ("s-null", "insert"),     # NULL-key source row: genuine insert
+        ("s1", "update"),         # matched on k=1, source wins
+        ("t-null", "carryover"),  # NULL-key target row: present, no match
+    ]

@@ -258,3 +258,71 @@ def test_chunk_udtf_matches_builtin_chunker(spark, sf_dir):
     }
     assert via_udtf == builtin
     assert builtin, "chunker must produce rows on the fixture corpus"
+
+
+def test_quality_ratios_null_on_empty_text_ansi_safe(spark):
+    """Empty/whitespace-only text must yield NULL ratios (not an ANSI
+    DIVIDE_BY_ZERO crash — Spark 4's default mode — and not a legacy
+    silent NULL with no contract) and a 0.0 composite quality."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.text import (
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+        uppercase_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "the cat sat, the cat sat.")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            punct_ratio("text").alias("p"),
+            uppercase_ratio("text").alias("u"),
+            stopword_ratio("text").alias("s"),
+            quality_score("text").alias("q"),
+        ).collect()
+    }
+    assert out[1]["p"] is None and out[1]["u"] is None and out[1]["s"] is None
+    assert out[1]["q"] == 0.0
+    assert out[2]["s"] is None  # whitespace-only: zero tokens
+    assert out[3]["p"] is not None and out[3]["q"] is not None
+
+
+def test_tf_idf_topk_does_not_force_broadcast_vocab(spark, sf_dir):
+    """The idf table is vocabulary-sized — a forced broadcast hint is a
+    hard ~8 GB failure at web-corpus scale. The logical plan must carry no
+    broadcast hint; AQE decides at runtime."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.text import (
+        tf_idf_topk,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    plan = tf_idf_topk(docs, "doc_id", "text")._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in plan and "hint" not in plan.lower()
+
+
+def test_ffd_bin_ids_injective_across_groups(spark):
+    """(group, local_bin) -> bin_id must stay injective: the old 10^6
+    multiplier collided once a group packed over a million bins."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.text import (
+        _FFD_BINS_PER_GROUP,
+        pack_bins_ffd,
+    )
+
+    assert _FFD_BINS_PER_GROUP >= 10**12
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 150 + 20).alias("n_tokens")
+    )
+    packed = pack_bins_ffd(docs, "doc_id", "n_tokens", capacity=200, num_groups=4)
+    rows = packed.collect()
+    assert len(rows) == 200
+    for r in rows:
+        grp, b = divmod(r["bin_id"], _FFD_BINS_PER_GROUP)
+        assert grp == r["pack_group"]
+        assert 0 <= b < _FFD_BINS_PER_GROUP
