@@ -397,11 +397,14 @@ def pairwise_correlations(df, cols):
             F.col("n").cast("double") * F.col(name).cast("double")
             - F.col(f"s_{a}").cast("double") * F.col(f"s_{b}").cast("double")
         )
+        den = var_term(a) * var_term(b)
         rows.append(
             F.struct(
                 F.lit(a).alias("feat_x"),
                 F.lit(b).alias("feat_y"),
-                (num / F.sqrt(var_term(a) * var_term(b))).alias("corr"),
+                # zero-variance (constant) feature: correlation undefined —
+                # NULL, never an ANSI DIVIDE_BY_ZERO that kills the job
+                F.when(den > 0, num / F.sqrt(den)).alias("corr"),
             )
         )
     return m.select(F.explode(F.array(*rows)).alias("r")).select(

@@ -114,6 +114,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_pipeline_summary",
     "doc_pack_bins_ffd",
     "corpus_yield_by_source",
+    # --- changed-implementation (1): r12 ml-pipeline review (zero-variance
+    # correlation guard) ---
+    "feature_correlations",
     # --- changed-implementation (18): r11 late-fix commits landed after
     # these names' latest driver rows (streaming hardening + txlog review,
     # b896baf..170e427); local strict-gate green post-fix, driver re-proof
@@ -153,7 +156,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "user_event_type_sets",
     "user_rfm_features",
     "value_outliers_iqr",
-    "vocab_coverage_top100",
 )
 
 

@@ -298,3 +298,25 @@ def test_gbdt_prediction_expr_reduces_error(spark):
         ).alias("sse0"),
     ).first()
     assert err["sse"] < err["sse0"] * 0.5
+
+
+def test_pairwise_correlations_constant_feature_null_not_crash(spark):
+    """A zero-variance (constant) feature has undefined correlation: must
+    yield NULL — not an ANSI DIVIDE_BY_ZERO (Spark 4's default mode) that
+    kills the whole matrix."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_and_ml_system_spark.ml.pipeline import (
+        pairwise_correlations,
+    )
+
+    df = spark.range(20).select(
+        F.col("id").cast("double").alias("a"),
+        (F.col("id") * 2).cast("double").alias("b"),
+        F.lit(7.0).alias("c"),  # constant
+    )
+    rows = {(r["feat_x"], r["feat_y"]): r["corr"]
+            for r in pairwise_correlations(df, ["a", "b", "c"]).collect()}
+    assert abs(rows[("a", "b")] - 1.0) < 1e-9
+    assert rows[("a", "c")] is None
+    assert rows[("b", "c")] is None

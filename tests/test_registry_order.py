@@ -156,6 +156,11 @@ RECONFIRMATION_SLOTS: dict[str, str] = {
             "token_budget_selection",
         )
     },
+    "feature_correlations": (
+        "changed: r12 ml-pipeline review — zero-variance (constant) "
+        "features now yield NULL correlation instead of an ANSI "
+        "DIVIDE_BY_ZERO; driver row predates the guarded plan"
+    ),
     **{
         n: "changed: r11 late-fix commits b896baf..170e427 (streaming "
         "hardening: _await_bounded boolean, tombstone->DLQ, Kafka envelope "
@@ -203,7 +208,6 @@ RECONFIRMATION_SLOTS: dict[str, str] = {
             "user_event_type_sets",
             "user_rfm_features",
             "value_outliers_iqr",
-            "vocab_coverage_top100",
         )
     },
 }
