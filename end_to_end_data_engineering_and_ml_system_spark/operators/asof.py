@@ -44,6 +44,13 @@ def asof_join(
     # carry the whole reference row as ONE struct: last(ignorenulls) then
     # skips only missing reference ROWS, never a NULL inside a value column
     # of the latest row (true as-of / DuckDB ASOF semantics)
+    overlap = sorted(set(value_cols) & set(left.columns))
+    if overlap:
+        raise ValueError(
+            f"asof_join value_cols {overlap} collide with left columns — "
+            "the output would carry two identically-named columns "
+            "(ambiguous downstream); alias the right side first"
+        )
     carry_cols = list(value_cols)
     if tolerance is not None and right_time not in carry_cols:
         carry_cols.append(right_time)
@@ -55,7 +62,10 @@ def asof_join(
         F.struct(*left.columns).alias("__left"),
         F.lit(None).cast(right.select(ref_struct).schema[0].dataType).alias("__ref"),
     )
-    rt = right.select(
+    # a reference row with NULL time cannot be "the most recent row <= t" —
+    # unfiltered it sorts FIRST (NULLs first under asc) and would be carried
+    # as the match into every earlier probe of its key
+    rt = right.filter(F.col(right_time).isNotNull()).select(
         F.col(key).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_probe"),

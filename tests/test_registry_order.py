@@ -161,6 +161,11 @@ RECONFIRMATION_SLOTS: dict[str, str] = {
         "features now yield NULL correlation instead of an ANSI "
         "DIVIDE_BY_ZERO; driver row predates the guarded plan"
     ),
+    "events_asof_latest_order": (
+        "changed: r12 asof review — NULL-time reference rows are dropped "
+        "before the union-sort carry (they sorted FIRST and matched every "
+        "earlier probe); value_cols/left collisions now raise"
+    ),
     **{
         n: "changed: r11 late-fix commits b896baf..170e427 (streaming "
         "hardening: _await_bounded boolean, tombstone->DLQ, Kafka envelope "
@@ -207,7 +212,6 @@ RECONFIRMATION_SLOTS: dict[str, str] = {
             "unshipped_orders_topk",
             "user_event_type_sets",
             "user_rfm_features",
-            "value_outliers_iqr",
         )
     },
 }

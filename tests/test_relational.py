@@ -754,3 +754,32 @@ def test_merge_upsert_null_keys_carry_over_not_insert(spark):
         ("s1", "update"),         # matched on k=1, source wins
         ("t-null", "carryover"),  # NULL-key target row: present, no match
     ]
+
+
+def test_asof_join_null_time_refs_and_collisions(spark):
+    """A reference row with NULL time must never be carried as 'the most
+    recent match' (unfiltered it sorts FIRST under asc and matched every
+    earlier probe of its key); value_cols colliding with left columns
+    must raise instead of emitting duplicate output names."""
+    import pytest
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.asof import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "k long, t string"
+    ).select("k", F.col("t").cast("timestamp").alias("t"))
+    right = spark.createDataFrame(
+        [(1, None, "phantom"), (1, "2024-01-01 09:00:00", "real")],
+        "k long, rt string, v string",
+    ).select("k", F.col("rt").cast("timestamp").alias("rt"), "v")
+    out = asof_join(left, right, "k", "t", "rt", ["v"]).collect()
+    assert len(out) == 1 and out[0]["v"] == "real"
+    # only the NULL-time ref exists -> no match, not a phantom one
+    out2 = asof_join(
+        left, right.filter(F.col("v") == "phantom"), "k", "t", "rt", ["v"]
+    ).collect()
+    assert len(out2) == 1 and out2[0]["v"] is None
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right.withColumnRenamed("v", "t"), "k", "t", "rt", ["t"])
