@@ -44,22 +44,24 @@ def percentiles_by_group(
     (exact), not ``percentile_approx`` — approx sketches are engine-specific
     and break cross-engine reproducibility; for 100 TB pipelines where exact
     is too expensive, switch to ``approx_percentile`` knowingly."""
-    qs = ", ".join(str(q) for q in quantiles)
     exprs = [
-        F.expr(f"percentile({col}, {q})").alias(f"p{int(q * 100)}")
+        F.expr(f"percentile(`{col}`, {q})").alias(f"p{int(q * 100)}")
         for q in quantiles
     ]
-    _ = qs
     return df.groupBy(*by).agg(*exprs)
 
 
 def ratio_metric(
     df: DataFrame, num_cond: Column, alias: str = "rate_pct"
 ) -> DataFrame:
-    """Single-row ratio metric: 100 * count(cond) / count(*) (ref: A12)."""
+    """Single-row ratio metric: 100 * count(cond) / count(*) (ref: A12).
+    NULL rate on an empty input (ANSI mode would otherwise throw
+    DIVIDE_BY_ZERO on the 0-row denominator)."""
     num = F.sum(F.when(num_cond, F.lit(1)).otherwise(F.lit(0)))
     return df.agg(
-        (F.lit(100.0) * num / F.count("*")).alias(alias),
+        F.when(F.count("*") > 0, F.lit(100.0) * num / F.count("*")).alias(
+            alias
+        ),
         num.alias("n_matching"),
         F.count("*").alias("n_total"),
     )

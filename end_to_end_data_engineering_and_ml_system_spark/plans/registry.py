@@ -114,10 +114,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_pipeline_summary",
     "doc_pack_bins_ffd",
     "corpus_yield_by_source",
-    # --- changed-implementation (2): r12 ml-pipeline + asof reviews
-    # (zero-variance correlation guard; NULL-time reference-row drop) ---
+    # --- changed-implementation (3): r12 ml-pipeline + asof + aggregation
+    # reviews (zero-variance correlation guard; NULL-time reference-row
+    # drop; empty-input ratio guard) ---
     "feature_correlations",
     "events_asof_latest_order",
+    "anomaly_rate",
     # --- changed-implementation (18): r11 late-fix commits landed after
     # these names' latest driver rows (streaming hardening + txlog review,
     # b896baf..170e427); local strict-gate green post-fix, driver re-proof
@@ -155,7 +157,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "top_spend_days_with_ties",
     "unshipped_orders_topk",
     "user_event_type_sets",
-    "user_rfm_features",
 )
 
 

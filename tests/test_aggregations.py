@@ -174,3 +174,19 @@ def test_population_stability_detects_shift(spark):
     import math
 
     assert total > 0.2 and all(math.isfinite(r["psi_term"]) for r in out)
+
+
+def test_ratio_metric_empty_input_null_not_crash(spark):
+    """An empty input must yield (NULL rate, 0, 0) — not an ANSI
+    DIVIDE_BY_ZERO on the 0-row denominator."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.aggregations import (
+        ratio_metric,
+    )
+
+    empty = spark.createDataFrame([], "value double")
+    row = ratio_metric(empty, F.col("value") > 0).collect()[0]
+    assert row["rate_pct"] is None
+    assert row["n_matching"] is None or row["n_matching"] == 0
+    assert row["n_total"] == 0

@@ -166,6 +166,10 @@ RECONFIRMATION_SLOTS: dict[str, str] = {
         "before the union-sort carry (they sorted FIRST and matched every "
         "earlier probe); value_cols/left collisions now raise"
     ),
+    "anomaly_rate": (
+        "changed: r12 aggregation review — ratio_metric yields NULL rate "
+        "on an empty input instead of an ANSI DIVIDE_BY_ZERO"
+    ),
     **{
         n: "changed: r11 late-fix commits b896baf..170e427 (streaming "
         "hardening: _await_bounded boolean, tombstone->DLQ, Kafka envelope "
@@ -211,7 +215,6 @@ RECONFIRMATION_SLOTS: dict[str, str] = {
             "top_spend_days_with_ties",
             "unshipped_orders_topk",
             "user_event_type_sets",
-            "user_rfm_features",
         )
     },
 }
