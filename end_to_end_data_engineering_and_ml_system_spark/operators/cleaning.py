@@ -40,13 +40,20 @@ def sanitize_name(name: str) -> str:
 def sanitize_columns(df: DataFrame) -> DataFrame:
     """Sanitize all column names in one projection, uniquifying collisions
     with ``_1``/``_2`` suffixes (ref: preprocess_cicids2017.py:117-137)."""
-    seen: dict[str, int] = {}
+    taken: set[str] = set()
+    counters: dict[str, int] = {}
     new_names: list[str] = []
     for c in df.columns:
         base = sanitize_name(c)
-        n = seen.get(base, 0)
-        seen[base] = n + 1
-        new_names.append(base if n == 0 else f"{base}_{n}")
+        name = base
+        # the generated suffix may itself collide with a LATER sanitized
+        # name (["a b", "a_b", "a_b_1"] would otherwise emit two a_b_1) —
+        # probe until genuinely fresh
+        while name in taken:
+            counters[base] = counters.get(base, 0) + 1
+            name = f"{base}_{counters[base]}"
+        taken.add(name)
+        new_names.append(name)
     return df.toDF(*new_names)
 
 
@@ -147,6 +154,12 @@ def dedup_keep_best(
     reproducibility."""
     from pyspark.sql import Window
 
+    if "__rn" in df.columns:
+        # withColumn would silently REPLACE the caller's column, and the
+        # final drop would then destroy it
+        raise ValueError(
+            "dedup_keep_best: input already has a __rn column; rename it"
+        )
     w = Window.partitionBy(*key_cols).orderBy(*order_by)
     return (
         df.withColumn("__rn", F.row_number().over(w))

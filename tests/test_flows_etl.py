@@ -161,3 +161,30 @@ def test_preprocess_flows_reference_width(spark, sf_dir):
     assert total == 500
     assert len(res.feature_cols) == 64
     assert elapsed < 120, f"wide ETL took {elapsed:.0f}s - plan blowup regressed"
+
+
+def test_sanitize_columns_generated_suffix_never_collides(spark):
+    """The _N uniquifying suffix must not collide with a LATER column that
+    sanitizes to the same generated name (['a b', 'a_b', 'a_b_1'] used to
+    emit two a_b_1 columns — a silently ambiguous frame)."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.cleaning import (
+        sanitize_columns,
+    )
+
+    df = spark.createDataFrame([(1, 2, 3)], ["a b", "a_b", "a_b_1"])
+    out = sanitize_columns(df)
+    assert len(set(out.columns)) == 3, out.columns
+    assert out.columns[0] == "a_b"
+
+
+def test_dedup_keep_best_rejects_rn_collision(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.cleaning import (
+        dedup_keep_best,
+    )
+
+    df = spark.range(4).select("id", F.lit(1).alias("__rn"))
+    with pytest.raises(ValueError, match="__rn"):
+        dedup_keep_best(df, ["id"], [F.col("id")])
