@@ -65,7 +65,11 @@ def decode_media_features(
             feats = []
             sizes = []
             for blob in pdf[payload_col]:
-                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                # NULL payloads arrive as None — bytes(None) would kill
+                # the whole job; treat as empty (all-zero features)
+                arr = np.frombuffer(
+                    b"" if blob is None else bytes(blob), dtype=np.uint8
+                )
                 sizes.append(len(arr))
                 if len(arr) == 0:
                     feats.append([0.0] * N_HIST_BINS)
@@ -92,8 +96,14 @@ def frame_sample(
     df: DataFrame, id_col: str, payload_col: str, every_n_bytes: int = 64
 ) -> DataFrame:
     """Frame-sampling analog for video payloads: take one 'frame' (byte
-    chunk) every ``every_n_bytes``, exploded to (id, frame_no, frame_bytes).
-    JVM-side substring arithmetic — no Python."""
+    chunk) every ``every_n_bytes``, exploded to (id, frame_no, frame_bytes)
+    with ``frame_bytes`` BINARY. JVM-side substring arithmetic — no Python.
+
+    The slice runs on the binary column directly: the old
+    ``cast("string")`` round-trip decoded the payload as UTF-8 (garbage
+    for real media bytes) and sliced by CHARACTERS while the frame count
+    was computed in BYTES — silently misaligned frames on any multi-byte
+    content."""
     n_frames = F.floor(F.octet_length(F.col(payload_col)) / every_n_bytes).cast(
         "int"
     )
@@ -101,7 +111,7 @@ def frame_sample(
     frames = F.transform(
         idx,
         lambda i: F.substring(
-            F.col(payload_col).cast("string"), i * every_n_bytes + 1, every_n_bytes
+            F.col(payload_col), i * every_n_bytes + 1, every_n_bytes
         ),
     )
     return df.select(
@@ -138,7 +148,7 @@ def pcm_rms_energy(
         for pdf in batches:
             ids, frame_nos, ns, rmss = [], [], [], []
             for rid, blob in zip(pdf[id_col], pdf[payload_col]):
-                raw = bytes(blob)
+                raw = b"" if blob is None else bytes(blob)
                 samples = np.frombuffer(
                     raw[: len(raw) - (len(raw) % 2)], dtype="<i2"
                 ).astype(np.float64)

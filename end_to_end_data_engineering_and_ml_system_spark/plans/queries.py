@@ -3234,26 +3234,33 @@ def embedding_label_centroids(spark, sf_dir):
 @register(
     "multimodal_frame_sample",
     oracle="""
+        -- frames are compared as HEX strings: the operator slices the
+        -- BINARY payload by bytes (DuckDB has no blob substring, but
+        -- hex(blob) makes byte k the hex chars [2k+1, 2k+2])
         WITH f AS (
-            SELECT doc_id, text,
+            SELECT doc_id, hex(encode(text)) AS hx,
                    CAST(floor(octet_length(encode(text)) / 64.0) AS BIGINT)
                        AS n_frames
             FROM documents
         ), x AS (
-            SELECT doc_id, text,
+            SELECT doc_id, hx,
                    unnest(range(0, CASE WHEN n_frames < 1 THEN 1
                                         ELSE n_frames END)) AS frame_no
             FROM f
         )
         SELECT doc_id,
                CAST(frame_no AS BIGINT) AS frame_no,
-               substr(text, CAST(frame_no * 64 + 1 AS INT), 64) AS frame_bytes
+               substr(hx, CAST(frame_no * 128 + 1 AS INT), 128) AS frame_hex
         FROM x
     """,
-    description="frame-sampling analog for video payloads: one 64-byte 'frame' per chunk, JVM substring arithmetic",
+    description="frame-sampling analog for video payloads: one 64-byte binary 'frame' per chunk, JVM substring arithmetic, hex-compared",
     tags=("multimodal",),
 )
 def multimodal_frame_sample(spark, sf_dir):
+    """Byte-exact frame sampling over the BINARY payload (the old version
+    round-tripped through a UTF-8 string cast — character slicing, garbage
+    on real media bytes). Frames leave as hex so the DuckDB oracle can
+    compare byte-for-byte without blob slicing support."""
     from ..operators.multimodal import frame_sample, payload_from_text
 
     docs = load_table(spark, sf_dir, "documents").withColumn(
@@ -3263,7 +3270,7 @@ def multimodal_frame_sample(spark, sf_dir):
     return frames.select(
         "doc_id",
         F.col("frame_no").cast("bigint").alias("frame_no"),
-        "frame_bytes",
+        F.hex("frame_bytes").alias("frame_hex"),
     )
 
 

@@ -120,6 +120,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "feature_correlations",
     "events_asof_latest_order",
     "anomaly_rate",
+    "multimodal_frame_sample",
     # --- changed-implementation (18): r11 late-fix commits landed after
     # these names' latest driver rows (streaming hardening + txlog review,
     # b896baf..170e427); local strict-gate green post-fix, driver re-proof
@@ -156,7 +157,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "top_revenue_suppliers",
     "top_spend_days_with_ties",
     "unshipped_orders_topk",
-    "user_event_type_sets",
 )
 
 

@@ -308,3 +308,47 @@ def test_read_text_corpus_lines_and_whole_files(spark, tmp_path):
     files = read_text_corpus(spark, str(shard_dir), whole_files=True)
     rows = {os.path.basename(r.file_path): r.value for r in files.collect()}
     assert rows == {"shard0.txt": "alpha\nbeta\n", "shard1.txt": "gamma\n"}
+
+
+def test_frame_sample_slices_bytes_not_chars(spark):
+    """Frames must be BYTE slices of the binary payload: the old
+    cast-to-string path decoded as UTF-8 and sliced by CHARACTERS while
+    counting frames in BYTES — misaligned frames on any multi-byte
+    content, garbage on real media bytes."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.multimodal import (
+        frame_sample,
+    )
+
+    # 3-byte UTF-8 chars: 8 chars = 24 bytes -> 3 frames of 8 bytes, and
+    # byte slicing splits code points (which char slicing never would)
+    text = "€" * 8  # euro sign, 3 bytes each
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    rows = frame_sample(df, "doc_id", "payload", every_n_bytes=8).collect()
+    assert [r["frame_no"] for r in rows] == [0, 1, 2]
+    raw = text.encode("utf-8")
+    for r in rows:
+        got = bytes(r["frame_bytes"])
+        assert got == raw[r["frame_no"] * 8 : r["frame_no"] * 8 + 8]
+        assert len(got) == 8
+
+
+def test_multimodal_null_payloads_do_not_crash(spark):
+    """NULL payloads arrive as None in the Arrow batch — bytes(None)
+    killed the whole job; they must decode as empty."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.multimodal import (
+        decode_media_features,
+        pcm_rms_energy,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"hello world")), (2, None)],
+        "doc_id long, payload binary",
+    )
+    feats = {r["doc_id"]: r for r in decode_media_features(df, "doc_id", "payload").collect()}
+    assert feats[2]["n_bytes"] == 0
+    assert feats[2]["features"] == [0.0] * 16
+    # pcm path: NULL payload simply emits no frames
+    frames = pcm_rms_energy(df, "doc_id", "payload", frame_samples=4).collect()
+    assert all(r["doc_id"] == 1 for r in frames)

@@ -170,6 +170,12 @@ RECONFIRMATION_SLOTS: dict[str, str] = {
         "changed: r12 aggregation review — ratio_metric yields NULL rate "
         "on an empty input instead of an ANSI DIVIDE_BY_ZERO"
     ),
+    "multimodal_frame_sample": (
+        "changed: r12 multimodal review — frame_sample slices the BINARY "
+        "payload by bytes (the old string cast sliced by characters, "
+        "garbage on real media bytes); query output moved to hex frames "
+        "for byte-exact oracle comparison"
+    ),
     **{
         n: "changed: r11 late-fix commits b896baf..170e427 (streaming "
         "hardening: _await_bounded boolean, tombstone->DLQ, Kafka envelope "
@@ -214,7 +220,6 @@ RECONFIRMATION_SLOTS: dict[str, str] = {
             "top_revenue_suppliers",
             "top_spend_days_with_ties",
             "unshipped_orders_topk",
-            "user_event_type_sets",
         )
     },
 }
