@@ -70,14 +70,15 @@ def register(
 # enforces):
 #   0. genuinely new — registered this round, never driver-tested;
 #   1. changed-implementation — the name's driver row predates a material
-#      change to its plan (this round: the 13 stream_* + 5 table-format
-#      names whose latest driver row predates the round-11 late-fix
-#      commits b896baf..170e427; the 8 siblings from the committed plan's
-#      29 already carry post-fix r11 driver rows, so re-slotting them
-#      would waste slots — amendment documented in NOTES);
+#      change to its plan (this round: 18 names changed by the r12
+#      operator reviews, plus the 13 stream_* + 5 table-format names whose
+#      latest driver row predates the round-11 late-fix commits
+#      b896baf..170e427; the 8 siblings from the committed plan's 29
+#      already carry post-fix r11 driver rows, so re-slotting them would
+#      waste slots — amendment documented in NOTES);
 #   2. evidence-freshness — with coverage complete, the window re-proves
-#      the STALEST evidence first: the 17 remaining round-4-tier names,
-#      then the alphabetical head of the round-5 tier.
+#      the STALEST evidence first: the remaining round-4-tier names (the
+#      4 displaced by r12-changed slots roll to round 13).
 # New queries registered mid-round go at the TOP (never driver-tested, so a
 # slot is never wasted on them) displacing freshness slots to keep the
 # 50-name window exact.
