@@ -229,6 +229,8 @@ def reconstruction_mse_stats(features: DataFrame, w: np.ndarray) -> dict:
         F.max("mx").alias("mx"),
         F.sum("n").alias("n"),
     ).first()
+    if not row["n"]:
+        raise ValueError("reconstruction_mse_stats: empty features frame")
     return {
         "mse_mean": row["s"] / row["n"],
         "mse_min": row["mn"],

@@ -246,3 +246,16 @@ def test_mlp_detect_loop_routing_partition_invariant(spark, sf_dir):
     assert c1 == c2  # partition-invariant routing
     assert sum(c1.values()) == n_total  # disjoint + exhaustive
     assert c1.get("anomaly", 0) > 0  # mean+2σ tags a nonempty tail here
+
+
+def test_reconstruction_mse_stats_empty_frame_raises(spark):
+    import numpy as np
+    import pytest
+
+    from end_to_end_data_engineering_and_ml_system_spark.ml.training import (
+        reconstruction_mse_stats,
+    )
+
+    empty = spark.createDataFrame([], "features array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        reconstruction_mse_stats(empty, np.zeros((4, 2)))
