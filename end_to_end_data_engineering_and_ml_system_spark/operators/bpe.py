@@ -331,14 +331,17 @@ def bpe_token_lengths(
     merges: list[tuple[str, str, int]],
     text_col: str = "text",
     id_col: str = "doc_id",
-    broadcast_vocab: bool = True,
+    broadcast_vocab: bool | None = None,
 ) -> DataFrame:
     """Per-document token count under the learned BPE: tokenize the
     DISTINCT-WORD table once (all merges applied), then join token lengths
-    back onto the corpus — broadcast when the vocab fits (the common case:
-    vocab ≪ corpus), shuffle-join otherwise.  The corpus is scanned exactly
-    twice (word table + final join) no matter how many merges were
-    learned."""
+    back onto the corpus.  ``broadcast_vocab=None`` (default) lets AQE pick
+    the join: the vocab table is usually tiny (Heaps' law) and broadcasts,
+    but a web-scale corpus can hold 10^8-10^9 distinct 'words' — a FORCED
+    broadcast default would be a hard ~8 GB failure there (the same class
+    as the tf-idf idf-table fix).  Pass True/False to pin the strategy
+    when the vocab size is known.  The corpus is scanned exactly twice
+    (word table + final join) no matter how many merges were learned."""
     words = word_frequency_table(docs, text_col)
     tokenized = _initial_symbols(words).mapInPandas(
         _tokenize_word_fn(merges), _SYM_SCHEMA

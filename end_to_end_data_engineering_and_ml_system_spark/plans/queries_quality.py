@@ -484,7 +484,7 @@ def doc_bpe_learned_token_counts(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     merges = learn_bpe_merges(docs, n_merges=24).merges
-    return bpe_token_lengths(docs, merges)
+    return bpe_token_lengths(docs, merges, broadcast_vocab=True)
 
 
 @register(
@@ -908,7 +908,7 @@ def bpe_fertility_by_lang(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     merges = learn_bpe_merges(docs, n_merges=24).merges
-    per_doc = bpe_token_lengths(docs, merges)
+    per_doc = bpe_token_lengths(docs, merges, broadcast_vocab=True)
     with_lang = per_doc.join(docs.select("doc_id", "lang"), "doc_id")
     return with_lang.groupBy("lang").agg(
         F.sum("n_words").cast("bigint").alias("total_words"),

@@ -171,3 +171,25 @@ def test_per_group_learn_matches_filtered_single_corpus(spark):
             docs.filter(docs.lang == lang), n_merges=8
         ).merges
         assert by_lang[lang] == direct, lang
+
+
+def test_bpe_token_lengths_default_has_no_forced_broadcast(spark, sf_dir):
+    """The vocab table can be 10^8-10^9 rows at web scale — the DEFAULT
+    must not carry a forced broadcast hint (AQE decides); True/False pin
+    the strategy explicitly."""
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    merges = learn_bpe_merges(docs, n_merges=4).merges
+    plan_default = (
+        bpe_token_lengths(docs, merges)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "Hint" not in plan_default
+    plan_pinned = (
+        bpe_token_lengths(docs, merges, broadcast_vocab=True)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "ResolvedHint" in plan_pinned
