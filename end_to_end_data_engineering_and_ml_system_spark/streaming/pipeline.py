@@ -105,6 +105,12 @@ def _latest_per_key(
     never drift between the rotated-snapshot and txlog variants."""
     from pyspark.sql import Window
 
+    if "__rn" in df.columns:
+        # withColumn would silently REPLACE the caller's column and the
+        # final drop would destroy it
+        raise ValueError(
+            "latest-per-key input already has a __rn column; rename it"
+        )
     w = Window.partitionBy(key_col).orderBy(
         *[F.col(c).desc() for c in order_cols]
     )
@@ -113,6 +119,22 @@ def _latest_per_key(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def _rotate_state_dir(state_dir: list, new_dir: str) -> None:
+    """Advance the rotated-snapshot pointer and reap the SUPERSEDED
+    snapshot. Write-new-then-read stays crash-safe (the pointer only moves
+    after the new snapshot is fully written), but without reaping, a
+    long-lived loop leaks one full state snapshot per micro-batch —
+    O(batches x state) scratch growth. The previous dir is deleted only
+    AFTER the pointer moves, so a crash mid-delete still leaves a complete
+    readable snapshot."""
+    import shutil
+
+    prev = state_dir[0]
+    state_dir[0] = new_dir
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
 
 
 def stage_events_dir(
@@ -380,7 +402,7 @@ def run_topk_similarity_merge(
             scored = topk(prev.unionByName(scored))
         new_dir = os.path.join(root, f"state_{batch_id}")
         scored.write.mode("overwrite").parquet(new_dir)
-        state_dir[0] = new_dir
+        _rotate_state_dir(state_dir, new_dir)
 
     ck = scratch_unique(spark, "topk_ck")
     try:
@@ -957,7 +979,7 @@ def run_latest_state_merge(
             )
         new_dir = os.path.join(root, f"state_{batch_id}")
         compacted.write.mode("overwrite").parquet(new_dir)
-        state_dir[0] = new_dir
+        _rotate_state_dir(state_dir, new_dir)
 
     ck = scratch_unique(spark, "merge_ck")
     with _replay_shuffle_partitions(spark):

@@ -617,3 +617,29 @@ def test_stream_merge_into_tx_table_versions_and_state(spark, sf_dir, tmp_path):
     # earlier versions are PARTIAL states (fewer or equal users), readable
     v0 = table.snapshot(version=0)
     assert v0.count() <= len(want)
+
+
+def test_rotated_state_dirs_are_reaped(spark, sf_dir):
+    """The rotated-snapshot runners must reap superseded state dirs: a
+    long-lived loop would otherwise leak one full snapshot per micro-batch
+    (O(batches x state) scratch growth). Only the final snapshot survives."""
+    import os
+
+    from end_to_end_data_engineering_and_ml_system_spark.streaming.pipeline import (
+        events_stream,
+        run_latest_state_merge,
+    )
+
+    out = run_latest_state_merge(
+        events_stream(spark, sf_dir, max_files_per_trigger=2),
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+    )
+    n = out.count()
+    assert n > 0
+    # the snapshot root holds exactly ONE state dir after the replay
+    files = out.inputFiles()
+    assert files, "final snapshot must be file-backed"
+    root = os.path.dirname(os.path.dirname(files[0].replace("file:", "")))
+    state_dirs = [d for d in os.listdir(root) if d.startswith("state_")]
+    assert len(state_dirs) == 1, state_dirs
