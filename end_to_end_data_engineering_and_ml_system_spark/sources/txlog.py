@@ -322,13 +322,20 @@ class TxTable:
                     txns[legacy["app"]] = int(legacy["batch"])
             else:
                 # one-time upgrade of a pre-map table: fold the legacy
-                # per-commit markers of ALL surviving manifests, not just
-                # prev's own — a table with history from several apps would
-                # otherwise lose the older apps' markers from the map, and
-                # vacuum could then erase them (the exactly-once hole this
-                # map exists to close)
+                # per-commit markers AND the txns maps of ALL surviving
+                # manifests, not just prev's own — a table with history
+                # from several apps would otherwise lose the older apps'
+                # markers from the map, and a mixed-writer chain (a pre-map
+                # engine committing AFTER a map-carrying manifest) would
+                # lose map entries whose original legacy manifests were
+                # already vacuumed. Either loss re-opens the exactly-once
+                # hole this map exists to close.
                 for vv in self.versions():
-                    legacy = self._manifest(vv).get("txn")
+                    m = self._manifest(vv)
+                    for a, b in (m.get("txns") or {}).items():
+                        if int(txns.get(a, -1)) < int(b):
+                            txns[a] = int(b)
+                    legacy = m.get("txn")
                     if legacy and int(txns.get(legacy["app"], -1)) < int(
                         legacy["batch"]
                     ):
@@ -512,14 +519,29 @@ class TxTable:
         if v is None:
             return False
         newest_txns = self._manifest(v).get("txns", {})
-        if app in newest_txns:
-            # the map is authoritative for apps it names — answer in O(1)
-            # either way instead of walking O(versions) legacy markers
-            return int(newest_txns[app]) >= batch_id
+        if int(newest_txns.get(app, -1)) >= batch_id:
+            # the O(1) fast path is safe only for the True answer: the map
+            # is monotone, so map >= batch means the batch committed
+            return True
+        # the map can UNDERREPRESENT an app — vacuum's keep-guard itself
+        # preserves manifests whose markers exceed the newest map (pre-map
+        # histories, or a mixed-writer chain where an old engine committed
+        # after a map-carrying manifest). Returning False from a stale map
+        # entry would let a re-delivered foreachBatch merge re-apply — the
+        # exactly-once hole the map exists to close. Fall through to the
+        # full walk over BOTH legacy per-commit markers and older
+        # manifests' maps; any evidence of (app, >= batch_id) counts.
         for vv in reversed(self.versions()):
-            txn = self._manifest(vv).get("txn")
-            if txn and txn.get("app") == app:
-                return int(txn["batch"]) >= batch_id
+            m = self._manifest(vv)
+            if int((m.get("txns") or {}).get(app, -1)) >= batch_id:
+                return True
+            txn = m.get("txn")
+            if (
+                txn
+                and txn.get("app") == app
+                and int(txn["batch"]) >= batch_id
+            ):
+                return True
         return False
 
 
@@ -963,20 +985,28 @@ class TxTable:
         vs = self.versions()
         if len(vs) <= keep_last:
             return []
-        # a manifest whose txn marker is NOT yet represented in the newest
+        # a manifest whose txn marker — per-commit 'txn' OR any entry of
+        # its own carried 'txns' map — is NOT yet represented in the newest
         # manifest's authoritative txns map is the only surviving evidence
-        # of that (app, batch) commit — dropping it would let a re-delivered
-        # foreachBatch merge re-apply (tables written before the map, or
-        # before the all-manifests upgrade fold, can be in this state until
-        # their next commit rebuilds the map)
+        # of those (app, batch) commits — dropping it would let a
+        # re-delivered foreachBatch merge re-apply (tables written before
+        # the map, or mixed-writer chains where a pre-map engine committed
+        # after a map-carrying manifest, can be in this state until their
+        # next commit rebuilds the map)
         newest_txns = self._manifest(vs[-1]).get("txns", {})
         keep_vs = set(vs[-keep_last:])
         drop_vs = []
         for v in vs[: -keep_last]:
-            txn = self._manifest(v).get("txn")
-            if txn and int(newest_txns.get(txn["app"], -1)) < int(
-                txn["batch"]
-            ):
+            m = self._manifest(v)
+            txn = m.get("txn")
+            stale = bool(
+                txn
+                and int(newest_txns.get(txn["app"], -1)) < int(txn["batch"])
+            ) or any(
+                int(newest_txns.get(a, -1)) < int(b)
+                for a, b in (m.get("txns") or {}).items()
+            )
+            if stale:
                 keep_vs.add(v)
             else:
                 drop_vs.append(v)

@@ -133,7 +133,10 @@ def _rotate_state_dir(state_dir: list, new_dir: str) -> None:
 
     prev = state_dir[0]
     state_dir[0] = new_dir
-    if prev is not None:
+    # prev == new_dir happens when a re-delivered micro-batch (checkpoint
+    # restart) recomputes the same state_{batch_id} path — reaping would
+    # delete the snapshot just written and break the next batch's read
+    if prev is not None and prev != new_dir:
         shutil.rmtree(prev, ignore_errors=True)
 
 

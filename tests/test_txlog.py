@@ -789,10 +789,14 @@ def test_vacuum_refuses_to_erase_unrepresented_txn_markers(spark, tmp_path):
     assert t.latest_version() == v
 
 
-def test_txn_seen_map_is_authoritative_over_legacy_walk(spark, tmp_path):
-    """When the newest map names the app, its answer wins — the O(versions)
-    legacy walk is skipped (an app in the map with a LOWER batch than a
-    stray legacy marker answers from the map)."""
+def test_txn_seen_falls_through_stale_map_to_legacy_walk(spark, tmp_path):
+    """The newest map is authoritative only for the TRUE answer (it is
+    monotone, so map >= batch proves the commit). A map entry LOWER than
+    the asked batch must fall through to the full walk: vacuum's own
+    keep-guard preserves manifests whose markers exceed the newest map, so
+    a stale map entry with a surviving higher legacy marker means the
+    batch DID commit — answering False would re-apply it (the
+    exactly-once hole)."""
     import json as _json
 
     sch = "k long, seq long, v string"
@@ -800,12 +804,145 @@ def test_txn_seen_map_is_authoritative_over_legacy_walk(spark, tmp_path):
     t.overwrite(spark.createDataFrame([(1, 1, "a")], sch))
     t.merge(spark.createDataFrame([(1, 2, "b")], sch), "k", ["seq"], txn=("app", 9))
     t.append(spark.createDataFrame([(2, 1, "c")], sch))
-    # surgery: newest map claims app->5 while the legacy marker says 9
+    # surgery: newest map claims app->5 while the legacy marker says 9 —
+    # the underrepresented-map state the vacuum keep-guard acknowledges
     p = os.path.join(t._log_dir, f"{t.latest_version()}.json")
     with open(p) as f:
         m = _json.load(f)
     m["txns"] = {"app": 5}
     with open(p, "w") as f:
         _json.dump(m, f)
-    assert t.txn_seen("app", 5) is True
-    assert t.txn_seen("app", 7) is False  # map wins; walk would say True
+    assert t.txn_seen("app", 5) is True  # O(1) fast path
+    assert t.txn_seen("app", 9) is True  # walk finds the legacy marker
+    assert t.txn_seen("app", 10) is False
+
+
+def test_txn_seen_falls_through_to_older_manifest_map(spark, tmp_path):
+    """Mixed-writer chain: a pre-map engine commits AFTER a map-carrying
+    manifest, so the newest manifest has no txns map at all — but an older
+    surviving manifest's map still proves the commit. txn_seen must read
+    older maps on the walk, and vacuum must not drop the map-carrying
+    manifest while its entries exceed the newest map."""
+    import json as _json
+
+    sch = "k long, seq long, v string"
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(spark.createDataFrame([(1, 1, "a")], sch))
+    t.merge(spark.createDataFrame([(1, 2, "b")], sch), "k", ["seq"], txn=("appA", 5))
+    v_map = t.latest_version()  # carries txns={"appA": 5}
+    t.append(spark.createDataFrame([(2, 1, "c")], sch))
+    # surgery on the NEWEST manifest only: simulate an old engine having
+    # written it (no txns map, unrelated legacy marker)
+    p = os.path.join(t._log_dir, f"{t.latest_version()}.json")
+    with open(p) as f:
+        m = _json.load(f)
+    m.pop("txns", None)
+    m["txn"] = {"app": "appB", "batch": 1}
+    with open(p, "w") as f:
+        _json.dump(m, f)
+    assert t.txn_seen("appA", 5) is True  # only evidence is v_map's map
+    # vacuum must keep the map-carrying manifest (its entries exceed the
+    # newest, empty, map) — appA's marker survives
+    t.vacuum(keep_last=1)
+    assert v_map in t.versions()
+    assert t.txn_seen("appA", 5) is True
+    # the next new-engine commit rebuilds the map from BOTH older maps and
+    # legacy markers
+    t.append(spark.createDataFrame([(3, 1, "d")], sch))
+    assert t._manifest(t.latest_version())["txns"] == {"appA": 5, "appB": 1}
+    # and a re-delivered merge stays a no-op
+    v = t.latest_version()
+    t.merge(spark.createDataFrame([(1, 2, "b")], sch), "k", ["seq"], txn=("appA", 5))
+    assert t.latest_version() == v
+
+
+# ---------------------------------------------------------------------------
+# Property: exactly-once across the legacy/map upgrade boundary
+# ---------------------------------------------------------------------------
+
+def _strip_newest_txns_map(t: TxTable) -> None:
+    """Manifest surgery on the NEWEST manifest only: simulate that commit
+    having been written by a pre-map engine (its own legacy 'txn' marker
+    survives; the carried-forward 'txns' map does not)."""
+    import json as _json
+
+    p = os.path.join(t._log_dir, f"{t.latest_version()}.json")
+    with open(p) as f:
+        m = _json.load(f)
+    m.pop("txns", None)
+    with open(p, "w") as f:
+        _json.dump(m, f)
+
+
+def test_property_exactly_once_across_upgrade_boundary(spark, tmp_path):
+    """Randomly interleaved legacy/mapped histories (two apps, vacuum at
+    arbitrary points, re-deliveries of already-committed batches mid-run)
+    must keep the exactly-once ledger intact: a re-delivered merge is
+    ALWAYS a version no-op, txn_seen is True for every committed batch and
+    False past each app's frontier — regardless of which commits were
+    written by a pre-map engine and which manifests vacuum dropped."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    sch = "k long, seq long, v string"
+
+    op = st.one_of(
+        st.tuples(
+            st.just("merge"),
+            st.sampled_from(["appA", "appB"]),
+            st.booleans(),  # legacy-writer commit?
+        ),
+        st.tuples(st.just("vacuum"), st.sampled_from([1, 2]), st.just(False)),
+        st.tuples(st.just("redeliver"), st.just(""), st.just(False)),
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+        derandomize=True,
+    )
+    @given(ops=st.lists(op, min_size=3, max_size=8), data=st.data())
+    def run(ops, data):
+        import shutil as _sh
+
+        root = str(tmp_path / "prop")
+        _sh.rmtree(root, ignore_errors=True)
+        t = TxTable(spark, root)
+        t.overwrite(spark.createDataFrame([(0, 0, "seed")], sch))
+        frontier: dict[str, int] = {}  # app -> highest committed batch
+        key = 1
+        for kind, arg, legacy in ops:
+            if kind == "merge":
+                b = frontier.get(arg, -1) + 1
+                t.merge(
+                    spark.createDataFrame([(key, 1, "x")], sch),
+                    "k",
+                    ["seq"],
+                    txn=(arg, b),
+                )
+                frontier[arg] = b
+                key += 1
+                if legacy:
+                    _strip_newest_txns_map(t)
+            elif kind == "vacuum":
+                t.vacuum(keep_last=arg)
+            elif kind == "redeliver" and frontier:
+                app = data.draw(st.sampled_from(sorted(frontier)))
+                b = data.draw(st.integers(0, frontier[app]))
+                v = t.latest_version()
+                t.merge(
+                    spark.createDataFrame([(999, 1, "dup")], sch),
+                    "k",
+                    ["seq"],
+                    txn=(app, b),
+                )
+                assert t.latest_version() == v, (
+                    f"re-delivered ({app},{b}) re-applied: {ops}"
+                )
+        for app, hi in frontier.items():
+            for b in range(hi + 1):
+                assert t.txn_seen(app, b) is True, (app, b, ops)
+            assert t.txn_seen(app, hi + 1) is False, (app, ops)
+
+    run()
