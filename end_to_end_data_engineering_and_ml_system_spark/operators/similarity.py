@@ -43,25 +43,58 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot_product(a, b) / denom)
 
 
+def dot_product_exact(a: Column, b: Column) -> Column:
+    """Order-independent dot product: each elementwise product rounds to
+    DECIMAL(28,10) once, then sums exactly (decimal addition never rounds,
+    so fold order cannot leak into the result). Bit-identical across
+    engines that apply the same per-term rounding — the cross-engine
+    contract the portable oracle queries rely on. Returns double."""
+    prods = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") * y.cast("double")).cast(
+            "decimal(28,10)"
+        ),
+    )
+    return F.aggregate(
+        prods,
+        F.lit(0).cast("decimal(28,10)"),
+        lambda acc, x: (acc + x).cast("decimal(28,10)"),
+    ).cast("double")
+
+
+def cosine_exact(a: Column, b: Column) -> Column:
+    """Decimal-exact, zero-norm-guarded cosine (see ``cosine`` for the
+    guard contract, ``dot_product_exact`` for the rounding contract)."""
+    denom = F.sqrt(dot_product_exact(a, a)) * F.sqrt(dot_product_exact(b, b))
+    return F.when(denom > 0, dot_product_exact(a, b) / denom)
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    exact: bool = False,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors per query vector (query ids broadcast)."""
+    """Exact top-k cosine neighbors per query vector (query ids broadcast).
+
+    ``exact=True`` swaps the double-accumulator fold for the decimal
+    order-independent form — same plan shape (one broadcast crossJoin, no
+    explode), cross-engine-reproducible scores for oracle checks."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
     c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    score = cosine_exact if exact else cosine
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id",
             "cand_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+            score(F.col("qv"), F.col("cv")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -1244,9 +1244,10 @@ def doc_simhash(spark, sf_dir):
     return simhash_table(docs, "doc_id", "text")
 
 
-@register(
-    "embedding_cosine_topk",
-    oracle="""
+# Shared by embedding_cosine_topk AND embedding_ann_bruteforce_portable:
+# both compute the same decimal-exact cosine top-3 over query ids < 8, so
+# one oracle string keeps the Spark/oracle constants from drifting.
+_COSINE_TOPK_ORACLE = """
         WITH ex AS (
             SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
                    generate_subscripts(embedding, 1) AS pos
@@ -1279,7 +1280,12 @@ def doc_simhash(spark, sf_dir):
             FROM cos
         )
         WHERE rn <= 3
-    """,
+"""
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle=_COSINE_TOPK_ORACLE,
     description="exact cosine top-k neighbors (order-independent decimal dot products)",
     tags=("similarity", "ann"),
 )
@@ -1336,6 +1342,22 @@ def embedding_ann_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return cosine_topk_bruteforce(emb, queries, k=3)
+
+
+@register(
+    "embedding_ann_bruteforce_portable",
+    oracle=_COSINE_TOPK_ORACLE,
+    description="brute-force ANN API in decimal-exact mode: same broadcast "
+    "crossJoin plan as embedding_ann_bruteforce, cross-engine-reproducible "
+    "scores (oracle-checked sibling of the rows-only bench path)",
+    tags=("similarity", "ann"),
+)
+def embedding_ann_bruteforce_portable(spark, sf_dir):
+    from ..operators.similarity import cosine_topk_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk_bruteforce(emb, queries, k=3, exact=True)
 
 
 @register(

@@ -600,3 +600,27 @@ def test_semdedup_keeps_rows_with_null_or_empty_vectors(spark):
         assert by_id[vid]["is_kept"] is True
         assert by_id[vid]["max_cos_prev"] == -1.0
     assert all(by_id[i]["cluster_id"] is not None for i in range(1, 9))
+
+
+def test_bruteforce_exact_mode_matches_fast_path_and_guards_zero_norm(spark):
+    """exact=True keeps the brute-force contract (same neighbors, same
+    broadcast-crossJoin shape) while making scores decimal-exact for
+    cross-engine oracle checks; the zero-norm guard holds in exact mode
+    too (ANSI DIVIDE_BY_ZERO class)."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    rows = [(i, [float(i * j % 7 + 1) for j in range(6)]) for i in range(1, 9)]
+    rows.append((99, [0.0] * 6))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id <= 2")
+    fast = cosine_topk_bruteforce(emb, q, k=3).collect()
+    exact = cosine_topk_bruteforce(emb, q, k=3, exact=True).collect()
+    key = lambda rs: sorted((r["query_id"], r["rn"], r["cand_id"]) for r in rs)
+    assert key(fast) == key(exact)
+    assert all(r["cand_id"] != 99 and r["cosine"] is not None for r in exact)
+    # scores agree to float noise; exact scores are the decimal fold
+    fa = {(r["query_id"], r["cand_id"]): r["cosine"] for r in fast}
+    for r in exact:
+        assert abs(fa[(r["query_id"], r["cand_id"])] - r["cosine"]) < 1e-9
