@@ -392,15 +392,16 @@ def revenue_by_nation(spark, sf_dir):
         JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY 1
     """.format(sum_value=sql_dec_sum("e.value", "sum_value")),
-    description="stream-static enrichment analog: events broadcast-joined to a dim",
+    description="stream-static enrichment analog: events joined to a dim (AQE-sized)",
     tags=("join", "streaming-analog"),
 )
 def events_enriched_by_customer(spark, sf_dir):
-    from ..operators.relational import broadcast_enrich
-
+    """Customer scales with SF (15B rows at 100 TB): no forced broadcast
+    hint — AQE broadcasts while the dim fits the threshold and degrades to
+    a shuffle join past it, instead of an 8 GB hard failure."""
     ev = load_table(spark, sf_dir, "events")
     cust = load_table(spark, sf_dir, "customer")
-    joined = broadcast_enrich(ev, cust, ev.user_id == cust.c_custkey)
+    joined = ev.join(cust, ev.user_id == cust.c_custkey)
     return (
         joined.groupBy(F.col("c_mktsegment").alias("mktsegment"))
         .agg(F.count("*").alias("n_events"), dec_sum("value", "sum_value"))
@@ -3154,6 +3155,38 @@ _SQL_STOPFILTER = (
     "['the','a','an','and','or','of','to','in','is','it'], tk)))"
 )
 
+# --- corpus quality gate: ONE definition shared by corpus_quality_filter,
+# corpus_pipeline_summary, and corpus_yield_by_source, on BOTH the Spark
+# and the oracle side. The same pipeline stage re-typed per query is how
+# stage definitions silently diverge (the BM25-predicate class, r12).
+_QUALITY_MIN = 0.75
+_GATE_TOKENS_MIN = 5
+_GATE_TOKENS_MAX = 5000
+
+_SQL_QUALITY_EXPR = f"""(
+                  (CASE WHEN n BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN CAST({_SQL_STOPFILTER} AS DOUBLE) / len(toks)
+                       BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                       AS DOUBLE) / n <= 0.3 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                       AS DOUBLE) / n <= 0.1 THEN 1.0 ELSE 0.0 END)
+                ) / 4.0"""
+
+
+def _sql_quality_gate(tokens_expr: str = "n_tokens") -> str:
+    return (
+        f"quality >= {_QUALITY_MIN} AND {tokens_expr} "
+        f"BETWEEN {_GATE_TOKENS_MIN} AND {_GATE_TOKENS_MAX}"
+    )
+
+
+def _quality_gate():
+    return (F.col("quality") >= _QUALITY_MIN) & F.col("n_tokens").between(
+        _GATE_TOKENS_MIN, _GATE_TOKENS_MAX
+    )
+
+
 
 @register(
     "corpus_quality_filter",
@@ -3164,20 +3197,12 @@ _SQL_STOPFILTER = (
         ), scored AS (
             SELECT
                 doc_id, lang, toks,
-                (
-                  (CASE WHEN n BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END)
-                + (CASE WHEN CAST({_SQL_STOPFILTER} AS DOUBLE) / len(toks)
-                       BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.0 END)
-                + (CASE WHEN CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
-                       AS DOUBLE) / n <= 0.3 THEN 1.0 ELSE 0.0 END)
-                + (CASE WHEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
-                       AS DOUBLE) / n <= 0.1 THEN 1.0 ELSE 0.0 END)
-                ) / 4.0 AS quality
+                {_SQL_QUALITY_EXPR} AS quality
             FROM t
         )
         SELECT doc_id, lang, quality, len(toks) AS n_tokens
         FROM scored
-        WHERE quality >= 0.75 AND len(toks) BETWEEN 5 AND 5000
+        WHERE {_sql_quality_gate("len(toks)")}
     """,
     description="composed C4-style corpus filter: quality + token-count gates in one scan",
     tags=("text", "cleaning"),
@@ -3195,9 +3220,7 @@ def corpus_quality_filter(spark, sf_dir):
         quality_score("text").alias("quality"),
         token_count("text").alias("n_tokens").cast("bigint"),
     )
-    return scored.filter(
-        (F.col("quality") >= 0.75) & F.col("n_tokens").between(5, 5000)
-    )
+    return scored.filter(_quality_gate())
 
 
 @register(
@@ -4555,9 +4578,12 @@ def threshold_sweep_anomaly_rates(spark, sf_dir):
         .select(
             F.col("p.threshold").alias("threshold"),
             F.col("p.n_anomalies").alias("n_anomalies"),
-            (F.col("p.n_anomalies").cast("double") / F.col("n")).alias(
-                "anomaly_rate"
-            ),
+            # n == 0 on an empty input frame: rate undefined -> NULL
+            # (DuckDB 0/0), never an ANSI DIVIDE_BY_ZERO
+            F.when(
+                F.col("n") > 0,
+                F.col("p.n_anomalies").cast("double") / F.col("n"),
+            ).alias("anomaly_rate"),
         )
     )
 
@@ -5788,7 +5814,7 @@ def feature_correlations(spark, sf_dir):
     """,
     description=(
         "TPC-H Q3 analog: top unshipped-order revenue in a segment "
-        "(selective dim filter -> broadcast -> one agg shuffle -> top-k)"
+        "(selective dim filter pushed to the scan, AQE-sized dim join)"
     ),
     tags=("olap", "join", "topk"),
 )
@@ -5807,7 +5833,7 @@ def unshipped_orders_topk(spark, sf_dir):
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -5833,7 +5859,8 @@ def unshipped_orders_topk(spark, sf_dir):
     """,
     description=(
         "TPC-H Q10 analog: customers ranked by returned-item revenue "
-        "(fact filtered on the scan, two broadcast dims, one agg shuffle)"
+        "(fact filtered on the scan, AQE-sized customer join + broadcast "
+        "nation, one agg shuffle)"
     ),
     tags=("olap", "join", "topk"),
 )
@@ -5847,7 +5874,7 @@ def returned_items_customers(spark, sf_dir):
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
@@ -6155,16 +6182,19 @@ def orders_priority_summary_sql(spark, sf_dir):
     tags=("join", "aggregation", "olap"),
 )
 def promo_revenue_by_year(spark, sf_dir):
-    """Promotion revenue share per ship-year. The part dim broadcasts (it is
-    keys+p_type after pruning), so the fact table never shuffles before the
-    single aggregation exchange — the Q14 plan you want at 100 TB."""
+    """Promotion revenue share per ship-year. The part side is pruned to
+    keys+p_type and AQE broadcasts it while it fits — so at bench scale the
+    fact table never shuffles before the single aggregation exchange — but
+    part scales with SF (20B rows at 100 TB), so the hint is not forced:
+    past the threshold the join degrades to a shuffle instead of an 8 GB
+    hard failure."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
         "decimal(28,10)"
     )
     zero = F.lit(0).cast("decimal(28,10)")
-    j = li.join(F.broadcast(part.select("p_partkey", "p_type")),
+    j = li.join(part.select("p_partkey", "p_type"),
                 li.l_partkey == F.col("p_partkey"))
     return (
         j.groupBy(F.year("l_shipdate").alias("ship_year"))
@@ -6248,7 +6278,7 @@ def brand_bucket_revenue(spark, sf_dir):
     the plan. The residual OR evaluates post-join in codegen."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+    j = li.join(part.select("p_partkey", "p_brand", "p_size"),
                 li.l_partkey == F.col("p_partkey"))
     q = F.col("l_quantity")
     pred = (
@@ -6500,19 +6530,11 @@ def stream_topk_alert_types(spark, sf_dir):
         ), scored AS (
             SELECT
                 doc_id, lang, text, len(toks) AS n_tokens,
-                (
-                  (CASE WHEN n BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END)
-                + (CASE WHEN CAST({_SQL_STOPFILTER} AS DOUBLE) / len(toks)
-                       BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.0 END)
-                + (CASE WHEN CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
-                       AS DOUBLE) / n <= 0.3 THEN 1.0 ELSE 0.0 END)
-                + (CASE WHEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
-                       AS DOUBLE) / n <= 0.1 THEN 1.0 ELSE 0.0 END)
-                ) / 4.0 AS quality
+                {_SQL_QUALITY_EXPR} AS quality
             FROM t
         ), q AS (
             SELECT doc_id, lang, text, n_tokens FROM scored
-            WHERE quality >= 0.75 AND n_tokens BETWEEN 5 AND 5000
+            WHERE {_sql_quality_gate()}
         ), d AS (
             SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM q GROUP BY 1
         ), k AS (
@@ -6545,9 +6567,7 @@ def corpus_pipeline_summary(spark, sf_dir):
         quality_score("text").alias("quality"),
         token_count("text").cast("bigint").alias("n_tokens"),
     )
-    q = scored.filter(
-        (F.col("quality") >= 0.75) & F.col("n_tokens").between(5, 5000)
-    ).select("doc_id", "lang", F.md5("text").alias("h"), "n_tokens")
+    q = scored.filter(_quality_gate()).select("doc_id", "lang", F.md5("text").alias("h"), "n_tokens")
     # keep-lowest-id per content hash as ONE shuffle (window over h), not a
     # groupBy + join-back — the join would reshuffle the same key twice and
     # hash the text a second time
@@ -6575,15 +6595,7 @@ def corpus_pipeline_summary(spark, sf_dir):
             FROM documents
         ), scored AS (
             SELECT doc_id, lang, len(toks) AS n_tokens,
-                (
-                  (CASE WHEN n BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END)
-                + (CASE WHEN CAST({_SQL_STOPFILTER} AS DOUBLE) / len(toks)
-                       BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.0 END)
-                + (CASE WHEN CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
-                       AS DOUBLE) / n <= 0.3 THEN 1.0 ELSE 0.0 END)
-                + (CASE WHEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
-                       AS DOUBLE) / n <= 0.1 THEN 1.0 ELSE 0.0 END)
-                ) / 4.0 AS quality
+                {_SQL_QUALITY_EXPR} AS quality
             FROM t
         ), runn AS (
             SELECT lang, doc_id, n_tokens, quality,
@@ -6706,19 +6718,11 @@ def doc_ngram_novelty(spark, sf_dir):
         ), scored AS (
             SELECT
                 doc_id, source, text, len(toks) AS n_tokens,
-                (
-                  (CASE WHEN n BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END)
-                + (CASE WHEN CAST({_SQL_STOPFILTER} AS DOUBLE) / len(toks)
-                       BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.0 END)
-                + (CASE WHEN CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
-                       AS DOUBLE) / n <= 0.3 THEN 1.0 ELSE 0.0 END)
-                + (CASE WHEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
-                       AS DOUBLE) / n <= 0.1 THEN 1.0 ELSE 0.0 END)
-                ) / 4.0 AS quality
+                {_SQL_QUALITY_EXPR} AS quality
             FROM t
         ), q AS (
             SELECT doc_id, source, text FROM scored
-            WHERE quality >= 0.75 AND n_tokens BETWEEN 5 AND 5000
+            WHERE {_sql_quality_gate()}
         ), d AS (
             SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM q GROUP BY 1
         ), k AS (
@@ -6760,9 +6764,7 @@ def corpus_yield_by_source(spark, sf_dir):
         quality_score("text").alias("quality"),
         token_count("text").cast("bigint").alias("n_tokens"),
     )
-    q = scored.filter(
-        (F.col("quality") >= 0.75) & F.col("n_tokens").between(5, 5000)
-    ).select("doc_id", "source", F.md5("text").alias("h"))
+    q = scored.filter(_quality_gate()).select("doc_id", "source", F.md5("text").alias("h"))
     w = Window.partitionBy("h").orderBy("doc_id")
     k = q.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     raw_c = docs.groupBy("source").agg(F.count("*").alias("n_raw"))
@@ -7169,10 +7171,14 @@ def value_trend_by_type(spark, sf_dir):
     n = F.col("n_events").cast("decimal(38,0)")
     num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    # den == 0 when a group's timestamps are all identical (zero x
+    # variance — a burst landing in one second): the slope is undefined.
+    # Unguarded, ANSI mode throws DIVIDE_BY_ZERO and kills the job; NULL
+    # matches DuckDB's x/0 semantics, so the oracle contract is unchanged.
     return a.select(
         "event_type",
         "n_events",
-        (num / den / F.lit(1e6)).alias("slope_per_sec"),
+        F.when(den != 0, num / den / F.lit(1e6)).alias("slope_per_sec"),
     )
 
 
@@ -7302,7 +7308,7 @@ def stream_events_by_segment(spark, sf_dir):
         "c_custkey", "c_mktsegment"
     )
     s = events_stream(spark, sf_dir)
-    joined = s.join(F.broadcast(cust), s.user_id == cust.c_custkey)
+    joined = s.join(cust, s.user_id == cust.c_custkey)
     agg = joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
         F.count("*").alias("n_events")
     )
@@ -7344,10 +7350,11 @@ def stream_events_by_segment(spark, sf_dir):
 def nation_trade_volume(spark, sf_dir):
     """Q7's plan shape: the fact table reaches two different nation lookups
     through independent foreign-key chains (supplier side, customer side).
-    Both nation copies and supplier broadcast (tiny dims); lineitem-orders
-    and -customer stay shuffle joins on their keys — at 100 TB those are the
-    only exchanges, and the nation-pair filter is evaluated post-broadcast,
-    map-side."""
+    Both nation copies broadcast (25 rows at ANY scale); supplier is
+    AQE-sized (it grows with SF — 1B rows at 100 TB); lineitem-orders and
+    -customer stay shuffle joins on their keys — at 100 TB those plus the
+    supplier join are the only exchanges, and the nation-pair filter is
+    evaluated map-side."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -7365,7 +7372,7 @@ def nation_trade_volume(spark, sf_dir):
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .filter(F.col("ns_key") != F.col("nc_key"))
@@ -7434,7 +7441,7 @@ def intra_region_supply_share(spark, sf_dir):
     enriched = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .join(F.broadcast(rc), F.col("nc_rkey") == F.col("rc_key"))
@@ -7486,9 +7493,9 @@ def profit_by_nation_year(spark, sf_dir):
     no partsupp, so unit cost is DEFINED as 0.6 * p_retailprice — a
     deterministic stand-in preserving the query's shape (fact joined to
     part + supplier + nation, profit expression inside one grouped pass).
-    part is broadcast here; at 100 TB part is the one dim that may outgrow
-    broadcast — then it becomes a shuffle join on l_partkey and everything
-    else is unchanged.
+    part and supplier join AQE-sized (no forced hint): at bench scale both
+    broadcast; at 100 TB they outgrow the threshold and degrade to shuffle
+    joins on their keys with everything else unchanged.
 
     Determinism: profit rides as exact integer 1/10000-units — money
     columns recovered to cents and quantity to an integer with IEEE-only
@@ -7515,8 +7522,8 @@ def profit_by_nation_year(spark, sf_dir):
     ).cast("decimal(38,0)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -7625,7 +7632,7 @@ def sole_late_supplier_orders(spark, sf_dir):
         .filter(
             F.col("supp_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .groupBy(F.col("s_name").alias("supplier"))
         .agg(F.count("*").alias("n_blamed_orders"))
     )
@@ -8567,11 +8574,16 @@ def doc_span_dedup_savings(spark, sf_dir):
     )
     joined = docs_t.join(per_doc, "doc_id", "left")
     rm = F.sum(F.coalesce(F.col("rm"), F.lit(0)))
+    # a source whose documents are ALL empty has total_tokens == 0: the
+    # savings fraction is undefined — NULL (DuckDB's 0/0), not an ANSI
+    # DIVIDE_BY_ZERO that kills the report
     return joined.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("nt").alias("total_tokens"),
         rm.alias("removable_tokens"),
-        (rm.cast("double") / F.sum("nt")).alias("savings_frac"),
+        F.when(F.sum("nt") > 0, rm.cast("double") / F.sum("nt")).alias(
+            "savings_frac"
+        ),
     )
 
 
@@ -9536,7 +9548,7 @@ def supplier_concentration_hhi(spark, sf_dir):
         F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("bigint")
     ).alias("cents")
     r = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
         .agg(cents)
     )
@@ -10055,9 +10067,11 @@ def embedding_retrieval_label_consistency(spark, sf_dir):
     lc = labels.select(
         F.col("vec_id").alias("cand_id"), F.col("label").alias("c_label")
     )
-    joined = top1.join(F.broadcast(lq), "query_id").join(
-        F.broadcast(lc), "cand_id"
-    )
+    # broadcast the ≤|Q|-row top1 result INTO the corpus-sized label scans
+    # — broadcasting lq/lc would ship the whole corpus's labels to every
+    # executor (the forced-broadcast-of-a-data-scaled-frame job-killer)
+    qside = lq.join(F.broadcast(top1), "query_id")
+    joined = lc.join(F.broadcast(qside), "cand_id")
     match = F.sum(
         F.when(F.col("c_label") == F.col("q_label"), 1).otherwise(0)
     )
@@ -10890,6 +10904,11 @@ def top_order_revenue_concentration(spark, sf_dir):
     p99 = orders.agg(
         F.percentile("o_totalprice", F.lit(0.99)).alias("p")
     ).first()["p"]
+    if p99 is None:
+        raise ValueError(
+            "top_order_revenue_concentration: empty orders table — the "
+            "p99 threshold is undefined"
+        )
     cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
     top = F.col("o_totalprice") >= F.lit(p99)
     return orders.agg(
