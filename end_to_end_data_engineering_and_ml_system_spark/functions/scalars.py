@@ -23,15 +23,22 @@ def canonical_label(
     """Map a raw label to its canonical class by case-insensitive substring
     match, first match wins (ref: F5/F6/M1). Pure when/contains chain — no
     Python UDF."""
+    if not keyword_classes:
+        raise ValueError("canonical_label: keyword_classes must be non-empty")
     c = F.lower(F.trim(F.col(col) if isinstance(col, str) else col))
     expr: Column | None = None
     for cls, keywords in keyword_classes.items():
+        if not keywords:
+            # F.when(None, ...) is a TypeError deep in Catalyst — fail at
+            # the API boundary with the class name instead
+            raise ValueError(
+                f"canonical_label: class {cls!r} has no keywords"
+            )
         cond = None
         for kw in keywords:
             k = c.contains(kw.lower())
             cond = k if cond is None else (cond | k)
         expr = F.when(cond, F.lit(cls)) if expr is None else expr.when(cond, F.lit(cls))
-    assert expr is not None
     return expr.otherwise(F.lit(default))
 
 

@@ -7949,9 +7949,13 @@ def doc_unigram_logprob(spark, sf_dir):
     from ..operators.text import token_count, tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    total = int(
-        docs.select(F.sum(token_count("text")).alias("t")).first()["t"]
-    )
+    _t = docs.select(F.sum(token_count("text")).alias("t")).first()["t"]
+    if _t is None:
+        raise ValueError(
+            "doc_unigram_logprob: empty documents table — the unigram "
+            "distribution is undefined"
+        )
+    total = int(_t)
     dt = (
         docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -9077,6 +9081,10 @@ def events_hourly_gapfill(spark, sf_dir):
         F.date_trunc("hour", F.min("ts")).alias("h0"),
         F.date_trunc("hour", F.max("ts")).alias("h1"),
     ).first()
+    if b["h0"] is None:
+        raise ValueError(
+            "empty events table — the hour spine bounds are undefined"
+        )
     spine = (
         ev.select("event_type")
         .distinct()
@@ -9267,6 +9275,10 @@ def events_outage_intervals(spark, sf_dir):
         F.date_trunc("hour", F.min("ts")).alias("h0"),
         F.date_trunc("hour", F.max("ts")).alias("h1"),
     ).first()
+    if b["h0"] is None:
+        raise ValueError(
+            "empty events table — the hour spine bounds are undefined"
+        )
     spine = (
         ev.select("event_type")
         .distinct()

@@ -5,8 +5,9 @@
   ``on_bad_lines='warn'`` fallback (simulate_network_traffic.py:30-52).
   Explicit schemas, never ``inferSchema`` (which scans the data twice and
   guesses — at 100 TB both are unacceptable).
-- **Single-file CSV sink** (S9): ``coalesce(1)`` exactly like the reference
-  (preprocess_cicids2017.py:23-35) — correct only for small summaries; the
+- **Single-file CSV sink** (S9): one output file like the reference
+  (preprocess_cicids2017.py:23-35), via ``repartition(1)`` so the upstream
+  still computes in parallel — correct only for small summaries; the
   scale path is partitioned parquet, so this helper refuses above a row cap.
 - **JSON metadata sidecar** (S12): the pickle replaced with an engine-
   portable JSON file written via Spark (no driver pickling).
@@ -76,7 +77,12 @@ def write_single_csv(df: DataFrame, dest_file: str, max_rows: int = 1_000_000) -
         )
     tmp = dest_file + ".tmpdir"
     try:
-        df.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+        # repartition(1), NOT coalesce(1): coalesce propagates the 1-task
+        # parallelism back through every narrow stage to the scan (a
+        # filter-only pipeline would read the whole input single-threaded);
+        # repartition inserts a shuffle barrier so the upstream computes at
+        # full parallelism and only the (row-capped) write is one task
+        df.repartition(1).write.mode("overwrite").option("header", True).csv(tmp)
         parts = glob.glob(os.path.join(tmp, "part-*.csv"))
         if parts:
             shutil.move(parts[0], dest_file)
@@ -95,8 +101,10 @@ def write_single_csv(df: DataFrame, dest_file: str, max_rows: int = 1_000_000) -
 
 def write_metadata_sidecar(df: DataFrame, dest_dir: str) -> str:
     """Small-table metadata sink (scaler stats, row counts) as JSON lines —
-    the portable replacement for the reference's pickle (S12)."""
-    df.coalesce(1).write.mode("overwrite").json(dest_dir)
+    the portable replacement for the reference's pickle (S12).
+    repartition(1) rather than coalesce(1) for the same upstream-
+    parallelism reason as :func:`write_single_csv`."""
+    df.repartition(1).write.mode("overwrite").json(dest_dir)
     return dest_dir
 
 
