@@ -89,75 +89,79 @@ def register(
 # any number of future artifacts landing (rounds >= _WINDOW_ROUND never
 # count), which closes the r8/r9/r11 artifact-landing failure class at the
 # model level instead of per-landing point fixes.
-_WINDOW_ROUND: int = 12
+_WINDOW_ROUND: int = 13
 
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- genuinely new this round (1): decimal-exact ADC serving sibling ---
-    "embedding_pq_adc_topk_portable",
-    # --- changed-implementation (8): r12 similarity + graph-retrieval +
-    # relational reviews (zero-norm cosine guard, banding width validation,
-    # semdedup corpus anchor, modularity in-plan m, merge_upsert presence
-    # indicators) ---
+    # --- genuinely new this round (1): brute-force ANN API in decimal-
+    # exact mode, oracle-checked sibling of the rows-only bench path ---
+    "embedding_ann_bruteforce_portable",
+    # --- changed-implementation (4): r13 pairwise-cosine hoist
+    # (cosine_from_norms: per-row norms instead of per-pair folds) in the
+    # brute-force, IVF re-rank, and near-dup verify paths; the retrieval
+    # query also had its corpus-sized label broadcast inverted ---
     "embedding_ann_bruteforce",
     "embedding_ivf_topk",
     "embedding_near_dups",
-    "embedding_near_dups_portable",
-    "embedding_semdedup_kept",
-    "embedding_semdedup_threshold_sweep",
-    "copurchase_community_modularity",
-    "orders_cdc_merge_counts",
-    # --- changed-implementation (5): r12 text-operator review (empty-text
-    # ANSI guards in the quality ratios, tf-idf forced broadcast removed,
-    # FFD bin-id namespace widened) ---
-    "doc_quality_scores",
-    "doc_tfidf_topk",
+    "embedding_retrieval_label_consistency",
+    # --- changed-implementation (11): r13 queries.py review — forced
+    # broadcast hints removed from SF-scaled TPC-H dims (customer/part/
+    # supplier); AQE decides, nation/region keep hints ---
+    "unshipped_orders_topk",
+    "returned_items_customers",
+    "events_enriched_by_customer",
+    "stream_events_by_segment",
+    "promo_revenue_by_year",
+    "brand_bucket_revenue",
+    "profit_by_nation_year",
+    "nation_trade_volume",
+    "intra_region_supply_share",
+    "sole_late_supplier_orders",
+    "supplier_concentration_hhi",
+    # --- changed-implementation (7): r13 ANSI/degenerate-input guards
+    # (zero-variance slope, all-empty-doc source, empty-table scalars) ---
+    "value_trend_by_type",
+    "doc_span_dedup_savings",
+    "threshold_sweep_anomaly_rates",
+    "top_order_revenue_concentration",
+    "doc_unigram_logprob",
+    "events_hourly_gapfill",
+    "events_outage_intervals",
+    # --- changed-implementation (4): r13 quality-gate single-definition
+    # refactor (shared _SQL_QUALITY_EXPR/_sql_quality_gate/_quality_gate) ---
     "corpus_quality_filter",
     "corpus_pipeline_summary",
-    "doc_pack_bins_ffd",
     "corpus_yield_by_source",
-    # --- changed-implementation (3): r12 ml-pipeline + asof + aggregation
-    # reviews (zero-variance correlation guard; NULL-time reference-row
-    # drop; empty-input ratio guard) ---
-    "feature_correlations",
-    "events_asof_latest_order",
-    "anomaly_rate",
-    "multimodal_frame_sample",
-    # --- changed-implementation (18): r11 late-fix commits landed after
-    # these names' latest driver rows (streaming hardening + txlog review,
-    # b896baf..170e427); local strict-gate green post-fix, driver re-proof
-    # per the committed rotation plan ---
-    "stream_contract_split_counts",
-    "stream_copurchase_pagerank",
-    "stream_dedup_within_watermark",
-    "stream_doc_quality_deciles",
-    "stream_drift_psi",
-    "stream_embedding_topk",
-    "stream_events_by_segment",
-    "stream_flow_scoring",
-    "stream_json_decode_counts",
-    "stream_latest_state_merge",
-    "stream_merge_into_tx_table",
-    "stream_pq_index_update",
-    "stream_window_counts",
-    "corpus_dedup_snapshot_pipeline",
-    "incremental_daily_agg_merge",
-    "partition_pruned_counts",
-    "snapshot_diff_counts",
-    "tx_table_zorder_pruned_scan",
-    # --- evidence-freshness (17): remaining round-4 tier ---
-    "promo_revenue_by_year",
-    "purchase_attribution_last_touch",
-    "referential_integrity_report",
-    "returned_items_customers",
-    "returnflag_target_encoding",
-    "revenue_share_by_segment",
-    "sliding_7d_distinct_users",
-    "small_quantity_part_revenue",
-    "threshold_sweep_anomaly_rates",
     "token_budget_selection",
-    "top_revenue_suppliers",
-    "top_spend_days_with_ties",
-    "unshipped_orders_topk",
+    # --- changed-implementation (9): r13 txlog exactly-once fixes
+    # (txn_seen stale-map fall-through, map-aware upgrade fold + vacuum
+    # keep-guard) and the rotated-state prev!=new reap guard ---
+    "stream_merge_into_tx_table",
+    "incremental_daily_agg_merge",
+    "snapshot_diff_counts",
+    "partition_pruned_counts",
+    "tx_table_zorder_pruned_scan",
+    "corpus_dedup_snapshot_pipeline",
+    "stream_latest_state_merge",
+    "stream_embedding_topk",
+    "stream_pq_index_update",
+    # --- evidence-freshness (4): the round-4-tier names displaced from
+    # the r12 window by its changed-implementation slots ---
+    "vocab_coverage_top100",
+    "value_outliers_iqr",
+    "user_rfm_features",
+    "user_event_type_sets",
+    # --- evidence-freshness (10): round-5 tier, alphabetical head (names
+    # already holding r13 changed slots above are skipped) ---
+    "chunk_level_dedup_stats",
+    "corpus_boilerplate_ngrams",
+    "corpus_manifest",
+    "corpus_temperature_mix",
+    "customer_cohort_ltv_curve",
+    "customer_order_count_distribution",
+    "daily_gmv_trailing_ma",
+    "daily_growth_accounting",
+    "doc_duplicate_ngram_spans",
+    "doc_duplicate_ngram_windows",
 )
 
 

@@ -45,11 +45,13 @@ def scratch_root(spark: SparkSession, subdir: str, local_default: str | None = N
 
 
 def scratch_unique(spark: SparkSession, prefix: str) -> str:
-    """A fresh, collision-free scratch directory path (not yet created).
+    """A fresh, collision-free scratch directory path.
 
-    Under the conf root when set (cluster-safe); else a local
-    ``tempfile.mkdtemp``. Uses ``uuid4`` rather than timestamps so two
-    concurrent jobs can never race on the same path.
+    Under the conf root when set (cluster-safe; path NOT created — the
+    writer's own mkdirs/commit creates it); else a local
+    ``tempfile.mkdtemp`` (which does create the directory). Uses ``uuid4``
+    rather than timestamps so two concurrent jobs can never race on the
+    same path.
     """
     import uuid
 

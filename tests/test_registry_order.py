@@ -116,110 +116,106 @@ def _shipped_driver_tested() -> set[str]:
 # guard fails (negative control below keeps the guard itself honest).
 RECONFIRMATION_SLOTS: dict[str, str] = {
     **{
-        n: "changed: r12 similarity-operator review (zero-norm cosine "
-        "guard — ANSI DIVIDE_BY_ZERO / NaN-sorts-first fix — banding "
-        "width validation, semdedup corpus-anchored output); driver rows "
-        "predate the new plans"
+        n: "changed: r13 pairwise-cosine hoist (cosine_from_norms — "
+        "per-row squared norms replace per-pair folds; the zero-norm "
+        "guard became a two-scalar test, A/B-measured faster than the "
+        "unguarded pre-r12 expression); retrieval query additionally had "
+        "its corpus-sized label broadcast inverted to broadcast top1"
         for n in (
             "embedding_ann_bruteforce",
             "embedding_ivf_topk",
             "embedding_near_dups",
-            "embedding_near_dups_portable",
-            "embedding_semdedup_kept",
-            "embedding_semdedup_threshold_sweep",
+            "embedding_retrieval_label_consistency",
         )
     },
-    "copurchase_community_modularity": (
-        "changed: r12 graph-retrieval review — edge-count m moved from a "
-        "driver-side persist/count/unpersist triple (which unpersisted "
-        "before evaluation) to an in-plan broadcast 1-row aggregate"
-    ),
-    "orders_cdc_merge_counts": (
-        "changed: r12 relational review — merge_upsert actions now keyed "
-        "on non-nullable presence indicators instead of key nullability "
-        "(NULL-key rows were mislabeled 'insert')"
-    ),
     **{
-        n: "changed: r12 text-operator review — empty-text ANSI "
-        "DIVIDE_BY_ZERO guards in punct/uppercase/stopword ratios and "
-        "quality_score, tf-idf vocabulary-table forced broadcast removed, "
-        "FFD bin-id namespace widened; driver rows predate the new plans"
+        n: "changed: r13 queries.py review — forced broadcast hints "
+        "removed from SF-scaled TPC-H dims (customer 15B / part 20B / "
+        "supplier 1B rows at 100 TB); AQE sizes the joins now, "
+        "nation/region keep their fixed-size hints"
         for n in (
-            "doc_quality_scores",
-            "doc_tfidf_topk",
+            "unshipped_orders_topk",
+            "returned_items_customers",
+            "events_enriched_by_customer",
+            "stream_events_by_segment",
+            "promo_revenue_by_year",
+            "brand_bucket_revenue",
+            "profit_by_nation_year",
+            "nation_trade_volume",
+            "intra_region_supply_share",
+            "sole_late_supplier_orders",
+            "supplier_concentration_hhi",
+        )
+    },
+    **{
+        n: "changed: r13 ANSI/degenerate-input guards — zero-variance "
+        "trend groups and all-empty-doc sources yield NULL (DuckDB x/0 "
+        "semantics) instead of ANSI DIVIDE_BY_ZERO; empty-table scalar "
+        "reads raise clear ValueErrors instead of int(None)/F.lit(None)"
+        for n in (
+            "value_trend_by_type",
+            "doc_span_dedup_savings",
+            "threshold_sweep_anomaly_rates",
+            "top_order_revenue_concentration",
+            "doc_unigram_logprob",
+            "events_hourly_gapfill",
+            "events_outage_intervals",
+        )
+    },
+    **{
+        n: "changed: r13 quality-gate single-definition refactor — the "
+        "0.75/5/5000 gate and the 4-CASE quality expression now render "
+        "from ONE module-level definition on both engine sides (was six "
+        "re-typed copies, the r12 BM25-predicate drift class)"
+        for n in (
             "corpus_quality_filter",
             "corpus_pipeline_summary",
-            "doc_pack_bins_ffd",
             "corpus_yield_by_source",
-            # sits in the window's round-4 freshness block; the r12 text
-            # change makes the re-proof doubly warranted
             "token_budget_selection",
         )
     },
-    "feature_correlations": (
-        "changed: r12 ml-pipeline review — zero-variance (constant) "
-        "features now yield NULL correlation instead of an ANSI "
-        "DIVIDE_BY_ZERO; driver row predates the guarded plan"
-    ),
-    "events_asof_latest_order": (
-        "changed: r12 asof review — NULL-time reference rows are dropped "
-        "before the union-sort carry (they sorted FIRST and matched every "
-        "earlier probe); value_cols/left collisions now raise"
-    ),
-    "anomaly_rate": (
-        "changed: r12 aggregation review — ratio_metric yields NULL rate "
-        "on an empty input instead of an ANSI DIVIDE_BY_ZERO"
-    ),
-    "multimodal_frame_sample": (
-        "changed: r12 multimodal review — frame_sample slices the BINARY "
-        "payload by bytes (the old string cast sliced by characters, "
-        "garbage on real media bytes); query output moved to hex frames "
-        "for byte-exact oracle comparison"
-    ),
     **{
-        n: "changed: r11 late-fix commits b896baf..170e427 (streaming "
-        "hardening: _await_bounded boolean, tombstone->DLQ, Kafka envelope "
-        "key retention, dup-topic refusal; txlog review: txns map, vacuum "
-        "ordering, bloom rewrite) landed AFTER this name's latest driver "
-        "row; local strict-gate green at post-fix HEAD, driver re-proof "
-        "per the committed r12 rotation plan"
+        n: "changed: r13 txlog exactly-once fixes (txn_seen falls through "
+        "a stale newest-map entry to the full marker walk; upgrade fold "
+        "and vacuum keep-guard consider older manifests' txns maps) and "
+        "the rotated-state prev != new reap guard; driver rows predate "
+        "commit 38d856e"
         for n in (
-            "stream_contract_split_counts",
-            "stream_copurchase_pagerank",
-            "stream_dedup_within_watermark",
-            "stream_doc_quality_deciles",
-            "stream_drift_psi",
-            "stream_embedding_topk",
-            "stream_events_by_segment",
-            "stream_flow_scoring",
-            "stream_json_decode_counts",
-            "stream_latest_state_merge",
             "stream_merge_into_tx_table",
-            "stream_pq_index_update",
-            "stream_window_counts",
-            "corpus_dedup_snapshot_pipeline",
             "incremental_daily_agg_merge",
-            "partition_pruned_counts",
             "snapshot_diff_counts",
+            "partition_pruned_counts",
             "tx_table_zorder_pruned_scan",
+            "corpus_dedup_snapshot_pipeline",
+            "stream_latest_state_merge",
+            "stream_embedding_topk",
+            "stream_pq_index_update",
         )
     },
     **{
-        n: "freshness: latest driver row is round 4 (oldest remaining "
-        "ledger tier after the r12 changed-implementation slots)"
+        n: "freshness: round-4-tier names displaced from the r12 window "
+        "by its changed-implementation slots (the committed r13 plan)"
         for n in (
-            "promo_revenue_by_year",
-            "purchase_attribution_last_touch",
-            "referential_integrity_report",
-            "returned_items_customers",
-            "returnflag_target_encoding",
-            "revenue_share_by_segment",
-            "sliding_7d_distinct_users",
-            "small_quantity_part_revenue",
-            "threshold_sweep_anomaly_rates",
-            "top_revenue_suppliers",
-            "top_spend_days_with_ties",
-            "unshipped_orders_topk",
+            "vocab_coverage_top100",
+            "value_outliers_iqr",
+            "user_rfm_features",
+            "user_event_type_sets",
+        )
+    },
+    **{
+        n: "freshness: round-5 tier, alphabetical head (names already "
+        "holding r13 changed slots are skipped per the committed plan)"
+        for n in (
+            "chunk_level_dedup_stats",
+            "corpus_boilerplate_ngrams",
+            "corpus_manifest",
+            "corpus_temperature_mix",
+            "customer_cohort_ltv_curve",
+            "customer_order_count_distribution",
+            "daily_gmv_trailing_ma",
+            "daily_growth_accounting",
+            "doc_duplicate_ngram_spans",
+            "doc_duplicate_ngram_windows",
         )
     },
 }
