@@ -190,9 +190,11 @@ def nation_trade_pagerank(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     edges = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        # supplier/customer scale with SF (1B/15B rows at 100 TB): no
+        # forced broadcast — AQE sizes the joins (nation keeps its hint)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(F.col("s_nationkey") != F.col("c_nationkey"))
         .select(
             F.col("s_nationkey").cast("long").alias("src"),
@@ -1239,9 +1241,11 @@ def nation_trade_graph_stats(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     edges = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        # supplier/customer scale with SF (1B/15B rows at 100 TB): no
+        # forced broadcast — AQE sizes the joins (nation keeps its hint)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(F.col("s_nationkey") != F.col("c_nationkey"))
         .select(
             F.col("s_nationkey").cast("long").alias("src"),

@@ -1548,9 +1548,13 @@ def cross_source_duplicate_matrix(spark, sf_dir):
     s2 = docs.select(
         F.col("doc_id").alias("id2"), F.col("source").alias("src2")
     )
+    # s1/s2 are the CORPUS-sized doc->source projections: forcing them
+    # into broadcasts ships the whole corpus's metadata to every executor
+    # (hard 8 GB kill at web scale) — AQE broadcasts the actually-small
+    # side (usually the verified-pair list) instead
     return (
-        pairs.join(F.broadcast(s1), "id1")
-        .join(F.broadcast(s2), "id2")
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
         .groupBy(
             F.least("src1", "src2").alias("source_a"),
             F.greatest("src1", "src2").alias("source_b"),

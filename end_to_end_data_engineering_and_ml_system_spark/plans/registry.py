@@ -150,8 +150,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "value_outliers_iqr",
     "user_rfm_features",
     "user_event_type_sets",
-    # --- evidence-freshness (10): round-5 tier, alphabetical head (names
-    # already holding r13 changed slots above are skipped) ---
+    # --- changed-implementation (3): r13 cross-file broadcast sweep —
+    # the same SF/corpus-scaled forced-broadcast class found in
+    # queries.py, in the other two plans files (supplier/customer edge
+    # builds; corpus-sized doc->source projections) ---
+    "nation_trade_pagerank",
+    "nation_trade_graph_stats",
+    "cross_source_duplicate_matrix",
+    # --- evidence-freshness (7): round-5 tier, alphabetical head (names
+    # already holding r13 changed slots above are skipped; tail rolls to
+    # round 14) ---
     "chunk_level_dedup_stats",
     "corpus_boilerplate_ngrams",
     "corpus_manifest",
@@ -159,9 +167,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "customer_cohort_ltv_curve",
     "customer_order_count_distribution",
     "daily_gmv_trailing_ma",
-    "daily_growth_accounting",
-    "doc_duplicate_ngram_spans",
-    "doc_duplicate_ngram_windows",
 )
 
 

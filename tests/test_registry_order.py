@@ -203,8 +203,19 @@ RECONFIRMATION_SLOTS: dict[str, str] = {
         )
     },
     **{
+        n: "changed: r13 cross-file broadcast sweep — forced broadcasts "
+        "of SF-scaled dims (supplier/customer edge builds) and of the "
+        "corpus-sized doc->source projections removed; AQE sizes them"
+        for n in (
+            "nation_trade_pagerank",
+            "nation_trade_graph_stats",
+            "cross_source_duplicate_matrix",
+        )
+    },
+    **{
         n: "freshness: round-5 tier, alphabetical head (names already "
-        "holding r13 changed slots are skipped per the committed plan)"
+        "holding r13 changed slots are skipped per the committed plan; "
+        "tail rolls to round 14)"
         for n in (
             "chunk_level_dedup_stats",
             "corpus_boilerplate_ngrams",
@@ -213,9 +224,6 @@ RECONFIRMATION_SLOTS: dict[str, str] = {
             "customer_cohort_ltv_curve",
             "customer_order_count_distribution",
             "daily_gmv_trailing_ma",
-            "daily_growth_accounting",
-            "doc_duplicate_ngram_spans",
-            "doc_duplicate_ngram_windows",
         )
     },
 }
