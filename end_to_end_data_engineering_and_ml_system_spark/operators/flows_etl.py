@@ -119,9 +119,16 @@ def _materialize(df: DataFrame) -> DataFrame:
     return df.sparkSession.read.parquet(dest)
 
 
-def preprocess_flows(raw: DataFrame, seed: int = 42) -> FlowsEtlResult:
+def preprocess_flows(raw: DataFrame, seed: int = 42, split_fn=None) -> FlowsEtlResult:
     """Full reference ETL over a raw flow table (dirty headers, string-typed
-    numerics, Infinity sentinels, raw label spellings)."""
+    numerics, Infinity sentinels, raw label spellings).
+
+    ``split_fn``: optional ``benign_df -> (train_df, test_df)`` override for
+    the benign train/test split. Default is the reference's seeded
+    ``randomSplit`` (engine-specific membership); pass a hash-based split
+    (e.g. ``relational.hash_uniform`` on a stable key) for cross-engine-
+    reproducible membership — every other stage is deterministic, so that
+    one swap makes the whole pipeline oracle-checkable."""
     df = sanitize_columns(raw)  # P1/P16
     df = exact_dedup(df)  # P10
 
@@ -157,7 +164,10 @@ def preprocess_flows(raw: DataFrame, seed: int = 42) -> FlowsEtlResult:
 
     benign = df.filter(F.col("Label") == "BENIGN")  # P11
     attacks = df.filter(F.col("Label") != "BENIGN")
-    train_b, test_b = benign.randomSplit([0.8, 0.2], seed=seed)  # R1
+    if split_fn is None:
+        train_b, test_b = benign.randomSplit([0.8, 0.2], seed=seed)  # R1
+    else:
+        train_b, test_b = split_fn(benign)
     stream_eval = test_b.unionByName(attacks)  # U1
 
     stats = fit_standardizer(train_b, feature_cols)  # M9 (fit on train only)

@@ -2164,21 +2164,13 @@ def purchase_attribution_last_touch(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "flows_preprocess_summary",
-    oracle=None,
-    description="full flows ETL (sanitize/dedup/inf-null/label/split/z-score) summary counts (§3.2)",
-    tags=("etl", "pipeline", "flows"),
-)
-def flows_preprocess_summary(spark, sf_dir):
-    """Runs preprocess_flows (operators/flows_etl.py) over a flow-shaped
-    projection of lineitem with the reference's raw-CSV pathologies (dirty
-    headers, string numerics, Infinity sentinels, raw label spellings;
-    preprocess_cicids2017.py:98-342) and summarizes both output splits."""
-    from ..operators.flows_etl import preprocess_flows
-
-    li = load_table(spark, sf_dir, "lineitem")
-    raw = li.select(
+def _flows_raw(li):
+    """The flow-shaped raw projection of lineitem with the reference's
+    raw-CSV pathologies (dirty headers, string numerics, Infinity
+    sentinels, raw label spellings; preprocess_cicids2017.py:98-342).
+    ONE definition shared by flows_preprocess_summary and its portable
+    sibling so the two can never drift."""
+    return li.select(
         F.col("l_orderkey").cast("string").alias(" Flow Duration"),
         F.col("l_partkey").cast("string").alias("Total Fwd Packets"),
         F.when(F.col("l_suppkey") % 7 == 0, F.lit("Infinity"))
@@ -2191,7 +2183,9 @@ def flows_preprocess_summary(spark, sf_dir):
         .otherwise(F.lit("DDoS"))
         .alias(" Label"),
     )
-    res = preprocess_flows(raw, seed=42)
+
+
+def _flows_summarize(res):
     train_summary = res.train.agg(F.count("*").alias("n")).select(
         F.lit("train").alias("part"), F.lit("BENIGN").alias("Label"), "n"
     )
@@ -2199,6 +2193,93 @@ def flows_preprocess_summary(spark, sf_dir):
         F.count("*").alias("n")
     ).select(F.lit("stream_eval").alias("part"), "Label", "n")
     return train_summary.unionByName(eval_summary)
+
+
+@register(
+    "flows_preprocess_summary",
+    oracle=None,
+    description="full flows ETL (sanitize/dedup/inf-null/label/split/z-score) summary counts (§3.2)",
+    tags=("etl", "pipeline", "flows"),
+)
+def flows_preprocess_summary(spark, sf_dir):
+    """Runs preprocess_flows (operators/flows_etl.py) over the shared raw
+    projection and summarizes both output splits. Rows-only: randomSplit
+    membership is engine-specific; flows_preprocess_portable_summary is the
+    hash-split oracle-checked sibling (every other stage identical)."""
+    from ..operators.flows_etl import preprocess_flows
+
+    li = load_table(spark, sf_dir, "lineitem")
+    res = preprocess_flows(_flows_raw(li), seed=42)
+    return _flows_summarize(res)
+
+
+@register(
+    "flows_preprocess_portable_summary",
+    oracle="""
+        -- The reference's WHOLE preprocessing pipeline (sanitize -> exact
+        -- dedup -> Infinity->NULL drop -> label canonicalization -> benign
+        -- train/test split) with the one engine-specific stage (seeded
+        -- randomSplit) swapped for the md5 hash-uniform split — every
+        -- count below is reproduced bit-for-bit by any engine.
+        WITH raw AS (
+            SELECT DISTINCT
+                l_orderkey AS fd,
+                l_partkey AS tfp,
+                CASE WHEN l_suppkey % 7 = 0 THEN NULL
+                     ELSE l_extendedprice END AS fbs,
+                (l_suppkey % 7 = 0) AS is_inf,
+                l_discount AS dur,
+                CASE WHEN l_quantity < 25 THEN 'BENIGN'
+                     WHEN l_quantity < 35 THEN 'DoS'
+                     WHEN l_quantity < 45 THEN 'WebAttack'
+                     ELSE 'DDoS' END AS label
+            FROM lineitem
+        ),
+        hu AS (
+            SELECT label,
+                   CAST(concat('0x', substr(md5('flowsplit' ||
+                        CAST(CAST(fd AS BIGINT) AS VARCHAR) || '_' ||
+                        CAST(CAST(tfp AS BIGINT) AS VARCHAR)), 1, 8))
+                        AS BIGINT) / 4294967296.0 AS u
+            FROM raw WHERE NOT is_inf
+        )
+        SELECT 'train' AS part, 'BENIGN' AS Label,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM hu WHERE label = 'BENIGN' AND u < 0.8
+        UNION ALL
+        SELECT 'stream_eval' AS part, label AS Label,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM hu WHERE label <> 'BENIGN' OR u >= 0.8
+        GROUP BY label
+    """,
+    description=(
+        "flows ETL with hash-uniform (md5) benign split — the oracle-"
+        "checked sibling of flows_preprocess_summary (R1 made portable)"
+    ),
+    tags=("etl", "pipeline", "flows"),
+)
+def flows_preprocess_portable_summary(spark, sf_dir):
+    """Same stages, same shared raw projection, same summarize step as
+    flows_preprocess_summary — only the benign split swaps randomSplit for
+    relational.hash_uniform on the (Flow_Duration, Total_Fwd_Packets)
+    integer key, which any engine reproduces. The full reference pipeline
+    therefore carries hash-level cross-engine evidence end-to-end."""
+    from ..operators.flows_etl import preprocess_flows
+    from ..operators.relational import hash_uniform
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def hash_split(benign):
+        key = F.concat(
+            F.col("Flow_Duration").cast("bigint").cast("string"),
+            F.lit("_"),
+            F.col("Total_Fwd_Packets").cast("bigint").cast("string"),
+        )
+        u = hash_uniform(key, salt="flowsplit")
+        return benign.filter(u < 0.8), benign.filter(u >= 0.8)
+
+    res = preprocess_flows(_flows_raw(li), split_fn=hash_split)
+    return _flows_summarize(res)
 
 
 @register(

@@ -92,9 +92,11 @@ def register(
 _WINDOW_ROUND: int = 13
 
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- genuinely new this round (1): brute-force ANN API in decimal-
-    # exact mode, oracle-checked sibling of the rows-only bench path ---
+    # --- genuinely new this round (2): brute-force ANN API in decimal-
+    # exact mode, and the flows ETL with a hash-uniform benign split —
+    # oracle-checked siblings of two rows-only paths ---
     "embedding_ann_bruteforce_portable",
+    "flows_preprocess_portable_summary",
     # --- changed-implementation (4): r13 pairwise-cosine hoist
     # (cosine_from_norms: per-row norms instead of per-pair folds) in the
     # brute-force, IVF re-rank, and near-dup verify paths; the retrieval
@@ -157,7 +159,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "nation_trade_pagerank",
     "nation_trade_graph_stats",
     "cross_source_duplicate_matrix",
-    # --- evidence-freshness (7): round-5 tier, alphabetical head (names
+    # --- evidence-freshness (6): round-5 tier, alphabetical head (names
     # already holding r13 changed slots above are skipped; tail rolls to
     # round 14) ---
     "chunk_level_dedup_stats",
@@ -166,7 +168,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_temperature_mix",
     "customer_cohort_ltv_curve",
     "customer_order_count_distribution",
-    "daily_gmv_trailing_ma",
 )
 
 

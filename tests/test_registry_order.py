@@ -223,7 +223,6 @@ RECONFIRMATION_SLOTS: dict[str, str] = {
             "corpus_temperature_mix",
             "customer_cohort_ltv_curve",
             "customer_order_count_distribution",
-            "daily_gmv_trailing_ma",
         )
     },
 }
