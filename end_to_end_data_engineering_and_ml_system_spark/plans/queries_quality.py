@@ -913,9 +913,12 @@ def bpe_fertility_by_lang(spark, sf_dir):
     return with_lang.groupBy("lang").agg(
         F.sum("n_words").cast("bigint").alias("total_words"),
         F.sum("n_bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
-        (
+        # a language whose docs are ALL empty has zero words: fertility
+        # is undefined -> NULL, never an ANSI DIVIDE_BY_ZERO
+        F.when(
+            F.sum("n_words") > 0,
             F.sum("n_bpe_tokens").cast("double")
-            / F.sum("n_words").cast("double")
+            / F.sum("n_words").cast("double"),
         ).alias("fertility"),
     )
 
@@ -2005,9 +2008,13 @@ def hourly_seasonal_naive_mase(spark, sf_dir):
         F.sum(F.abs(F.col("n") - F.col("prev")))
         .cast("bigint")
         .alias("sum_abs_naive_err"),
-        (
+        # a CONSTANT hourly series (e.g. an always-quiet type) makes the
+        # one-step naive error 0: MASE is undefined -> NULL (DuckDB x/0),
+        # not an ANSI DIVIDE_BY_ZERO killing every other type's score
+        F.when(
+            F.sum(F.abs(F.col("n") - F.col("prev"))) > 0,
             F.sum(F.abs(F.col("n") - F.col("season"))).cast("double")
-            / F.sum(F.abs(F.col("n") - F.col("prev"))).cast("double")
+            / F.sum(F.abs(F.col("n") - F.col("prev"))).cast("double"),
         ).alias("mase"),
     )
 
@@ -2317,7 +2324,13 @@ def weighted_doc_sample(spark, sf_dir):
         "doc_id",
         "lang",
         F.col("n_chars").cast("bigint").alias("n_chars"),
-        (F.log(uni) / F.col("n_chars").cast("double")).alias("skey"),
+        # the where() below drops these rows, but ANSI evaluation order
+        # is optimizer-dependent (the filter only protects the division if
+        # pushdown reorders it below this projection) — guard in-place
+        F.when(
+            (uni > 0) & (F.col("n_chars") > 0),
+            F.log(uni) / F.col("n_chars").cast("double"),
+        ).alias("skey"),
     ).where((uni > 0) & (F.col("n_chars") > 0))
     # top-50 by key IS the sample: orderBy().limit() compiles to a
     # distributed TakeOrderedAndProject — no global-window single reducer
@@ -3562,7 +3575,13 @@ def weighted_doc_sample_by_lang(spark, sf_dir):
         "doc_id",
         "lang",
         F.col("n_chars").cast("bigint").alias("n_chars"),
-        (F.log(uni) / F.col("n_chars").cast("double")).alias("skey"),
+        # the where() below drops these rows, but ANSI evaluation order
+        # is optimizer-dependent (the filter only protects the division if
+        # pushdown reorders it below this projection) — guard in-place
+        F.when(
+            (uni > 0) & (F.col("n_chars") > 0),
+            F.log(uni) / F.col("n_chars").cast("double"),
+        ).alias("skey"),
     ).where((uni > 0) & (F.col("n_chars") > 0))
     return top_n_per_key(
         k, ["lang"], [F.desc("skey"), F.asc("doc_id")], 10

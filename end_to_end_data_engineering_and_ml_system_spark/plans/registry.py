@@ -159,15 +159,18 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "nation_trade_pagerank",
     "nation_trade_graph_stats",
     "cross_source_duplicate_matrix",
-    # --- evidence-freshness (6): round-5 tier, alphabetical head (names
+    # --- changed-implementation (4): r13 ANSI sweep over the quality
+    # plans file (undefined MASE on constant series, zero-word fertility,
+    # pushdown-order-dependent weighted-sample key guards) ---
+    "hourly_seasonal_naive_mase",
+    "weighted_doc_sample",
+    "weighted_doc_sample_by_lang",
+    "bpe_fertility_by_lang",
+    # --- evidence-freshness (2): round-5 tier, alphabetical head (names
     # already holding r13 changed slots above are skipped; tail rolls to
-    # round 14) ---
+    # round 14 — changed-implementation evidence outranks freshness) ---
     "chunk_level_dedup_stats",
     "corpus_boilerplate_ngrams",
-    "corpus_manifest",
-    "corpus_temperature_mix",
-    "customer_cohort_ltv_curve",
-    "customer_order_count_distribution",
 )
 
 

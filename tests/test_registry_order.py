@@ -213,16 +213,24 @@ RECONFIRMATION_SLOTS: dict[str, str] = {
         )
     },
     **{
+        n: "changed: r13 ANSI sweep over queries_quality.py — MASE NULL "
+        "on a constant series, fertility NULL on zero words, weighted-"
+        "sample key guarded in-place (its safety was pushdown-order-"
+        "dependent)"
+        for n in (
+            "hourly_seasonal_naive_mase",
+            "weighted_doc_sample",
+            "weighted_doc_sample_by_lang",
+            "bpe_fertility_by_lang",
+        )
+    },
+    **{
         n: "freshness: round-5 tier, alphabetical head (names already "
         "holding r13 changed slots are skipped per the committed plan; "
         "tail rolls to round 14)"
         for n in (
             "chunk_level_dedup_stats",
             "corpus_boilerplate_ngrams",
-            "corpus_manifest",
-            "corpus_temperature_mix",
-            "customer_cohort_ltv_curve",
-            "customer_order_count_distribution",
         )
     },
 }
