@@ -624,3 +624,61 @@ def test_bruteforce_exact_mode_matches_fast_path_and_guards_zero_norm(spark):
     fa = {(r["query_id"], r["cand_id"]): r["cosine"] for r in fast}
     for r in exact:
         assert abs(fa[(r["query_id"], r["cand_id"])] - r["cosine"]) < 1e-9
+
+
+def test_property_hoisted_cosine_equivalent_to_inline(spark):
+    """cosine_from_norms(a, b, sq_norm(a), sq_norm(b)) must agree with the
+    inline cosine(a, b) on every pair — including zero-norm NULLs — for
+    random vectors (hypothesis): the hoist is a pure plan optimization,
+    never a semantics change."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.similarity import (
+        cosine,
+        cosine_from_norms,
+        sq_norm,
+    )
+
+    finite = st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    )
+    vec = st.one_of(
+        st.lists(finite, min_size=4, max_size=4),
+        st.just([0.0, 0.0, 0.0, 0.0]),  # force zero-norm coverage
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+        derandomize=True,
+    )
+    @given(vs=st.lists(vec, min_size=2, max_size=6))
+    def run(vs):
+        rows = [(i, v) for i, v in enumerate(vs)]
+        df = spark.createDataFrame(rows, "id long, v array<double>")
+        a = df.select(F.col("id").alias("ia"), F.col("v").alias("va"))
+        b = df.select(F.col("id").alias("ib"), F.col("v").alias("vb"))
+        pairs = a.crossJoin(b)
+        both = pairs.select(
+            "ia",
+            "ib",
+            cosine(F.col("va"), F.col("vb")).alias("inline"),
+            cosine_from_norms(
+                F.col("va"),
+                F.col("vb"),
+                sq_norm(F.col("va")),
+                sq_norm(F.col("vb")),
+            ).alias("hoisted"),
+        ).collect()
+        for r in both:
+            if r["inline"] is None:
+                assert r["hoisted"] is None, (r, vs)
+            else:
+                assert r["hoisted"] is not None and (
+                    abs(r["inline"] - r["hoisted"]) < 1e-12
+                ), (r, vs)
+
+    run()
