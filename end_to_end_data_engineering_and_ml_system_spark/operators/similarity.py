@@ -80,11 +80,16 @@ def cosine_from_norms(
     time (measured +20% wall on the brute-force bench path). Computing
     ``na``/``nb`` once per ROW before the join makes the guard a two-scalar
     test and the per-pair work a single dot fold. Same NULL-on-zero-norm
-    contract as ``cosine``."""
+    contract as ``cosine``.
+
+    The guard tests the PRODUCT ``sqrt(na)*sqrt(nb)`` (like inline
+    ``cosine``), not ``(na > 0) & (nb > 0)``: for subnormal norms each
+    factor can be > 0 while their double product underflows to exactly 0,
+    and the per-factor guard would then divide by zero (Infinity) where
+    the inline form returns NULL. Still a two-scalar test per pair."""
     dp = dot_product_exact if exact else dot_product
-    return F.when(
-        (na > 0) & (nb > 0), dp(a, b) / (F.sqrt(na) * F.sqrt(nb))
-    )
+    denom = F.sqrt(na) * F.sqrt(nb)
+    return F.when(denom > 0, dp(a, b) / denom)
 
 
 def cosine_topk_bruteforce(

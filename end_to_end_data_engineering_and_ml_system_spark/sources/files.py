@@ -65,11 +65,23 @@ def _spark_csv_header_line(columns) -> str:
     return ",".join(out) + "\n"
 
 
-def write_single_csv(df: DataFrame, dest_file: str, max_rows: int = 1_000_000) -> str:
+def write_single_csv(
+    df: DataFrame,
+    dest_file: str,
+    max_rows: int = 1_000_000,
+    sort_cols: list[str] | None = None,
+) -> str:
     """Single-file CSV output with the part-file move the reference does by
     hand. Guarded: one file means one writer — refuse at scale. The cap
     check short-circuits via ``limit(max_rows+1)`` instead of a full count,
-    so an over-cap input costs one truncated scan, not two full ones."""
+    so an over-cap input costs one truncated scan, not two full ones.
+
+    ROW ORDER: the internal ``repartition(1)`` is a round-robin shuffle,
+    so any upstream ``orderBy`` does NOT survive into the file (coalesce
+    preserved it; the shuffle barrier that buys upstream parallelism costs
+    determinism). Pass ``sort_cols`` to get deterministic, byte-stable file
+    content — applied as ``sortWithinPartitions`` AFTER the shuffle, i.e.
+    a single in-partition sort of an already row-capped frame."""
     if df.limit(max_rows + 1).count() > max_rows:
         raise ValueError(
             f"more than {max_rows} rows: single-file CSV is a driver-scale "
@@ -82,7 +94,10 @@ def write_single_csv(df: DataFrame, dest_file: str, max_rows: int = 1_000_000) -
         # filter-only pipeline would read the whole input single-threaded);
         # repartition inserts a shuffle barrier so the upstream computes at
         # full parallelism and only the (row-capped) write is one task
-        df.repartition(1).write.mode("overwrite").option("header", True).csv(tmp)
+        one = df.repartition(1)
+        if sort_cols:
+            one = one.sortWithinPartitions(*sort_cols)
+        one.write.mode("overwrite").option("header", True).csv(tmp)
         parts = glob.glob(os.path.join(tmp, "part-*.csv"))
         if parts:
             shutil.move(parts[0], dest_file)
@@ -103,7 +118,9 @@ def write_metadata_sidecar(df: DataFrame, dest_dir: str) -> str:
     """Small-table metadata sink (scaler stats, row counts) as JSON lines —
     the portable replacement for the reference's pickle (S12).
     repartition(1) rather than coalesce(1) for the same upstream-
-    parallelism reason as :func:`write_single_csv`."""
+    parallelism reason as :func:`write_single_csv` — and with the same
+    caveat: upstream ordering does not survive the shuffle (metadata
+    sidecars are key-value records, so order is immaterial here)."""
     df.repartition(1).write.mode("overwrite").json(dest_dir)
     return dest_dir
 

@@ -146,6 +146,12 @@ class TxTable:
         self.bloom_cols = tuple(bloom_cols)
         self._log_dir = os.path.join(root, "_log")
         self._data_dir = os.path.join(root, "data")
+        # manifests are immutable once written (atomic rename; vacuum only
+        # DELETES, never rewrites, and version numbers are never reused),
+        # so a per-instance read cache is safe and turns txn_seen's
+        # fall-through walk from O(versions) file reads per foreachBatch
+        # commit into O(versions) dict lookups after the first walk
+        self._man_cache: dict[int, dict] = {}
 
     # -- metadata ----------------------------------------------------------
 
@@ -165,8 +171,13 @@ class TxTable:
         return vs[-1] if vs else None
 
     def _manifest(self, version: int) -> dict:
+        cached = self._man_cache.get(version)
+        if cached is not None:
+            return cached
         with open(os.path.join(self._log_dir, f"{version}.json")) as f:
-            return json.load(f)
+            man = json.load(f)
+        self._man_cache[version] = man
+        return man
 
     def history(self) -> list[dict]:
         """The audit trail: one row per committed version."""
@@ -313,7 +324,11 @@ class TxTable:
         txns: dict = {}
         if prev is not None:
             pm = self._manifest(prev)
-            if "txns" in pm:
+            if "txns" in pm and pm.get("txns_complete"):
+                # a COMPLETE map dominates every marker in every surviving
+                # (and every since-vacuumed) manifest, so carrying it
+                # forward keeps it complete — the new manifest's own txn is
+                # folded below, before the write
                 txns.update(pm["txns"])
                 legacy = pm.get("txn")
                 if legacy and int(txns.get(legacy["app"], -1)) < int(
@@ -321,15 +336,18 @@ class TxTable:
                 ):
                     txns[legacy["app"]] = int(legacy["batch"])
             else:
-                # one-time upgrade of a pre-map table: fold the legacy
-                # per-commit markers AND the txns maps of ALL surviving
-                # manifests, not just prev's own — a table with history
-                # from several apps would otherwise lose the older apps'
-                # markers from the map, and a mixed-writer chain (a pre-map
-                # engine committing AFTER a map-carrying manifest) would
-                # lose map entries whose original legacy manifests were
-                # already vacuumed. Either loss re-opens the exactly-once
-                # hole this map exists to close.
+                # one-time upgrade of a pre-map or pre-flag table: fold the
+                # legacy per-commit markers AND the txns maps of ALL
+                # surviving manifests, not just prev's own — a table with
+                # history from several apps would otherwise lose the older
+                # apps' markers from the map, and a mixed-writer chain (a
+                # pre-map engine committing AFTER a map-carrying manifest)
+                # would lose map entries whose original legacy manifests
+                # were already vacuumed. Either loss re-opens the
+                # exactly-once hole this map exists to close. Running the
+                # fold whenever prev lacks the txns_complete flag (not only
+                # when it lacks the map) costs one extra fold per legacy
+                # table lifetime and buys txn_seen an O(1) False answer.
                 for vv in self.versions():
                     m = self._manifest(vv)
                     for a, b in (m.get("txns") or {}).items():
@@ -354,6 +372,14 @@ class TxTable:
             "checks": checks or {},
             "committed_at": time.time(),
             "txns": txns,
+            # complete by construction: either carried forward from a
+            # complete prev, rebuilt by the full fold above, or this is
+            # version 0 (no prior evidence exists). Lets txn_seen answer
+            # the common negative case (fresh micro-batch) in O(1) instead
+            # of re-walking every manifest on every foreachBatch commit. An
+            # older engine committing after us writes no flag, which
+            # conservatively re-enables the walk.
+            "txns_complete": True,
         }
         if txn is not None:
             manifest["txn"] = txn
@@ -518,11 +544,18 @@ class TxTable:
         v = self.latest_version()
         if v is None:
             return False
-        newest_txns = self._manifest(v).get("txns", {})
+        newest = self._manifest(v)
+        newest_txns = newest.get("txns", {})
         if int(newest_txns.get(app, -1)) >= batch_id:
             # the O(1) fast path is safe only for the True answer: the map
             # is monotone, so map >= batch means the batch committed
             return True
+        if newest.get("txns_complete"):
+            # a complete map dominates every surviving AND every vacuumed
+            # marker (see _commit), so map < batch means the batch has NOT
+            # committed — the common fresh-micro-batch case answers in
+            # O(1) instead of re-walking every manifest
+            return False
         # the map can UNDERREPRESENT an app — vacuum's keep-guard itself
         # preserves manifests whose markers exceed the newest map (pre-map
         # histories, or a mixed-writer chain where an old engine committed
@@ -1023,6 +1056,7 @@ class TxTable:
             # snapshot read fails on missing paths
             dirs = self._manifest(v)["data_dirs"]
             os.remove(os.path.join(self._log_dir, f"{v}.json"))
+            self._man_cache.pop(v, None)
             for d in dirs:
                 if d not in keep_dirs and os.path.isdir(d):
                     shutil.rmtree(d)

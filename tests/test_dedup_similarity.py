@@ -682,3 +682,45 @@ def test_property_hoisted_cosine_equivalent_to_inline(spark):
                 ), (r, vs)
 
     run()
+
+
+def test_hoisted_cosine_subnormal_norms_no_infinity(spark):
+    """Subnormal-scale vectors (squared norms down in the 1e-324 denormal
+    range): the hoisted guard tests the PRODUCT sqrt(na)*sqrt(nb), same as
+    inline cosine, so NULL-rows are bit-identical between the two forms and
+    no row can ever divide by an underflowed denominator (Infinity)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.similarity import (
+        cosine,
+        cosine_from_norms,
+        sq_norm,
+    )
+
+    scales = [1e-170, 1e-165, 5e-324 ** 0.5, 1e-155, 1.0, 0.0]
+    rows = [(i, [s, s * 2, s * 3, s]) for i, s in enumerate(scales)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    a = df.select(F.col("id").alias("ia"), F.col("v").alias("va"))
+    b = df.select(F.col("id").alias("ib"), F.col("v").alias("vb"))
+    both = (
+        a.crossJoin(b)
+        .select(
+            "ia",
+            "ib",
+            cosine(F.col("va"), F.col("vb")).alias("inline"),
+            cosine_from_norms(
+                F.col("va"),
+                F.col("vb"),
+                sq_norm(F.col("va")),
+                sq_norm(F.col("vb")),
+            ).alias("hoisted"),
+        )
+        .collect()
+    )
+    for r in both:
+        assert (r["inline"] is None) == (r["hoisted"] is None), r
+        if r["hoisted"] is not None:
+            assert math.isfinite(r["hoisted"]), r
+            assert abs(r["inline"] - r["hoisted"]) < 1e-9, r

@@ -92,6 +92,19 @@ def test_csv_permissive_and_single_file_sink(spark):
     back = spark.read.option("header", True).schema(schema).csv(dest)
     assert back.count() == 3
 
+    # sort_cols makes file content deterministic (repartition(1) is a
+    # round-robin shuffle, so upstream order alone cannot be relied on)
+    d1 = os.path.join(tmp, "sorted1.csv")
+    d2 = os.path.join(tmp, "sorted2.csv")
+    src_df = good.select("id", "name", "score").repartition(8)
+    write_single_csv(src_df, d1, sort_cols=["id"])
+    write_single_csv(src_df, d2, sort_cols=["id"])
+    with open(d1) as f1, open(d2) as f2:
+        b1, b2 = f1.read(), f2.read()
+    assert b1 == b2
+    ids = [line.split(",")[0] for line in b1.strip().splitlines()[1:]]
+    assert ids == sorted(ids, key=int)
+
     side = write_metadata_sidecar(
         good.agg(F.count("*").alias("n_rows")), os.path.join(tmp, "meta")
     )

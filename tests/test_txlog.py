@@ -744,8 +744,10 @@ def _strip_txns_maps(t: TxTable) -> None:
         with open(p) as f:
             m = _json.load(f)
         m.pop("txns", None)
+        m.pop("txns_complete", None)  # pre-map engines know neither field
         with open(p, "w") as f:
             _json.dump(m, f)
+    t._man_cache.clear()  # surgery = another engine's write; drop our cache
 
 
 def test_legacy_multi_app_markers_fold_on_first_commit(spark, tmp_path):
@@ -810,8 +812,10 @@ def test_txn_seen_falls_through_stale_map_to_legacy_walk(spark, tmp_path):
     with open(p) as f:
         m = _json.load(f)
     m["txns"] = {"app": 5}
+    m.pop("txns_complete", None)  # an underrepresented map is never flagged
     with open(p, "w") as f:
         _json.dump(m, f)
+    t._man_cache.clear()  # surgery = another engine's write; drop our cache
     assert t.txn_seen("app", 5) is True  # O(1) fast path
     assert t.txn_seen("app", 9) is True  # walk finds the legacy marker
     assert t.txn_seen("app", 10) is False
@@ -837,9 +841,11 @@ def test_txn_seen_falls_through_to_older_manifest_map(spark, tmp_path):
     with open(p) as f:
         m = _json.load(f)
     m.pop("txns", None)
+    m.pop("txns_complete", None)  # pre-map engines know neither field
     m["txn"] = {"app": "appB", "batch": 1}
     with open(p, "w") as f:
         _json.dump(m, f)
+    t._man_cache.clear()  # surgery = another engine's write; drop our cache
     assert t.txn_seen("appA", 5) is True  # only evidence is v_map's map
     # vacuum must keep the map-carrying manifest (its entries exceed the
     # newest, empty, map) — appA's marker survives
@@ -870,8 +876,10 @@ def _strip_newest_txns_map(t: TxTable) -> None:
     with open(p) as f:
         m = _json.load(f)
     m.pop("txns", None)
+    m.pop("txns_complete", None)  # pre-map engines know neither field
     with open(p, "w") as f:
         _json.dump(m, f)
+    t._man_cache.clear()  # surgery = another engine's write; drop our cache
 
 
 def test_property_exactly_once_across_upgrade_boundary(spark, tmp_path):
@@ -946,3 +954,61 @@ def test_property_exactly_once_across_upgrade_boundary(spark, tmp_path):
             assert t.txn_seen(app, hi + 1) is False, (app, ops)
 
     run()
+
+
+def test_txn_seen_fresh_batch_is_o1_and_manifests_cached(spark, tmp_path):
+    """ADVICE r13 closure: (a) a fresh micro-batch (the common negative
+    case) must answer from the NEWEST manifest alone when its map is
+    flagged complete — no O(versions) walk per foreachBatch commit; (b)
+    manifests are immutable once written, so a second read of the same
+    version must come from the in-process cache, not the filesystem."""
+    sch = "k long, seq long, v string"
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(spark.createDataFrame([(1, 1, "a")], sch))
+    for b in range(3):
+        t.merge(
+            spark.createDataFrame([(1, 2 + b, "x")], sch),
+            "k",
+            ["seq"],
+            txn=("app", b),
+        )
+    newest = t._manifest(t.latest_version())
+    assert newest["txns_complete"] is True
+    assert newest["txns"] == {"app": 2}
+
+    # (a) the negative answer touches exactly one manifest
+    reads = []
+    orig = TxTable._manifest
+
+    def counting(self, version):
+        reads.append(version)
+        return orig(self, version)
+
+    t2 = TxTable(spark, str(tmp_path / "tbl"))  # fresh instance, empty cache
+    TxTable._manifest = counting
+    try:
+        assert t2.txn_seen("app", 99) is False
+        assert reads == [t2.latest_version()]
+        reads.clear()
+        assert t2.txn_seen("other_app", 0) is False
+        assert reads == [t2.latest_version()]
+    finally:
+        TxTable._manifest = orig
+
+    # (b) cached manifest survives the file disappearing — proof the
+    # second read never touched storage
+    v = t.latest_version()
+    assert t._manifest(v)["version"] == v  # populates the cache
+    p = os.path.join(t._log_dir, f"{v}.json")
+    os.rename(p, p + ".hidden")
+    try:
+        assert t._manifest(v)["txns"] == {"app": 2}
+    finally:
+        os.rename(p + ".hidden", p)
+
+    # vacuum evicts dropped versions from the cache
+    for m in t.history():
+        pass  # populate cache for all versions
+    before = set(t._man_cache)
+    t.vacuum(keep_last=1)
+    assert set(t._man_cache) == before & set(t.versions())

@@ -1,18 +1,20 @@
-"""Same-host A/B: do the r12 ANSI guards cost wall time, or was the bench
-delta host noise?  (VERDICT r12 item 4.)
+"""Same-host A/B harnesses for bench-delta attribution.
 
-Two queries regressed in the driver bench coincident with gaining guards:
+Two modes, one warm JVM, interleaved A/B/A/B ordering (removes the
+host-drift confound that plagues cross-run comparisons):
 
-- ``embedding_ann_bruteforce`` (+27%): ``similarity.cosine`` gained a
-  zero-norm ``when`` guard;
-- ``corpus_pipeline_summary`` (+23%): the text quality ratios gained
-  empty-text ``when`` guards.
+1. **Guard-cost mode** (default): is the ANSI zero-norm / empty-text
+   ``when`` guard measurable wall time, or noise?  Runs the shipping
+   (guarded) expressions against monkeypatched unguarded ones — safe on
+   fixtures: no zero vectors / empty docs.  Post-r13 the brute-force ANN
+   path calls ``cosine_from_norms`` (the hoisted form), NOT ``cosine``,
+   so THAT is what gets patched — patching ``cosine`` would run identical
+   code in both variants and report ~0% regardless (ADVICE r13 item 1).
 
-This script runs both queries at sf0.1 on one warm session, interleaving
-the GUARDED (shipping) and UNGUARDED (pre-r12 expression, monkeypatched —
-safe on fixtures: no zero vectors / empty docs) variants A/B/A/B..., and
-prints per-variant walls + medians.  Interleaving on one JVM removes the
-host-drift confound the closing r12 runs showed.
+2. **Plain A/B mode** (``--queries name1,name2``): no monkeypatch — just
+   interleaved warm timings of the named registry queries, for settling
+   "nominal regression or host noise" questions (VERDICT r13 item 6).
+   With one variant the output is per-query medians + spread.
 """
 
 from __future__ import annotations
@@ -33,15 +35,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 ROUNDS = int(os.environ.get("AB_ROUNDS", "6"))
 
 
-def main() -> None:
-    from end_to_end_data_engineering_and_ml_system_spark.operators import (
-        similarity,
-        text,
-    )
-    from end_to_end_data_engineering_and_ml_system_spark.plans.registry import (
-        all_queries,
-    )
-
+def _session() -> SparkSession:
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .config("spark.sql.shuffle.partitions", CPUS)
@@ -50,18 +44,66 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
-    guarded_cosine = similarity.cosine
+
+def plain_ab(query_names: list[str]) -> None:
+    """Interleaved warm timings of registry queries, no code variants —
+    median + min/max spread per query on ONE host/JVM, the cheapest way
+    to decide whether a cross-round bench delta was real."""
+    from end_to_end_data_engineering_and_ml_system_spark.plans.registry import (
+        all_queries,
+    )
+
+    spark = _session()
+    qs = all_queries()
+    for q in query_names:
+        if q not in qs:
+            raise SystemExit(f"unknown query: {q}")
+    walls: dict[str, list[float]] = {q: [] for q in query_names}
+    for q in query_names:  # warm: plan compile, file listing, page cache
+        qs[q].build(spark, SF_DIR).count()
+    for i in range(ROUNDS):
+        order = query_names if i % 2 == 0 else list(reversed(query_names))
+        for q in order:
+            t0 = time.perf_counter()
+            qs[q].build(spark, SF_DIR).count()
+            walls[q].append(time.perf_counter() - t0)
+    out = {
+        q: {
+            "median": round(statistics.median(w), 4),
+            "min": round(min(w), 4),
+            "max": round(max(w), 4),
+            "spread_pct": round(100.0 * (max(w) - min(w)) / min(w), 1),
+            "all": [round(x, 4) for x in w],
+        }
+        for q, w in walls.items()
+    }
+    print(json.dumps(out, indent=2))
+
+
+def guard_cost() -> None:
+    from end_to_end_data_engineering_and_ml_system_spark.operators import (
+        similarity,
+        text,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.plans.registry import (
+        all_queries,
+    )
+
+    spark = _session()
+
+    guarded_cfn = similarity.cosine_from_norms
     guarded_ratios = (
         text.punct_ratio,
         text.uppercase_ratio,
         text.stopword_ratio,
     )
 
-    def unguarded_cosine(a, b):
-        return similarity.dot_product(a, b) / (
-            F.sqrt(similarity.sq_norm(a)) * F.sqrt(similarity.sq_norm(b))
-        )
+    def unguarded_cfn(a, b, na, nb, exact=False):
+        # the hoisted hot path minus its when-guard: one divide, no test
+        dp = similarity.dot_product_exact if exact else similarity.dot_product
+        return dp(a, b) / (F.sqrt(na) * F.sqrt(nb))
 
     def unguarded_punct(col):
         c = F.col(col) if isinstance(col, str) else col
@@ -82,14 +124,14 @@ def main() -> None:
 
     def set_variant(v: str) -> None:
         if v == "guarded":
-            similarity.cosine = guarded_cosine
+            similarity.cosine_from_norms = guarded_cfn
             (
                 text.punct_ratio,
                 text.uppercase_ratio,
                 text.stopword_ratio,
             ) = guarded_ratios
         else:
-            similarity.cosine = unguarded_cosine
+            similarity.cosine_from_norms = unguarded_cfn
             text.punct_ratio = unguarded_punct
             text.uppercase_ratio = unguarded_upper
             text.stopword_ratio = unguarded_stop
@@ -134,4 +176,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--queries":
+        plain_ab([q.strip() for q in sys.argv[2].split(",") if q.strip()])
+    else:
+        guard_cost()
