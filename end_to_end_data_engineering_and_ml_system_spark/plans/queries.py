@@ -850,6 +850,48 @@ def approx_distinct_users(spark, sf_dir):
 
 
 @register(
+    "approx_distinct_users_portable",
+    oracle="""
+        SELECT
+            event_type,
+            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+            TRUE AS hll_within_bound
+        FROM events
+        GROUP BY 1
+    """,
+    description=(
+        "per-type exact distinct users plus an HLL-vs-exact error-bound "
+        "check — the oracle-checked sibling of approx_distinct_users (the "
+        "sketch value itself is engine-specific; its CONTRACT — within "
+        "3*rsd of exact — is not, and the oracle pins it as a literal)"
+    ),
+    tags=("aggregation", "approx", "deterministic"),
+)
+def approx_distinct_users_portable(spark, sf_dir):
+    """The sketch's raw estimate can't hash-match across engines, but its
+    accuracy contract can be checked AS A VALUE: the boolean
+    |approx - exact| <= 3*rsd*exact is deterministic for a fixed dataset
+    (Spark's HLL++ is seedless) and the oracle asserts it TRUE per group.
+    A broken sketch implementation hash-mismatches here instead of hiding
+    behind a rows-only check. Both aggregates run in the same single
+    groupBy pass — no extra shuffle over the exact-only form."""
+    rsd = 0.02
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=rsd).alias("__approx"),
+    )
+    return g.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("__approx") - F.col("exact_users"))
+            <= 3 * rsd * F.col("exact_users")
+        ).alias("hll_within_bound"),
+    )
+
+
+@register(
     "score_stats",
     oracle="""
         SELECT
@@ -7289,6 +7331,71 @@ def distinct_users_hll_rollup(spark, sf_dir):
     merged = per.agg(F.hll_union_agg("sk").alias("sk")).select(
         F.lit("__ALL__").alias("event_type"),
         F.hll_sketch_estimate("sk").alias("est_users"),
+    )
+    return per_type.unionByName(merged)
+
+
+@register(
+    "distinct_users_hll_rollup_portable",
+    oracle="""
+        SELECT
+            event_type,
+            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+            TRUE AS est_within_bound
+        FROM events
+        GROUP BY 1
+        UNION ALL
+        SELECT
+            '__ALL__',
+            CAST(COUNT(DISTINCT user_id) AS BIGINT),
+            TRUE
+        FROM events
+    """,
+    description=(
+        "HLL rollup accuracy contract, hash-checked: per-type exact "
+        "distincts plus booleans pinning BOTH the per-type sketch estimate "
+        "AND the union-of-sketches global estimate within 5% of exact — "
+        "the oracle-checked sibling of distinct_users_hll_rollup"
+    ),
+    tags=("aggregation", "sketch", "deterministic"),
+)
+def distinct_users_hll_rollup_portable(spark, sf_dir):
+    """The raw DataSketches estimates are engine-specific, but the rollup's
+    CONTRACT is not: the merged-union estimate must track the true global
+    cardinality the union never recounted. This sibling recounts exactly
+    (on purpose — it is the verifier, not the scale path) and hash-checks
+    the per-type and merged bounds as values; a broken sketch-merge would
+    mismatch here instead of hiding behind a rows-only check. Estimates
+    are deterministic for fixed input sets (hash-based, order-free), so
+    the booleans are hash-stable."""
+    bound = 0.05
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    per_type = per.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
+            <= bound * F.col("exact_users")
+        ).alias("est_within_bound"),
+    )
+    global_exact = ev.agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    merged = (
+        per.agg(F.hll_union_agg("sk").alias("sk"))
+        .crossJoin(F.broadcast(global_exact))  # both sides exactly 1 row
+        .select(
+            F.lit("__ALL__").alias("event_type"),
+            "exact_users",
+            (
+                F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
+                <= bound * F.col("exact_users")
+            ).alias("est_within_bound"),
+        )
     )
     return per_type.unionByName(merged)
 

@@ -923,6 +923,89 @@ def bpe_fertility_by_lang(spark, sf_dir):
     )
 
 
+# Pinned merge fixture for the portable fertility sibling. The pairs are
+# single chars, left != right, with PAIRWISE-DISJOINT character sets across
+# merges — under those constraints greedy sequential application provably
+# never interacts across merges (a merge consumes only its own two chars
+# and its 2-char output can never equal a later merge's single-char
+# operand), so each merge's symbol reduction equals the non-overlapping
+# substring count of left||right in the ORIGINAL word. That makes the
+# token length SQL-expressible: len(word) + 1 (end-of-word) - sum of
+# per-merge substring counts — validated against the real _merge_word on
+# 20k random words. Breaking any constraint (shared chars, multi-char
+# operands) breaks the identity; change the SQL if you change the fixture.
+_BPE_FIXTURE_MERGES: tuple = (("t", "h"), ("e", "r"), ("i", "n"), ("a", "s"))
+
+_SQL_BPE_SUBCOUNT = (
+    "(length(word) - length(replace(word, '{pair}', ''))) // 2"
+)
+
+
+@register(
+    "bpe_fertility_portable",
+    oracle=r"""
+        WITH words AS (
+            SELECT d.lang, t.w AS word
+            FROM documents d,
+                 unnest(list_filter(
+                     regexp_split_to_array(trim(d.text), '\s+'),
+                     tk -> tk <> '')) AS t(w)
+        ),
+        tok AS (
+            SELECT lang,
+                   CAST(length(word) + 1
+                     - {th} - {er} - {in_} - {as_}
+                     AS BIGINT) AS n_tok
+            FROM words
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS total_words,
+               CAST(SUM(n_tok) AS BIGINT) AS total_bpe_tokens,
+               CASE WHEN COUNT(*) > 0
+                    THEN CAST(SUM(n_tok) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE)
+               END AS fertility
+        FROM tok
+        GROUP BY 1
+    """.format(
+        th=_SQL_BPE_SUBCOUNT.format(pair="th"),
+        er=_SQL_BPE_SUBCOUNT.format(pair="er"),
+        in_=_SQL_BPE_SUBCOUNT.format(pair="in"),
+        as_=_SQL_BPE_SUBCOUNT.format(pair="as"),
+    ),
+    description=(
+        "tokenizer fertility per language under a PINNED merge table — the "
+        "oracle-checked sibling of bpe_fertility_by_lang (only the merge "
+        "LEARNING loop is iterative; the application step is the same "
+        "mapInPandas tokenize + vocab join + agg, hash-checked here)"
+    ),
+    tags=("ml", "text", "tokenizer", "deterministic"),
+)
+def bpe_fertility_portable(spark, sf_dir):
+    """Same plan as ``bpe_fertility_by_lang`` — distinct-word table
+    tokenized once through the real merge-application pandas UDF, token
+    lengths joined back, exact integer sums per lang, one double division
+    — but with ``_BPE_FIXTURE_MERGES`` pinned instead of learned, which
+    makes every output value cross-engine reproducible (see the fixture's
+    disjointness contract above; fixtures are ASCII, so Spark's UTF-16
+    split and DuckDB's codepoint length agree)."""
+    from ..operators.bpe import bpe_token_lengths
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [(l, r, i) for i, (l, r) in enumerate(_BPE_FIXTURE_MERGES)]
+    per_doc = bpe_token_lengths(docs, merges, broadcast_vocab=True)
+    with_lang = per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+    return with_lang.groupBy("lang").agg(
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
+        F.when(
+            F.sum("n_words") > 0,
+            F.sum("n_bpe_tokens").cast("double")
+            / F.sum("n_words").cast("double"),
+        ).alias("fertility"),
+    )
+
+
 @register(
     "stream_embedding_topk",
     oracle="""

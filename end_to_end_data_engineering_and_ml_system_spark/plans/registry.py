@@ -89,88 +89,74 @@ def register(
 # any number of future artifacts landing (rounds >= _WINDOW_ROUND never
 # count), which closes the r8/r9/r11 artifact-landing failure class at the
 # model level instead of per-landing point fixes.
-_WINDOW_ROUND: int = 13
+_WINDOW_ROUND: int = 14
 
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- genuinely new this round (2): brute-force ANN API in decimal-
-    # exact mode, and the flows ETL with a hash-uniform benign split —
-    # oracle-checked siblings of two rows-only paths ---
-    "embedding_ann_bruteforce_portable",
-    "flows_preprocess_portable_summary",
-    # --- changed-implementation (4): r13 pairwise-cosine hoist
-    # (cosine_from_norms: per-row norms instead of per-pair folds) in the
-    # brute-force, IVF re-rank, and near-dup verify paths; the retrieval
-    # query also had its corpus-sized label broadcast inverted ---
+    # --- genuinely new this round (3): oracle-checked portable siblings
+    # shrinking the rows-only set (VERDICT r13 item 5) — pinned-merge BPE
+    # fertility, HLL-vs-exact bound checks per-type and union-merged ---
+    "bpe_fertility_portable",
+    "approx_distinct_users_portable",
+    "distinct_users_hll_rollup_portable",
+    # --- changed-implementation (7): r14 cosine_from_norms guard now
+    # tests the denominator PRODUCT sqrt(na)*sqrt(nb) like inline cosine
+    # (subnormal-underflow alignment, ADVICE r13) — every consumer of the
+    # hoisted-cosine paths (brute force, IVF re-rank, near-dup verify) ---
     "embedding_ann_bruteforce",
+    "embedding_ann_bruteforce_portable",
     "embedding_ivf_topk",
+    "embedding_ivf_topk_portable",
     "embedding_near_dups",
-    "embedding_retrieval_label_consistency",
-    # --- changed-implementation (11): r13 queries.py review — forced
-    # broadcast hints removed from SF-scaled TPC-H dims (customer/part/
-    # supplier); AQE decides, nation/region keep hints ---
-    "unshipped_orders_topk",
-    "returned_items_customers",
-    "events_enriched_by_customer",
-    "stream_events_by_segment",
-    "promo_revenue_by_year",
-    "brand_bucket_revenue",
-    "profit_by_nation_year",
-    "nation_trade_volume",
-    "intra_region_supply_share",
-    "sole_late_supplier_orders",
-    "supplier_concentration_hhi",
-    # --- changed-implementation (7): r13 ANSI/degenerate-input guards
-    # (zero-variance slope, all-empty-doc source, empty-table scalars) ---
-    "value_trend_by_type",
-    "doc_span_dedup_savings",
-    "threshold_sweep_anomaly_rates",
-    "top_order_revenue_concentration",
-    "doc_unigram_logprob",
-    "events_hourly_gapfill",
-    "events_outage_intervals",
-    # --- changed-implementation (4): r13 quality-gate single-definition
-    # refactor (shared _SQL_QUALITY_EXPR/_sql_quality_gate/_quality_gate) ---
-    "corpus_quality_filter",
-    "corpus_pipeline_summary",
-    "corpus_yield_by_source",
-    "token_budget_selection",
-    # --- changed-implementation (9): r13 txlog exactly-once fixes
-    # (txn_seen stale-map fall-through, map-aware upgrade fold + vacuum
-    # keep-guard) and the rotated-state prev!=new reap guard ---
+    "embedding_near_dups_portable",
+    "als_related_parts",
+    # --- changed-implementation (11): r14 txlog manifest cache +
+    # txns_complete flag (txn_seen answers the fresh-batch negative in
+    # O(1); _commit folds the full evidence once per pre-flag table) —
+    # every TxTable-consuming query ---
     "stream_merge_into_tx_table",
-    "incremental_daily_agg_merge",
-    "snapshot_diff_counts",
-    "partition_pruned_counts",
     "tx_table_zorder_pruned_scan",
     "corpus_dedup_snapshot_pipeline",
-    "stream_latest_state_merge",
-    "stream_embedding_topk",
     "stream_pq_index_update",
-    # --- evidence-freshness (4): the round-4-tier names displaced from
-    # the r12 window by its changed-implementation slots ---
-    "vocab_coverage_top100",
-    "value_outliers_iqr",
-    "user_rfm_features",
-    "user_event_type_sets",
-    # --- changed-implementation (3): r13 cross-file broadcast sweep —
-    # the same SF/corpus-scaled forced-broadcast class found in
-    # queries.py, in the other two plans files (supplier/customer edge
-    # builds; corpus-sized doc->source projections) ---
-    "nation_trade_pagerank",
-    "nation_trade_graph_stats",
-    "cross_source_duplicate_matrix",
-    # --- changed-implementation (4): r13 ANSI sweep over the quality
-    # plans file (undefined MASE on constant series, zero-word fertility,
-    # pushdown-order-dependent weighted-sample key guards) ---
-    "hourly_seasonal_naive_mase",
-    "weighted_doc_sample",
-    "weighted_doc_sample_by_lang",
-    "bpe_fertility_by_lang",
-    # --- evidence-freshness (2): round-5 tier, alphabetical head (names
-    # already holding r13 changed slots above are skipped; tail rolls to
-    # round 14 — changed-implementation evidence outranks freshness) ---
-    "chunk_level_dedup_stats",
-    "corpus_boilerplate_ngrams",
+    "events_column_profile",
+    "stream_copurchase_pagerank",
+    "tx_table_time_travel_counts",
+    "tx_table_point_lookup_bloom",
+    "tx_table_delete_counts",
+    "tx_table_schema_evolution_counts",
+    "tx_table_delete_all_restore_counts",
+    # --- evidence-freshness (29): round-5 tier (the oldest ledger tier),
+    # alphabetical from corpus_manifest per the committed r14 rotation
+    # plan; the tail (user_hashed_features, value_benford_audit,
+    # value_impute_by_group) rolls to round 15 ---
+    "corpus_manifest",
+    "corpus_temperature_mix",
+    "customer_cohort_ltv_curve",
+    "customer_order_count_distribution",
+    "daily_gmv_trailing_ma",
+    "daily_growth_accounting",
+    "doc_duplicate_ngram_spans",
+    "doc_duplicate_ngram_windows",
+    "doc_label_noise_audit",
+    "doc_readability_scores",
+    "drift_psi_events",
+    "embedding_drift_by_dim",
+    "error_burst_detection",
+    "event_mix_drift_daily",
+    "events_ab_test_readout",
+    "events_duplicate_delivery_audit",
+    "events_k_anonymity_audit",
+    "float_downcast_precision_audit",
+    "join_fanout_profile",
+    "label_balance_by_split",
+    "minhash_jaccard_calibration",
+    "near_dup_cluster_size_histogram",
+    "near_dup_threshold_sensitivity",
+    "price_quantity_ols",
+    "source_unigram_jsd",
+    "token_cms_estimates",
+    "training_shuffle_shards",
+    "user_activity_entropy",
+    "user_feature_store_row",
 )
 
 

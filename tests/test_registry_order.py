@@ -116,121 +116,76 @@ def _shipped_driver_tested() -> set[str]:
 # guard fails (negative control below keeps the guard itself honest).
 RECONFIRMATION_SLOTS: dict[str, str] = {
     **{
-        n: "changed: r13 pairwise-cosine hoist (cosine_from_norms — "
-        "per-row squared norms replace per-pair folds; the zero-norm "
-        "guard became a two-scalar test, A/B-measured faster than the "
-        "unguarded pre-r12 expression); retrieval query additionally had "
-        "its corpus-sized label broadcast inverted to broadcast top1"
+        n: "changed: r14 cosine_from_norms guard alignment — the hoisted "
+        "form now guards the denominator PRODUCT sqrt(na)*sqrt(nb) like "
+        "inline cosine (per-factor na>0 & nb>0 could in principle pass a "
+        "subnormal product underflow; aligned guard makes NULL-rows "
+        "bit-identical to the inline form) — every consumer of the "
+        "brute-force / IVF re-rank / near-dup verify paths"
         for n in (
             "embedding_ann_bruteforce",
+            "embedding_ann_bruteforce_portable",
             "embedding_ivf_topk",
+            "embedding_ivf_topk_portable",
             "embedding_near_dups",
-            "embedding_retrieval_label_consistency",
+            "embedding_near_dups_portable",
+            "als_related_parts",
         )
     },
     **{
-        n: "changed: r13 queries.py review — forced broadcast hints "
-        "removed from SF-scaled TPC-H dims (customer 15B / part 20B / "
-        "supplier 1B rows at 100 TB); AQE sizes the joins now, "
-        "nation/region keep their fixed-size hints"
-        for n in (
-            "unshipped_orders_topk",
-            "returned_items_customers",
-            "events_enriched_by_customer",
-            "stream_events_by_segment",
-            "promo_revenue_by_year",
-            "brand_bucket_revenue",
-            "profit_by_nation_year",
-            "nation_trade_volume",
-            "intra_region_supply_share",
-            "sole_late_supplier_orders",
-            "supplier_concentration_hhi",
-        )
-    },
-    **{
-        n: "changed: r13 ANSI/degenerate-input guards — zero-variance "
-        "trend groups and all-empty-doc sources yield NULL (DuckDB x/0 "
-        "semantics) instead of ANSI DIVIDE_BY_ZERO; empty-table scalar "
-        "reads raise clear ValueErrors instead of int(None)/F.lit(None)"
-        for n in (
-            "value_trend_by_type",
-            "doc_span_dedup_savings",
-            "threshold_sweep_anomaly_rates",
-            "top_order_revenue_concentration",
-            "doc_unigram_logprob",
-            "events_hourly_gapfill",
-            "events_outage_intervals",
-        )
-    },
-    **{
-        n: "changed: r13 quality-gate single-definition refactor — the "
-        "0.75/5/5000 gate and the 4-CASE quality expression now render "
-        "from ONE module-level definition on both engine sides (was six "
-        "re-typed copies, the r12 BM25-predicate drift class)"
-        for n in (
-            "corpus_quality_filter",
-            "corpus_pipeline_summary",
-            "corpus_yield_by_source",
-            "token_budget_selection",
-        )
-    },
-    **{
-        n: "changed: r13 txlog exactly-once fixes (txn_seen falls through "
-        "a stale newest-map entry to the full marker walk; upgrade fold "
-        "and vacuum keep-guard consider older manifests' txns maps) and "
-        "the rotated-state prev != new reap guard; driver rows predate "
-        "commit 38d856e"
+        n: "changed: r14 txlog manifest cache (immutable-once-written "
+        "per-instance read cache) + txns_complete flag (txn_seen answers "
+        "the common fresh-micro-batch negative in O(1); _commit runs the "
+        "full evidence fold once per pre-flag table, then carries "
+        "completeness forward) — every TxTable-consuming query"
         for n in (
             "stream_merge_into_tx_table",
-            "incremental_daily_agg_merge",
-            "snapshot_diff_counts",
-            "partition_pruned_counts",
             "tx_table_zorder_pruned_scan",
             "corpus_dedup_snapshot_pipeline",
-            "stream_latest_state_merge",
-            "stream_embedding_topk",
             "stream_pq_index_update",
+            "events_column_profile",
+            "stream_copurchase_pagerank",
+            "tx_table_time_travel_counts",
+            "tx_table_point_lookup_bloom",
+            "tx_table_delete_counts",
+            "tx_table_schema_evolution_counts",
+            "tx_table_delete_all_restore_counts",
         )
     },
     **{
-        n: "freshness: round-4-tier names displaced from the r12 window "
-        "by its changed-implementation slots (the committed r13 plan)"
+        n: "freshness: round-5 tier (the oldest ledger tier), alphabetical "
+        "from corpus_manifest per the committed r14 rotation plan; the "
+        "3-name tail rolls to round 15"
         for n in (
-            "vocab_coverage_top100",
-            "value_outliers_iqr",
-            "user_rfm_features",
-            "user_event_type_sets",
-        )
-    },
-    **{
-        n: "changed: r13 cross-file broadcast sweep — forced broadcasts "
-        "of SF-scaled dims (supplier/customer edge builds) and of the "
-        "corpus-sized doc->source projections removed; AQE sizes them"
-        for n in (
-            "nation_trade_pagerank",
-            "nation_trade_graph_stats",
-            "cross_source_duplicate_matrix",
-        )
-    },
-    **{
-        n: "changed: r13 ANSI sweep over queries_quality.py — MASE NULL "
-        "on a constant series, fertility NULL on zero words, weighted-"
-        "sample key guarded in-place (its safety was pushdown-order-"
-        "dependent)"
-        for n in (
-            "hourly_seasonal_naive_mase",
-            "weighted_doc_sample",
-            "weighted_doc_sample_by_lang",
-            "bpe_fertility_by_lang",
-        )
-    },
-    **{
-        n: "freshness: round-5 tier, alphabetical head (names already "
-        "holding r13 changed slots are skipped per the committed plan; "
-        "tail rolls to round 14)"
-        for n in (
-            "chunk_level_dedup_stats",
-            "corpus_boilerplate_ngrams",
+            "corpus_manifest",
+            "corpus_temperature_mix",
+            "customer_cohort_ltv_curve",
+            "customer_order_count_distribution",
+            "daily_gmv_trailing_ma",
+            "daily_growth_accounting",
+            "doc_duplicate_ngram_spans",
+            "doc_duplicate_ngram_windows",
+            "doc_label_noise_audit",
+            "doc_readability_scores",
+            "drift_psi_events",
+            "embedding_drift_by_dim",
+            "error_burst_detection",
+            "event_mix_drift_daily",
+            "events_ab_test_readout",
+            "events_duplicate_delivery_audit",
+            "events_k_anonymity_audit",
+            "float_downcast_precision_audit",
+            "join_fanout_profile",
+            "label_balance_by_split",
+            "minhash_jaccard_calibration",
+            "near_dup_cluster_size_histogram",
+            "near_dup_threshold_sensitivity",
+            "price_quantity_ols",
+            "source_unigram_jsd",
+            "token_cms_estimates",
+            "training_shuffle_shards",
+            "user_activity_entropy",
+            "user_feature_store_row",
         )
     },
 }
