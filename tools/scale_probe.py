@@ -541,7 +541,329 @@ def auc(n: int, sf_dir: str) -> None:
     print(f"cross-check: {n}x AUC bit-identical, n_pos scaled exactly {n}x")
 
 
+def top5(n: int, sf_dir: str) -> None:
+    """100x probe of the five most expensive bench plans (VERDICT r13
+    item 3): pagerank, doc_dedup_clusters, cluster_aware_split_counts,
+    anomaly_score_routing, doc_lsh_verified_near_dups.
+
+    The iterative two (pagerank, connected components) are where a 100x
+    blowup would hide — lineage-cut growth, state accumulation — so this
+    ASSERTS, not eyeballs: wall ratio bounded by ~1.5x linear, and the
+    PYTHON driver's resident-set delta flat (< 500 MB) across the Nx run
+    (the driver holds only scalars and per-round counters; rank/label
+    state never leaves the executors)."""
+    import resource
+
+    from end_to_end_data_engineering_and_ml_system_spark.ml.pipeline import (
+        fit_standardizer,
+        score_and_route_literal,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.operators.dedup import (
+        lsh_verified_near_dups,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.operators.graph import (
+        dedup_cluster_labels,
+        pagerank,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        deterministic_split,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.plans.queries import (
+        _FEATURES,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.plans.queries_graph_retrieval import (  # noqa: E501
+        copurchase_edges_from_baskets,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.session import get_spark
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    spark = get_spark(app_name="scale-probe-top5", cpus=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, sf_dir, "documents")
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_partkey").cast("long").alias("part"),
+    ).distinct()
+
+    def rss_mb() -> float:
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+    def lsh_pairs(d):
+        return lsh_verified_near_dups(
+            d, "doc_id", "text", num_hashes=8, rows_per_band=2, n=3,
+            threshold=0.6,
+        )
+
+    def dedup_clusters(d):
+        return dedup_cluster_labels(d, lsh_pairs(d), "doc_id").groupBy(
+            "cluster_id"
+        ).agg(F.count("*").alias("n_docs"))
+
+    def cluster_split(d):
+        labeled = dedup_cluster_labels(d, lsh_pairs(d), "doc_id")
+        split = deterministic_split(
+            labeled, "cluster_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+        return split.groupBy("split").agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+
+    def score_routing(d):
+        stats_row = fit_standardizer(d, _FEATURES).first()
+        return score_and_route_literal(
+            d, stats_row, _FEATURES, threshold=2.0
+        ).groupBy("prediction").count()
+
+    def pr_topk(edges):
+        return pagerank(edges, iters=3, assume_distinct=True).orderBy(
+            F.col("rank").desc(), "id"
+        ).limit(20)
+
+    def probe(name, base, fn, id_col):
+        fn(base).count()  # warm: plan compile, page cache, codegen
+        t0 = time.perf_counter()
+        fn(base).count()
+        t1 = time.perf_counter() - t0
+        big = replicate(base, id_col, n).persist()
+        rows = big.count()
+        before = rss_mb()
+        t0 = time.perf_counter()
+        fn(big).count()
+        tn = time.perf_counter() - t0
+        drss = rss_mb() - before
+        big.unpersist()
+        ratio = tn / t1
+        print(
+            f"{name}: 1x={t1:.2f}s {n}x={tn:.2f}s ratio={ratio:.1f} "
+            f"(linear ~{n}) rows_{n}x={rows} driver_rss_delta={drss:.0f}MB"
+        )
+        assert ratio < n * 1.5, f"{name} super-linear at {n}x: {ratio:.1f}"
+        assert drss < 500, f"{name} driver RSS grew {drss:.0f}MB at {n}x"
+
+    # pagerank replicates EDGES (both endpoints shifted -> n disjoint
+    # copies, structure preserved), the rest replicate their input table
+    def pr_replicated(e):
+        return pr_topk(e)
+
+    base_edges = copurchase_edges_from_baskets(po, keep_weight=False)
+
+    def edge_replicate(e, mult):
+        stride = 10_000_000
+        parts = [
+            e.select(
+                (F.col("src") + F.lit(i * stride)).alias("src"),
+                (F.col("dst") + F.lit(i * stride)).alias("dst"),
+            )
+            for i in range(mult)
+        ]
+        out = parts[0]
+        for pdf in parts[1:]:
+            out = out.unionByName(pdf)
+        return out
+
+    pr_topk(base_edges).count()  # warm
+    t0 = time.perf_counter()
+    pr_topk(base_edges).count()
+    t1 = time.perf_counter() - t0
+    big_e = edge_replicate(base_edges, n).persist()
+    n_edges = big_e.count()
+    before = rss_mb()
+    t0 = time.perf_counter()
+    pr_topk(big_e).count()
+    tn = time.perf_counter() - t0
+    drss = rss_mb() - before
+    big_e.unpersist()
+    ratio = tn / t1
+    print(
+        f"pagerank_topk: 1x={t1:.2f}s {n}x={tn:.2f}s ratio={ratio:.1f} "
+        f"(linear ~{n}) edges_{n}x={n_edges} driver_rss_delta={drss:.0f}MB"
+    )
+    assert ratio < n * 1.5, f"pagerank super-linear at {n}x: {ratio:.1f}"
+    assert drss < 500, f"pagerank driver RSS grew {drss:.0f}MB at {n}x"
+
+    probe("doc_lsh_verified_near_dups", docs, lsh_pairs, "doc_id")
+    probe("doc_dedup_clusters", docs, dedup_clusters, "doc_id")
+    probe("cluster_aware_split_counts", docs, cluster_split, "doc_id")
+    probe("anomaly_score_routing", li, score_routing, "l_orderkey")
+    print("top5 probe: all ratios sub-1.5x-linear, driver RSS flat")
+
+
+def skew(sf_dir: str, hot_share: float = 0.5, salt_buckets: int = 16) -> None:
+    """Pathological-key probe (VERDICT r13 item 4): one key owning
+    ``hot_share`` of the fact table — the 100 TB reality the reference's
+    CICIDS BENIGN label embodies (~80% of the dataset on one label).
+
+    Measures, with AQE OFF so shuffle placement is deterministic:
+      plain join   — the hot key hashes to ONE task (partition-max ~= hot
+                     rows, the straggler that serializes the stage);
+      salted_join  — the hot key spreads over ``salt_buckets`` tasks.
+    ASSERTS the salted partition-max is at least 4x smaller, then records
+    the AQE-ON plain join for comparison (AQE's skew split handles this
+    for sort-merge joins at the partition level; salting is the insurance
+    for the shapes it can't re-plan).
+
+    Second half: LSH banding on a corpus where ``hot_share`` of docs share
+    IDENTICAL text — every band maps the flood to one bucket. ASSERTS the
+    ``max_bucket_size`` cap actually fires (hot buckets detected, flood
+    membership rows dropped) and that the capped verify pipeline's wall
+    stays near the clean corpus's instead of going quadratic."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.dedup import (
+        lsh_buckets_wide,
+        lsh_verified_near_dups,
+        minhash_wide,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.operators.relational import (
+        salted_join,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.session import get_spark
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    spark = get_spark(app_name="scale-probe-skew", cpus=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    hot_key = orders.select(F.min("o_orderkey")).first()[0]
+    # hot_share of fact rows re-keyed onto ONE order key
+    fact = li.select(
+        F.when(
+            F.pmod(F.col("l_linenumber") + F.col("l_orderkey"), F.lit(100))
+            < int(hot_share * 100),
+            F.lit(hot_key),
+        )
+        .otherwise(F.col("l_orderkey"))
+        .alias("okey"),
+        "l_quantity",
+    ).persist()
+    n_fact = fact.count()
+    n_hot = fact.filter(F.col("okey") == hot_key).count()
+    dim = orders.select(
+        F.col("o_orderkey").alias("okey"), "o_custkey", "o_orderdate"
+    )
+    print(
+        f"skew fixture: {n_fact} fact rows, hot key owns {n_hot} "
+        f"({n_hot / n_fact:.0%})"
+    )
+
+    def part_max(df) -> int:
+        return (
+            df.withColumn("__pid", F.spark_partition_id())
+            .groupBy("__pid")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+
+    def timed_join(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        cnt = out.count()
+        wall = time.perf_counter() - t0
+        pm = part_max(fn())
+        print(f"{name}: wall={wall:.2f}s rows={cnt} partition_max={pm}")
+        return wall, pm, cnt
+
+    # force the shuffle join both times (the dim is small enough to
+    # broadcast at test SF — at 100 TB it is not, which is the case under
+    # probe) and freeze AQE so placement is deterministic
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        w_p, pm_p, n_p = timed_join(
+            "plain join, AQE off", lambda: fact.join(dim, "okey")
+        )
+        w_s, pm_s, n_s = timed_join(
+            f"salted_join({salt_buckets}), AQE off",
+            lambda: salted_join(fact, dim, "okey", salt_buckets=salt_buckets),
+        )
+        assert n_p == n_s, (n_p, n_s)
+        assert pm_s * 4 <= pm_p, (
+            f"salting must spread the hot key: plain partition_max={pm_p}, "
+            f"salted={pm_s}"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    timed_join("plain join, AQE on (skew split)", lambda: fact.join(dim, "okey"))
+    fact.unpersist()
+
+    # ---- LSH hot-bucket cap under a 50%-identical-text flood ----
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    flooded = docs.select(
+        "doc_id",
+        F.when(
+            F.pmod("doc_id", F.lit(100)) < int(hot_share * 100),
+            F.lit("flood flood flood the same document text every time"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).persist()
+    n_docs = flooded.count()
+    cap = 50
+    wide = minhash_wide(flooded, "doc_id", "text", 8, 3)
+    buckets = lsh_buckets_wide(wide, "doc_id", 8, 2)
+    stats = (
+        buckets.groupBy("band", "bucket")
+        .count()
+        .agg(
+            F.max("count").alias("largest"),
+            F.sum("count").alias("rows"),
+            F.sum(F.when(F.col("count") > cap, F.col("count"))).alias(
+                "dropped"
+            ),
+            F.sum(
+                F.when(F.col("count") > cap, F.lit(1)).otherwise(F.lit(0))
+            ).alias("hot"),
+        )
+        .first()
+    )
+    hit_rate = (stats["dropped"] or 0) / stats["rows"]
+    print(
+        f"lsh flood ({n_docs} docs, {hot_share:.0%} identical): "
+        f"largest_bucket={stats['largest']} hot_buckets={stats['hot']} "
+        f"cap={cap} hit_rate={hit_rate:.1%} of membership rows"
+    )
+    assert stats["hot"] >= 1, "flood must create at least one hot bucket"
+    assert hit_rate >= 0.3, f"cap must drop the flood rows: {hit_rate:.1%}"
+    t0 = time.perf_counter()
+    n_pairs = lsh_verified_near_dups(
+        flooded, "doc_id", "text", 8, 2, 3, 0.6, max_bucket_size=cap
+    ).count()
+    w_capped = time.perf_counter() - t0
+    clean = docs.persist()
+    clean.count()
+    t0 = time.perf_counter()
+    lsh_verified_near_dups(clean, "doc_id", "text", 8, 2, 3, 0.6).count()
+    w_clean = time.perf_counter() - t0
+    print(
+        f"capped verify on flood: {w_capped:.2f}s ({n_pairs} pairs) vs "
+        f"clean corpus {w_clean:.2f}s"
+    )
+    assert w_capped < w_clean * 5 + 5, (
+        f"capped flood verify should stay near clean wall: "
+        f"{w_capped:.2f}s vs {w_clean:.2f}s"
+    )
+    flooded.unpersist()
+    clean.unpersist()
+    print("skew probe: salted join spreads the hot key; bucket cap fires")
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+        skew(sf_dir)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--top5":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+        sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+        top5(n, sf_dir)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--auc":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
         sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
