@@ -387,11 +387,14 @@ def pagerank(
     # plain persist: the src-keyed repartition happens once on `ew` below
     # (the table the loop actually joins), not on this intermediate
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
-    # assume_symmetric: caller guarantees every dst also appears as a src
+    # assume_symmetric: caller guarantees the edge set carries BOTH
+    # directions of every edge, so the src and dst sets coincide
     # (undirected graphs built as both-direction edges — the co-purchase
     # family). Then the node set is the src set (skips the union+distinct
-    # over 2x the edges) and no dangling node can exist (skips the
-    # anti-join probe AND the per-iteration redistribution machinery).
+    # over 2x the edges), no dangling node can exist (skips the anti-join
+    # probe AND the per-iteration redistribution machinery), and every
+    # node receives contributions each iteration (skips the per-iteration
+    # nodes left-join in the loop).
     if assume_symmetric:
         nodes = (
             e.select(F.col("src").alias("id"))
@@ -491,7 +494,11 @@ def pagerank(
             .alias("q"),
         )
         qs = contrib.groupBy("id").agg(F.sum("q").alias("qs"))
-        upd = nodes.join(qs, "id", "left")
+        # symmetric graphs (both directions present, so src and dst sets
+        # coincide): every node is some edge's dst and receives at least
+        # one contribution row, so qs's key set IS the node set and the
+        # left join below would be a per-iteration no-op shuffle — skip it
+        upd = qs if assume_symmetric else nodes.join(qs, "id", "left")
         if has_dangling:
             dq = dangling.join(r, "id").agg(
                 F.coalesce(
