@@ -170,3 +170,53 @@ def pcm_rms_energy(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def pcm_frame_energy(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    frame_samples: int = 256,
+) -> DataFrame:
+    """Integer-exact sibling of :func:`pcm_rms_energy`: the same Arrow-batched
+    little-endian int16 PCM decode and framing, but the per-frame statistic
+    is the raw sum of squared samples as a BIGINT — exact in int64 (a frame
+    of 256 int16 samples sums to at most 256·32768² ≈ 2.7e11 « 2^63), so
+    the result is bit-identical across engines and SQL-expressible: the
+    engine-portable oracle reconstructs the identical integers from byte
+    arithmetic. RMS is a sqrt away downstream; keeping the operator output
+    integral moves the only float to the consumer. Framing contract matches
+    pcm_rms_energy exactly (trailing odd byte dropped, short tail frame
+    kept with its true n_samples)."""
+    import numpy as np
+
+    schema = f"{id_col} bigint, frame_no int, n_samples int, sumsq bigint"
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, frame_nos, ns, sums = [], [], [], []
+            for rid, blob in zip(pdf[id_col], pdf[payload_col]):
+                raw = b"" if blob is None else bytes(blob)
+                samples = np.frombuffer(
+                    raw[: len(raw) - (len(raw) % 2)], dtype="<i2"
+                ).astype(np.int64)
+                if samples.size == 0:
+                    continue
+                for fno in range(0, samples.size, frame_samples):
+                    frame = samples[fno : fno + frame_samples]
+                    ids.append(rid)
+                    frame_nos.append(fno // frame_samples)
+                    ns.append(int(frame.size))
+                    sums.append(int((frame * frame).sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(frame_nos, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "sumsq": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)

@@ -1416,6 +1416,70 @@ def embedding_lsh_candidates(spark, sf_dir):
     return lsh_bucket_candidates(emb, num_planes=16, num_tables=4, planes_per_table=4)
 
 
+@register(
+    "embedding_lsh_candidates_portable",
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS x
+            FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
+        ),
+        terms AS (
+            SELECT vec_id, p.j,
+                   CAST(floor(x * (CASE WHEN CAST(concat('0x',
+                            substr(md5(p.j || ':' || pos), 1, 1)) AS INT)
+                            % 2 = 1 THEN 1.0 ELSE -1.0 END)
+                        * 1000000.0 + 0.5) AS BIGINT) AS term
+            FROM ex CROSS JOIN (SELECT unnest(range(24)) AS j) p
+        ),
+        projs AS (SELECT vec_id, j, SUM(term) AS p FROM terms GROUP BY 1, 2),
+        sigs AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN p > 0
+                            THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                            ELSE 0 END) AS BIGINT) AS sig
+            FROM projs GROUP BY 1
+        ),
+        buckets AS (
+            SELECT vec_id, t.table_id,
+                   (sig >> (t.table_id * 4)) & 15 AS bucket
+            FROM sigs CROSS JOIN (SELECT unnest(range(6)) AS table_id) t
+        )
+        SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        FROM buckets a
+        JOIN buckets b ON a.table_id = b.table_id
+                      AND a.bucket = b.bucket
+                      AND a.vec_id < b.vec_id
+    """,
+    description=(
+        "ANN candidate pairs via md5-plane sign-sketch LSH, oracle-checked: "
+        "the portable sibling of embedding_lsh_candidates with a DIFFERENT "
+        "banding geometry (24 planes in 6 tables of 4) so the band-width "
+        "arithmetic is proven at a second shape"
+    ),
+    tags=("similarity", "ann", "lsh", "deterministic"),
+)
+def embedding_lsh_candidates_portable(spark, sf_dir):
+    """Same machinery as embedding_near_dups_portable's candidate stage
+    (lsh_signatures_portable → band_signature_candidates) but surfaced AS
+    the candidate-pair query and at a wider signature (24 planes, 6 bands
+    of 4 — num_tables × planes_per_table must equal the width or the
+    banding guard raises). Every bucket is md5-derived, every projection a
+    decimal-quantized integer sum, so the pair list is bit-identical in any
+    engine. The only shuffle is the bucket equi-join; at 100 TB the
+    ``max_bucket_size`` cap (exercised by the skew probe) bounds the
+    self-join fanout."""
+    from ..operators.similarity import (
+        band_signature_candidates,
+        lsh_signatures_portable,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = lsh_signatures_portable(emb, "vec_id", "embedding", num_planes=24)
+    return band_signature_candidates(
+        sig, "vec_id", num_tables=6, planes_per_table=4, num_planes=24
+    )
+
+
 # ---------------------------------------------------------------------------
 # ML pipeline (§2.11): distributed scaler fit/apply, MSE anomaly scoring,
 # threshold routing (the scored_flows contract), PCA reconstruction scorer,
@@ -1742,6 +1806,88 @@ def serialized_model_scores(spark, sf_dir):
     )
     model_bytes = train_serialized_autoencoder(li, _FEATURES, k=2)
     return serialized_model_inference(li, model_bytes, id_col="row_id")
+
+
+@register(
+    "serialized_model_scores_portable",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               COUNT(*) AS n_within,
+               TRUE AS all_within
+        FROM lineitem
+    """,
+    description=(
+        "M2 inference CONTRACT, oracle-checked: every Arrow-batched "
+        "mapInPandas score agrees with a pure-Spark-SQL recompute of the "
+        "same fitted weights to 1e-9 — the oracle pins the agreement as a "
+        "literal, the sibling of rows-only serialized_model_scores"
+    ),
+    tags=("ml", "inference", "deterministic"),
+)
+def serialized_model_scores_portable(spark, sf_dir):
+    """The serialized-model scores themselves depend on distributed-fit
+    float weights, so they can't hash-match a DuckDB recompute — but the
+    inference path's CONTRACT can: score = 1/(1 + max(||z||² - ||zW||², 0)/d)
+    for the exact (mean, std, W) the model artifact carries. This query runs
+    the REAL path (distributed fit → pickle → broadcast → per-partition
+    deserialize → numpy batch scoring) AND a whole-stage-codegen SQL
+    recompute with the same weights injected as literals, then asserts
+    per-row agreement within 1e-9 absolute (scores live in (0, 1]; the two
+    paths differ only in float summation order over d=4 terms, ~1e-15).
+    A broken batch-inference path (wrong column order, stale broadcast,
+    batch-boundary bug) flips the boolean and hash-mismatches.
+
+    The fixtures' (l_orderkey, l_linenumber) is NOT unique (synthetic
+    generator), so the id joining the two paths is a hash of the full
+    feature tuple: rows sharing the id are bit-identical inputs, hence
+    bit-identical scores on both paths, and the SQL side deduped to one
+    row per id keeps the join 1:1 with the fact."""
+    import pickle
+
+    import numpy as np
+
+    from ..ml.pipeline import serialized_model_inference, train_serialized_autoencoder
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "row_id",
+        F.xxhash64("l_orderkey", "l_linenumber", *_FEATURES),
+    )
+    model_bytes = train_serialized_autoencoder(li, _FEATURES, k=2)
+    scored = serialized_model_inference(li, model_bytes, id_col="row_id")
+
+    m = pickle.loads(model_bytes)
+    mean = m["mean"]
+    std = np.where(m["std"] == 0, 1.0, m["std"])
+    w = m["w"]  # (d, k)
+    d = len(m["cols"])
+    z = [
+        (F.col(c).cast("double") - float(mean[i])) / float(std[i])
+        for i, c in enumerate(m["cols"])
+    ]
+    sq = sum(zi * zi for zi in z)
+    proj_sq = sum(
+        sum(z[i] * float(w[i][j]) for i in range(d)) ** 2
+        for j in range(w.shape[1])
+    )
+    err = F.greatest(sq - proj_sq, F.lit(0.0)) / float(d)
+    ref = li.select(
+        "row_id", (F.lit(1.0) / (F.lit(1.0) + err)).alias("sql_score")
+    ).distinct()
+
+    j = scored.join(ref, "row_id")
+    agg = j.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(
+                F.abs(F.col("model_score") - F.col("sql_score")) <= 1e-9, 1
+            ).otherwise(0)
+        ).alias("n_within"),
+    )
+    return agg.select(
+        "n_rows",
+        "n_within",
+        (F.col("n_within") == F.col("n_rows")).alias("all_within"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3468,6 +3614,70 @@ def audio_frame_energy(spark, sf_dir):
         F.count("*").alias("n_frames"),
         F.sum("n_samples").alias("n_samples"),
         F.max("rms").alias("max_rms"),
+    )
+
+
+@register(
+    "audio_frame_energy_portable",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id, i,
+                   ascii(substr(text, CAST(i + 1 AS INT), 1)) AS byte
+            FROM documents,
+                 UNNEST(range(len(text) - (len(text) % 2))) AS t(i)
+        ),
+        samples AS (
+            SELECT doc_id, i // 2 AS si,
+                   SUM(CASE WHEN i % 2 = 0 THEN byte
+                            ELSE 256 * byte END) AS v_raw
+            FROM b GROUP BY 1, 2
+        ),
+        sv AS (
+            SELECT doc_id, si,
+                   CASE WHEN v_raw >= 32768 THEN v_raw - 65536
+                        ELSE v_raw END AS v
+            FROM samples
+        ),
+        frames AS (
+            SELECT doc_id, si // 64 AS frame_no,
+                   COUNT(*) AS n_samples, SUM(v * v) AS sumsq
+            FROM sv GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(SUM(n_samples) AS BIGINT) AS n_samples,
+               CAST(MAX(sumsq) AS BIGINT) AS max_frame_energy,
+               CAST(SUM(sumsq) AS BIGINT) AS total_energy
+        FROM frames GROUP BY 1
+    """,
+    description=(
+        "per-doc int16 PCM frame energy, oracle-checked: the Arrow-batched "
+        "byte decode reproduced integer-for-integer by SQL byte arithmetic "
+        "— the portable sibling of rows-only audio_frame_energy"
+    ),
+    tags=("multimodal", "audio", "deterministic"),
+)
+def audio_frame_energy_portable(spark, sf_dir):
+    """Proves the REAL multimodal decode path (binary column →
+    ``mapInPandas`` → ``np.frombuffer`` little-endian int16 → framing) at
+    hash level: per-frame energy as an exact int64 sum of squares
+    (operators/multimodal.py::pcm_frame_energy), which DuckDB reconstructs
+    from first principles — character codes → byte pairs → signed int16 →
+    64-sample frames. The corpus is ASCII (UTF-8 byte == code point); the
+    trailing odd byte drop and short-tail-frame semantics match the decode
+    contract exactly. Any batch-boundary, alignment, or endianness bug in
+    the Arrow path lands as a hash mismatch."""
+    from ..operators.multimodal import payload_from_text, pcm_frame_energy
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", payload_from_text("text").alias("payload")
+    )
+    frames = pcm_frame_energy(docs, "doc_id", "payload", frame_samples=64)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum("n_samples").alias("n_samples"),
+        F.max("sumsq").alias("max_frame_energy"),
+        F.sum("sumsq").alias("total_energy"),
     )
 
 
@@ -7452,10 +7662,19 @@ def value_quantiles_kll_rollup(spark, sf_dir):
     distinct-count sibling: daily sketches fold into monthly ones at
     constant cost."""
     ev = load_table(spark, sf_dir, "events")
+    return _kll_quantile_rollup(ev)
+
+
+_KLL_QS = (0.25, 0.5, 0.9)
+
+
+def _kll_quantile_rollup(ev: DataFrame) -> DataFrame:
+    """Shared sketch path for the rows-only rollup and its oracle-checked
+    contract sibling: per-type KLL sketches + a merged ``__ALL__`` row,
+    quantile estimates extracted from both."""
     per = ev.groupBy("event_type").agg(
         F.kll_sketch_agg_double("value").alias("sk")
     )
-    qs = [0.25, 0.5, 0.9]
 
     def quantiles(df):
         return df.select(
@@ -7464,7 +7683,7 @@ def value_quantiles_kll_rollup(spark, sf_dir):
                 F.kll_sketch_get_quantile_double("sk", F.lit(q)).alias(
                     f"p{int(q * 100)}"
                 )
-                for q in qs
+                for q in _KLL_QS
             ],
         )
 
@@ -7472,6 +7691,72 @@ def value_quantiles_kll_rollup(spark, sf_dir):
         F.lit("__ALL__").alias("event_type"), "sk"
     )
     return quantiles(per).unionByName(quantiles(merged))
+
+
+@register(
+    "value_quantiles_kll_portable",
+    oracle="""
+        SELECT event_type,
+               TRUE AS within_p25, TRUE AS within_p50, TRUE AS within_p90
+        FROM (
+            SELECT DISTINCT event_type FROM events
+            UNION ALL SELECT '__ALL__'
+        )
+    """,
+    description=(
+        "KLL quantile-sketch ACCURACY CONTRACT, oracle-checked: every "
+        "estimate's true rank within ±0.05·n of its target, per-type AND "
+        "sketch-merged — the sibling of rows-only value_quantiles_kll_rollup"
+    ),
+    tags=("aggregation", "sketch", "deterministic"),
+)
+def value_quantiles_kll_portable(spark, sf_dir):
+    """The KLL estimates themselves are sketch-internal (compaction uses
+    randomized offsets) so they can't hash-match across engines — but the
+    sketch's CONTRACT can be checked AS A VALUE, exactly like the HLL
+    sibling (approx_distinct_users_portable): for each estimate v at
+    quantile q over n values, rank_le(v) ≥ (q−ε)·n and rank_lt(v) ≤
+    (q+ε)·n with ε = 0.05 — three times the k=200 sketch's ~1.65%
+    two-sided guarantee, so the booleans are stable TRUE for any healthy
+    implementation and flip on a broken merge or off-by-band rank. The
+    rank counts come from one pass over the values joined against the
+    6-row estimate table (broadcast — bounded by the event-type domain,
+    not data-scaled); the ``__ALL__`` lane re-reads the fact once more,
+    the audit-query cost of checking the MERGED sketch too."""
+    eps = 0.05
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("value")
+    )
+    ests = _kll_quantile_rollup(ev)
+    vals = ev.unionByName(
+        ev.select(F.lit("__ALL__").alias("event_type"), "value")
+    )
+    pcols = [f"p{int(q * 100)}" for q in _KLL_QS]
+    g = vals.join(F.broadcast(ests), "event_type").groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(
+                F.when(F.col("value") <= F.col(p), 1).otherwise(0)
+            ).alias(f"le_{p}")
+            for p in pcols
+        ],
+        *[
+            F.sum(
+                F.when(F.col("value") < F.col(p), 1).otherwise(0)
+            ).alias(f"lt_{p}")
+            for p in pcols
+        ],
+    )
+    return g.select(
+        "event_type",
+        *[
+            (
+                (F.col(f"le_{p}") >= (q - eps) * F.col("n"))
+                & (F.col(f"lt_{p}") <= (q + eps) * F.col("n"))
+            ).alias(f"within_{p}")
+            for q, p in zip(_KLL_QS, pcols)
+        ],
+    )
 
 
 @register(

@@ -273,6 +273,49 @@ def test_pcm_rms_energy_matches_numpy_reference(spark):
     assert got[(3, 0)][0] == 10
 
 
+def test_pcm_frame_energy_matches_numpy_reference(spark):
+    """Integer-exact sibling: same framing contract as pcm_rms_energy, the
+    per-frame statistic an exact int64 sum of squares (bit-equal, no
+    tolerance), NULL/empty payloads emit nothing."""
+    import numpy as np
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.multimodal import (
+        pcm_frame_energy,
+    )
+
+    rng = np.random.default_rng(11)
+    blobs = {
+        1: rng.integers(-32768, 32767, size=300, dtype=np.int16).tobytes(),
+        2: rng.integers(-32768, 32767, size=64, dtype=np.int16).tobytes(),
+        3: rng.integers(-32768, 32767, size=10, dtype=np.int16).tobytes() + b"\x01",
+        4: b"",
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in blobs.items()]
+        + [(5, None)],
+        "doc_id long, payload binary",
+    )
+    got = {
+        (r.doc_id, r.frame_no): (r.n_samples, r.sumsq)
+        for r in pcm_frame_energy(df, "doc_id", "payload", frame_samples=64).collect()
+    }
+
+    want = {}
+    for k, raw in blobs.items():
+        samples = np.frombuffer(raw[: len(raw) - (len(raw) % 2)], "<i2").astype(
+            np.int64
+        )
+        for fno in range(0, samples.size, 64):
+            fr = samples[fno : fno + 64]
+            want[(k, fno // 64)] = (fr.size, int((fr * fr).sum()))
+
+    assert set(got) == set(want)
+    assert {4, 5}.isdisjoint({k for k, _ in got})
+    assert got == want  # exact integers, no tolerance
+    # worst-case frame fits int64 comfortably: 64 * 32768^2 < 2^63
+    assert all(0 <= s <= 64 * 32768 * 32768 for _, s in got.values())
+
+
 def test_orc_helper_roundtrip_documents(spark, sf_dir, tmp_path):
     from end_to_end_data_engineering_and_ml_system_spark.sources.files import (
         read_orc,

@@ -155,7 +155,8 @@ RECONFIRMATION_SLOTS: dict[str, str] = {
     **{
         n: "freshness: round-5 tier (the oldest ledger tier), alphabetical "
         "from corpus_manifest per the committed r14 rotation plan; the "
-        "3-name tail rolls to round 15"
+        "tail (3 planned + 4 displaced by the mid-round new portable "
+        "siblings) rolls to round 15"
         for n in (
             "corpus_manifest",
             "corpus_temperature_mix",
@@ -182,10 +183,6 @@ RECONFIRMATION_SLOTS: dict[str, str] = {
             "near_dup_threshold_sensitivity",
             "price_quantity_ols",
             "source_unigram_jsd",
-            "token_cms_estimates",
-            "training_shuffle_shards",
-            "user_activity_entropy",
-            "user_feature_store_row",
         )
     },
 }
