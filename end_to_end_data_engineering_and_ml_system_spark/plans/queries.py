@@ -1617,6 +1617,80 @@ def pca_reconstruction(spark, sf_dir):
 
 
 @register(
+    "pca_reconstruction_portable",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               COUNT(*) AS n_within,
+               TRUE AS all_within
+        FROM lineitem
+    """,
+    description=(
+        "M7 MLlib-scorer CONTRACT, oracle-checked: every Vector-pipeline "
+        "reconstruction error agrees with a scalar-SQL recompute of the "
+        "same fitted weights to 1e-9 — the sibling of rows-only "
+        "pca_reconstruction (the mapInPandas inference class has its own "
+        "contract in serialized_model_scores_portable; this one pins the "
+        "JVM Vector/StandardScaler/PCA transform class)"
+    ),
+    tags=("ml", "pca", "deterministic"),
+)
+def pca_reconstruction_portable(spark, sf_dir):
+    """Same contract shape as serialized_model_scores_portable but for the
+    OTHER scoring execution class: MLlib's Vector pipeline (VectorAssembler
+    → StandardScaler → PCA → vector_to_array fold). The reference weights
+    come from train_serialized_autoencoder — the IDENTICAL Pipeline fit on
+    the identical DataFrame, so the two fits produce the same model
+    (deterministic treeAggregate over a fixed partitioning) — and the SQL
+    recompute err = max(||z||² − ||zW||², 0)/d runs whole-stage-codegen.
+    Agreement within 1e-9 absolute per row, pinned TRUE by the oracle.
+    Join key is a feature-tuple hash (fixtures' (orderkey, linenumber) is
+    non-unique); identical features ⇒ identical errors on both paths."""
+    import pickle
+
+    import numpy as np
+
+    from ..ml.pipeline import pca_reconstruction_scores, train_serialized_autoencoder
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "row_id",
+        F.xxhash64("l_orderkey", "l_linenumber", *_FEATURES),
+    )
+    scored = pca_reconstruction_scores(li, _FEATURES, k=2, id_col="row_id")
+
+    m = pickle.loads(train_serialized_autoencoder(li, _FEATURES, k=2))
+    mean = m["mean"]
+    std = np.where(m["std"] == 0, 1.0, m["std"])
+    w = m["w"]  # (d, k)
+    d = len(m["cols"])
+    z = [
+        (F.col(c).cast("double") - float(mean[i])) / float(std[i])
+        for i, c in enumerate(m["cols"])
+    ]
+    sq = sum(zi * zi for zi in z)
+    proj_sq = sum(
+        sum(z[i] * float(w[i][j]) for i in range(d)) ** 2
+        for j in range(w.shape[1])
+    )
+    err = F.greatest(sq - proj_sq, F.lit(0.0)) / float(d)
+    ref = li.select("row_id", err.alias("sql_err")).distinct()
+
+    j = scored.join(ref, "row_id")
+    agg = j.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(
+                F.abs(F.col("recon_error") - F.col("sql_err")) <= 1e-9, 1
+            ).otherwise(0)
+        ).alias("n_within"),
+    )
+    return agg.select(
+        "n_rows",
+        "n_within",
+        (F.col("n_within") == F.col("n_rows")).alias("all_within"),
+    )
+
+
+@register(
     "embedding_random_projection_mse",
     oracle="""
         -- Johnson-Lindenstrauss sibling of the MLlib PCA scorer: project

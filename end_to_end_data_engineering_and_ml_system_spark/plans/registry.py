@@ -92,12 +92,13 @@ def register(
 _WINDOW_ROUND: int = 14
 
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- genuinely new this round (7): oracle-checked portable siblings
+    # --- genuinely new this round (8): oracle-checked portable siblings
     # shrinking the rows-only set (VERDICT r13 item 5 and its mid-round
     # continuation) — pinned-merge BPE fertility, HLL-vs-exact bound
     # checks per-type and union-merged, KLL rank-error contract, M2
     # inference agreement contract, integer-exact PCM frame energy, and
-    # md5-plane LSH candidates at a second banding geometry ---
+    # md5-plane LSH candidates at a second banding geometry, and the
+    # MLlib Vector-pipeline scorer (M7) agreement contract ---
     "bpe_fertility_portable",
     "approx_distinct_users_portable",
     "distinct_users_hll_rollup_portable",
@@ -105,6 +106,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "serialized_model_scores_portable",
     "audio_frame_energy_portable",
     "embedding_lsh_candidates_portable",
+    "pca_reconstruction_portable",
     # --- changed-implementation (7): r14 cosine_from_norms guard now
     # tests the denominator PRODUCT sqrt(na)*sqrt(nb) like inline cosine
     # (subnormal-underflow alignment, ADVICE r13) — every consumer of the
@@ -131,11 +133,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tx_table_delete_counts",
     "tx_table_schema_evolution_counts",
     "tx_table_delete_all_restore_counts",
-    # --- evidence-freshness (25): round-5 tier (the oldest ledger tier),
+    # --- evidence-freshness (24): round-5 tier (the oldest ledger tier),
     # alphabetical from corpus_manifest per the committed r14 rotation
-    # plan; the tail (token_cms_estimates, training_shuffle_shards,
-    # user_activity_entropy, user_feature_store_row — displaced by the 4
-    # mid-round new names — plus user_hashed_features, value_benford_audit,
+    # plan; the tail (source_unigram_jsd, token_cms_estimates,
+    # training_shuffle_shards, user_activity_entropy,
+    # user_feature_store_row — displaced by the 5 mid-round new names —
+    # plus user_hashed_features, value_benford_audit,
     # value_impute_by_group) rolls to round 15 ---
     "corpus_manifest",
     "corpus_temperature_mix",
@@ -161,7 +164,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "near_dup_cluster_size_histogram",
     "near_dup_threshold_sensitivity",
     "price_quantity_ols",
-    "source_unigram_jsd",
 )
 
 

@@ -316,6 +316,40 @@ def test_pcm_frame_energy_matches_numpy_reference(spark):
     assert all(0 <= s <= 64 * 32768 * 32768 for _, s in got.values())
 
 
+def test_pcm_energy_and_rms_agree(spark):
+    """Cross-operator invariant: the integer-exact and float paths describe
+    the SAME decode — rms == sqrt(sumsq / n_samples) per frame, and the
+    frame sets are identical."""
+    import math
+
+    import numpy as np
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.multimodal import (
+        pcm_frame_energy,
+        pcm_rms_energy,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = [
+        (k, bytearray(rng.integers(-32768, 32767, size=sz, dtype=np.int16).tobytes()))
+        for k, sz in ((1, 500), (2, 64), (3, 65), (4, 1))
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    energy = {
+        (r.doc_id, r.frame_no): (r.n_samples, r.sumsq)
+        for r in pcm_frame_energy(df, "doc_id", "payload", frame_samples=64).collect()
+    }
+    rms = {
+        (r.doc_id, r.frame_no): (r.n_samples, r.rms)
+        for r in pcm_rms_energy(df, "doc_id", "payload", frame_samples=64).collect()
+    }
+    assert set(energy) == set(rms)
+    for key, (n, sumsq) in energy.items():
+        rn, rv = rms[key]
+        assert rn == n
+        assert abs(rv - math.sqrt(sumsq / n)) < 1e-9, key
+
+
 def test_orc_helper_roundtrip_documents(spark, sf_dir, tmp_path):
     from end_to_end_data_engineering_and_ml_system_spark.sources.files import (
         read_orc,

@@ -155,7 +155,7 @@ RECONFIRMATION_SLOTS: dict[str, str] = {
     **{
         n: "freshness: round-5 tier (the oldest ledger tier), alphabetical "
         "from corpus_manifest per the committed r14 rotation plan; the "
-        "tail (3 planned + 4 displaced by the mid-round new portable "
+        "tail (3 planned + 5 displaced by the mid-round new portable "
         "siblings) rolls to round 15"
         for n in (
             "corpus_manifest",
@@ -182,7 +182,6 @@ RECONFIRMATION_SLOTS: dict[str, str] = {
             "near_dup_cluster_size_histogram",
             "near_dup_threshold_sensitivity",
             "price_quantity_ols",
-            "source_unigram_jsd",
         )
     },
 }
