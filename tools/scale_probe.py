@@ -854,6 +854,209 @@ def skew(sf_dir: str, hot_share: float = 0.5, salt_buckets: int = 16) -> None:
     print("skew probe: salted join spreads the hot key; bucket cap fires")
 
 
+def streaming(n: int, sf_dir: str) -> None:
+    """Streaming-throughput scale probe — the last operator family without
+    Nx wall/state evidence. Replays the events fixture through the two
+    representative stateful pipelines at 1x and Nx along the two axes a
+    100 TB stream actually grows on:
+
+    - DENSITY (same 5s windows and watermark span, Nx events per
+      micro-batch — traffic growth on a fixed topology): windowed_counts
+      wall must stay sub-linear, per-window counts must be EXACTLY Nx the
+      1x counts (replicas carry identical timestamps), and the aggregation
+      state rows must be IDENTICAL at 1x and Nx — streaming agg state is
+      O(open windows x classes), never O(rows). A state-rows blowup here
+      is the classic unbounded-state bug this probe exists to catch.
+    - KEYS (replica-shifted user_id, Nx distinct users — cardinality
+      growth): running_user_totals (applyInPandasWithState) final counts
+      must map replica-for-replica onto the 1x totals, state rows must
+      grow exactly Nx (state is O(keys)), wall sub-linear.
+
+    Driver RSS delta must stay flat across the whole probe: the sinks the
+    probe reads back are bounded (O(windows), O(keys) — at fixture scale),
+    and nothing O(input rows) ever reaches the driver."""
+    import resource
+
+    from end_to_end_data_engineering_and_ml_system_spark.scratch import (
+        scratch_unique,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.session import get_spark
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.streaming.pipeline import (
+        EVENTS_SCHEMA,
+        _await_bounded,
+        _pin_mtimes,
+        running_user_totals,
+        windowed_counts,
+    )
+
+    spark = get_spark(app_name="scale-probe-streaming", cpus=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def rss_mb() -> float:
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+    events = load_table(spark, sf_dir, "events")
+    cols = events.columns
+    stride = 10_000_000
+    n_files = 8
+
+    def stage(mult: int, shift_users: bool) -> str:
+        df = events
+        if mult != 1:
+            parts = []
+            for i in range(mult):
+                p = events.withColumn(
+                    "event_id", F.col("event_id") + F.lit(i * stride)
+                )
+                if shift_users:
+                    p = p.withColumn(
+                        "user_id", F.col("user_id") + F.lit(i * stride)
+                    )
+                parts.append(p.select(*cols))
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        out = scratch_unique(spark, "probe_stream_stage")
+        # same file count at every mult: micro-batch COUNT is fixed, each
+        # batch carries mult-x the rows — the density axis, isolated from
+        # trigger cadence
+        df.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(out)
+        _pin_mtimes(out)
+        return out
+
+    def run(agg, mode: str):
+        name = "probe_sink_" + uuid_hex()
+        ck = scratch_unique(spark, "probe_stream_ck")
+        t0 = time.perf_counter()
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        _await_bounded(q, 900)
+        wall = time.perf_counter() - t0
+        prog = q.recentProgress
+        rows_in = sum(p["numInputRows"] for p in prog)
+        state_rows = max(
+            (
+                op["numRowsTotal"]
+                for p in prog
+                for op in (p.get("stateOperators") or [])
+            ),
+            default=0,
+        )
+        return spark.table(name), wall, rows_in, state_rows, len(prog)
+
+    def uuid_hex() -> str:
+        import uuid
+
+        return uuid.uuid4().hex[:12]
+
+    def stream_of(path: str):
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(path)
+        )
+
+    before_all = rss_mb()
+
+    # ---- density axis: windowed counts, complete mode (final values per
+    # window; the state-rows invariant is mode-independent: one store row
+    # per open (window, class) group either way) ----
+    dens = {}
+    for mult in (1, n):
+        path = stage(mult, shift_users=False)
+        sink, wall, rows_in, state_rows, batches = run(
+            windowed_counts(stream_of(path)), "complete"
+        )
+        counts = sink.select("bucket_start", "event_type", "n_events").persist()
+        n_groups = counts.count()
+        dens[mult] = (wall, rows_in, state_rows, counts, n_groups)
+        print(
+            f"windowed_counts {mult}x density: rows_in={rows_in} "
+            f"batches={batches} wall={wall:.2f}s state_rows={state_rows} "
+            f"window_groups={n_groups} "
+            f"throughput={rows_in / wall:.0f} rows/s"
+        )
+    w1, r1, s1, c1, g1 = dens[1]
+    wn, rn, sn, cn, gn = dens[n]
+    assert rn == n * r1, f"input rows must be exactly {n}x: {rn} vs {r1}"
+    assert sn == s1, (
+        f"agg state must be O(windows), identical at {n}x density: "
+        f"{sn} vs {s1}"
+    )
+    assert gn == g1, f"window-group count must not change: {gn} vs {g1}"
+    mismatched = (
+        cn.alias("n")
+        .join(c1.alias("b"), ["bucket_start", "event_type"], "full")
+        .where(
+            F.coalesce(F.col("n.n_events"), F.lit(-1))
+            != F.lit(n) * F.coalesce(F.col("b.n_events"), F.lit(-1))
+        )
+        .count()
+    )
+    assert mismatched == 0, f"{mismatched} window groups not exactly {n}x"
+    assert wn < 1.5 * n * w1 + 5, f"density wall super-linear: {wn:.2f}s"
+    print(
+        f"density contract holds: counts exactly {n}x on {g1} groups, "
+        f"state flat ({s1} rows), wall ratio {wn / w1:.1f}x at {n}x rows"
+    )
+    c1.unpersist()
+    cn.unpersist()
+
+    # ---- key axis: stateful per-user totals, update mode; n_events is
+    # monotone per key so max() over the update stream is the final value
+    keys = {}
+    for mult in (1, n):
+        path = stage(mult, shift_users=True)
+        sink, wall, rows_in, state_rows, batches = run(
+            running_user_totals(stream_of(path)), "update"
+        )
+        finals = (
+            sink.groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"))
+            .persist()
+        )
+        n_keys = finals.count()
+        keys[mult] = (wall, state_rows, finals, n_keys)
+        print(
+            f"running_user_totals {mult}x keys: rows_in={rows_in} "
+            f"wall={wall:.2f}s state_rows={state_rows} keys={n_keys} "
+            f"throughput={rows_in / wall:.0f} rows/s"
+        )
+    w1, s1, f1, k1 = keys[1]
+    wn, sn, fn, kn = keys[n]
+    assert kn == n * k1, f"distinct keys must be exactly {n}x: {kn} vs {k1}"
+    assert sn == n * s1, f"keyed state must be O(keys): {sn} vs {n}*{s1}"
+    bad = (
+        fn.withColumn("base_id", F.col("user_id") % stride)
+        .alias("n")
+        .join(f1.alias("b"), F.col("base_id") == F.col("b.user_id"), "full")
+        .where(
+            F.coalesce(F.col("n.n_events"), F.lit(-1))
+            != F.coalesce(F.col("b.n_events"), F.lit(-2))
+        )
+        .count()
+    )
+    assert bad == 0, f"{bad} replica keys disagree with base totals"
+    assert wn < 1.5 * n * w1 + 5, f"key wall super-linear: {wn:.2f}s"
+    print(
+        f"key contract holds: every replica key matches its base total, "
+        f"state exactly {n}x ({sn} rows), wall ratio {wn / w1:.1f}x at "
+        f"{n}x keys"
+    )
+    f1.unpersist()
+    fn.unpersist()
+    print(f"driver_maxrss_delta={rss_mb() - before_all:.0f}MB (expect flat)")
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
@@ -888,6 +1091,11 @@ def main() -> None:
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
         sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
         graph_rank(n, sf_dir)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--streaming":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+        streaming(n, sf_dir)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--trainers":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
