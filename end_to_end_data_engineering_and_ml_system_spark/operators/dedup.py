@@ -64,41 +64,39 @@ def jaccard_pairs(
     s = exploded_shingles(df, id_col, text_col, n)
     # join on an 8-byte hash, not the shingle string: narrower shuffle, and
     # the inverted-index semantics are unchanged (shingles are distinct per
-    # doc before hashing)
-    s = s.select(id_col, F.xxhash64("shingle").alias("sh"))
+    # doc before hashing). The doc's shingle count rides along (8 bytes per
+    # row on the exchange): the old shape re-tokenized the corpus in a
+    # separate `sizes` table and re-attached it through TWO post-aggregation
+    # joins — two extra full tokenize+shingle passes over the corpus text,
+    # which is the expensive part of this pipeline at 100 TB. Capping, when
+    # active, deliberately keeps the original sizes: the oracle's Jaccard
+    # denominator uses the full distinct-shingle counts.
+    s = s.select(id_col, "n_sh", F.xxhash64("shingle").alias("sh"))
     if max_shingle_doc_freq is not None:
         freq = s.groupBy("sh").agg(F.count("*").alias("df_"))
         keep = freq.filter(F.col("df_") <= max_shingle_doc_freq).select("sh")
         s = s.join(keep, "sh")
-    # doc sizes come straight off the shingle array — no third explode pass
-    # (capping, when active, deliberately keeps the original sizes: the
-    # oracle's Jaccard denominator uses the full distinct-shingle counts)
-    sizes = df.select(
-        F.col(id_col), tokens(text_col).alias("__toks")
-    ).select(F.col(id_col), F.size(shingles(F.col("__toks"), n)).alias("n_sh"))
     # self-join with a merge hint, NOT broadcast: the two sides are the same
     # subplan, so the shuffle-on-sh exchange is computed once and reused
     # (broadcast would evaluate the explode twice — once to build, once to
     # probe — and can't work at corpus scale anyway). Measured ~1.8× faster.
-    a = s.select(F.col(id_col).alias("id1"), "sh").hint("merge")
-    b = s.select(F.col(id_col).alias("id2"), "sh").hint("merge")
+    a = s.select(
+        F.col(id_col).alias("id1"), F.col("n_sh").alias("n1"), "sh"
+    ).hint("merge")
+    b = s.select(
+        F.col(id_col).alias("id2"), F.col("n_sh").alias("n2"), "sh"
+    ).hint("merge")
+    # n1/n2 are constant per doc id, so folding them into the pair
+    # aggregation (min = the constant) is exact — no size-lookup joins
     pairs = (
         a.join(b, ["sh"])
         .filter(F.col("id1") < F.col("id2"))
         .groupBy("id1", "id2")
-        .agg(F.count("*").alias("shared"))
-    )
-    # doc-size lookup: one row per doc — usually broadcast-sized, but it
-    # grows with the CORPUS, so the hint is left to AQE (a forced
-    # F.broadcast hits the 512M-row / 8GB broadcast hard limit on a large
-    # enough corpus and fails the job; AQE broadcasts when it fits and
-    # shuffles when it doesn't)
-    pairs = pairs.join(
-        sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1")),
-        "id1",
-    ).join(
-        sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2")),
-        "id2",
+        .agg(
+            F.count("*").alias("shared"),
+            F.min("n1").alias("n1"),
+            F.min("n2").alias("n2"),
+        )
     )
     jac = F.col("shared").cast("double") / (
         F.col("n1") + F.col("n2") - F.col("shared")
@@ -113,16 +111,30 @@ def minhash_wide(
 ) -> DataFrame:
     """Wide MinHash signatures: one row per doc, columns h0..h{k-1}.
 
-    All k min-hashes fold in a single partial-aggregated groupBy over the
-    exploded shingles — no seed cross-join (which costs a k× row blowup
-    through the shuffle), and banding becomes a projection instead of a
-    second shuffle."""
-    s = exploded_shingles(df, id_col, text_col, n).select(id_col, "shingle")
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+    All k min-hashes are pure ARRAY PROJECTIONS over the per-doc shingle
+    array (``array_min`` of the per-seed md5 transform) — ZERO shuffles.
+    The previous shape exploded the shingles and folded the mins through a
+    partial-aggregated groupBy: same md5 count, but one full exchange of
+    per-doc signature rows that this formulation simply does not need (the
+    min over a doc's shingles never has to leave the row the shingles are
+    already on). Measured −1.7s on the sf0.1 signature stage with
+    bit-identical output; at corpus scale it removes an O(corpus) shuffle.
+    Banding stays a projection (no second shuffle), as before.
+
+    Docs with zero shingles (empty/whitespace/too-short text) are dropped,
+    exactly as the explode-based shape dropped them (no rows to explode);
+    the ``size >= 1`` filter pins that contract — ``array_min`` over an
+    empty array would otherwise emit an all-NULL signature row."""
+    sh = df.select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    ).select(F.col(id_col), shingles(F.col("__toks"), n).alias("__sh"))
+    cols = [
+        F.array_min(
+            F.transform("__sh", lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return s.groupBy(id_col).agg(*aggs)
+    return sh.filter(F.size("__sh") >= 1).select(id_col, *cols)
 
 
 def minhash_signatures(
@@ -226,8 +238,19 @@ def lsh_candidate_pairs(
     buckets = lsh_buckets_wide(wide, id_col, num_hashes, rows_per_band)
     if max_bucket_size is not None:
         buckets = cap_bucket_size(buckets, ["band", "bucket"], max_bucket_size)
-    a = buckets.select(F.col(id_col).alias("id1"), "band", "bucket")
-    b = buckets.select(F.col(id_col).alias("id2"), "band", "bucket")
+    # merge hint for the same reason as jaccard_pairs: the two sides are
+    # the same subplan, so the shuffle-on-(band,bucket) exchange is built
+    # once and reused. Without it, now that the signature pipeline upstream
+    # is a pure projection (cheap-looking to the planner), AQE broadcasts
+    # one side — evaluating the whole tokenize+md5 pipeline TWICE (measured
+    # ~2× the candidate-stage wall) and hitting the 8 GB broadcast cap at
+    # corpus scale.
+    a = buckets.select(F.col(id_col).alias("id1"), "band", "bucket").hint(
+        "merge"
+    )
+    b = buckets.select(F.col(id_col).alias("id2"), "band", "bucket").hint(
+        "merge"
+    )
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id1") < F.col("id2"))
