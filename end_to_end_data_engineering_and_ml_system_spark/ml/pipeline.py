@@ -31,7 +31,15 @@ DEC = "decimal(28,10)"
 def fit_standardizer(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """One-row stats frame with mean_<c> and std_<c> (population, zero-guarded)
     for each feature column. Exact decimal sums make the fit reproducible
-    under any partitioning."""
+    under any partitioning — which is also what makes the spread below safe:
+    the per-row decimal casts+adds are the expensive part of the fit, and on
+    a single-row-group fixture scan they would all run in ONE task (guide
+    §2.5). Project to the feature columns, then hash-spread on their joint
+    xxhash64 (deterministic, high-cardinality) so the fit aggregate uses
+    every core; no-op on well-split inputs."""
+    from ..sources.catalog import spread_for_compute
+
+    df = spread_for_compute(df.select(*cols), F.xxhash64(*cols))
     aggs: list[Column] = []
     for c in cols:
         x = F.col(c).cast("double")

@@ -24,7 +24,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.catalog import spread_for_compute
 from .text import ngrams, tokens
+
+
+def _spread_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, text) projection, hash-spread by id across the session's cores.
+
+    Every pipeline in this module starts with tokenize + per-shingle md5 /
+    xxhash64 over the raw text — by far the expensive per-row work — and on
+    a single-row-group fixture scan all of it would otherwise run in ONE
+    task (guide §2.5). Projecting first keeps the exchange to the two used
+    columns (guide §2.3); the guard in ``spread_for_compute`` makes this a
+    no-op on well-split inputs. Result-exact: ids are unique, and every
+    consumer is an exact aggregate / equi-join / per-row hash projection."""
+    return spread_for_compute(df.select(F.col(id_col), F.col(text_col)), id_col)
 
 
 def shingles(toks: Column, n: int = 3) -> Column:
@@ -42,7 +56,7 @@ def exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """(id, n_shingles, shingle) long format — the inverted-index input."""
-    sh = df.select(
+    sh = _spread_text(df, id_col, text_col).select(
         F.col(id_col), tokens(text_col).alias("__toks")
     ).select(F.col(id_col), shingles(F.col("__toks"), n).alias("sh"))
     return sh.select(
@@ -125,6 +139,7 @@ def minhash_wide(
     exactly as the explode-based shape dropped them (no rows to explode);
     the ``size >= 1`` filter pins that contract — ``array_min`` over an
     empty array would otherwise emit an all-NULL signature row."""
+    df = _spread_text(df, id_col, text_col)
     sh = df.select(
         F.col(id_col), tokens(text_col).alias("__toks")
     ).select(F.col(id_col), shingles(F.col("__toks"), n).alias("__sh"))
@@ -267,6 +282,7 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     codegen with map-side partial aggregation — measured ~5× faster than the
     interpreted per-bit ``aggregate`` loop, and the shuffle carries one
     64-long vote row per doc."""
+    df = _spread_text(df, id_col, text_col)
     toked = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     hashed = toked.select(id_col, F.xxhash64("tok").alias("h"))
     votes = hashed.groupBy(id_col).agg(
@@ -326,6 +342,7 @@ def shingle_hash_sets(
     ``minhash_estimate_vs_exact``) so the three pipelines can never
     desynchronize on the hash or the sort."""
     oid = out_id or id_col
+    df = _spread_text(df, id_col, text_col)
     return df.select(
         F.col(id_col).alias(oid), tokens(text_col).alias("__toks")
     ).select(
@@ -386,6 +403,7 @@ def simhash_table_portable(
     must be reproducible outside Spark."""
     if not 1 <= bits <= 60:
         raise ValueError("bits must be in [1, 60]")
+    df = _spread_text(df, id_col, text_col)
     toked = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
     hashed = toked.select(id_col, h.alias("h"))

@@ -272,7 +272,7 @@ def part_copurchase_pagerank_topk(spark, sf_dir):
     po = li.select(
         F.col("l_orderkey").alias("okey"),
         F.col("l_partkey").cast("long").alias("part"),
-    ).distinct()
+    )  # no .distinct(): the basket collect_set dedups parts per order
     edges = copurchase_edges_from_baskets(po, keep_weight=False)
     r = pagerank(
         edges,
@@ -929,7 +929,7 @@ def copurchase_label_communities(spark, sf_dir):
     po = li.select(
         F.col("l_orderkey").alias("okey"),
         F.col("l_partkey").cast("long").alias("part"),
-    ).distinct()
+    )  # no .distinct(): the basket collect_set dedups parts per order
     edges = copurchase_edges_from_baskets(po, keep_weight=False)
     lbl = label_propagation(edges, iters=2, assume_distinct=True)
     return (
@@ -974,20 +974,43 @@ def cap_baskets(po, max_basket: int = _MAX_BASKET):
 def copurchase_edges_from_baskets(
     po, keep_weight: bool, max_basket: int = _MAX_BASKET
 ):
-    """Support>=2 co-purchase edges from a distinct ``(okey, part)`` basket
-    table, with the k^2 guard (``cap_baskets``): pair output per order is
-    bounded by max_basket^2 at any data scale; the unguarded self-join is
-    quadratic in basket size and a single viral basket would dominate the
-    whole job."""
-    capped = cap_baskets(po, max_basket)
-    a, b = capped.alias("a"), capped.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.part") != F.col("b.part")),
+    """Support>=2 co-purchase edges from a ``(okey, part)`` basket table,
+    with the k^2 guard: pair output per order is bounded by max_basket^2 at
+    any data scale.
+
+    Shape: ONE ``collect_set`` aggregation builds each order's part-set
+    array, then ordered pairs are generated as an array expression and
+    exploded. Exactly equivalent to the previous distinct → grouped-count
+    cap → semi-join → self-join pipeline (collect_set dedups parts within
+    the order; ``size(parts) <= max_basket`` is the same guard; the pair
+    count per (src, dst) is the same number of orders containing both),
+    but with TWO exchanges instead of four — the distinct's (okey, part)
+    exchange, the cap's count exchange and the self-join's okey exchange
+    collapse into the single collect_set exchange (guide §2.4). The input
+    no longer needs a ``.distinct()``. NULL okeys are filtered to mirror
+    the old equi-join, which never matched them."""
+    baskets = (
+        po.filter(F.col("okey").isNotNull())
+        .groupBy("okey")
+        .agg(F.collect_set("part").alias("__parts"))
+        .filter(F.size("__parts") <= max_basket)
+    )
+    pairs = F.flatten(
+        F.transform(
+            "__parts",
+            lambda x: F.filter(
+                F.transform(
+                    "__parts",
+                    lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                ),
+                lambda p: p["src"] != p["dst"],
+            ),
         )
-        .groupBy(F.col("a.part").alias("src"), F.col("b.part").alias("dst"))
+    )
+    e = (
+        baskets.select(F.explode(pairs).alias("p"))
+        .select("p.src", "p.dst")
+        .groupBy("src", "dst")
         .agg(F.count("*").cast("long").alias("w"))
         .filter(F.col("w") >= 2)
     )
@@ -999,7 +1022,7 @@ def _copurchase_edges(spark, sf_dir, keep_weight: bool):
     po = li.select(
         F.col("l_orderkey").alias("okey"),
         F.col("l_partkey").cast("long").alias("part"),
-    ).distinct()
+    )  # no .distinct(): the basket collect_set dedups parts per order
     return copurchase_edges_from_baskets(po, keep_weight)
 
 

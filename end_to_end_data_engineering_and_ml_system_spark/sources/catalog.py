@@ -53,6 +53,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_for_compute(df: DataFrame, *keys) -> DataFrame:
+    """Hash-repartition to session parallelism before heavy per-row compute.
+
+    The local fixtures are single-file single-row-group parquet, so every
+    scan is exactly ONE task and per-row compute (tokenize, per-shingle md5,
+    decimal casts) runs single-threaded regardless of ``local[N]`` — the
+    "huge unsplittable input" pathology (optimization guide §2.5). The fix
+    is the guide's: repartition immediately after the read. Guarded and
+    scale-adaptive: a no-op whenever the input already has at least the
+    session's default parallelism in partitions, which is the normal state
+    of a real multi-file table on a cluster — this only fires when a scan
+    cannot feed the cores it has.
+
+    Keys must be deterministic, high-cardinality column names/exprs:
+    hash-repartitioning avoids keyless round-robin's per-input-partition
+    sort (``spark.sql.execution.sortBeforeRepartition``) and is retry-safe
+    (rand-derived keys can duplicate/lose rows on fetch-failure recompute,
+    SPARK-38388). Callers project to the needed columns FIRST so the
+    exchange carries only those bytes (guide §2.3), and only call this
+    where downstream results are partition-order independent (exact/decimal
+    aggregates, equi-joins, per-row hash projections).
+    """
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — e.g. streaming DataFrames: leave as-is
+        return df
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if current >= p:
+        return df
+    return df.repartition(p, *keys)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
