@@ -13,8 +13,24 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _spread_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, text) projection, hash-spread by id across the session's cores —
+    the same guarded repartition the dedup module applies before its
+    per-shingle hashing (dedup._spread_text): tokenize + n-gram assembly +
+    per-window hashing are the expensive per-row work here, and on a
+    single-row-group fixture scan they would otherwise run in ONE task
+    (guide §2.5). No-op whenever the scan already feeds the session's
+    parallelism; every consumer below is an exact aggregate or per-row
+    projection, so the result is partition-order independent."""
+    from ..sources.catalog import spread_for_compute
+
+    return spread_for_compute(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    )
 
 #: minimal per-language marker (stop)words for the n-gram/marker heuristic
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -475,7 +491,7 @@ def duplicate_ngram_windows(
     no join, cost O(windows) — never O(docs^2)."""
     from pyspark.sql import Window
 
-    g = df.select(
+    g = _spread_text(df, id_col, text_col).select(
         F.col(id_col), F.explode(ngrams(tokens(text_col), n)).alias("gram")
     ).select(id_col, F.xxhash64("gram").alias("gh"))
     gd = g.groupBy("gh", id_col).agg(F.count("*").alias("c"))

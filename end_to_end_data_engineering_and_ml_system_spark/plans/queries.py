@@ -1559,13 +1559,23 @@ def scaler_fit_stats(spark, sf_dir):
 )
 def anomaly_score_routing(spark, sf_dir):
     from ..ml.pipeline import fit_standardizer, score_and_route_literal
+    from ..operators.relational import _track_persist
+    from ..sources.catalog import spread_for_compute
 
     li = load_table(spark, sf_dir, "lineitem")
     # stats to literals: same two data passes (fit, score), but the scoring
     # plan no longer embeds the fit subplan — avoids re-analyzing/compiling
-    # the aggregate inside the BNLJ build side (~20% of query wall at sf0.1)
-    stats_row = fit_standardizer(li, _FEATURES).first()
-    scored = score_and_route_literal(li, stats_row, _FEATURES, threshold=2.0)
+    # the aggregate inside the BNLJ build side (~20% of query wall at sf0.1).
+    # Both passes consume ONE spread, persisted feature projection: the fit's
+    # decimal sums and the scoring's z/route arithmetic otherwise each run on
+    # the raw scan's task layout (single-threaded on one-row-group fixtures,
+    # guide §2.5) and the table is read twice. The cache carries only the
+    # feature columns (guide §2.3); every consumer is an exact aggregate.
+    feats = _track_persist(
+        spread_for_compute(li.select(*_FEATURES), F.xxhash64(*_FEATURES))
+    )
+    stats_row = fit_standardizer(feats, _FEATURES).first()
+    scored = score_and_route_literal(feats, stats_row, _FEATURES, threshold=2.0)
     return scored.groupBy("prediction").agg(
         F.count("*").alias("n"),
         (

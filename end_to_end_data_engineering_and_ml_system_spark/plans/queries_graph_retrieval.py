@@ -337,22 +337,33 @@ def _bm25_scored(spark, sf_dir):
     """Shared scoring pass for the BM25 queries: one projection computes
     per-doc length and per-term tf (array filter — no explode), one
     aggregate collects the corpus stats to literals, and the returned frame
-    carries a rounded ``bm25`` column over the docs matching ≥1 term."""
-    from ..operators.text import tokens
+    carries a rounded ``bm25`` column over the docs matching ≥1 term.
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens("text").alias("toks")
-    )
-    d = docs.select(
-        "doc_id",
-        F.size("toks").cast("long").alias("dl"),
-        # NB: a two-parameter lambda would make F.filter pass the array
-        # INDEX as the second argument — the closure must capture the term
-        # via an outer factory, not a default parameter
-        *[
-            F.size(F.filter("toks", _eq_term(t))).cast("long").alias(f"tf{i}")
-            for i, t in enumerate(_BM25_TERMS)
-        ],
+    The narrow per-doc frame ``d`` (id + 4 longs) is spread before the
+    tokenize + per-term array filters (guide §2.5 — single-tasked on a
+    one-row-group scan otherwise) and PERSISTED (tracked, released by the
+    harnesses): the stats aggregate and the scoring projection are two
+    actions over the same frame, and without the cache each re-runs the
+    full tokenize pass — the expensive part of the query. At corpus scale
+    the cache is ~40 bytes/doc vs a second full text scan."""
+    from ..operators.relational import _track_persist
+    from ..operators.text import _spread_text, tokens
+
+    docs = _spread_text(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).select("doc_id", tokens("text").alias("toks"))
+    d = _track_persist(
+        docs.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            # NB: a two-parameter lambda would make F.filter pass the array
+            # INDEX as the second argument — the closure must capture the
+            # term via an outer factory, not a default parameter
+            *[
+                F.size(F.filter("toks", _eq_term(t))).cast("long").alias(f"tf{i}")
+                for i, t in enumerate(_BM25_TERMS)
+            ],
+        )
     )
     stats = d.agg(
         F.count("*").alias("n"),
@@ -2150,9 +2161,14 @@ def query_expansion_prf_retrieval(spark, sf_dir):
         .limit(_PRF_FEEDBACK_DEPTH)
         .collect()
     ]
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", tok_fn("text").alias("toks")
-    )
+    from ..operators.text import _spread_text
+
+    # the posting/dl/term-stat passes below each pay a tokenize (+ explode):
+    # spread the (id, text) projection so none of them is single-tasked on a
+    # one-row-group scan (guide §2.5; no-op on well-split inputs)
+    docs = _spread_text(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).select("doc_id", tok_fn("text").alias("toks"))
     dl = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
     post = (
         docs.select("doc_id", F.explode("toks").alias("term"))

@@ -1428,9 +1428,22 @@ def auc_distributed_from_docs(spark, docs):
     take the documents DataFrame directly so harnesses (the 10x scale
     probe) can run the exact shipped plan on replicated corpora.
     Expression-identical to the pre-lift registered query."""
-    counted = quality_feature_counts(docs)
-    z = counted.select(
-        "doc_id", weak_label().alias("wl"), quality_logit().alias("zz")
+    from ..operators.relational import _track_persist
+    from ..sources.catalog import spread_for_compute
+
+    # spread before the quality regexes/tokenize (guide §2.5 — one task on a
+    # single-row-group scan otherwise) and persist the 3-column z frame: the
+    # range exchange below SAMPLES its child to pick boundaries, so an
+    # uncached z pays the full feature pass twice. The cache is 3 scalars a
+    # row; the AUC merge is partitioning-independent, so results are
+    # unchanged under the spread (exact integer partials).
+    counted = quality_feature_counts(
+        spread_for_compute(docs.select("doc_id", "text"), "doc_id")
+    )
+    z = _track_persist(
+        counted.select(
+            "doc_id", weak_label().alias("wl"), quality_logit().alias("zz")
+        )
     )
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     ranged = z.repartitionByRange(
