@@ -333,19 +333,18 @@ _BM25_TERM_SQL = " + ".join(
 )
 
 
-def _bm25_scored(spark, sf_dir):
-    """Shared scoring pass for the BM25 queries: one projection computes
-    per-doc length and per-term tf (array filter — no explode), one
-    aggregate collects the corpus stats to literals, and the returned frame
-    carries a rounded ``bm25`` column over the docs matching ≥1 term.
+def _bm25_doc_stats(spark, sf_dir):
+    """The shared BM25 inputs: the persisted per-doc frame ``d``
+    (doc_id, dl, tf0..tfk — id + 4 longs) and the collected corpus stats
+    row (n, sdl, df0..dfk).
 
-    The narrow per-doc frame ``d`` (id + 4 longs) is spread before the
-    tokenize + per-term array filters (guide §2.5 — single-tasked on a
-    one-row-group scan otherwise) and PERSISTED (tracked, released by the
-    harnesses): the stats aggregate and the scoring projection are two
-    actions over the same frame, and without the cache each re-runs the
-    full tokenize pass — the expensive part of the query. At corpus scale
-    the cache is ~40 bytes/doc vs a second full text scan."""
+    ``d`` is spread before the tokenize + per-term array filters (guide
+    §2.5 — single-tasked on a one-row-group scan otherwise) and PERSISTED
+    (tracked, released by the harnesses): the stats aggregate, the scoring
+    projection, and the PRF consumer's dl lookups are separate actions over
+    the same frame, and without the cache each re-runs the full tokenize
+    pass — the expensive part of the query. At corpus scale the cache is
+    ~40 bytes/doc vs a second full text scan."""
     from ..operators.relational import _track_persist
     from ..operators.text import _spread_text, tokens
 
@@ -378,6 +377,12 @@ def _bm25_scored(spark, sf_dir):
             "BM25 needs a non-empty document corpus (avg doc length is "
             "undefined on 0 docs)"
         )
+    return d, stats
+
+
+def _bm25_scored_from(d, stats):
+    """Assemble the scored frame from the shared per-doc frame + stats row
+    (see ``_bm25_doc_stats``): a pure projection, no further data passes."""
     n, sdl = int(stats["n"]), int(stats["sdl"])
     score = None
     for i in range(len(_BM25_TERMS)):
@@ -406,6 +411,15 @@ def _bm25_scored(spark, sf_dir):
     return d.filter(match > 0).select(
         "doc_id", "dl", F.round(score, 6).alias("bm25")
     )
+
+
+def _bm25_scored(spark, sf_dir):
+    """Shared scoring pass for the BM25 queries: one projection computes
+    per-doc length and per-term tf (array filter — no explode), one
+    aggregate collects the corpus stats to literals, and the returned frame
+    carries a rounded ``bm25`` column over the docs matching ≥1 term."""
+    d, stats = _bm25_doc_stats(spark, sf_dir)
+    return _bm25_scored_from(d, stats)
 
 
 @register(
@@ -2154,22 +2168,28 @@ def query_expansion_prf_retrieval(spark, sf_dir):
     distributed."""
     from ..operators.text import tokens as tok_fn
 
+    # the seed ranking, the per-doc lengths, and the corpus stats all come
+    # from the ONE persisted BM25 per-doc frame (_bm25_doc_stats): the old
+    # shape re-tokenized the corpus for the dl projection and again for a
+    # separate (n, sdl) stats job — two full passes whose values are already
+    # in the cached frame / collected stats row
+    d, st = _bm25_doc_stats(spark, sf_dir)
     fb = [
         r["doc_id"]
-        for r in _bm25_scored(spark, sf_dir)
+        for r in _bm25_scored_from(d, st)
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(_PRF_FEEDBACK_DEPTH)
         .collect()
     ]
     from ..operators.text import _spread_text
 
-    # the posting/dl/term-stat passes below each pay a tokenize (+ explode):
+    # the posting/term-stat passes below each pay a tokenize (+ explode):
     # spread the (id, text) projection so none of them is single-tasked on a
     # one-row-group scan (guide §2.5; no-op on well-split inputs)
     docs = _spread_text(
         load_table(spark, sf_dir, "documents"), "doc_id", "text"
     ).select("doc_id", tok_fn("text").alias("toks"))
-    dl = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    dl = d.select("doc_id", "dl")
     post = (
         docs.select("doc_id", F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")
@@ -2178,16 +2198,7 @@ def query_expansion_prf_retrieval(spark, sf_dir):
     tstat = post.groupBy("term").agg(
         F.count("*").cast("long").alias("df")
     )
-    cs = dl.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("dl").cast("long").alias("sdl"),
-    ).first()
-    if not cs["n"]:
-        raise ValueError(
-            "BM25 needs a non-empty document corpus (avg doc length is "
-            "undefined on 0 docs)"
-        )
-    n, sdl = int(cs["n"]), int(cs["sdl"])
+    n, sdl = int(st["n"]), int(st["sdl"])
     expansion = [
         r["term"]
         for r in post.filter(
