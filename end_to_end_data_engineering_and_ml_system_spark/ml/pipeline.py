@@ -128,15 +128,15 @@ def score_and_route_literal(
     ).withColumn("confidence", confidence("anomaly_score"))
 
 
-def pca_reconstruction_scores(
-    df: DataFrame, cols: Sequence[str], k: int, id_col: str
-) -> DataFrame:
-    """MLlib PCA reconstruction-error scorer — the Spark-native autoencoder
-    analog (M7): error = ||z||² − ||PCAᵀz||² (components orthonormal), per
-    row, divided by dim to match the MSE shape."""
+def fit_pca_pipeline(df: DataFrame, cols: Sequence[str], k: int):
+    """The shared VectorAssembler → StandardScaler(withMean) → PCA fit.
+    Both M7 scoring paths (the Vector-pipeline scorer and the serialized-
+    weights trainer) consume ONE fitted model from here — previously each
+    ran its own identical fit, doubling the treeAggregate passes and
+    resting on the two fits being bit-identical (they are, on a fixed
+    partitioning, but nothing needs that assumption now)."""
     from pyspark.ml import Pipeline
     from pyspark.ml.feature import PCA, StandardScaler, VectorAssembler
-    from pyspark.ml.functions import vector_to_array
 
     pipe = Pipeline(
         stages=[
@@ -150,7 +150,20 @@ def pca_reconstruction_scores(
             PCA(k=k, inputCol="scaled", outputCol="pc"),
         ]
     )
-    model = pipe.fit(df)
+    return pipe.fit(df)
+
+
+def pca_reconstruction_scores(
+    df: DataFrame, cols: Sequence[str], k: int, id_col: str, model=None
+) -> DataFrame:
+    """MLlib PCA reconstruction-error scorer — the Spark-native autoencoder
+    analog (M7): error = ||z||² − ||PCAᵀz||² (components orthonormal), per
+    row, divided by dim to match the MSE shape. Pass a pre-fitted ``model``
+    (from :func:`fit_pca_pipeline`) to skip the fit."""
+    from pyspark.ml.functions import vector_to_array
+
+    if model is None:
+        model = fit_pca_pipeline(df, cols, k)
     out = model.transform(df)
 
     def arr_sq_norm(c: Column) -> Column:
@@ -201,30 +214,21 @@ def batched_inference(
 
 
 def train_serialized_autoencoder(
-    df: DataFrame, cols: Sequence[str], k: int = 2
+    df: DataFrame, cols: Sequence[str], k: int = 2, model=None
 ) -> bytes:
     """Fit a linear autoencoder (PCA weights — the closed-form optimum for
     a linear encoder/decoder) DISTRIBUTED, then serialize the weights to
     bytes: the artifact a model registry (e.g. MLflow) would store, and
     what the reference persists as a Keras .h5 (train_autoencoder.py:34-51,
     240-269). Only the (dim×k) weight matrix and the scaler stats leave the
-    cluster — never the data."""
+    cluster — never the data. Pass a pre-fitted ``model`` (from
+    :func:`fit_pca_pipeline`) to serialize without re-fitting."""
     import pickle
 
     import numpy as np
-    from pyspark.ml import Pipeline
-    from pyspark.ml.feature import PCA, StandardScaler, VectorAssembler
 
-    pipe = Pipeline(
-        stages=[
-            VectorAssembler(inputCols=list(cols), outputCol="features"),
-            StandardScaler(
-                inputCol="features", outputCol="scaled", withMean=True, withStd=True
-            ),
-            PCA(k=k, inputCol="scaled", outputCol="pc"),
-        ]
-    )
-    model = pipe.fit(df)
+    if model is None:
+        model = fit_pca_pipeline(df, cols, k)
     scaler, pca = model.stages[1], model.stages[2]
     payload = {
         "cols": list(cols),

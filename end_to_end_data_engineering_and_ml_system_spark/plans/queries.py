@@ -1647,11 +1647,10 @@ def pca_reconstruction(spark, sf_dir):
 def pca_reconstruction_portable(spark, sf_dir):
     """Same contract shape as serialized_model_scores_portable but for the
     OTHER scoring execution class: MLlib's Vector pipeline (VectorAssembler
-    → StandardScaler → PCA → vector_to_array fold). The reference weights
-    come from train_serialized_autoencoder — the IDENTICAL Pipeline fit on
-    the identical DataFrame, so the two fits produce the same model
-    (deterministic treeAggregate over a fixed partitioning) — and the SQL
-    recompute err = max(||z||² − ||zW||², 0)/d runs whole-stage-codegen.
+    → StandardScaler → PCA → vector_to_array fold). Both paths consume ONE
+    fitted model (fit_pca_pipeline — the r14-ADVICE refactor that removed
+    the duplicate fit and its cross-fit-determinism assumption) — and the
+    SQL recompute err = max(||z||² − ||zW||², 0)/d runs whole-stage-codegen.
     Agreement within 1e-9 absolute per row, pinned TRUE by the oracle.
     Join key is a feature-tuple hash (fixtures' (orderkey, linenumber) is
     non-unique); identical features ⇒ identical errors on both paths."""
@@ -1659,15 +1658,26 @@ def pca_reconstruction_portable(spark, sf_dir):
 
     import numpy as np
 
-    from ..ml.pipeline import pca_reconstruction_scores, train_serialized_autoencoder
+    from ..ml.pipeline import (
+        fit_pca_pipeline,
+        pca_reconstruction_scores,
+        train_serialized_autoencoder,
+    )
 
     li = load_table(spark, sf_dir, "lineitem").withColumn(
         "row_id",
         F.xxhash64("l_orderkey", "l_linenumber", *_FEATURES),
     )
-    scored = pca_reconstruction_scores(li, _FEATURES, k=2, id_col="row_id")
+    # ONE Pipeline fit feeds both scoring paths (ADVICE r14: the double fit
+    # doubled the treeAggregate cost and leaned on cross-fit determinism)
+    fitted = fit_pca_pipeline(li, _FEATURES, k=2)
+    scored = pca_reconstruction_scores(
+        li, _FEATURES, k=2, id_col="row_id", model=fitted
+    )
 
-    m = pickle.loads(train_serialized_autoencoder(li, _FEATURES, k=2))
+    m = pickle.loads(
+        train_serialized_autoencoder(li, _FEATURES, k=2, model=fitted)
+    )
     mean = m["mean"]
     std = np.where(m["std"] == 0, 1.0, m["std"])
     w = m["w"]  # (d, k)
