@@ -724,3 +724,41 @@ def test_hoisted_cosine_subnormal_norms_no_infinity(spark):
         if r["hoisted"] is not None:
             assert math.isfinite(r["hoisted"]), r
             assert abs(r["inline"] - r["hoisted"]) < 1e-9, r
+
+
+def test_minhash_and_sets_matches_source_operators(spark, sf_dir):
+    """The r15 combined per-doc frame (one tokenize+shingle pass feeding
+    both LSH banding and exact-Jaccard verification) must be column-exact
+    against the two operators it fuses: minhash_wide's signature columns
+    and shingle_hash_sets' sorted hash arrays, over the >=1-shingle docs
+    both pipelines consume."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.dedup import (
+        minhash_and_sets,
+        minhash_wide,
+        shingle_hash_sets,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = 4
+    combined = {
+        r["doc_id"]: r
+        for r in minhash_and_sets(docs, "doc_id", "text", k, 3).collect()
+    }
+    wide = {r["doc_id"]: r for r in minhash_wide(docs, "doc_id", "text", k, 3).collect()}
+    sets_ = {
+        r["doc_id"]: r["sh_set"]
+        for r in shingle_hash_sets(docs, "doc_id", "text", 3)
+        .filter(F.size("sh_set") >= 1)
+        .collect()
+    }
+    assert set(combined) == set(wide) == set(sets_)
+    assert combined  # fixture has docs with shingles
+    for doc_id, row in combined.items():
+        for i in range(k):
+            assert row[f"h{i}"] == wide[doc_id][f"h{i}"], (doc_id, i)
+        assert list(row["sh_set"]) == list(sets_[doc_id]), doc_id
