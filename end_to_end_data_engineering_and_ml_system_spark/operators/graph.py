@@ -33,13 +33,14 @@ Scale notes (100 TB):
   prefer ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``; local
   checkpoints trade fault tolerance for speed, which is the right call in
   local mode.
-- The convergence probe is ``isEmpty()`` on the label diff — one cheap
-  action per round, never a full collect.
+- The convergence probe is an order-independent label fingerprint observed
+  on the round's own materialization job (``_cut_fp``) — zero extra actions
+  per round, never a full collect.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -66,6 +67,21 @@ def _resolve_reliable(df: DataFrame, reliable: bool | None) -> bool:
     if reliable is not None:
         return reliable
     return df.sparkSession.sparkContext.getCheckpointDir() is not None
+
+
+def _cut_fp(df: DataFrame, reliable: bool) -> tuple[DataFrame, object]:
+    """Lineage-cut an ``(id, comp)`` label table and return
+    ``(cut_df, fingerprint)`` where the fingerprint is the order-independent
+    multiset hash-sum the convergence loop compares — computed as an
+    OBSERVED metric of the same job that materializes the cut, instead of a
+    separate 1-row aggregate action afterwards. One job per round instead
+    of two (observations fire under both localCheckpoint and reliable
+    checkpoint on Spark 4.x — probed, and pinned by
+    tests/test_graph.py::test_observed_fingerprint_matches_direct_aggregate)."""
+    obs = Observation()
+    fp = F.sum(F.xxhash64("id", "comp").cast("decimal(38,0)")).alias("h")
+    cut = _cut(df.observe(obs, fp), reliable)
+    return cut, obs.get["h"]
 
 
 def connected_components(
@@ -109,40 +125,33 @@ def connected_components(
     e = sym.repartition("dst").persist(StorageLevel.MEMORY_AND_DISK)
     # fold the first propagation round into initialization:
     # comp_0(x) = min(x, min neighbor) — cliques (the common near-dup case)
-    # are already converged here, so the loop usually runs once to confirm
-    labels = _cut(
+    # are already converged here, so the loop usually runs once to confirm.
+    # The convergence fingerprint (order-independent multiset hash-sum of
+    # the labels — works for ANY id type: the old decimal-sum probe cast
+    # string ids to NULL, summed to NULL every round, and None == None
+    # declared convergence after ONE round with silently-wrong labels)
+    # rides each cut's materialization job via observe() (_cut_fp), so a
+    # round costs one job, not cut + separate 1-row aggregate. Labels only
+    # ever decrease (min is monotone), so fingerprint-unchanged IS the
+    # fixpoint (hash-collision odds negligible — same device as
+    # connected_components_stars' edge-set signature).
+    labels, prev = _cut_fp(
         e.groupBy("src")
         .agg(F.min("dst").alias("mn"))
         .select(F.col("src").alias("id"), F.least("src", "mn").alias("comp")),
         reliable,
     )
-
-    def _total(lbl: DataFrame):
-        # order-independent multiset fingerprint of the labels — a 1-row
-        # aggregate instead of a diff join. Works for ANY id type: the
-        # old decimal-sum probe cast string ids to NULL, summed to NULL
-        # every round, and None == None declared convergence after ONE
-        # round with silently-wrong labels. Labels only ever decrease
-        # (min is monotone), so fingerprint-unchanged IS the fixpoint
-        # (hash-collision odds negligible — same device as
-        # connected_components_stars' edge-set signature).
-        return lbl.agg(
-            F.sum(F.xxhash64("id", "comp").cast("decimal(38,0)"))
-        ).first()[0]
-
-    prev = _total(labels)
     converged = False
     for _ in range(max_iters):
         neighbor_labels = e.join(
             labels.withColumnRenamed("id", "dst"), "dst"
         ).select(F.col("src").alias("id"), "comp")
-        labels = _cut(
+        labels, cur = _cut_fp(
             labels.union(neighbor_labels)
             .groupBy("id")
             .agg(F.min("comp").alias("comp")),
             reliable,
         )
-        cur = _total(labels)
         if cur == prev:
             converged = True
             break
@@ -217,27 +226,33 @@ def connected_components_stars(
     identical to :func:`connected_components`.
     """
     reliable = _resolve_reliable(edges, reliable_checkpoints)
-    # canonical directed pairs (big, small): a > b, no self-loops, deduped
-    e = _cut(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
-        .distinct(),
-        reliable,
-    )
 
-    def _sig(ed: DataFrame):
+    def _cut_sig(ed: DataFrame):
         # multiset fingerprint for convergence: count + order-independent
         # hash sum (exact equality of canonical edge sets is what stability
         # means here; hash collision odds are negligible and the final
-        # labels are exact regardless — stars only ever contract further)
-        row = ed.agg(
-            F.count("*").alias("n"),
-            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
-        ).first()
-        return (row["n"], row["h"])
+        # labels are exact regardless — stars only ever contract further).
+        # Observed on the cut's own materialization job (same device as
+        # _cut_fp): no separate aggregate action per round.
+        obs = Observation()
+        cut = _cut(
+            ed.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+            ),
+            reliable,
+        )
+        row = obs.get
+        return cut, (row["n"], row["h"])
 
-    sig = _sig(e)
+    # canonical directed pairs (big, small): a > b, no self-loops, deduped
+    e, sig = _cut_sig(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        .distinct()
+    )
     converged = False
     for _ in range(max_iters):
         # ---- large-star: every node links its LARGER neighbors to its min
@@ -256,14 +271,12 @@ def connected_components_stars(
         # itself) to the smallest of them; edges are (big, small) already
         mins2 = e.groupBy("a").agg(F.min("b").alias("m"))
         joined = e.join(mins2, "a")
-        e = _cut(
+        e, new_sig = _cut_sig(
             joined.select(F.col("b").alias("a"), F.col("m").alias("b"))
             .union(joined.select("a", F.col("m").alias("b")))
             .filter(F.col("a") != F.col("b"))
-            .distinct(),
-            reliable,
+            .distinct()
         )
-        new_sig = _sig(e)
         if new_sig == sig:
             converged = True
             break
@@ -336,14 +349,24 @@ def pagerank(
     pointwise, in a fixed expression order mirrored by the oracle SQL.
 
     Scale notes (100 TB):
-    - the edge list is repartitioned ONCE on the join key (``src``, the
-      side every iteration joins ranks onto) and persisted; only the
-      one-row-per-node rank table moves per iteration,
+    - the out-degree is folded into the edge table by a ``src``-keyed
+      window over ONE exchange (replacing groupBy + join + repartition —
+      three exchanges of the edge set become one, guide §2.4; the window's
+      partitioning property is exactly the hash-partitioning the loop's
+      joins need), and that table is persisted; only the one-row-per-node
+      rank table moves per iteration,
+    - iteration 1 never joins the rank table at all: the initial ranks ARE
+      the restart distribution, a pointwise expression of ``src``, so the
+      first round's contributions are projected straight off the edge
+      table (bit-identical doubles — the same expression tree evaluates on
+      literals instead of a materialized column), saving one O(nodes)
+      join+shuffle per call and the initial rank materialization,
     - per-iteration lineage cuts via :func:`_cut` (reliable checkpoints
       auto-detected, as for connected components) keep the plan flat,
     - the dangling aggregate is a 1-row DataFrame broadcast into the
       update — never a driver round-trip inside the loop; the only
-      driver scalar is N, collected once before the loop.
+      driver scalar is N (plus the seed-presence count), collected in one
+      aggregate before the loop.
     """
     reliable = _resolve_reliable(edges, reliable_checkpoints)
     if weight:
@@ -384,9 +407,25 @@ def pagerank(
         e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         if not assume_distinct:
             e = e.distinct()
-    # plain persist: the src-keyed repartition happens once on `ew` below
-    # (the table the loop actually joins), not on this intermediate
-    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    # out-normalizer (edge count for uniform, exact integer weight sum for
+    # weighted) folded into the edge table by a src-keyed WINDOW: one
+    # exchange builds the degree-annotated, src-hash-partitioned table the
+    # loop joins — the old groupBy + join-back + repartition("src") spent
+    # three exchanges of the edge set on the same result (guide §2.4). The
+    # window's local sort is per-partition and spillable; outdeg values are
+    # identical exact longs either way. This is the ONE persisted edge-set
+    # cache (the old separate `e` persist fed only the degree build).
+    from pyspark.sql.window import Window
+
+    ew = e.select(
+        "src",
+        "dst",
+        *(["w"] if weight else []),
+        (F.sum("w") if weight else F.count("*"))
+        .over(Window.partitionBy("src"))
+        .cast("long")
+        .alias("outdeg"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # assume_symmetric: caller guarantees the edge set carries BOTH
     # directions of every edge, so the src and dst sets coincide
     # (undirected graphs built as both-direction edges — the co-purchase
@@ -394,58 +433,58 @@ def pagerank(
     # over 2x the edges), no dangling node can exist (skips the anti-join
     # probe AND the per-iteration redistribution machinery), and every
     # node receives contributions each iteration (skips the per-iteration
-    # nodes left-join in the loop).
+    # nodes left-join in the loop) — so `nodes` is never materialized as
+    # its own cache; N comes from one distinct-count over the edge cache.
     if assume_symmetric:
-        nodes = (
-            e.select(F.col("src").alias("id"))
-            .distinct()
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        nodes = None
+        node_ids = ew.select(F.col("src").alias("id")).distinct()
     else:
         nodes = (
-            e.select(F.col("src").alias("id"))
-            .union(e.select(F.col("dst").alias("id")))
+            ew.select(F.col("src").alias("id"))
+            .union(ew.select(F.col("dst").alias("id")))
             .distinct()
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-    n = nodes.count()  # the one driver scalar; O(1), before the loop
-    if n == 0:
-        e.unpersist()
-        nodes.unpersist()
-        raise ValueError("pagerank: empty edge list (no nodes)")
+        node_ids = nodes
     if teleport is not None:
         seeds = sorted(set(teleport))
         if not seeds:
-            e.unpersist()
-            nodes.unpersist()
+            ew.unpersist()
+            if nodes is not None:
+                nodes.unpersist()
             raise ValueError(
                 "pagerank: teleport seed list is empty (the restart "
                 "distribution would be 1/0 — every rank NULL)"
             )
-        present = nodes.filter(F.col("id").isin(seeds)).count()
-        if present != len(seeds):
-            e.unpersist()
+    # N and the teleport-seed presence count in ONE aggregate job (the only
+    # driver scalars, both O(1) rows, both before the loop)
+    probe = node_ids.agg(
+        F.count("*").alias("n"),
+        *(
+            [
+                F.count(
+                    F.when(F.col("id").isin(seeds), F.lit(1))
+                ).alias("present")
+            ]
+            if teleport is not None
+            else []
+        ),
+    ).first()
+    n = probe["n"]
+    if n == 0:
+        ew.unpersist()
+        if nodes is not None:
             nodes.unpersist()
-            raise ValueError(
-                f"pagerank: {len(seeds) - present} teleport seed(s) are "
-                "not nodes of the graph — their restart mass would be "
-                "silently lost (all seeds absent -> all-zero ranks)"
-            )
-    # out-normalizer: edge count (uniform) or exact integer weight sum
-    outd = e.groupBy("src").agg(
-        (F.sum("w") if weight else F.count("*"))
-        .cast("long")
-        .alias("outdeg")
-    )
-    # fold the (static) out-degree INTO the persisted edge table once, so
-    # each iteration joins rank onto ONE table instead of two — measured
-    # ~25% off the per-iteration wall on the co-purchase graph
-    ew = (
-        e.join(outd, "src")
-        .select("src", "dst", "outdeg", *(["w"] if weight else []))
-        .repartition("src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+        raise ValueError("pagerank: empty edge list (no nodes)")
+    if teleport is not None and probe["present"] != len(seeds):
+        ew.unpersist()
+        if nodes is not None:
+            nodes.unpersist()
+        raise ValueError(
+            f"pagerank: {len(seeds) - probe['present']} teleport seed(s) "
+            "are not nodes of the graph — their restart mass would be "
+            "silently lost (all seeds absent -> all-zero ranks)"
+        )
     # dangling node set is static across iterations — compute it once; a
     # symmetric graph (every dst is also a src) has none, and then the
     # whole redistribution term is exactly 0.0 every iteration (the oracle
@@ -456,18 +495,28 @@ def pagerank(
         has_dangling = False
     else:
         dangling = nodes.join(
-            outd.withColumnRenamed("src", "id"), "id", "left_anti"
+            ew.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
         ).persist(StorageLevel.MEMORY_AND_DISK)
         has_dangling = not dangling.isEmpty()
 
     q_grid = F.lit(1e12)
     d_lit = F.lit(damping)
     nf = F.lit(float(n))
+
     # restart distribution: uniform over N, or uniform over the seed set.
     # Initial ranks follow the restart distribution too (1/N or 1/|S| on
-    # seeds, 0 elsewhere) — the standard PPR initialization.
+    # seeds, 0 elsewhere) — the standard PPR initialization. It is a
+    # POINTWISE expression of the node id, so iteration 1 evaluates it
+    # directly on the edge table's src column instead of joining a
+    # materialized rank table (same expression tree -> identical doubles).
+    def _restart(idc):
+        if teleport is None:
+            return F.lit(1.0) / nf
+        sf_ = F.lit(float(len(seeds)))
+        ind = F.when(idc.isin(seeds), F.lit(1.0)).otherwise(F.lit(0.0))
+        return (F.lit(1.0) / sf_) * ind
+
     if teleport is None:
-        restart = F.lit(1.0) / nf
         base = (F.lit(1.0) - d_lit) / nf
         dang_of = lambda dqc: (dqc.cast("double") / nf) / q_grid  # noqa: E731
     else:
@@ -475,19 +524,23 @@ def pagerank(
         ind = F.when(F.col("id").isin(seeds), F.lit(1.0)).otherwise(
             F.lit(0.0)
         )
-        restart = (F.lit(1.0) / sf_) * ind
         base = ((F.lit(1.0) - d_lit) / sf_) * ind
         dang_of = lambda dqc: (  # noqa: E731
             (dqc.cast("double") / sf_) / q_grid
         ) * ind
-    r = _cut(nodes.select("id", restart.alias("rank")), reliable)
-    contrib_num = (
-        (d_lit * F.col("rank") * F.col("w"))
-        if weight
-        else (d_lit * F.col("rank"))
-    )
+
+    r = None  # rank table from the previous iteration; None = restart dist
     for it in range(iters):
-        contrib = ew.join(r.withColumnRenamed("id", "src"), "src").select(
+        rank_col = _restart(F.col("src")) if r is None else F.col("rank")
+        contrib_num = (
+            (d_lit * rank_col * F.col("w")) if weight else (d_lit * rank_col)
+        )
+        src_side = (
+            ew
+            if r is None
+            else ew.join(r.withColumnRenamed("id", "src"), "src")
+        )
+        contrib = src_side.select(
             F.col("dst").alias("id"),
             F.round(contrib_num / F.col("outdeg") * q_grid)
             .cast("long")
@@ -500,7 +553,14 @@ def pagerank(
         # left join below would be a per-iteration no-op shuffle — skip it
         upd = qs if assume_symmetric else nodes.join(qs, "id", "left")
         if has_dangling:
-            dq = dangling.join(r, "id").agg(
+            # iteration 1 reads the restart distribution lazily (a pure
+            # projection over the persisted node cache — no cut needed)
+            rd = (
+                nodes.select("id", _restart(F.col("id")).alias("rank"))
+                if r is None
+                else r
+            )
+            dq = dangling.join(rd, "id").agg(
                 F.coalesce(
                     F.sum(
                         F.round(d_lit * F.col("rank") * q_grid).cast("long")
@@ -534,7 +594,12 @@ def pagerank(
         # the whole chain.
         if has_dangling or (it + 1) % 4 == 0 or it == iters - 1:
             r = _cut(r, reliable)
-    for cached in (e, nodes, ew, dangling):
+    if r is None:  # iters == 0: the ranks ARE the restart distribution
+        r = _cut(
+            node_ids.select("id", _restart(F.col("id")).alias("rank")),
+            reliable,
+        )
+    for cached in (ew, nodes, dangling):
         if cached is not None:
             cached.unpersist()
     return r
@@ -583,16 +648,27 @@ def label_propagation(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = _cut(nodes.select("id", F.col("id").alias("lbl")), reliable)
     w = Window.partitionBy("id").orderBy(
         F.col("c").desc(), F.col("lbl").asc()
     )
+    # round 1 is folded: the initial labels are the identity (lbl(v) = v),
+    # so joining them onto the edge list is a no-op — round 1's
+    # per-(node, label) counts are exactly e grouped by (src, dst). Skips
+    # the initial identity-label materialization AND one O(edges) join
+    # (same device as pagerank's restart-distribution fold; pure integer
+    # counts, so the result is bit-identical).
+    labels = None
     for _ in range(iters):
-        counts = (
-            e.join(labels.withColumnRenamed("id", "dst"), "dst")
-            .groupBy(F.col("src").alias("id"), "lbl")
-            .agg(F.count("*").alias("c"))
-        )
+        if labels is None:
+            counts = e.groupBy(
+                F.col("src").alias("id"), F.col("dst").alias("lbl")
+            ).agg(F.count("*").alias("c"))
+        else:
+            counts = (
+                e.join(labels.withColumnRenamed("id", "dst"), "dst")
+                .groupBy(F.col("src").alias("id"), "lbl")
+                .agg(F.count("*").alias("c"))
+            )
         top = (
             counts.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
@@ -604,6 +680,8 @@ def label_propagation(
             ),
             reliable,
         )
+    if labels is None:  # iters == 0: identity labels
+        labels = _cut(nodes.select("id", F.col("id").alias("lbl")), reliable)
     for cached in (e, nodes):
         cached.unpersist()
     return labels

@@ -7826,8 +7826,12 @@ def value_quantiles_kll_portable(spark, sf_dir):
         ev.select(F.lit("__ALL__").alias("event_type"), "value")
     )
     pcols = [f"p{int(q * 100)}" for q in _KLL_QS]
+    # count only non-null values: kll_sketch_agg_double ignores NULLs, so a
+    # count(*) would inflate n against the sketch's population if the
+    # fixture ever gained NULL value rows (ADVICE r14; identical on the
+    # current all-non-null fixtures)
     g = vals.join(F.broadcast(ests), "event_type").groupBy("event_type").agg(
-        F.count("*").alias("n"),
+        F.count("value").alias("n"),
         *[
             F.sum(
                 F.when(F.col("value") <= F.col(p), 1).otherwise(0)

@@ -590,21 +590,33 @@ def run_routed_foreach_batch(
     timeout_s: int = 300,
 ) -> tuple[list[int], list[int]]:
     """The reference's flagship loop done right (S8/P12/ST8): per micro-batch,
-    cache once, split by prediction, emit to two sinks, unpersist. Returns the
-    per-batch (normal, anomaly) counts the sinks received."""
+    ONE pass computes both routes — the normal-side sink is a real executed
+    filter + count over the scored batch, and the anomaly-side count rides
+    the same job as an observed metric (CollectMetrics sees every scored
+    row; the downstream filter is not pushed through it — pinned by
+    tests/test_streaming.py). The old shape persisted the batch and ran a
+    separate count job per sink; for count-style sinks the cache write and
+    the second job are pure overhead (guide §1.4/§5 — two actions over a
+    cache vs one observed action). Returns the per-batch (normal, anomaly)
+    counts the sinks received."""
+    from pyspark.sql import Observation
+
     normal_counts: list[int] = []
     anomaly_counts: list[int] = []
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        scored = score_fn(batch_df).persist()
-        try:
-            normal = scored.filter(F.col("prediction") == "normal")
-            anomaly = scored.filter(F.col("prediction") == "anomaly")
-            # stand-ins for the two Kafka topic sinks (S7)
-            normal_counts.append(normal.count())
-            anomaly_counts.append(anomaly.count())
-        finally:
-            scored.unpersist()
+        obs = Observation()
+        scored = score_fn(batch_df).observe(
+            obs,
+            F.count(F.when(F.col("prediction") == "anomaly", 1)).alias("a"),
+        )
+        # stand-ins for the two Kafka topic sinks (S7): the routing filter
+        # still executes (normal side); the anomaly count is observed on
+        # the same single pass
+        normal_counts.append(
+            scored.filter(F.col("prediction") == "normal").count()
+        )
+        anomaly_counts.append(obs.get["a"])
 
     ck = scratch_unique(stream_df.sparkSession, "e2e_ck")
     with _replay_shuffle_partitions(stream_df.sparkSession):

@@ -902,6 +902,18 @@ def streaming(n: int, sf_dir: str) -> None:
     cols = events.columns
     stride = 10_000_000
     n_files = 8
+    # precondition for the replica arithmetic below (event_id/user_id +
+    # i*stride, base_id = id % stride): every fixture id must fit under the
+    # stride, or replicas collide and the kn == n*k1 assertions fail with
+    # misleading messages (ADVICE r14) — fail loudly up front instead
+    mx = events.agg(
+        F.max("event_id").alias("me"), F.max("user_id").alias("mu")
+    ).first()
+    assert mx["me"] < stride and mx["mu"] < stride, (
+        f"fixture ids exceed the replica stride {stride} "
+        f"(max event_id={mx['me']}, max user_id={mx['mu']}): raise `stride` "
+        "before trusting any replica-count assertion in this probe"
+    )
 
     def stage(mult: int, shift_users: bool) -> str:
         df = events
