@@ -1013,7 +1013,14 @@ def copurchase_edges_from_baskets(
     exchange, the cap's count exchange and the self-join's okey exchange
     collapse into the single collect_set exchange (guide §2.4). The input
     no longer needs a ``.distinct()``. NULL okeys are filtered to mirror
-    the old equi-join, which never matched them."""
+    the old equi-join, which never matched them.
+
+    Only CANONICAL (src < dst) pairs are generated and shuffled; the
+    symmetric mirror is a union AFTER the support-count aggregation, over
+    the (tiny, support-filtered) edge table. Support counts are direction-
+    independent, so the edge set is identical — but the pair explode and
+    the (src, dst) count exchange carry HALF the rows (guide §2.3: shuffle
+    fewer bytes; r15 A/B −16% on the build)."""
     baskets = (
         po.filter(F.col("okey").isNotNull())
         .groupBy("okey")
@@ -1028,16 +1035,19 @@ def copurchase_edges_from_baskets(
                     "__parts",
                     lambda y: F.struct(x.alias("src"), y.alias("dst")),
                 ),
-                lambda p: p["src"] != p["dst"],
+                lambda p: p["src"] < p["dst"],
             ),
         )
     )
-    e = (
+    half = (
         baskets.select(F.explode(pairs).alias("p"))
         .select("p.src", "p.dst")
         .groupBy("src", "dst")
         .agg(F.count("*").cast("long").alias("w"))
         .filter(F.col("w") >= 2)
+    )
+    e = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
     return e if keep_weight else e.select("src", "dst")
 
@@ -2195,8 +2205,17 @@ def query_expansion_prf_retrieval(spark, sf_dir):
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
-    tstat = post.groupBy("term").agg(
-        F.count("*").cast("long").alias("df")
+    # persist the per-term document frequencies: they are consumed by TWO
+    # actions (the expansion-mining join and the final scorer's broadcast),
+    # and without the cache the second one re-runs a full corpus tokenize
+    # pass just to re-derive them. The cache is VOCABULARY-sized (term +
+    # one long), not posting-sized — persisting `post` itself was measured
+    # a wash (the O(tokens) cache write costs what the recompute saves;
+    # r15 A/B), while this trades a full text pass for ~nothing (§5).
+    from ..operators.relational import _track_persist
+
+    tstat = _track_persist(
+        post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     )
     n, sdl = int(st["n"]), int(st["sdl"])
     expansion = [
