@@ -137,19 +137,34 @@ def minhash_wide(
 
     Docs with zero shingles (empty/whitespace/too-short text) are dropped,
     exactly as the explode-based shape dropped them (no rows to explode);
-    the ``size >= 1`` filter pins that contract — ``array_min`` over an
-    empty array would otherwise emit an all-NULL signature row."""
+    the token-count precondition pins that contract — ``array_min`` over
+    an empty array would otherwise emit an all-NULL signature row.
+
+    The zero-shingle drop is ``size(__toks) >= n`` (a doc has >= 1 n-gram
+    shingle iff it has >= n tokens — NULL text gives size = -1, dropped
+    either way), NOT ``size(__sh) >= 1``: Catalyst pushes filters through
+    projections by SUBSTITUTION regardless of expression cost, so a
+    predicate over the shingle array re-expands the whole
+    tokenize+ngram+distinct pipeline inside the pushed-down Filter (the
+    token array alone appeared 6x in the rewritten condition — every row
+    paid ~7 tokenizes and 2 shingle builds). The token-count form pushes
+    down as ONE tokenize; r15 A/B: signature stage −51% (1.44 → 0.70 s
+    med at sf0.1), plan's split(trim(...)) count 8 → 3, bit-identical
+    rows (equality pinned incl. empty/whitespace/short/NULL-text docs by
+    test_minhash_token_precondition_matches_shingle_filter)."""
     df = _spread_text(df, id_col, text_col)
-    sh = df.select(
-        F.col(id_col), tokens(text_col).alias("__toks")
-    ).select(F.col(id_col), shingles(F.col("__toks"), n).alias("__sh"))
+    sh = (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .filter(F.size("__toks") >= n)
+        .select(F.col(id_col), shingles(F.col("__toks"), n).alias("__sh"))
+    )
     cols = [
         F.array_min(
             F.transform("__sh", lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
         ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return sh.filter(F.size("__sh") >= 1).select(id_col, *cols)
+    return sh.select(id_col, *cols)
 
 
 def minhash_signatures(
@@ -365,17 +380,24 @@ def minhash_and_sets(
     corpus scans of the most expensive per-row stage; persisting this
     combined frame (the caller's job, via ``_track_persist``) makes it one.
     Zero-shingle docs are dropped, as both source operators' consumers
-    require (they can never be banding candidates)."""
-    sh = _spread_text(df, id_col, text_col).select(
-        F.col(id_col), tokens(text_col).alias("__toks")
-    ).select(F.col(id_col), shingles(F.col("__toks"), n).alias("__sh"))
+    require (they can never be banding candidates) — via the same
+    token-count precondition as ``minhash_wide`` (``size(__toks) >= n``,
+    equivalent to ``size(__sh) >= 1`` but pushdown-cheap: a shingle-array
+    predicate re-expands the whole tokenize+shingle pipeline inside the
+    pushed-down Filter; see minhash_wide's docstring)."""
+    sh = (
+        _spread_text(df, id_col, text_col)
+        .select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .filter(F.size("__toks") >= n)
+        .select(F.col(id_col), shingles(F.col("__toks"), n).alias("__sh"))
+    )
     cols = [
         F.array_min(
             F.transform("__sh", lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
         ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return sh.filter(F.size("__sh") >= 1).select(
+    return sh.select(
         id_col,
         *cols,
         F.array_sort(

@@ -762,3 +762,57 @@ def test_minhash_and_sets_matches_source_operators(spark, sf_dir):
         for i in range(k):
             assert row[f"h{i}"] == wide[doc_id][f"h{i}"], (doc_id, i)
         assert list(row["sh_set"]) == list(sets_[doc_id]), doc_id
+
+
+def test_minhash_token_precondition_matches_shingle_filter(spark):
+    """minhash_wide / minhash_and_sets drop zero-shingle docs via the
+    pushdown-cheap token-count precondition (size(toks) >= n). Pin the
+    exact equivalence with the shingle-array form it replaced
+    (size(shingles) >= 1) — a doc has >= 1 n-gram iff it has >= n tokens —
+    across the edge shapes: empty text, whitespace-only, n-1 tokens,
+    exactly n tokens, repeated-token docs (distinct shingles still
+    non-empty), and NULL text (size = -1 either way)."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators.dedup import (
+        minhash_and_sets,
+        minhash_wide,
+        shingles,
+    )
+    from end_to_end_data_engineering_and_ml_system_spark.operators.text import (
+        tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "   "),
+            (3, "a b"),
+            (4, "a b c"),
+            (5, None),
+            (6, "a a a a"),
+            (7, "x y z w v"),
+        ],
+        "doc_id long, text string",
+    )
+    n = 3
+    # ground truth: docs whose distinct-shingle array is non-empty
+    want = {
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id", shingles(tokens("text"), n).alias("sh")
+        )
+        .filter(F.size("sh") >= 1)
+        .collect()
+    }
+    got_wide = {
+        r["doc_id"] for r in minhash_wide(docs, "doc_id", "text", 4, n).collect()
+    }
+    got_comb = {
+        r["doc_id"]
+        for r in minhash_and_sets(docs, "doc_id", "text", 4, n).collect()
+    }
+    assert got_wide == got_comb == want == {4, 6, 7}
+    # and no all-NULL signature rows slipped through
+    wide = minhash_wide(docs, "doc_id", "text", 4, n)
+    assert wide.filter(F.col("h0").isNull()).count() == 0
