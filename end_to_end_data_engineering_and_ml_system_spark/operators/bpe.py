@@ -52,7 +52,11 @@ def word_frequency_table(
     training.  Map-side combine collapses within-partition duplicates, so
     the shuffle moves distinct words per partition, not corpus tokens."""
     return (
-        docs.select(F.explode(tokens(text_col)).alias("word"))
+        # explode_outer + isNotNull: see dedup.exploded_shingles (the
+        # inferred explode guard re-expands the tokenize; token elements
+        # are never NULL)
+        docs.select(F.explode_outer(tokens(text_col)).alias("word"))
+        .filter(F.col("word").isNotNull())
         .groupBy("word")
         .agg(F.count("*").alias("wcount"))
     )
@@ -74,7 +78,9 @@ def _pair_counts(symbols: DataFrame) -> DataFrame:
     vocab-sized grouped sum."""
     pairs = symbols.select(
         "wcount",
-        F.explode(
+        # explode_outer + isNotNull: see dedup.exploded_shingles (guard
+        # device; zip_with struct elements are never NULL)
+        F.explode_outer(
             F.zip_with(
                 F.slice(
                     F.col("symbols"),
@@ -90,8 +96,10 @@ def _pair_counts(symbols: DataFrame) -> DataFrame:
             )
         ).alias("pair"),
     )
-    return pairs.groupBy("pair.left", "pair.right").agg(
-        F.sum("wcount").alias("pair_count")
+    return (
+        pairs.filter(F.col("pair").isNotNull())
+        .groupBy("pair.left", "pair.right")
+        .agg(F.sum("wcount").alias("pair_count"))
     )
 
 
@@ -232,10 +240,12 @@ def learn_bpe_merges_by_group(
     are Heaps-law small); larger groups fall back to the distributed
     iteration over their filtered slice.  Returns {group: merges}."""
     grouped = (
+        # explode_outer + isNotNull: see dedup.exploded_shingles
         docs.select(
             F.col(group_col).alias("__grp"),
-            F.explode(tokens(text_col)).alias("word"),
+            F.explode_outer(tokens(text_col)).alias("word"),
         )
+        .filter(F.col("word").isNotNull())
         .groupBy("__grp", "word")
         .agg(F.count("*").alias("wcount"))
         .persist()
@@ -351,9 +361,10 @@ def bpe_token_lengths(
     )
     if broadcast_vocab:
         lengths = F.broadcast(lengths)
+    # explode_outer + isNotNull: see dedup.exploded_shingles
     per_tok = docs.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("word")
-    )
+        F.col(id_col), F.explode_outer(tokens(text_col)).alias("word")
+    ).filter(F.col("word").isNotNull())
     return (
         per_tok.join(lengths, "word")
         .groupBy(id_col)

@@ -56,9 +56,14 @@ def bigram_buckets(
         F.slice(ts, 2, n),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
+    # explode_outer + isNotNull: see dedup.exploded_shingles (the inferred
+    # explode guard re-expands the bigram pipeline; concat elements are
+    # never NULL)
     exploded = docs.select(
-        F.col(id_col), *[F.col(c) for c in carry], F.explode(bg).alias("ngram")
-    )
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.explode_outer(bg).alias("ngram"),
+    ).filter(F.col("ngram").isNotNull())
     bucket = (
         F.conv(F.substring(F.md5(F.col("ngram")), 1, 8), 16, 10).cast("bigint")
         % buckets

@@ -115,7 +115,11 @@ def repetition_signals(df, id_col: str, text_col: str):
         ).alias("dup_trigram_frac"),
     )
     top = (
-        arrays.select(id_col, F.explode("__bi").alias("__b"))
+        # explode_outer + isNotNull: see dedup.exploded_shingles — a plain
+        # explode's inferred guard re-expands the bigram pipeline in a
+        # pushed-down Filter; bigram elements (concat_ws) are never NULL
+        arrays.select(id_col, F.explode_outer("__bi").alias("__b"))
+        .filter(F.col("__b").isNotNull())
         .groupBy(id_col, "__b")
         .agg(F.count("*").alias("__n"))
         .groupBy(id_col)
@@ -242,7 +246,10 @@ def tf_idf_topk(df, id_col: str, text_col: str, k: int = 3):
     from pyspark.sql import DataFrame, Window
 
     assert isinstance(df, DataFrame)
-    toked = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    # explode_outer + isNotNull: see dedup.exploded_shingles (guard device)
+    toked = df.select(
+        F.col(id_col), F.explode_outer(tokens(text_col)).alias("term")
+    ).filter(F.col("term").isNotNull())
     tf = toked.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     n_docs = df.select(id_col).distinct().count()
     dfreq = toked.groupBy("term").agg(
@@ -491,9 +498,21 @@ def duplicate_ngram_windows(
     no join, cost O(windows) — never O(docs^2)."""
     from pyspark.sql import Window
 
-    g = _spread_text(df, id_col, text_col).select(
-        F.col(id_col), F.explode(ngrams(tokens(text_col), n)).alias("gram")
-    ).select(id_col, F.xxhash64("gram").alias("gh"))
+    # explode_outer + isNotNull: see dedup.exploded_shingles (guard device).
+    # Tokens are materialized as a column BEFORE the n-gram zip_with chain:
+    # inlined, the Generate's expression re-expands the tokenize once per
+    # zip_with reference (plan showed 16 copies) — measured a wash at this
+    # scale, but the two-step projection keeps the plan honest (1 copy).
+    g = (
+        _spread_text(df, id_col, text_col)
+        .select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode_outer(ngrams(F.col("__toks"), n)).alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull())
+        .select(id_col, F.xxhash64("gram").alias("gh"))
+    )
     gd = g.groupBy("gh", id_col).agg(F.count("*").alias("c"))
     nd = F.count("*").over(Window.partitionBy("gh"))
     flagged = gd.withColumn("nd", nd)

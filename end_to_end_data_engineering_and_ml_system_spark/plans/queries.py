@@ -1166,7 +1166,9 @@ def token_frequency_topk(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(tokens("text")).alias("token"))
+        # explode_outer + isNotNull: see dedup.exploded_shingles (guard device)
+        docs.select(F.explode_outer(tokens("text")).alias("token"))
+        .filter(F.col("token").isNotNull())
         .groupBy("token")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "token")
@@ -7354,7 +7356,9 @@ def vocab_coverage_top100(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     counts = (
-        docs.select(F.explode(tokens("text")).alias("token"))
+        # explode_outer + isNotNull: see dedup.exploded_shingles (guard device)
+        docs.select(F.explode_outer(tokens("text")).alias("token"))
+        .filter(F.col("token").isNotNull())
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
@@ -7415,7 +7419,10 @@ def doc_rare_token_stats(spark, sf_dir):
     from ..operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    occ = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    # explode_outer + isNotNull: see dedup.exploded_shingles (guard device)
+    occ = docs.select(
+        "doc_id", F.explode_outer(tokens("text")).alias("token")
+    ).filter(F.col("token").isNotNull())
     vocab = occ.groupBy("token").agg(F.count("*").alias("freq"))
     j = occ.join(vocab, "token")
     return j.groupBy("doc_id").agg(
@@ -8528,7 +8535,9 @@ def doc_unigram_logprob(spark, sf_dir):
         )
     total = int(_t)
     dt = (
-        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        # explode_outer + isNotNull: see dedup.exploded_shingles (guard device)
+        docs.select("doc_id", F.explode_outer(tokens("text")).alias("tok"))
+        .filter(F.col("tok").isNotNull())
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("c"))
     )
@@ -9045,7 +9054,10 @@ def token_cms_estimates(spark, sf_dir):
     from ..operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    # explode_outer + isNotNull: see dedup.exploded_shingles (guard device)
+    toks = docs.select(
+        F.explode_outer(tokens("text")).alias("tok")
+    ).filter(F.col("tok").isNotNull())
 
     def bucket(seed_col, tok_col):
         h = F.md5(F.concat(seed_col.cast("string"), F.lit(":"), tok_col))
@@ -9932,12 +9944,13 @@ def corpus_boilerplate_ngrams(spark, sf_dir):
     from ..operators.text import ngrams, tokens
 
     docs = load_table(spark, sf_dir, "documents")
+    # explode_outer + isNotNull: see dedup.exploded_shingles (guard device)
     g = docs.select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.array_distinct(ngrams(tokens("text"), 8))
         ).alias("gram"),
-    )
+    ).filter(F.col("gram").isNotNull())
     df_ = g.groupBy("gram").agg(F.count("*").alias("doc_freq"))
     return (
         df_.filter(F.col("doc_freq") >= 3)
@@ -10817,7 +10830,9 @@ def token_zipf_fit(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     freq = (
-        docs.select(F.explode(tokens("text")).alias("tok"))
+        # explode_outer + isNotNull: see dedup.exploded_shingles (guard device)
+        docs.select(F.explode_outer(tokens("text")).alias("tok"))
+        .filter(F.col("tok").isNotNull())
         .groupBy("tok")
         .agg(F.count("*").alias("n"))
     )
@@ -10897,7 +10912,9 @@ def vocab_growth_heaps(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     firsts = (
-        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        # explode_outer + isNotNull: see dedup.exploded_shingles (guard device)
+        docs.select("doc_id", F.explode_outer(tokens("text")).alias("tok"))
+        .filter(F.col("tok").isNotNull())
         .groupBy("tok")
         .agg(F.min("doc_id").alias("first_doc"))
     )
@@ -11120,7 +11137,9 @@ def source_unigram_jsd(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     st = (
-        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        # explode_outer + isNotNull: see dedup.exploded_shingles (guard device)
+        docs.select("source", F.explode_outer(tokens("text")).alias("tok"))
+        .filter(F.col("tok").isNotNull())
         .groupBy("source", "tok")
         .agg(F.count("*").alias("n"))
     )

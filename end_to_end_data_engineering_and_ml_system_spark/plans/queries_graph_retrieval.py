@@ -671,7 +671,9 @@ def doc_bigram_logprob(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens("text").alias("toks"))
     vocab = int(
-        toks.select(F.explode("toks").alias("tok"))
+        # explode_outer + isNotNull: see dedup.exploded_shingles (guard device)
+        toks.select(F.explode_outer("toks").alias("tok"))
+        .filter(F.col("tok").isNotNull())
         .agg(F.countDistinct("tok"))
         .first()[0]
     )
@@ -680,13 +682,14 @@ def doc_bigram_logprob(spark, sf_dir):
         toks.filter(sz >= 2)
         .select(
             "doc_id",
-            F.explode(
+            F.explode_outer(
                 F.arrays_zip(
                     F.slice("toks", 1, sz - 1).alias("w1"),
                     F.slice("toks", 2, sz - 1).alias("w2"),
                 )
             ).alias("p"),
         )
+        .filter(F.col("p").isNotNull())
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
     g = pairs.groupBy("doc_id", "w1", "w2").agg(
@@ -1212,7 +1215,9 @@ def top_phrase_docs(spark, sf_dir):
         "doc_id", ngrams(F.col("toks"), 3).alias("tg")
     )
     top = (
-        tri.select(F.explode("tg").alias("tg3"))
+        # explode_outer + isNotNull: see dedup.exploded_shingles (guard device)
+        tri.select(F.explode_outer("tg").alias("tg3"))
+        .filter(F.col("tg3").isNotNull())
         .groupBy("tg3")
         .agg(F.count("*").alias("c"))
         .orderBy(F.col("c").desc(), F.col("tg3").asc())
@@ -2201,7 +2206,10 @@ def query_expansion_prf_retrieval(spark, sf_dir):
     ).select("doc_id", tok_fn("text").alias("toks"))
     dl = d.select("doc_id", "dl")
     post = (
-        docs.select("doc_id", F.explode("toks").alias("term"))
+        # explode_outer + isNotNull: see dedup.exploded_shingles (guard
+        # device; the doc_id mining filter still pushes below the Generate)
+        docs.select("doc_id", F.explode_outer("toks").alias("term"))
+        .filter(F.col("term").isNotNull())
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )

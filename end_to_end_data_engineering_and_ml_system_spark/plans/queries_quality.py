@@ -2212,9 +2212,10 @@ def term_posting_stats(spark, sf_dir):
     from ..operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
+    # explode_outer + isNotNull: see dedup.exploded_shingles (guard device)
     tok = docs.select(
-        "doc_id", F.explode(tokens("text")).alias("term")
-    )
+        "doc_id", F.explode_outer(tokens("text")).alias("term")
+    ).filter(F.col("term").isNotNull())
     post = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
     stats = post.groupBy("term").agg(
         F.count("*").cast("bigint").alias("df"),
@@ -3498,7 +3499,9 @@ def corpus_pipeline_v3_perplexity(spark, sf_dir):
     )
     toks = docs.select("doc_id", tokens("text").alias("tk"))
     vocab = int(
-        toks.select(F.explode("tk").alias("tok"))
+        # explode_outer + isNotNull: see dedup.exploded_shingles (guard device)
+        toks.select(F.explode_outer("tk").alias("tok"))
+        .filter(F.col("tok").isNotNull())
         .agg(F.countDistinct("tok"))
         .first()[0]
     )
@@ -3507,13 +3510,14 @@ def corpus_pipeline_v3_perplexity(spark, sf_dir):
         toks.filter(sz >= 2)
         .select(
             "doc_id",
-            F.explode(
+            F.explode_outer(
                 F.arrays_zip(
                     F.slice("tk", 1, sz - 1).alias("w1"),
                     F.slice("tk", 2, sz - 1).alias("w2"),
                 )
             ).alias("p"),
         )
+        .filter(F.col("p").isNotNull())
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
     g = pairs.groupBy("doc_id", "w1", "w2").agg(
@@ -3735,7 +3739,9 @@ def token_coverage_curve(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     freq = (
-        docs.select(F.explode(tokens("text")).alias("tok"))
+        # explode_outer + isNotNull: see dedup.exploded_shingles (guard device)
+        docs.select(F.explode_outer(tokens("text")).alias("tok"))
+        .filter(F.col("tok").isNotNull())
         .groupBy("tok")
         .agg(F.count("*").cast("long").alias("n"))
     )
