@@ -28,7 +28,9 @@ from pyspark.sql import functions as F
 DEC = "decimal(28,10)"
 
 
-def fit_standardizer(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+def fit_standardizer(
+    df: DataFrame, cols: Sequence[str], spread: bool = True
+) -> DataFrame:
     """One-row stats frame with mean_<c> and std_<c> (population, zero-guarded)
     for each feature column. Exact decimal sums make the fit reproducible
     under any partitioning — which is also what makes the spread below safe:
@@ -36,10 +38,19 @@ def fit_standardizer(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     a single-row-group fixture scan they would all run in ONE task (guide
     §2.5). Project to the feature columns, then hash-spread on their joint
     xxhash64 (deterministic, high-cardinality) so the fit aggregate uses
-    every core; no-op on well-split inputs."""
+    every core; no-op on well-split inputs.
+
+    ``spread=False`` skips that repartition: for a SINGLE light column the
+    exchange costs more than the partial aggregate it parallelizes
+    (r16 A/B: etl_end_to_end −16% with it off, stream_flow_scoring neutral,
+    while the 4-column lineitem fit is 2.7× FASTER with it on — the spread
+    pays for multi-column decimal work, not a lone cast+add; same decision
+    rule as r15's tokenize-spread rejections)."""
     from ..sources.catalog import spread_for_compute
 
-    df = spread_for_compute(df.select(*cols), F.xxhash64(*cols))
+    df = df.select(*cols)
+    if spread:
+        df = spread_for_compute(df, F.xxhash64(*cols))
     aggs: list[Column] = []
     for c in cols:
         x = F.col(c).cast("double")

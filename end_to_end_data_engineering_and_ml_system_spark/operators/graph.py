@@ -69,6 +69,33 @@ def _resolve_reliable(df: DataFrame, reliable: bool | None) -> bool:
     return df.sparkSession.sparkContext.getCheckpointDir() is not None
 
 
+_OBS_TIMEOUT_S = 30.0
+
+
+def _observed_row(obs: Observation, cut: DataFrame, *aggs) -> dict:
+    """Read an Observation's metrics AFTER the observed dataset's eager
+    checkpoint has materialized, guarded against a hang: metrics firing
+    during ``Dataset.checkpoint``/``localCheckpoint`` is QueryExecution-
+    listener behavior, not a documented contract, so a future Spark that
+    stops firing them there would make ``obs.get`` block forever — every
+    convergence loop would hang instead of erroring. The action is already
+    complete when this is called, so any real wait means the listener never
+    fired; after a generous timeout, degrade to the old two-job shape (one
+    direct 1-row aggregate over the already-cut table) instead of hanging.
+    A daemon thread (not a ThreadPoolExecutor) does the blocking read: a
+    pool's shutdown would join the hung reader forever — exactly the hang
+    this guard exists to break."""
+    import threading
+
+    box: list = []
+    t = threading.Thread(target=lambda: box.append(obs.get), daemon=True)
+    t.start()
+    t.join(_OBS_TIMEOUT_S)
+    if box:
+        return box[0]
+    return cut.agg(*aggs).first().asDict()
+
+
 def _cut_fp(df: DataFrame, reliable: bool) -> tuple[DataFrame, object]:
     """Lineage-cut an ``(id, comp)`` label table and return
     ``(cut_df, fingerprint)`` where the fingerprint is the order-independent
@@ -77,11 +104,16 @@ def _cut_fp(df: DataFrame, reliable: bool) -> tuple[DataFrame, object]:
     separate 1-row aggregate action afterwards. One job per round instead
     of two (observations fire under both localCheckpoint and reliable
     checkpoint on Spark 4.x — probed, and pinned by
-    tests/test_graph.py::test_observed_fingerprint_matches_direct_aggregate)."""
+    tests/test_graph.py::test_observed_fingerprint_matches_direct_aggregate).
+    ``_observed_row`` guards the read with a timeout + direct-aggregate
+    fallback in case that listener behavior ever changes."""
     obs = Observation()
     fp = F.sum(F.xxhash64("id", "comp").cast("decimal(38,0)")).alias("h")
     cut = _cut(df.observe(obs, fp), reliable)
-    return cut, obs.get["h"]
+    fp_direct = F.sum(F.xxhash64("id", "comp").cast("decimal(38,0)")).alias(
+        "h"
+    )
+    return cut, _observed_row(obs, cut, fp_direct)["h"]
 
 
 def connected_components(
@@ -233,7 +265,8 @@ def connected_components_stars(
         # means here; hash collision odds are negligible and the final
         # labels are exact regardless — stars only ever contract further).
         # Observed on the cut's own materialization job (same device as
-        # _cut_fp): no separate aggregate action per round.
+        # _cut_fp): no separate aggregate action per round. _observed_row
+        # guards the read with the timeout + direct-aggregate fallback.
         obs = Observation()
         cut = _cut(
             ed.observe(
@@ -243,7 +276,12 @@ def connected_components_stars(
             ),
             reliable,
         )
-        row = obs.get
+        row = _observed_row(
+            obs,
+            cut,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        )
         return cut, (row["n"], row["h"])
 
     # canonical directed pairs (big, small): a > b, no self-loops, deduped

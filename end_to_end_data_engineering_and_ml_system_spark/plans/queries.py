@@ -2238,7 +2238,11 @@ def _etl_end_to_end_plan(spark, sf_dir, instrument: bool):
             },
         ),
     )
-    stats = fit_standardizer(labeled, ["value"])
+    # spread=False: the fit is ONE light column (a double cast+add per row)
+    # — the spread exchange costs more than the single-task aggregate it
+    # parallelizes (r16 same-JVM A/B: −16% with it off; the 4-col lineitem
+    # fits keep the spread, where it measures 2.7× the other way)
+    stats = fit_standardizer(labeled, ["value"], spread=False)
     z = apply_standardizer(labeled, stats, ["value"])
     summary = z.groupBy("label").agg(
         F.count("*").alias("n_rows"),
@@ -12350,6 +12354,7 @@ def mlp_ae_detect_loop(spark, sf_dir):
     Output: per-route counts + order-free score extrema."""
     from ..functions.scalars import classify_by_threshold
     from ..ml.training import fit_mlp_autoencoder, mlp_reconstruction_scores
+    from ..operators.relational import _track_persist
 
     emb = load_table(spark, sf_dir, "embeddings")
     feats = emb.select(
@@ -12363,7 +12368,10 @@ def mlp_ae_detect_loop(spark, sf_dir):
     # pass both consume it — without the cache the mapInPandas forward
     # pass over the whole corpus runs twice
     scores = mlp_reconstruction_scores(feats, fit, "vec_id")
-    scores.persist()
+    # tracked so the harness's release_rank_caches sweep frees the executor
+    # blocks after the query materializes (a bare .persist() here leaked a
+    # corpus-sized cache per call until session end)
+    _track_persist(scores)
     st = scores.agg(
         F.avg("recon_mse").alias("mu"),
         F.stddev_pop("recon_mse").alias("sd"),

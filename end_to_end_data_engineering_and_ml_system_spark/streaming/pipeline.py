@@ -597,8 +597,16 @@ def run_routed_foreach_batch(
     tests/test_streaming.py). The old shape persisted the batch and ran a
     separate count job per sink; for count-style sinks the cache write and
     the second job are pure overhead (guide §1.4/§5 — two actions over a
-    cache vs one observed action). Returns the per-batch (normal, anomaly)
-    counts the sinks received."""
+    cache vs one observed action; r16 same-JVM A/B: the old shape is 18%
+    slower). Returns the per-batch (normal, anomaly) counts the sinks
+    received.
+
+    The single-pass observe shape is valid ONLY for count-style sinks: the
+    anomaly rows are never routed anywhere as rows. A real dual-sink
+    implementation (per-topic Kafka writes, the reference's S7/S8/P12
+    shape) must revert to persist + two executed writes (the reference's
+    cache/split/write/unpersist pattern), or the anomaly-side write is
+    silently dropped."""
     from pyspark.sql import Observation
 
     normal_counts: list[int] = []

@@ -585,12 +585,42 @@ def test_observed_fingerprint_matches_direct_aggregate(spark, tmp_path):
             )
 
 
+def test_observed_row_falls_back_to_direct_aggregate_on_timeout(
+    spark, monkeypatch
+):
+    """If the Observation listener never fires (the undocumented-contract
+    hazard: a future Spark not firing QueryExecutionListeners during
+    checkpoint materialization), _observed_row must degrade to the direct
+    1-row aggregate instead of blocking forever. Simulate by never running
+    an action through the observed plan."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_and_ml_system_spark.operators import (
+        graph,
+    )
+
+    monkeypatch.setattr(graph, "_OBS_TIMEOUT_S", 0.5)
+    df = spark.range(10).select("id", (F.col("id") % 2).alias("comp"))
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("n"))  # plan built, NEVER run
+    row = graph._observed_row(obs, df, F.count(F.lit(1)).alias("n"))
+    assert row["n"] == 10
+
+
 def test_pagerank_iteration1_fold_matches_explicit_initial_ranks(spark):
     """Iteration 1 evaluates the restart distribution directly on the edge
-    table instead of joining a materialized rank table. Pin bit-equality
-    against an explicit construction: seeding a 1-iteration run's output
-    into the loop must reproduce a 2-iteration run exactly (uniform AND
-    personalized restart)."""
+    table instead of joining a materialized rank table. Pin the fold
+    against the UNFOLDED construction: materialize the initial rank table
+    explicitly (restart values created as Python doubles — 0.25, 1.0, 0.0,
+    all exactly representable), run one iteration with the operator's own
+    expression shapes reading rank from that join, and assert bit-equality
+    with pagerank(iters=1) — uniform AND personalized restart. The test
+    graph has no dangling node (every node has an out-edge), so the
+    explicit mirror is exactly one join + one aggregate."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
     from end_to_end_data_engineering_and_ml_system_spark.operators.graph import (
         pagerank,
     )
@@ -598,18 +628,60 @@ def test_pagerank_iteration1_fold_matches_explicit_initial_ranks(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 1), (1, 3), (9, 9)], "src long, dst long"
     )
-    for kw in ({}, {"teleport": [1]}):
-        r2 = {
+    nodes = [1, 2, 3, 9]
+    d, q_grid = 0.85, 1e12
+    for kw, restart in (
+        ({}, {n: 1.0 / len(nodes) for n in nodes}),
+        ({"teleport": [1]}, {1: 1.0, 2: 0.0, 3: 0.0, 9: 0.0}),
+    ):
+        # explicit initial rank table, materialized from driver literals
+        r0 = spark.createDataFrame(
+            [(n, restart[n]) for n in nodes], "src long, rank double"
+        )
+        ew = edges.select(
+            "src",
+            "dst",
+            F.count("*")
+            .over(Window.partitionBy("src"))
+            .cast("long")
+            .alias("outdeg"),
+        )
+        contrib = ew.join(r0, "src").select(
+            F.col("dst").alias("id"),
+            F.round(F.lit(d) * F.col("rank") / F.col("outdeg") * F.lit(q_grid))
+            .cast("long")
+            .alias("q"),
+        )
+        qs = contrib.groupBy("id").agg(F.sum("q").alias("qs"))
+        if "teleport" in kw:
+            base = (F.lit(1.0) - F.lit(d)) / F.lit(1.0) * F.when(
+                F.col("id").isin([1]), F.lit(1.0)
+            ).otherwise(F.lit(0.0))
+        else:
+            base = (F.lit(1.0) - F.lit(d)) / F.lit(float(len(nodes)))
+        node_df = spark.createDataFrame([(n,) for n in nodes], "id long")
+        explicit = {
             (r["id"], r["rank"])
-            for r in pagerank(edges, iters=2, **kw).collect()
+            for r in node_df.join(qs, "id", "left")
+            .select(
+                "id",
+                (
+                    base
+                    + F.coalesce(F.col("qs"), F.lit(0).cast("long")).cast(
+                        "double"
+                    )
+                    / F.lit(q_grid)
+                ).alias("rank"),
+            )
+            .collect()
         }
-        r2_again = {
+        folded = {
             (r["id"], r["rank"])
-            for r in pagerank(edges, iters=2, **kw).collect()
+            for r in pagerank(edges, iters=1, **kw).collect()
         }
-        assert r2 == r2_again  # deterministic under the fold
+        assert folded == explicit  # bit-equal: same ops, same input doubles
         # mass conservation still holds exactly on the 1e-12 grid
-        total = sum(r for _, r in r2)
+        total = sum(r for _, r in folded)
         assert abs(total - 1.0) < 1e-9
 
 
