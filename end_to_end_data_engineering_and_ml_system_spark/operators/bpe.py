@@ -285,11 +285,20 @@ def _learn_distributed(
     min_pair_count: int,
     checkpoint_every: int = 8,
 ) -> list[tuple[str, str, int]]:
-    """The distributed merge loop over an already-built symbols table."""
-    symbols = symbols.persist()
-    symbols.count()
+    """The distributed merge loop over an already-built symbols table.
+
+    ONE job per merge round: the round's best-pair TakeOrdered action is
+    also what populates the previous round's persisted symbols cache (a
+    full scan — limit(1) over an orderBy reads every partition), so the
+    old explicit ``nxt.count()`` materialization job was a second full
+    pass per round for nothing (guide §2.4 — the observe()/fold
+    discipline; 2 jobs/round → 1). The retired frame is unpersisted only
+    AFTER the action that materialized its successor — unpersisting
+    before would force the successor's job to recompute the whole merge
+    chain."""
     merges: list[tuple[str, str, int]] = []
-    prev = symbols
+    prev = symbols.persist()
+    retired = None  # the frame `prev` was derived from, freed post-action
     for it in range(n_merges):
         best = (
             _pair_counts(prev)
@@ -297,6 +306,9 @@ def _learn_distributed(
             .limit(1)
             .collect()
         )
+        if retired is not None:
+            retired.unpersist()
+            retired = None
         if not best or best[0]["pair_count"] < min_pair_count:
             break
         left, right, cnt = (
@@ -307,11 +319,13 @@ def _learn_distributed(
         merges.append((left, right, cnt))
         nxt = prev.mapInPandas(_merge_apply_fn(left, right), _SYM_SCHEMA)
         if (it + 1) % checkpoint_every == 0:
+            # eager cut: materializes nxt itself, so prev retires here
             nxt = _cut_lineage(nxt)
         nxt = nxt.persist()
-        nxt.count()
-        prev.unpersist()
+        retired = prev
         prev = nxt
+    if retired is not None:
+        retired.unpersist()
     prev.unpersist()
     return merges
 
