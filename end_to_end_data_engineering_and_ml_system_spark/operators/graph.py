@@ -527,14 +527,27 @@ def pagerank(
     # symmetric graph (every dst is also a src) has none, and then the
     # whole redistribution term is exactly 0.0 every iteration (the oracle
     # agrees: COALESCE(SUM over empty), 0) — skip its per-iteration
-    # aggregate + broadcast entirely
+    # aggregate + broadcast entirely. ONE left join builds both the
+    # dangling set and the flagged node table the loop needs (the flag
+    # lets each iteration's dangling-mass sum ride the cut's own
+    # materialization as an observed metric — see the loop).
     if assume_symmetric:
         dangling = None
+        nodes_f = None
         has_dangling = False
     else:
-        dangling = nodes.join(
-            ew.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        nodes_f = (
+            nodes.join(
+                ew.select(F.col("src").alias("id"))
+                .distinct()
+                .withColumn("__has_out", F.lit(True)),
+                "id",
+                "left",
+            )
+            .select("id", F.col("__has_out").isNull().alias("__dang"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        dangling = nodes_f.filter(F.col("__dang")).select("id")
         has_dangling = not dangling.isEmpty()
 
     q_grid = F.lit(1e12)
@@ -567,6 +580,37 @@ def pagerank(
             (dqc.cast("double") / sf_) / q_grid
         ) * ind
 
+    # Dangling-mass fold (guide §2.4 — the _cut_fp device): with a dangling
+    # term every iteration cuts anyway, and the cut's materialization sees
+    # every rank row — so the NEXT iteration's dangling-rank sum rides that
+    # job as an observed metric over the __dang-flagged rows instead of a
+    # per-iteration join+aggregate+broadcast over the rank table. The sum
+    # is the exact same long either way (identical round/cast ops, exact
+    # integer addition), so the ranks are bit-identical; iteration 1's term
+    # comes from the restart distribution (a pointwise expression of id),
+    # one 1-row aggregate over the static dangling set before the loop.
+    dq_next = 0
+    dq_metric = None
+    if has_dangling and iters > 0:
+        dq_metric = F.sum(
+            F.when(
+                F.col("__dang"),
+                F.round(d_lit * F.col("rank") * q_grid).cast("long"),
+            )
+        ).alias("dq")
+        dq_next = (
+            dangling.select(_restart(F.col("id")).alias("rank"))
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.round(d_lit * F.col("rank") * q_grid).cast("long")
+                    ),
+                    F.lit(0).cast("long"),
+                ).alias("dq")
+            )
+            .first()["dq"]
+        )
+
     r = None  # rank table from the previous iteration; None = restart dist
     for it in range(iters):
         rank_col = _restart(F.col("src")) if r is None else F.col("rank")
@@ -576,7 +620,9 @@ def pagerank(
         src_side = (
             ew
             if r is None
-            else ew.join(r.withColumnRenamed("id", "src"), "src")
+            else ew.join(
+                r.select("id", "rank").withColumnRenamed("id", "src"), "src"
+            )
         )
         contrib = src_side.select(
             F.col("dst").alias("id"),
@@ -589,27 +635,17 @@ def pagerank(
         # coincide): every node is some edge's dst and receives at least
         # one contribution row, so qs's key set IS the node set and the
         # left join below would be a per-iteration no-op shuffle — skip it
-        upd = qs if assume_symmetric else nodes.join(qs, "id", "left")
-        if has_dangling:
-            # iteration 1 reads the restart distribution lazily (a pure
-            # projection over the persisted node cache — no cut needed)
-            rd = (
-                nodes.select("id", _restart(F.col("id")).alias("rank"))
-                if r is None
-                else r
-            )
-            dq = dangling.join(rd, "id").agg(
-                F.coalesce(
-                    F.sum(
-                        F.round(d_lit * F.col("rank") * q_grid).cast("long")
-                    ),
-                    F.lit(0).cast("long"),
-                ).alias("dq")
-            )
-            upd = upd.crossJoin(F.broadcast(dq))
-            dq_col = F.col("dq")
+        if assume_symmetric:
+            upd = qs
+        elif has_dangling:
+            upd = nodes_f.join(qs, "id", "left")  # carries __dang
         else:
-            dq_col = F.lit(0).cast("long")
+            upd = nodes.join(qs, "id", "left")
+        dq_col = (
+            F.lit(int(dq_next)).cast("long")
+            if has_dangling
+            else F.lit(0).cast("long")
+        )
         r = upd.select(
             "id",
             (
@@ -620,24 +656,33 @@ def pagerank(
                 )
                 / q_grid
             ).alias("rank"),
+            *(["__dang"] if has_dangling else []),
         )
-        # Lineage policy: with a dangling term the rank table is referenced
-        # twice per iteration (contribution + redistribution), so an uncut
-        # plan doubles per round — cut every iteration. Without dangling
-        # the chain is LINEAR over persisted inputs, so a cut every 4th
-        # iteration bounds plan depth while skipping the per-iteration
-        # materialization job (measured ~2x on the 3-iteration bench query).
-        # The LAST iteration always cuts: callers run several actions over
-        # the returned table (top-k, mass checks), which must not re-run
-        # the whole chain.
-        if has_dangling or (it + 1) % 4 == 0 or it == iters - 1:
+        # Lineage policy: with a dangling term the rank table's dangling
+        # sum must materialize before the next iteration's expressions can
+        # be built (the dq literal) — cut every iteration, with the sum
+        # observed on the cut. Without dangling the chain is LINEAR over
+        # persisted inputs, so a cut every 4th iteration bounds plan depth
+        # while skipping the per-iteration materialization job (measured
+        # ~2x on the 3-iteration bench query). The LAST iteration always
+        # cuts: callers run several actions over the returned table
+        # (top-k, mass checks), which must not re-run the whole chain.
+        if has_dangling:
+            obs = Observation()
+            r = _cut(r.observe(obs, dq_metric), reliable)
+            if it + 1 < iters:  # last iteration's sum has no consumer
+                v = _observed_row(obs, r, dq_metric)["dq"]
+                dq_next = 0 if v is None else int(v)
+        elif (it + 1) % 4 == 0 or it == iters - 1:
             r = _cut(r, reliable)
     if r is None:  # iters == 0: the ranks ARE the restart distribution
         r = _cut(
             node_ids.select("id", _restart(F.col("id")).alias("rank")),
             reliable,
         )
-    for cached in (ew, nodes, dangling):
+    elif has_dangling:
+        r = r.select("id", "rank")  # drop the internal flag
+    for cached in (ew, nodes, nodes_f):
         if cached is not None:
             cached.unpersist()
     return r

@@ -60,9 +60,13 @@ def _stage(spark, out_dir: str) -> None:
     )
     reps = None
     for i in range(REPLICATE):
+        # shift BOTH keys: shifted orders alone would multiply edge support
+        # on a fixed-size graph (pagerank's per-iteration work would not
+        # grow at all); disjoint partkey ranges make REPLICATE disjoint
+        # graph copies, so nodes/edges — and the iteration joins — scale
         part = li.select(
             (F.col("l_orderkey") + F.lit(i * stride)).alias("l_orderkey"),
-            F.col("l_partkey"),
+            (F.col("l_partkey") + F.lit(i * stride)).alias("l_partkey"),
         )
         reps = part if reps is None else reps.unionByName(part)
     reps.repartition(FILES).write.mode("overwrite").parquet(
