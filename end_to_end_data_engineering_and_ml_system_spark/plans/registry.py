@@ -89,7 +89,14 @@ def register(
 # any number of future artifacts landing (rounds >= _WINDOW_ROUND never
 # count), which closes the r8/r9/r11 artifact-landing failure class at the
 # model level instead of per-landing point fixes.
-_WINDOW_ROUND: int = 14
+#
+# Rounds 15-16 are OPTIMIZATION rounds: the window is FROZEN by the driver
+# contract (a dropped or renamed declared query is a REGRESSION regardless
+# of speed, and cross-round bench/oracle comparability needs the same 50
+# names), so every slot is a deliberate reconfirmation of the r14 set —
+# documented as one reason class in RECONFIRMATION_SLOTS. Rotation resumes
+# with the next feature round.
+_WINDOW_ROUND: int = 16
 
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # --- genuinely new this round (8): oracle-checked portable siblings
