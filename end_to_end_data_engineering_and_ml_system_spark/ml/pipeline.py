@@ -386,9 +386,19 @@ def pairwise_correlations(df, cols):
     The final corr arithmetic runs in double over those exact sums, so any
     engine computing the same formula gets the same bits. Products ride
     DECIMAL(38,10): quadratic terms need the wider integral range.
-    Assumes no nulls in ``cols`` (fixture contract; COUNT(*) denominator)."""
+    Assumes no nulls in ``cols`` (fixture contract; COUNT(*) denominator).
+
+    Spread before the moment battery: k features mean k(k+1)/2 decimal
+    products per row — the same multi-column-decimal shape whose fit
+    spread measured 2.7× (fit_standardizer), and on a 3-task fixture scan
+    the whole battery ran nearly single-threaded (r16 A/B: 4.17 → 1.06 s,
+    results bit-identical — exact decimal sums are partition-independent).
+    Guarded: no-op on well-split inputs."""
     from pyspark.sql import functions as F
 
+    from ..sources.catalog import spread_for_compute
+
+    df = spread_for_compute(df.select(*cols), F.xxhash64(*cols))
     aggs = [F.count("*").alias("n")]
     for c in cols:
         aggs.append(F.sum(F.col(c).cast("double").cast("decimal(28,10)")).alias(f"s_{c}"))

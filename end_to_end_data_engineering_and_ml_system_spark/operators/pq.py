@@ -253,6 +253,15 @@ def pq_encode(
     the difference between encode being scan-bound and exchange-bound at
     corpus scale."""
     sv = _subvectors(corpus, id_col, vec_col, m, carry=carry)
+    # guarded spread before the ks-way candidate expansion: the zip_with
+    # distance lambdas are interpreted per element, and off a 1-partition
+    # fixture scan the whole ks×m×dsub battery ran in ONE task (r16: a
+    # 5.3 s single-task job inside embedding_ivfpq_topk). Per-(id, sub)
+    # argmin is partition-independent (min of per-row values), so results
+    # are identical; no-op on well-split corpora (guide §2.5).
+    from ..sources.catalog import spread_for_compute
+
+    sv = spread_for_compute(sv, F.col(id_col), F.col("sub"))
     dist = _sq_dist_exact if exact else _sq_dist
     scored = sv.join(F.broadcast(codebook), "sub").select(
         id_col,

@@ -285,6 +285,19 @@ def band_signature_candidates(
         from .dedup import cap_bucket_size
 
         buckets = cap_bucket_size(buckets, ["table_id", "bucket"], max_bucket_size)
+    # Explicit bucket-keyed repartition, NOT left to the join's implicit
+    # exchange: the bucket rows are tiny (a few bytes each) so AQE's
+    # byte-based coalescing collapses the implicit exchange to 1-2 tasks —
+    # and those tasks then emit the join's quadratic-per-bucket pair
+    # blowup single-threaded (measured: the whole candidate+verify path of
+    # embedding_near_dups_portable ran as 2 tasks / 40 s of executor time
+    # at sf0.1). A user-specified partition count is exempt from AQE
+    # coalescing, the self-join reuses the one exchange (same keys, same
+    # count), and parallelism is bounded by distinct (table, bucket) keys
+    # either way — at scale the exchange is equally tiny, so pinning its
+    # width costs nothing.
+    p = sig.sparkSession.sparkContext.defaultParallelism
+    buckets = buckets.repartition(p, "table_id", "bucket")
     a = buckets.select(F.col(id_col).alias("id1"), "table_id", "bucket")
     b = buckets.select(F.col(id_col).alias("id2"), "table_id", "bucket")
     return (
@@ -491,15 +504,34 @@ def lsh_signatures_portable(
         ).cast("int")
         return F.when(nib % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
 
-    projs = ex.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.floor(F.col("x") * sign(j) * F.lit(1000000.0) + F.lit(0.5)).cast(
-                    "bigint"
-                )
-            ).alias(f"p{j}")
-            for j in range(num_planes)
-        ]
+    # The plane signs are pure functions of (plane j, pos) with only
+    # num_planes × n_dims distinct inputs (~1k), but evaluated inline they
+    # ran the md5+conv battery num_planes times PER EXPLODED ROW —
+    # ~10M md5 calls at sf0.1 (measured 34 s on the near-dups consumer;
+    # guide §1.2 step 2, per-task work). Compute each sign ONCE over the
+    # distinct positions (a ~n_dims-row frame off a pos-only projection —
+    # cheap shuffle, no extra driver action, empty-safe) and broadcast-join
+    # it back; the joined sign doubles are the identical ±1.0 literals, so
+    # every projection sum — and the oracle hash — is bit-unchanged.
+    signs = (
+        ex.select("pos")
+        .distinct()
+        .select("pos", *[sign(j).alias(f"__s{j}") for j in range(num_planes)])
+    )
+    projs = (
+        ex.join(F.broadcast(signs), "pos")
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.sum(
+                    F.floor(
+                        F.col("x") * F.col(f"__s{j}") * F.lit(1000000.0)
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                ).alias(f"p{j}")
+                for j in range(num_planes)
+            ]
+        )
     )
     sig = None
     for j in range(num_planes):
@@ -529,7 +561,11 @@ def embedding_near_dups_portable(
     Scale shape: one posexplode of the corpus feeds both the signature sums
     and the pair dot products; candidates are an equi-join on (table,
     bucket); the verify joins candidates back to the exploded table on
-    (id, pos) — no all-pairs stage anywhere."""
+    (id, pos) — no all-pairs stage anywhere. (An array-form verify —
+    zip_with + exact-decimal F.aggregate per pair — was measured and
+    REJECTED: higher-order decimal lambdas are interpreted per element,
+    56 s vs 28 s for the codegen'd hash-aggregate SUM below on the same
+    candidates.)"""
     sig = lsh_signatures_portable(corpus, id_col, vec_col, num_planes)
     cands = band_signature_candidates(
         sig, id_col, num_tables, planes_per_table, max_bucket_size,
@@ -654,9 +690,16 @@ def semdedup_portable(
     *cluster*, never the corpus. Assignment is a posexplode equi-join on
     position against a k×dim broadcast side; every sum is a codegen'd
     grouped decimal aggregate (order-independent, cross-engine exact)."""
-    ex = corpus.select(
+    from ..sources.catalog import spread_for_compute
+
+    ex_raw = corpus.select(
         F.col(id_col).alias("__id"), F.posexplode(vec_col).alias("pos", "xf")
     ).select("__id", "pos", F.col("xf").cast("double").alias("x"))
+    # guarded spread before the k-way assignment fan-out and the
+    # within-cluster pairwise join (single task off a 1-partition fixture
+    # scan; decimal sums / per-key argmax are partition-independent). The
+    # tiny centroid projections below read the raw 1-task form.
+    ex = spread_for_compute(ex_raw, "__id", "pos")
     norms = ex.groupBy("__id").agg(
         F.sum((F.col("x") * F.col("x")).cast("decimal(28,10)"))
         .cast("double")
@@ -681,7 +724,7 @@ def semdedup_portable(
         "cent_vid",
         (F.col("__rk") - 1).cast("int").alias("cluster_id"),
     )
-    cex = cent.join(ex, cent.cent_vid == ex.__id).select(
+    cex = cent.join(ex_raw, cent.cent_vid == ex_raw.__id).select(
         "cluster_id", "pos", F.col("x").alias("cx")
     )
     cnorm = cent.join(norms, cent.cent_vid == norms.__id).select(

@@ -541,7 +541,11 @@ def duplicate_ngram_spans(
     per-doc window — partitioned by the id, no global sort."""
     from pyspark.sql import Window
 
-    g = df.select(
+    # same guarded spread as duplicate_ngram_windows: tokenize + n-gram
+    # assembly + per-window hashing is the heavy per-row stage, and off a
+    # single-row-group scan it ran as TWO single-task jobs (both exchange
+    # branches' map sides; r16 profile: 2.4 s + 2.0 s in one task each)
+    g = _spread_text(df, id_col, text_col).select(
         F.col(id_col),
         F.posexplode(ngrams(tokens(text_col), n)).alias("pos0", "gram"),
     ).select(

@@ -1337,16 +1337,22 @@ _COSINE_TOPK_ORACLE = """
 def embedding_cosine_topk(spark, sf_dir):
     from pyspark.sql import Window
 
+    from ..sources.catalog import spread_for_compute
+
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select(
+    ex_raw = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "xf")
     ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    # guarded spread before the |queries|-way dot fan-out + decimal sums
+    # (single task off the fixture's 1-partition scan; decimal aggregates
+    # are partition-independent — see embedding_retrieval_label_consistency)
+    ex = spread_for_compute(ex_raw, "vec_id", "pos")
     norms = ex.groupBy("vec_id").agg(
         F.sum((F.col("x") * F.col("x")).cast("decimal(28,10)"))
         .cast("double")
         .alias("nrm")
     )
-    q = ex.filter(F.col("vec_id") < 8).select(
+    q = ex_raw.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "pos", F.col("x").alias("qx")
     )
     dots = (
@@ -2705,10 +2711,16 @@ def embedding_ivf_topk_portable(spark, sf_dir):
     corpus, and the re-rank touches only probed cells."""
     from pyspark.sql import Window
 
+    from ..sources.catalog import spread_for_compute
+
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select(
+    ex_raw = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "xf")
     ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    # guarded spread before the k-way assignment fan-out and the re-rank
+    # dot joins (single task off the 1-partition fixture scan; decimal
+    # sums and per-key argmax/argmin are partition-independent)
+    ex = spread_for_compute(ex_raw, "vec_id", "pos")
     norms = ex.groupBy("vec_id").agg(
         F.sum((F.col("x") * F.col("x")).cast("decimal(28,10)"))
         .cast("double")
@@ -2719,8 +2731,8 @@ def embedding_ivf_topk_portable(spark, sf_dir):
         .orderBy(F.md5(F.col("cell_id").cast("string")), "cell_id")
         .limit(8)
     )
-    cex = ex.join(
-        F.broadcast(seeds), ex.vec_id == F.col("cell_id"), "inner"
+    cex = ex_raw.join(
+        F.broadcast(seeds), ex_raw.vec_id == F.col("cell_id"), "inner"
     ).select("cell_id", "pos", F.col("x").alias("cx"))
     cdots = (
         ex.join(F.broadcast(cex), "pos")
@@ -10613,16 +10625,26 @@ def embedding_retrieval_label_consistency(spark, sf_dir):
     the label joins move one row per query."""
     from pyspark.sql import Window
 
+    from ..sources.catalog import spread_for_compute
+
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select(
+    ex_raw = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "xf")
     ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    # the broadcast dot join below fans each exploded row out ~|queries|
+    # ways before the partial aggregate; off the fixture's 1-partition scan
+    # that 6.4M-row expansion ran in ONE task (measured 7.5 s of a 8.5 s
+    # wall). Guarded spread: no-op on well-split corpora; decimal sums are
+    # partition-independent, so results are bit-unchanged (guide §2.5).
+    ex = spread_for_compute(ex_raw, "vec_id", "pos")
     norms = ex.groupBy("vec_id").agg(
         F.sum((F.col("x") * F.col("x")).cast("decimal(28,10)"))
         .cast("double")
         .alias("nrm")
     )
-    q = ex.filter(F.col("vec_id") < 50).select(
+    # the broadcast-sized query side reads the raw 1-task projection — no
+    # reason to pay the spread exchange inside the broadcast build
+    q = ex_raw.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), "pos", F.col("x").alias("qx")
     )
     dots = (
@@ -11912,13 +11934,23 @@ def pq_init_assignment_portable(spark, sf_dir):
         16,
         out="__rk",
     ).select("cw_id", (F.col("__rk") - 1).cast("int").alias("code_rank"))
-    ex = emb.select(
+    ex_raw = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "xf")
     ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
     cx = cw.join(
-        ex.select(F.col("vec_id").alias("cw_id"), "pos", F.col("x").alias("c")),
+        ex_raw.select(
+            F.col("vec_id").alias("cw_id"), "pos", F.col("x").alias("c")
+        ),
         "cw_id",
     ).select("code_rank", "pos", "c")
+    # guarded spread before the 16-way codeword expansion + decimal
+    # battery (single task off the fixture's 1-partition scan — r16
+    # measured 3.1 s in one task; decimal sums and the per-(vec, sub)
+    # argmin are partition-independent, results bit-unchanged). The
+    # broadcast side cx stays on the raw 1-task projection.
+    from ..sources.catalog import spread_for_compute
+
+    ex = spread_for_compute(ex_raw, "vec_id", "pos")
     d = (
         ex.join(F.broadcast(cx), "pos")
         .groupBy(
